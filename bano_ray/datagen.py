@@ -1,0 +1,326 @@
+"""Deterministic synthesis of the graft input table.
+
+BASELINE.json ``input_hint`` fixes the input shape: a Lance/Arrow table of
+image + caption rows ``(image_id, bytes, w, h, fmt, caption, phash)`` plus
+synthesized ``lon/lat``.  No such table exists in ``/root/testdata``, so it
+is DERIVED — deterministically and SQL-replicably — from the driver's
+``documents.parquet`` (one image per ``doc_id``).
+
+Every derived column is a pure integer-arithmetic function of ``doc_id``
+(multiplicative-hash streams + modulo indexing into fixed template lists),
+written so the exact same values are reproducible in DuckDB SQL — that is
+what gives the driver's correctness gate real oracles for the spatial
+pipeline.  ``bano_ray.oracle.sql_exprs`` renders the matching SQL from the
+same constants (single source of truth).
+
+Scale note: generation is a stateless ``map_batches`` over a column-pruned
+read of ``documents.parquet`` (only ``doc_id`` leaves storage); at 100 TB
+the same stage form ingests a real Lance table instead.
+
+Caption grammar: ``"<housenumber>, <street spelling>"`` or just
+``"<street spelling>"`` — the housenumber rides inside the caption (the
+input schema has no housenumber column) and is recovered by the caption
+parser stage, mirroring how the reference carries numero+voie per address
+point (``bano/models.py:10-19``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .codecs import encode_image
+
+# ---------------------------------------------------------------------------
+# Derivation constants — mirrored into SQL by bano_ray.oracle
+# ---------------------------------------------------------------------------
+
+MULT = 2654435761       # Knuth multiplicative hash
+MOD = 2147483647        # 2^31 - 1
+STREAM_STEP = 1000003
+
+LON0, LON_SPAN, NZX = -5.0, 14.0, 8
+LAT0, LAT_SPAN, NZY = 41.0, 10.0, 7
+NZONES = NZX * NZY
+
+URBAN_MOD = 20          # doc_id % 20 == 0 → dense urban cluster (skew test)
+URBAN_LON0, URBAN_LAT0, URBAN_SPAN = 2.2, 48.7, 0.2
+
+SOURCES = ["OSM", "BAN", "BAL", "CADASTRE"]
+
+# Street spelling groups: 4 per-source spellings that normalize() to the SAME
+# merge key — cross-source collisions only materialize after normalization
+# (reference behavior: same street spelled differently per source).
+# Verified by tests/test_datagen.py against bano_ray.functions.normalize.
+STREET_SPELLINGS: list[list[str]] = [
+    ["Boulevard de Sébastopol", "BD SEBASTOPOL", "boulevard de Sebastopol", "BOULEVARD DE SEBASTOPOL"],
+    ["Rue des Lilas", "RUE DES LILAS", "rue des lilas", "Rue des lilas"],
+    ["Avenue du Général Leclerc", "AVENUE DU GENERAL LECLERC", "Avenue du Gal Leclerc", "avenue du général leclerc"],
+    ["Place Charles de Gaulle", "PLACE CHARLES DE GAULLE", "place Charles-de-Gaulle", "Place Charles de Gaul"],
+    ["Chemin du Pré Haut", "CHEMIN DU PRE HAUT", "chemin du Pré-Haut", "Chemin du Pre Haut"],
+    ["Rue de l'Église", "RUE DE L'EGLISE", "rue de l’Église", "Rue de l Eglise"],
+    ["Impasse des Acacias", "IMPASSE DES ACACIAS", "impasse des acacias", "Impasse des Acacias "],
+    ["Route de Nancy", "RTE DE NANCY", "route de Nancy", "ROUTE DE NANCY"],
+    ["Rue du 8 Mai 1945", "RUE DU 8 MAI 1945", "rue du 8 mai 1945", "Rue du 8-Mai-1945"],
+    ["Rue Jean-Baptiste Clément", "RUE JEAN-BAPTISTE CLEMENT", "rue Jean Baptiste Clément", "Rue Jean-Baptiste Clement"],
+    ["Quai François Mitterrand", "QUAI FRANCOIS MITTERRAND", "quai François-Mitterrand", "Quai Francois Mitterrand"],
+    ["Allée des Tilleuls", "ALLEE DES TILLEULS", "allée des Tilleuls", "Allee des Tilleuls"],
+    ["Rue Victor Hugo", "RUE VICTOR HUGO", "rue victor hugo", "Rue Victor-Hugo"],
+    ["Avenue Jean Jaurès", "AVENUE JEAN JAURES", "avenue Jean-Jaurès", "Avenue Jean Jaures"],
+    ["Rue de Verdun", "RUE DE VERDUN", "rue de Verdun", "Rue de Verdun "],
+    ["Rue du Docteur Schweitzer", "RUE DU DOCTEUR SCHWEITZER", "rue du Dr Schweitzer", "Rue du Docteur Schweitzer "],
+    ["Boulevard Henri IV", "BOULEVARD HENRI IV", "boulevard Henri IV", "Boulevard Henri IV "],
+    ["Rue du Moulin", "RUE DU MOULIN", "rue du moulin", "Rue du Moulin "],
+    ["Place du Marché", "PLACE DU MARCHE", "place du Marché", "Place du Marche"],
+    ["Rue des Écoles", "RUE DES ECOLES", "rue des écoles", "Rue des Ecoles"],
+    ["Chemin de la Fontaine", "CHEMIN DE LA FONTAINE", "chemin de la Fontaine", "Chemin de la Fontaine "],
+    ["Rue Saint-Jean", "RUE SAINT-JEAN", "rue Saint Jean", "Rue St Jean"],
+    ["Avenue de la Gare", "AVENUE DE LA GARE", "avenue de la gare", "Avenue de la Gare "],
+    ["Rue du Maréchal Juin", "RUE DU MARECHAL JUIN", "rue du Mal Juin", "Rue du Marechal Juin"],
+    ["Esplanade de la Défense", "ESPLANADE DE LA DEFENSE", "esplanade de la Défense", "Esplanade de la Defense"],
+    ["Rue des Trois Fontaines", "RUE DES TROIS FONTAINES", "rue des 3 Fontaines", "Rue des Trois Fontaines "],
+    ["Sentier des Vignes", "SENTIER DES VIGNES", "sentier des vignes", "Sentier des Vignes "],
+    ["Rue de Bellevue", "RUE DE BELLEVUE", "rue de Bellevue", "Rue de Bellevue "],
+    ["Passage du Commerce", "PASSAGE DU COMMERCE", "passage du Commerce", "Passage du Commerce "],
+    ["Rue du Président Wilson", "RUE DU PRESIDENT WILSON", "rue du Pdt Wilson", "Rue du President Wilson"],
+    ["Rue de la Croix Blanche", "RUE DE LA CROIX BLANCHE", "rue de la Croix-Blanche", "Rue de la Croix Blanche "],
+    ["Montée du Château", "MONTEE DU CHATEAU", "montée du Château", "Montee du Chateau"],
+    ["Rue du Petit Bois", "RUE DU PETIT BOIS", "rue du Petit-Bois", "Rue du Petit Bois "],
+    ["Rue des Frères Lumière", "RUE DES FRERES LUMIERE", "rue des Frères-Lumière", "Rue des Freres Lumiere"],
+    ["Avenue du 11 Novembre", "AVENUE DU 11 NOVEMBRE", "avenue du 11-Novembre", "Avenue du 11 Novembre "],
+    ["Rue de la Paix", "RUE DE LA PAIX", "rue de la paix", "Rue de la Paix "],
+    ["Square des Peupliers", "SQUARE DES PEUPLIERS", "square des Peupliers", "Square des Peupliers "],
+    ["Rue du Stade", "RUE DU STADE", "rue du stade", "Rue du Stade "],
+    ["Venelle des Remparts", "VENELLE DES REMPARTS", "venelle des Remparts", "Venelle des Remparts "],
+    ["Rue des Jardins", "RUE DES JARDINS", "rue des jardins", "Rue des Jardins "],
+    # ---- streets BELOW this line are NOT in the registry (K_REG = 40) ----
+    ["Chemin des Oiseaux Perdus", "CHEMIN DES OISEAUX PERDUS", "chemin des Oiseaux Perdus", "Chemin des Oiseaux Perdus "],
+    ["Rue de la Ferme Neuve", "RUE DE LA FERME NEUVE", "rue de la Ferme-Neuve", "Rue de la Ferme Neuve "],
+    ["Allée du Vieux Lavoir", "ALLEE DU VIEUX LAVOIR", "allée du Vieux-Lavoir", "Allee du Vieux Lavoir"],
+    ["Impasse du Four Banal", "IMPASSE DU FOUR BANAL", "impasse du Four-Banal", "Impasse du Four Banal "],
+    ["Rue des Remparts Sud", "RUE DES REMPARTS SUD", "rue des Remparts-Sud", "Rue des Remparts Sud "],
+    ["Sentier du Bord de l'Eau", "SENTIER DU BORD DE L'EAU", "sentier du Bord de l’Eau", "Sentier du Bord de l Eau"],
+    ["Rue Basse du Vallon", "RUE BASSE DU VALLON", "rue basse du Vallon", "Rue Basse du Vallon "],
+    ["Chemin Creux des Landes", "CHEMIN CREUX DES LANDES", "chemin creux des Landes", "Chemin Creux des Landes "],
+]
+NSTREET = len(STREET_SPELLINGS)   # 48
+K_REG = 40                        # streets 0..39 exist in the registry
+
+# housenumber variants — covers multi-value, ranges asc/desc, rep letters,
+# junk, oversize, leading zeros (reference fixture cases, FIXTURES.md F4)
+HOUSENUMBERS = [
+    "12", "7", "1", "3", "25", "142", "8", "21", "2", "17",
+    "12 BIS", "4 TER", "9 QUATER", "2B", "7T",
+    "2,4,6", "12-18", "18-12", "5;7", "3à9",
+    "007", "0012", "99999", "123456789012345", "10 B",
+]
+NHN = len(HOUSENUMBERS)
+HN_EMPTY_MOD = 5        # h4 % 5 == 0 → no housenumber (street-only caption)
+
+FMT_JPEG_MOD = 4        # doc_id % 4 == 0 → lossy 'jpeg' (stub codec), else png
+PHASH_DUP_MOD = 11      # doc_id % 11 ∈ {0,1} → planted exact-dup pair
+PHASH_MULT = 1000003
+PHASH_MOD = 281474976710597   # prime < 2^48
+
+FANTOIR_VARIANT_MOD = 5  # 0 valid, 1 '', 2 wrong-zone, 3 9-char BAN id, 4 ''
+
+POSTCODE_EMPTY_MOD = 3
+
+
+def stream(doc_id: np.ndarray, k: int) -> np.ndarray:
+    """k-th deterministic hash stream of doc_id (int64-safe)."""
+    d = np.asarray(doc_id, dtype=np.int64)
+    return ((d + STREAM_STEP * k) * MULT) % MOD
+
+
+def lon_lat(doc_id: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    h1 = stream(doc_id, 1)
+    h2 = stream(doc_id, 2)
+    lon = LON0 + LON_SPAN * ((h1 % 1000000) + 0.5) / 1000000.0
+    lat = LAT0 + LAT_SPAN * ((h2 % 1000000) + 0.5) / 1000000.0
+    urban = (np.asarray(doc_id, dtype=np.int64) % URBAN_MOD) == 0
+    lon = np.where(urban, URBAN_LON0 + URBAN_SPAN * ((h1 % 1000) + 0.5) / 1000.0, lon)
+    lat = np.where(urban, URBAN_LAT0 + URBAN_SPAN * ((h2 % 1000) + 0.5) / 1000.0, lat)
+    return lon, lat
+
+
+def zone_of(lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
+    """Grid-zone index 0..NZONES-1 (oracle zones are axis-aligned boxes; the
+    geometric PIP path must agree with this arithmetic on box zones)."""
+    zx = np.floor((lon - LON0) / LON_SPAN * NZX).astype(np.int64)
+    zy = np.floor((lat - LAT0) / LAT_SPAN * NZY).astype(np.int64)
+    zx = np.clip(zx, 0, NZX - 1)
+    zy = np.clip(zy, 0, NZY - 1)
+    return zx * NZY + zy
+
+
+def insee_of_zone(zone: np.ndarray) -> np.ndarray:
+    return np.char.zfill((np.asarray(zone) + 1).astype("U"), 5)
+
+
+def street_idx(doc_id: np.ndarray) -> np.ndarray:
+    return stream(doc_id, 3) % NSTREET
+
+
+def source_idx(doc_id: np.ndarray) -> np.ndarray:
+    return np.asarray(doc_id, dtype=np.int64) % 4
+
+
+def housenumber_of(doc_id: np.ndarray) -> np.ndarray:
+    h4 = stream(doc_id, 4)
+    hn = np.asarray(HOUSENUMBERS, dtype=object)[(h4 % NHN).astype(np.int64)]
+    empty = (h4 % HN_EMPTY_MOD) == 0
+    return np.where(empty, "", hn)
+
+
+def caption_of(doc_id: np.ndarray) -> np.ndarray:
+    sidx = street_idx(doc_id)
+    src = source_idx(doc_id)
+    flat = np.asarray([sp for group in STREET_SPELLINGS for sp in group], dtype=object)
+    street = flat[(sidx * 4 + src).astype(np.int64)]
+    hn = housenumber_of(doc_id)
+    return np.where(hn == "", street, np.char.add(np.char.add(hn.astype("U"), ", "), street.astype("U")).astype(object))
+
+
+def phash_of(doc_id: np.ndarray) -> np.ndarray:
+    d = np.asarray(doc_id, dtype=np.int64)
+    base = np.where(d % PHASH_DUP_MOD < 2, d - (d % PHASH_DUP_MOD), d)
+    return (base * PHASH_MULT + 7) % PHASH_MOD
+
+
+def fmt_of(doc_id: np.ndarray) -> np.ndarray:
+    d = np.asarray(doc_id, dtype=np.int64)
+    return np.where(d % FMT_JPEG_MOD == 0, "jpeg", "png")
+
+
+def dims_of(doc_id: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    w = 12 + (stream(doc_id, 7) % 9)
+    h = 12 + (stream(doc_id, 8) % 9)
+    return w.astype(np.int32), h.astype(np.int32)
+
+
+def fantoir_of(doc_id: np.ndarray) -> np.ndarray:
+    """Raw FANTOIR-ish id carried by the point: valid / empty / wrong-zone /
+    9-char BAN form, per h6 variant (FIXTURES.md F4)."""
+    h6 = stream(doc_id, 6)
+    sidx = street_idx(doc_id)
+    lon, lat = lon_lat(doc_id)
+    zone = zone_of(lon, lat)
+    insee = insee_of_zone(zone)
+    wrong = insee_of_zone((zone + 1) % NZONES)
+    voie = np.char.zfill(sidx.astype("U"), 4)
+    valid10 = np.char.add(np.char.add(insee, voie), "A")
+    wrong10 = np.char.add(np.char.add(wrong, voie), "A")
+    # BAN-form id ``insee_voie`` (10 chars, '_' in the rivoli-check slot):
+    # fantoir9_to_candidate drops position 5 → insee+voie, which matches the
+    # registry's fantoir10[0:9] (reference bano/core.py:112-116)
+    ban9 = np.char.add(np.char.add(insee, "_"), voie)
+    variant = (h6 % FANTOIR_VARIANT_MOD).astype(np.int64)
+    out = np.where(variant == 0, valid10, "")
+    out = np.where(variant == 2, wrong10, out)
+    out = np.where(variant == 3, ban9, out)
+    return out.astype(object)
+
+
+def postcode_of(doc_id: np.ndarray) -> np.ndarray:
+    h5 = stream(doc_id, 5)
+    lon, lat = lon_lat(doc_id)
+    zone = zone_of(lon, lat)
+    cp = np.char.zfill(((zone + 1) * 10).astype("U"), 5)
+    return np.where(h5 % POSTCODE_EMPTY_MOD == 0, "", cp).astype(object)
+
+
+def pixels_of(doc_id: int, w: int, h: int) -> np.ndarray:
+    rng = np.random.default_rng(doc_id)
+    return rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Batch generator (runs inside map_batches)
+# ---------------------------------------------------------------------------
+
+def synthesize_batch(batch: pa.Table, with_bytes: bool = False) -> pa.Table:
+    """doc_id batch → image+caption rows.  Pure function of doc_id."""
+    doc_id = batch.column("doc_id").to_numpy()
+    lon, lat = lon_lat(doc_id)
+    w, h = dims_of(doc_id)
+    fmt = fmt_of(doc_id)
+    cols: dict[str, object] = {
+        "image_id": np.char.add("img", np.char.zfill(doc_id.astype("U"), 8)),
+        "w": w,
+        "h": h,
+        "fmt": fmt.astype(object),
+        "caption": caption_of(doc_id),
+        "phash": phash_of(doc_id).astype(np.int64),
+        "lon": lon,
+        "lat": lat,
+        "source": np.asarray(SOURCES, dtype=object)[source_idx(doc_id)],
+        "fantoir_raw": fantoir_of(doc_id),
+        "postcode": postcode_of(doc_id),
+    }
+    if with_bytes:
+        blobs = [encode_image(pixels_of(int(d), int(ww), int(hh)), str(f))
+                 for d, ww, hh, f in zip(doc_id, w, h, fmt)]
+        cols["bytes"] = pa.array(blobs, type=pa.binary())
+    names = ["image_id"] + (["bytes"] if with_bytes else []) + \
+        ["w", "h", "fmt", "caption", "phash", "lon", "lat", "source", "fantoir_raw", "postcode"]
+    arrays = [cols[n] if isinstance(cols[n], pa.Array) else pa.array(cols[n]) for n in names]
+    return pa.table(dict(zip(names, arrays)))
+
+
+def images_dataset(sf_dir: str, with_bytes: bool = False):
+    """Ray Dataset of synthesized image rows for an sf dir.
+
+    Column-pruned read (only doc_id leaves the parquet) → stateless
+    map_batches synthesis, zero-copy Arrow batches.
+    """
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return ds.map_batches(lambda b: synthesize_batch(b, with_bytes=with_bytes),
+                          batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Companion dimension tables (small; built driver-side, broadcast to stages)
+# ---------------------------------------------------------------------------
+
+def zone_boxes_wkb() -> list[tuple[str, bytes]]:
+    """The grid zones as real WKB polygons — the Ray PIP path runs actual
+    geometry against these; the oracle uses the equivalent floor arithmetic."""
+    from .geo.wkb import encode_polygon
+
+    out = []
+    for zx in range(NZX):
+        for zy in range(NZY):
+            x0 = LON0 + LON_SPAN * zx / NZX
+            x1 = LON0 + LON_SPAN * (zx + 1) / NZX
+            y0 = LAT0 + LAT_SPAN * zy / NZY
+            y1 = LAT0 + LAT_SPAN * (zy + 1) / NZY
+            ring = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])
+            insee = str(zx * NZY + zy + 1).zfill(5)
+            out.append((insee, encode_polygon([ring])))
+    return out
+
+
+def registry_table() -> pa.Table:
+    """FANTOIR-like registry: streets 0..K_REG-1 in every zone, official name
+    = spelling 0, fantoir10 = insee + zfill(sidx,4) + 'A'."""
+    insee, fantoir10, name = [], [], []
+    for z in range(NZONES):
+        zi = str(z + 1).zfill(5)
+        for s in range(K_REG):
+            insee.append(zi)
+            fantoir10.append(f"{zi}{str(s).zfill(4)}A")
+            name.append(STREET_SPELLINGS[s][0])
+    return pa.table({"insee": insee, "fantoir10": fantoir10, "name": name})
+
+
+def zone_dims_table() -> pa.Table:
+    """COG/infos_communes-like enrichment per zone (population, adm_weight)."""
+    zone = np.arange(NZONES, dtype=np.int64)
+    return pa.table({
+        "insee": insee_of_zone(zone),
+        "population": (1000 + (zone * 7919) % 100000).astype(np.int64),
+        "adm_weight": (1 + zone % 6).astype(np.int64),
+    })

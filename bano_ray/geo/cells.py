@@ -1,0 +1,168 @@
+"""Hierarchical spatial cell index — from-scratch, numpy-vectorized.
+
+Cells are Web-Mercator quadtree tiles (z, x, y) packed into one int64:
+``cell = (z << 58) | morton(x, y)`` with bit-interleaved x/y so that a
+parent is a cheap shift+repack.  This replaces the reference's
+commune/INSEE partitioning (every reference extraction is
+``WHERE "ref:INSEE" = '__com__'``, e.g. ``bano/sql/hsnr_insee.sql:20-25``)
+with a uniform, scale-free partition key: ONE `groupby(cell)` shuffle
+instead of ~35k per-commune point queries.
+
+Tile ↔ mercator-bbox math replicates the reference's expire-tile constants
+EXACTLY (truncated ``-20037508.34`` / ``40075016.68``, ``bano/models.py:310-313``)
+so tile→zone membership matches.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# Reference's truncated web-mercator constants (bano/models.py:310-313).
+MERC_ORIGIN = -20037508.34
+MERC_SPAN = 40075016.68
+
+MAX_Z = 28  # 2*28 bits of morton + 5 bits of level fits int64
+
+
+def _spread_bits32(v: np.ndarray) -> np.ndarray:
+    """Interleave zeros between bits of a uint32 → uint64 (morton helper)."""
+    x = v.astype(np.uint64)
+    x = (x | (x << np.uint64(16))) & np.uint64(0x0000FFFF0000FFFF)
+    x = (x | (x << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+    x = (x | (x << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    x = (x | (x << np.uint64(2))) & np.uint64(0x3333333333333333)
+    x = (x | (x << np.uint64(1))) & np.uint64(0x5555555555555555)
+    return x
+
+
+def _compact_bits64(v: np.ndarray) -> np.ndarray:
+    x = v.astype(np.uint64) & np.uint64(0x5555555555555555)
+    x = (x | (x >> np.uint64(1))) & np.uint64(0x3333333333333333)
+    x = (x | (x >> np.uint64(2))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    x = (x | (x >> np.uint64(4))) & np.uint64(0x00FF00FF00FF00FF)
+    x = (x | (x >> np.uint64(8))) & np.uint64(0x0000FFFF0000FFFF)
+    x = (x | (x >> np.uint64(16))) & np.uint64(0x00000000FFFFFFFF)
+    return x
+
+
+def morton(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    return _spread_bits32(np.asarray(x)) | (_spread_bits32(np.asarray(y)) << np.uint64(1))
+
+
+def lonlat_to_tile(lon, lat, z: int) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized slippy-map tile coordinates at zoom ``z``."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    n = float(1 << z)
+    xt = np.floor((lon + 180.0) / 360.0 * n)
+    lat_rad = np.radians(lat)
+    yt = np.floor((1.0 - np.log(np.tan(lat_rad) + 1.0 / np.cos(lat_rad)) / np.pi) / 2.0 * n)
+    xt = np.clip(xt, 0, n - 1).astype(np.int64)
+    yt = np.clip(yt, 0, n - 1).astype(np.int64)
+    return xt, yt
+
+
+def cell_encode(lon, lat, z: int) -> np.ndarray:
+    """lon/lat arrays → int64 cell ids at resolution ``z``."""
+    xt, yt = lonlat_to_tile(lon, lat, z)
+    m = morton(xt, yt)
+    return ((np.uint64(z) << np.uint64(58)) | m).astype(np.int64)
+
+
+def cell_decode(cell) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """int64 cells → (z, x, y) arrays."""
+    c = np.asarray(cell).astype(np.uint64)
+    z = (c >> np.uint64(58)).astype(np.int64)
+    m = c & np.uint64((1 << 58) - 1)
+    x = _compact_bits64(m).astype(np.int64)
+    y = _compact_bits64(m >> np.uint64(1)).astype(np.int64)
+    return z, x, y
+
+
+def cell_parent(cell, steps: int = 1) -> np.ndarray:
+    z, x, y = cell_decode(cell)
+    nz = z - steps
+    if np.any(nz < 0):
+        raise ValueError("cell_parent below resolution 0")
+    m = morton(x >> steps, y >> steps)
+    return ((nz.astype(np.uint64) << np.uint64(58)) | m).astype(np.int64)
+
+
+def cell_children(cell: int) -> np.ndarray:
+    z, x, y = cell_decode([cell])
+    z, x, y = int(z[0]), int(x[0]), int(y[0])
+    xs = np.repeat([2 * x, 2 * x + 1], 2)
+    ys = np.tile([2 * y, 2 * y + 1], 2)
+    m = morton(xs, ys)
+    return ((np.uint64(z + 1) << np.uint64(58)) | m).astype(np.int64)
+
+
+def tile_bbox_mercator(z, x, y) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """z/x/y → mercator-meter bbox with the reference's exact truncated
+    constants (``bano/models.py:310-313``)."""
+    z = np.asarray(z, dtype=np.float64)
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    size = MERC_SPAN / (2.0 ** z)
+    xmin = MERC_ORIGIN + size * x
+    xmax = MERC_ORIGIN + size * (x + 1)
+    ymin = -MERC_ORIGIN - size * (y + 1)
+    ymax = -MERC_ORIGIN - size * y
+    return xmin, ymin, xmax, ymax
+
+
+def mercator_to_lonlat(mx, my) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse mercator using the same truncated constants, so tile bboxes
+    and lon/lat geometry live in one consistent frame."""
+    mx = np.asarray(mx, dtype=np.float64)
+    my = np.asarray(my, dtype=np.float64)
+    lon = mx / -MERC_ORIGIN * 180.0
+    lat = np.degrees(np.arctan(np.sinh(my / -MERC_ORIGIN * np.pi)))
+    return lon, lat
+
+
+def tile_bbox_lonlat(z, x, y) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    xmin, ymin, xmax, ymax = tile_bbox_mercator(z, x, y)
+    lon0, lat0 = mercator_to_lonlat(xmin, ymin)
+    lon1, lat1 = mercator_to_lonlat(xmax, ymax)
+    return lon0, lat0, lon1, lat1
+
+
+def cover_bbox(lon_min: float, lat_min: float, lon_max: float, lat_max: float,
+               z: int) -> np.ndarray:
+    """All cells at resolution ``z`` intersecting a lon/lat bbox."""
+    x0, y1 = lonlat_to_tile(lon_min, lat_min, z)  # y grows southward
+    x1, y0 = lonlat_to_tile(lon_max, lat_max, z)
+    xs = np.arange(int(x0), int(x1) + 1, dtype=np.int64)
+    ys = np.arange(int(y0), int(y1) + 1, dtype=np.int64)
+    gx, gy = np.meshgrid(xs, ys)
+    m = morton(gx.ravel(), gy.ravel())
+    return ((np.uint64(z) << np.uint64(58)) | m).astype(np.int64)
+
+
+def tiles_to_cells(z_t, x_t, y_t, cell_res: int) -> np.ndarray:
+    """Expire tiles (z/x/y, typically z16) → engine cells at ``cell_res``.
+
+    For tiles deeper than ``cell_res`` this is the ancestor cell; for coarser
+    tiles it is the full set of descendant cells.  Drives incremental
+    recompute (reference ``bano/models.py:330-360``).
+    """
+    z_t = np.asarray(z_t, dtype=np.int64)
+    x_t = np.asarray(x_t, dtype=np.int64)
+    y_t = np.asarray(y_t, dtype=np.int64)
+    cells: list[np.ndarray] = []
+    deeper = z_t >= cell_res
+    if deeper.any():
+        shift = (z_t[deeper] - cell_res).astype(np.int64)
+        m = morton(x_t[deeper] >> shift, y_t[deeper] >> shift)
+        cells.append(((np.uint64(cell_res) << np.uint64(58)) | m).astype(np.int64))
+    for z, x, y in zip(z_t[~deeper], x_t[~deeper], y_t[~deeper]):
+        k = cell_res - int(z)
+        xs = np.arange(int(x) << k, (int(x) + 1) << k, dtype=np.int64)
+        ys = np.arange(int(y) << k, (int(y) + 1) << k, dtype=np.int64)
+        gx, gy = np.meshgrid(xs, ys)
+        m = morton(gx.ravel(), gy.ravel())
+        cells.append(((np.uint64(cell_res) << np.uint64(58)) | m).astype(np.int64))
+    if not cells:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(np.concatenate(cells))

@@ -1,0 +1,71 @@
+import numpy as np
+import pytest
+
+from bano_ray.codecs import decode_image, encode_image, psnr
+from bano_ray.codecs.png import decode_png, encode_png
+
+
+def test_png_bit_exact_roundtrip():
+    rng = np.random.default_rng(42)
+    for shape in [(1, 1, 3), (16, 24, 3), (31, 7, 3)]:
+        px = rng.integers(0, 256, shape, dtype=np.uint8)
+        assert (decode_png(encode_png(px)) == px).all()
+
+
+def test_png_decoder_handles_all_filters():
+    # encode with each filter type manually and check decode
+    import struct
+    import zlib
+    rng = np.random.default_rng(1)
+    px = rng.integers(0, 256, (6, 5, 3), dtype=np.uint8)
+    base = encode_png(px)
+    ref = decode_png(base)
+    assert (ref == px).all()
+    # craft sub/up/average/paeth-filtered streams
+    h, w = px.shape[:2]
+    for ftype in (1, 2, 3, 4):
+        rows = []
+        prev = np.zeros(w * 3, dtype=np.int32)
+        for r in range(h):
+            line = px[r].reshape(-1).astype(np.int32)
+            filt = np.zeros_like(line)
+            for i in range(len(line)):
+                a = line[i - 3] if i >= 3 else 0
+                b = prev[i]
+                c = prev[i - 3] if i >= 3 else 0
+                if ftype == 1:
+                    pred = a
+                elif ftype == 2:
+                    pred = b
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa_ <= pb_ and pa_ <= pc_) else (b if pb_ <= pc_ else c)
+                filt[i] = (line[i] - pred) & 0xFF
+            rows.append(bytes([ftype]) + bytes(filt.astype(np.uint8)))
+            prev = line
+        raw = b"".join(rows)
+
+        def chunk(tag, payload):
+            return struct.pack(">I", len(payload)) + tag + payload + struct.pack(
+                ">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+
+        data = (b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+                + chunk(b"IDAT", zlib.compress(raw))
+                + chunk(b"IEND", b""))
+        assert (decode_png(data) == px).all(), f"filter {ftype}"
+
+
+def test_lossy_stub_meets_psnr_invariant():
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, (20, 20, 3), dtype=np.uint8)
+    out = decode_image(encode_image(px, "jpeg"), "jpeg")
+    assert psnr(px, out) >= 40.0
+
+
+def test_unknown_format_raises():
+    with pytest.raises(NotImplementedError):
+        encode_image(np.zeros((2, 2, 3), np.uint8), "webp")

@@ -1,0 +1,80 @@
+import numpy as np
+import pyarrow as pa
+
+from bano_ray import datagen as dg
+from bano_ray.functions.normalize import normalize
+
+
+def test_spelling_groups_normalize_to_one_key_each():
+    keys = []
+    for group in dg.STREET_SPELLINGS:
+        norms = {normalize(s) for s in group}
+        assert len(norms) == 1, group
+        keys.append(norms.pop())
+    assert len(set(keys)) == len(keys), "merge keys must be distinct across streets"
+
+
+def test_synthesis_is_deterministic_and_sql_shaped():
+    doc = pa.table({"doc_id": pa.array(np.arange(500, dtype=np.int64))})
+    a = dg.synthesize_batch(doc)
+    b = dg.synthesize_batch(doc)
+    assert a.equals(b)
+    lon = a.column("lon").to_numpy()
+    lat = a.column("lat").to_numpy()
+    assert (lon > dg.LON0).all() and (lon < dg.LON0 + dg.LON_SPAN).all()
+    assert (lat > dg.LAT0).all() and (lat < dg.LAT0 + dg.LAT_SPAN).all()
+    # urban skew: doc_id % 20 == 0 rows all inside the dense window
+    urban = np.arange(500) % dg.URBAN_MOD == 0
+    assert (lon[urban] >= dg.URBAN_LON0).all()
+    assert (lon[urban] <= dg.URBAN_LON0 + dg.URBAN_SPAN).all()
+
+
+def test_phash_dup_pairs_planted():
+    d = np.arange(0, 1100, dtype=np.int64)
+    ph = dg.phash_of(d)
+    # doc_id 11k and 11k+1 share a phash
+    assert ph[11] == ph[12]
+    assert ph[22] == ph[23]
+    assert ph[3] != ph[4]
+
+
+def test_zone_arithmetic_matches_box_geometry():
+    """The floor-arithmetic zone (oracle side) must equal geometric PIP
+    against the WKB box zones (engine side)."""
+    from bano_ray.geo.pip import PolygonIndex
+
+    d = np.arange(2000, dtype=np.int64)
+    lon, lat = dg.lon_lat(d)
+    zone = dg.zone_of(lon, lat)
+    insee = dg.insee_of_zone(zone)
+    idx = PolygonIndex(dg.zone_boxes_wkb())
+    pi, gi = idx.assign_all(lon, lat)
+    # every point hits at least its arithmetic zone; points on shared edges
+    # may legitimately hit two zones (ST_Intersects semantics)
+    got = {}
+    for p, g in zip(pi.tolist(), gi.tolist()):
+        got.setdefault(p, set()).add(idx.keys[g])
+    for i in range(len(d)):
+        assert insee[i] in got.get(i, set()), i
+
+
+def test_bytes_roundtrip_through_codecs():
+    from bano_ray.codecs import decode_image, psnr
+
+    doc = pa.table({"doc_id": pa.array(np.arange(40, dtype=np.int64))})
+    t = dg.synthesize_batch(doc, with_bytes=True)
+    for r in t.to_pylist():
+        px = decode_image(r["bytes"], r["fmt"])
+        src = dg.pixels_of(int(r["image_id"][3:]), r["w"], r["h"])
+        assert px.shape == src.shape
+        if r["fmt"] == "png":
+            assert (px == src).all()
+        else:
+            assert psnr(src, px) >= 40.0
+
+
+def test_registry_and_dims_shapes():
+    reg = dg.registry_table()
+    assert reg.num_rows == dg.NZONES * dg.K_REG
+    dims = dg.zone_dims_table()
+    assert dims.num_rows == dg.NZONES

@@ -1,0 +1,74 @@
+"""PIP edge semantics (ST_Intersects parity: boundary in, overlaps both,
+holes out) + WKB + geometry reductions."""
+
+import numpy as np
+
+from bano_ray.geo.geomops import (CircleUnionZone, convex_hull, haversine_m,
+                                  hull_centroid, hull_diameter_m,
+                                  shoelace_area, street_label_point)
+from bano_ray.geo.pip import PolygonIndex, points_in_polygon
+from bano_ray.geo.wkb import (decode, encode_multipolygon, encode_point,
+                              encode_polygon, polygon_rings)
+
+SQUARE = np.array([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]], float)
+HOLE = np.array([[1, 1], [1, 2], [2, 2], [2, 1], [1, 1]], float)
+
+
+def test_wkb_roundtrip():
+    kind, pt = decode(encode_point(2.5, 48.1))
+    assert kind == "point" and pt == (2.5, 48.1)
+    polys = polygon_rings(encode_polygon([SQUARE, HOLE]))
+    assert len(polys) == 1 and len(polys[0]) == 2
+    mp = polygon_rings(encode_multipolygon([[SQUARE], [SQUARE + 10]]))
+    assert len(mp) == 2
+
+
+def test_pip_interior_hole_boundary_outside():
+    polys = [[SQUARE, HOLE]]
+    px = np.array([2.0, 1.5, 0.0, 4.0, 2.0, 5.0, 1.0])
+    py = np.array([3.0, 1.5, 0.0, 2.0, 0.0, 5.0, 1.5])
+    got = points_in_polygon(px, py, polys)
+    #       interior, in-hole, corner, edge, edge, outside, hole-boundary
+    assert list(got) == [True, False, True, True, True, False, True]
+
+
+def test_pip_multipolygon_and_overlap_multimatch():
+    mp = [[SQUARE], [SQUARE + 10]]
+    got = points_in_polygon(np.array([2.0, 12.0, 7.0]), np.array([2.0, 12.0, 7.0]), mp)
+    assert list(got) == [True, True, False]
+    # two overlapping polygons: ST_Intersects semantics → point matches both
+    idx = PolygonIndex([("A", encode_polygon([SQUARE])),
+                        ("B", encode_polygon([SQUARE + 2]))])
+    pi, gi = idx.assign_all(np.array([3.0]), np.array([3.0]))
+    assert sorted(idx.keys[g] for g in gi) == ["A", "B"]
+
+
+def test_bbox_fallback_catches_hole_points():
+    # a point inside the hole misses the exact pass but the bbox pass
+    # (reference bano/sql/hsnr_bbox_insee_nocache.sql:20) catches it
+    idx = PolygonIndex([("A", encode_polygon([SQUARE, HOLE]))])
+    pi, _ = idx.assign_all(np.array([1.5]), np.array([1.5]))
+    assert len(pi) == 0
+    pi, gi = idx.assign_bbox(np.array([1.5]), np.array([1.5]))
+    assert len(pi) == 1 and idx.keys[gi[0]] == "A"
+
+
+def test_convex_hull_and_diameter():
+    pts = np.array([[0, 0], [1, 0], [1, 1], [0, 1], [0.5, 0.5], [0.2, 0.8]])
+    hull = convex_hull(pts)
+    assert len(hull) == 4
+    assert abs(hull_diameter_m(pts) - haversine_m(0, 0, 1, 1)) < 1e-6
+    cx, cy = hull_centroid(pts)
+    assert abs(cx - 0.5) < 1e-9 and abs(cy - 0.5) < 1e-9
+    assert abs(shoelace_area(SQUARE[:-1]) - 16.0) < 1e-12
+
+
+def test_street_label_point_is_on_line():
+    lp = street_label_point([np.array([[0.0, 0.0], [10.0, 0.0]])])
+    assert lp == (5.0, 0.0)
+
+
+def test_circle_union_zone():
+    z = CircleUnionZone(np.array([[0.0, 0.0], [1.0, 0.0]]), radius=0.1)
+    got = z.contains(np.array([0.05, 0.5, 1.05]), np.array([0.0, 0.0, 0.0]))
+    assert list(got) == [True, False, True]
