@@ -200,9 +200,16 @@ def dims_of(doc_id: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 def fantoir_of(doc_id: np.ndarray) -> np.ndarray:
-    """Raw FANTOIR-ish id carried by the point: valid / empty / wrong-zone /
-    9-char BAN form, per h6 variant (FIXTURES.md F4)."""
+    """Raw FANTOIR-ish id carried by the point, per source (FIXTURES.md F4):
+
+    - OSM rows (tag form): valid fantoir10 / '' / wrong-zone fantoir10
+    - BAN rows (``insee_voie`` form, '_' in the rivoli-check slot —
+      fantoir9_to_candidate drops position 5 → matches the registry's
+      fantoir10[0:9], reference ``bano/core.py:112-116``): valid / '' / wrong
+    - BAL and CADASTRE rows carry none (reference table shapes)
+    """
     h6 = stream(doc_id, 6)
+    src = source_idx(doc_id)
     sidx = street_idx(doc_id)
     lon, lat = lon_lat(doc_id)
     zone = zone_of(lon, lat)
@@ -211,15 +218,34 @@ def fantoir_of(doc_id: np.ndarray) -> np.ndarray:
     voie = np.char.zfill(sidx.astype("U"), 4)
     valid10 = np.char.add(np.char.add(insee, voie), "A")
     wrong10 = np.char.add(np.char.add(wrong, voie), "A")
-    # BAN-form id ``insee_voie`` (10 chars, '_' in the rivoli-check slot):
-    # fantoir9_to_candidate drops position 5 → insee+voie, which matches the
-    # registry's fantoir10[0:9] (reference bano/core.py:112-116)
-    ban9 = np.char.add(np.char.add(insee, "_"), voie)
-    variant = (h6 % FANTOIR_VARIANT_MOD).astype(np.int64)
+    ban10 = np.char.add(np.char.add(insee, "_"), voie)
+    ban10_wrong = np.char.add(np.char.add(wrong, "_"), voie)
+    variant = (h6 % 3).astype(np.int64)
     out = np.where(variant == 0, valid10, "")
     out = np.where(variant == 2, wrong10, out)
-    out = np.where(variant == 3, ban9, out)
+    out = np.where(src == 1, np.where(variant == 0, ban10,
+                                      np.where(variant == 2, ban10_wrong, "")), out)
+    out = np.where(src >= 2, "", out)
     return out.astype(object)
+
+
+PSEUDO_MOD = 6        # CADASTRE rows with h9 % 6 == 0 are pseudo-addresses
+
+
+def pseudo_of(doc_id: np.ndarray) -> np.ndarray:
+    return np.where(stream(doc_id, 9) % PSEUDO_MOD == 0, "true", "false").astype(object)
+
+
+HIGHWAY_TYPES_GEN = [
+    "steps", "path", "cycleway", "footway", "pedestrian", "track", "service",
+    "road", "living_street", "residential", "unclassified", "tertiary",
+    "secondary", "primary", "trunk", "motorway",
+]
+
+
+def highway_type_of(doc_id: np.ndarray) -> np.ndarray:
+    h10 = stream(doc_id, 10)
+    return np.asarray(HIGHWAY_TYPES_GEN, dtype=object)[(h10 % 16).astype(np.int64)]
 
 
 def postcode_of(doc_id: np.ndarray) -> np.ndarray:
@@ -246,6 +272,7 @@ def synthesize_batch(batch: pa.Table, with_bytes: bool = False) -> pa.Table:
     w, h = dims_of(doc_id)
     fmt = fmt_of(doc_id)
     cols: dict[str, object] = {
+        "doc_id": doc_id,
         "image_id": np.char.add("img", np.char.zfill(doc_id.astype("U"), 8)),
         "w": w,
         "h": h,
@@ -257,13 +284,16 @@ def synthesize_batch(batch: pa.Table, with_bytes: bool = False) -> pa.Table:
         "source": np.asarray(SOURCES, dtype=object)[source_idx(doc_id)],
         "fantoir_raw": fantoir_of(doc_id),
         "postcode": postcode_of(doc_id),
+        "pseudo_adresse": pseudo_of(doc_id),
+        "highway_type": highway_type_of(doc_id),
     }
     if with_bytes:
         blobs = [encode_image(pixels_of(int(d), int(ww), int(hh)), str(f))
                  for d, ww, hh, f in zip(doc_id, w, h, fmt)]
         cols["bytes"] = pa.array(blobs, type=pa.binary())
-    names = ["image_id"] + (["bytes"] if with_bytes else []) + \
-        ["w", "h", "fmt", "caption", "phash", "lon", "lat", "source", "fantoir_raw", "postcode"]
+    names = ["doc_id", "image_id"] + (["bytes"] if with_bytes else []) + \
+        ["w", "h", "fmt", "caption", "phash", "lon", "lat", "source",
+         "fantoir_raw", "postcode", "pseudo_adresse", "highway_type"]
     arrays = [cols[n] if isinstance(cols[n], pa.Array) else pa.array(cols[n]) for n in names]
     return pa.table(dict(zip(names, arrays)))
 
@@ -306,21 +336,29 @@ def zone_boxes_wkb() -> list[tuple[str, bytes]]:
 def registry_table() -> pa.Table:
     """FANTOIR-like registry: streets 0..K_REG-1 in every zone, official name
     = spelling 0, fantoir10 = insee + zfill(sidx,4) + 'A'."""
-    insee, fantoir10, name = [], [], []
+    from .functions.normalize import normalize_registry_key
+
+    insee, fantoir10, name, key = [], [], [], []
     for z in range(NZONES):
         zi = str(z + 1).zfill(5)
         for s in range(K_REG):
             insee.append(zi)
             fantoir10.append(f"{zi}{str(s).zfill(4)}A")
             name.append(STREET_SPELLINGS[s][0])
-    return pa.table({"insee": insee, "fantoir10": fantoir10, "name": name})
+            key.append(normalize_registry_key(STREET_SPELLINGS[s][0]))
+    return pa.table({"insee": insee, "fantoir10": fantoir10, "name": name,
+                     "street_key": key})
 
 
 def zone_dims_table() -> pa.Table:
     """COG/infos_communes-like enrichment per zone (population, adm_weight)."""
     zone = np.arange(NZONES, dtype=np.int64)
+    insee = insee_of_zone(zone)
     return pa.table({
-        "insee": insee_of_zone(zone),
+        "insee": insee,
+        "name": np.char.add("Zone ", insee),
         "population": (1000 + (zone * 7919) % 100000).astype(np.int64),
         "adm_weight": (1 + zone % 6).astype(np.int64),
+        "min_cp": np.char.zfill(((zone + 1) * 10).astype("U"), 5),
+        "postal_code": np.char.add("P", insee),
     })

@@ -1,0 +1,465 @@
+"""DuckDB oracle SQL for the driver's correctness gate.
+
+Every SQL string here recomputes, from the registered ``documents`` view and
+pure arithmetic, exactly what the corresponding Ray pipeline computes from
+the synthesized image table — same hash streams, same template lists, same
+reference merge semantics (see ``bano_ray.datagen`` for the single source of
+truth; lists are embedded as literals rendered from those constants).
+
+The oracle's GROUPING is independent of ``normalize()``: it identifies
+streets by their generative index (``sidx``), so a normalization bug on the
+Ray side shows up as a count/hash mismatch.  Only display strings reuse the
+normalize output (as literals).
+"""
+
+from __future__ import annotations
+
+from . import datagen as dg
+from .functions.normalize import normalize
+
+# ---------------------------------------------------------------------------
+# literal helpers
+# ---------------------------------------------------------------------------
+
+
+def _q(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _slist(strings) -> str:
+    return "[" + ", ".join(_q(s) for s in strings) + "]"
+
+
+def H(k: int) -> str:
+    return f"(((doc_id + {dg.STREAM_STEP * k}) * {dg.MULT}) % {dg.MOD})"
+
+
+FLAT_SPELLINGS = [sp for group in dg.STREET_SPELLINGS for sp in group]
+NORMS = [normalize(g[0]) for g in dg.STREET_SPELLINGS]
+
+_LON_MAIN = f"(-5.0 + (14.0 * (({H(1)} % 1000000) + 0.5)) / 1000000.0)"
+_LAT_MAIN = f"(41.0 + (10.0 * (({H(2)} % 1000000) + 0.5)) / 1000000.0)"
+_LON_URBAN = f"({dg.URBAN_LON0} + ({dg.URBAN_SPAN} * (({H(1)} % 1000) + 0.5)) / 1000.0)"
+_LAT_URBAN = f"({dg.URBAN_LAT0} + ({dg.URBAN_SPAN} * (({H(2)} % 1000) + 0.5)) / 1000.0)"
+
+LON_EXPR = f"(CASE WHEN doc_id % {dg.URBAN_MOD} = 0 THEN {_LON_URBAN} ELSE {_LON_MAIN} END)"
+LAT_EXPR = f"(CASE WHEN doc_id % {dg.URBAN_MOD} = 0 THEN {_LAT_URBAN} ELSE {_LAT_MAIN} END)"
+
+
+def base_pts_cte() -> str:
+    """The ``pts`` CTE: documents.doc_id → every synthesized column."""
+    zx = f"CAST(least(greatest(floor((lon - {dg.LON0}) / {dg.LON_SPAN} * {dg.NZX}), 0), {dg.NZX - 1}) AS BIGINT)"
+    zy = f"CAST(least(greatest(floor((lat - {dg.LAT0}) / {dg.LAT_SPAN} * {dg.NZY}), 0), {dg.NZY - 1}) AS BIGINT)"
+    return f"""
+raw AS (
+  SELECT doc_id,
+         'img' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS image_id,
+         {LON_EXPR} AS lon,
+         {LAT_EXPR} AS lat,
+         ({H(3)} % {dg.NSTREET}) AS sidx,
+         (doc_id % 4) AS src_idx,
+         list_extract({_slist(dg.SOURCES)}, (doc_id % 4) + 1) AS source,
+         (CASE WHEN {H(4)} % {dg.HN_EMPTY_MOD} = 0 THEN ''
+               ELSE list_extract({_slist(dg.HOUSENUMBERS)}, ({H(4)} % {dg.NHN}) + 1) END) AS hn,
+         (CASE WHEN doc_id % {dg.FMT_JPEG_MOD} = 0 THEN 'jpeg' ELSE 'png' END) AS fmt,
+         ((CASE WHEN doc_id % {dg.PHASH_DUP_MOD} < 2
+                THEN doc_id - (doc_id % {dg.PHASH_DUP_MOD}) ELSE doc_id END)
+           * {dg.PHASH_MULT} + 7) % {dg.PHASH_MOD} AS phash,
+         ({H(6)} % 3) AS fant_variant,
+         ({H(10)} % 16) AS htype_idx,
+         (CASE WHEN {H(5)} % {dg.POSTCODE_EMPTY_MOD} = 0 THEN '' ELSE NULL END) AS cp_probe,
+         (CASE WHEN {H(9)} % {dg.PSEUDO_MOD} = 0 THEN 'true' ELSE 'false' END) AS pseudo_adresse,
+         list_extract({_slist(dg.HIGHWAY_TYPES_GEN)}, ({H(10)} % 16) + 1) AS highway_type
+  FROM documents
+),
+pts AS (
+  SELECT raw.*,
+         lpad(CAST(({zx} * {dg.NZY} + {zy} + 1) AS VARCHAR), 5, '0') AS insee,
+         lpad(CAST((((({zx} * {dg.NZY} + {zy}) + 1) % {dg.NZONES}) + 1) AS VARCHAR), 5, '0') AS insee_next,
+         list_extract({_slist(FLAT_SPELLINGS)}, sidx * 4 + src_idx + 1) AS street,
+         list_extract({_slist(NORMS)}, sidx + 1) AS street_key
+  FROM raw
+),
+pts2 AS (
+  SELECT pts.*,
+         (CASE WHEN hn = '' THEN street ELSE hn || ', ' || street END) AS caption,
+         (CASE WHEN cp_probe = '' THEN ''
+               ELSE lpad(CAST(((CAST(substr(insee, 1, 5) AS BIGINT)) * 10) AS VARCHAR), 5, '0') END) AS postcode,
+         lpad(CAST(sidx AS VARCHAR), 4, '0') AS voie4,
+         (CASE
+            WHEN src_idx >= 2 THEN ''
+            WHEN src_idx = 1 THEN
+              (CASE fant_variant WHEN 0 THEN insee || '_' || lpad(CAST(sidx AS VARCHAR), 4, '0')
+                                 WHEN 2 THEN insee_next || '_' || lpad(CAST(sidx AS VARCHAR), 4, '0')
+                                 ELSE '' END)
+            ELSE
+              (CASE fant_variant WHEN 0 THEN insee || lpad(CAST(sidx AS VARCHAR), 4, '0') || 'A'
+                                 WHEN 2 THEN insee_next || lpad(CAST(sidx AS VARCHAR), 4, '0') || 'A'
+                                 ELSE '' END)
+          END) AS fantoir_raw
+  FROM pts
+)"""
+
+
+# ---------------------------------------------------------------------------
+# Layer-1 query oracles
+# ---------------------------------------------------------------------------
+
+
+def q_parse_caption() -> str:
+    return f"""WITH {base_pts_cte()}
+SELECT doc_id, caption, hn, street, street_key
+FROM pts2 ORDER BY doc_id"""
+
+
+def q_zone_counts() -> str:
+    return f"""WITH {base_pts_cte()}
+SELECT insee, COUNT(*) AS n_points
+FROM pts2 GROUP BY insee ORDER BY insee"""
+
+
+def q_cell_counts(res: int = 12) -> str:
+    n = 1 << res
+    return f"""WITH {base_pts_cte()}
+SELECT CAST(floor((lon + 180.0) / 360.0 * {n}.0) AS BIGINT) AS cell_x,
+       CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0/cos(radians(lat))) / pi()) / 2.0 * {n}.0) AS BIGINT) AS cell_y,
+       COUNT(*) AS n_points
+FROM pts2 GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+def q_phash_dups() -> str:
+    return f"""WITH {base_pts_cte()}
+SELECT phash, COUNT(*) AS n, MIN(image_id) AS keeper
+FROM pts2 GROUP BY phash HAVING COUNT(*) > 1 ORDER BY phash"""
+
+
+def q_hn_canon() -> str:
+    # reference bano/sql/export_csv_dept.sql:8
+    return f"""WITH {base_pts_cte()}
+SELECT doc_id,
+       replace(replace(replace(replace(replace(replace(replace(replace(
+         regexp_replace(upper(hn), '^0*', ''),
+         'BIS','B'),'TER','T'),'QUATER','Q'),'QUAT','Q'),' ',''),'à','-'),';',','),'"','') AS canon
+FROM pts2 WHERE hn <> '' ORDER BY doc_id"""
+
+
+def q_hn_explode() -> str:
+    # reference bano/core.py:141-156 (OSM multi-number split)
+    return f"""WITH {base_pts_cte()}
+SELECT doc_id, trim(part) AS numero
+FROM (
+  SELECT doc_id, unnest(string_split(translate(hn, ',à;-/*', '$$$$$$'), '$')) AS part
+  FROM pts2 WHERE source = 'OSM' AND hn <> ''
+) ORDER BY doc_id, numero"""
+
+
+def q_hn_ranges() -> str:
+    # reference out/banout.sh:8-30: ';à,' always split; '-' only ascending
+    return f"""WITH {base_pts_cte()},
+split1 AS (
+  SELECT doc_id, trim(unnest(string_split(translate(hn, ';à', ',,'), ','))) AS part
+  FROM pts2 WHERE hn <> ''
+),
+flagged AS (
+  SELECT doc_id, part,
+         string_split(part, '-') AS dash_parts,
+         (CASE WHEN instr(part, '-') > 0 AND
+               CAST('0' || regexp_replace(list_extract(string_split(part,'-'), 1), '[^0-9]', '', 'g') AS BIGINT)
+             < CAST('0' || regexp_replace(coalesce(list_extract(string_split(part,'-'), 2), ''), '[^0-9]', '', 'g') AS BIGINT)
+          THEN true ELSE false END) AS do_split
+  FROM split1
+)
+SELECT doc_id, trim(p) AS numero
+FROM (
+  SELECT doc_id, unnest(dash_parts) AS p FROM flagged WHERE do_split
+  UNION ALL
+  SELECT doc_id, part FROM flagged WHERE NOT do_split
+) ORDER BY doc_id, numero"""
+
+
+def q_hn_plausible() -> str:
+    # reference bano/sql/export_csv_dept.sql:92-94
+    return f"""WITH {base_pts_cte()}
+SELECT doc_id, hn
+FROM pts2
+WHERE hn <> '' AND regexp_matches(hn, '^[0-9]{{1,4}}( ?[A-Z]?.*)?')
+  AND hn <> '99999' AND NOT regexp_matches(hn, '.[0-9 .-]{{9,}}')
+ORDER BY doc_id"""
+
+
+def q_fixed_width_parse() -> str:
+    """S4: FANTOIR fixed-width slicing, applied to a synthesized 120-char
+    record built from pts (exercises utf8 slicing parity)."""
+    return f"""WITH {base_pts_cte()},
+recs AS (
+  SELECT doc_id, rpad(insee || lpad(CAST(sidx AS VARCHAR), 4, '0') || 'A' || upper(street_key), 120, ' ') AS rec
+  FROM pts2
+)
+SELECT doc_id,
+       substr(rec, 1, 5) AS code_insee,
+       substr(rec, 6, 4) AS id_voie,
+       substr(rec, 10, 1) AS cle_rivoli,
+       trim(substr(rec, 11, 30)) AS libelle
+FROM recs ORDER BY doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# Layer-2: the per-zone merge (reference addr_2_db, closed-form over the
+# generative structure — street identity is sidx, NOT the normalize output,
+# so the oracle checks the Ray merge independently)
+# ---------------------------------------------------------------------------
+
+_SPELL0 = f"list_extract({_slist(FLAT_SPELLINGS)}, sidx * 4 + 1)"
+_KEY = f"list_extract({_slist(NORMS)}, sidx + 1)"
+_CODE = "insee || lpad(CAST(sidx AS VARCHAR), 4, '0') || 'A'"
+
+
+def _cumul_ctes() -> str:
+    split = "string_split(translate(p.hn, ',à;-/*', '$$$$$$'), '$')"
+    return f"""{base_pts_cte()},
+hw AS (
+  SELECT insee, sidx,
+         bool_or(fant_variant = 0) AS hw_has_fant,
+         COUNT(*) AS n_hw,
+         COALESCE(SUM(DISTINCT (1 << htype_idx)), 0) AS highway_index
+  FROM pts2 WHERE source = 'OSM' AND hn = ''
+  GROUP BY 1, 2
+),
+osm_num_all AS (
+  SELECT insee, sidx, doc_id, lon, lat, postcode, fant_variant,
+         trim(part) AS numero, CAST(pi AS BIGINT) AS part_idx
+  FROM (
+    SELECT p.*, unnest({split}) AS part, generate_subscripts({split}, 1) AS pi
+    FROM pts2 p WHERE p.source = 'OSM' AND p.hn <> ''
+  )
+),
+osm_num AS (SELECT * FROM osm_num_all WHERE numero <> '' AND length(numero) <= 11),
+osm_addr_fant AS (
+  SELECT insee, sidx, bool_or(fant_variant = 0) AS af FROM osm_num GROUP BY 1, 2
+),
+src_num AS (
+  SELECT insee, sidx, 'OSM' AS source, numero, doc_id, part_idx, lon, lat,
+         postcode AS cp FROM osm_num
+  UNION ALL
+  SELECT insee, sidx, 'BAN', hn, doc_id, 0, lon, lat, postcode FROM pts2
+  WHERE source = 'BAN' AND hn <> '' AND length(hn) <= 11
+  UNION ALL
+  SELECT insee, sidx, 'BAL', hn, doc_id, 0, lon, lat, '' FROM pts2
+  WHERE source = 'BAL' AND hn <> '' AND length(hn) <= 11
+  UNION ALL
+  SELECT insee, sidx, 'CADASTRE', hn, doc_id, 0, lon, lat, '' FROM pts2
+  WHERE source = 'CADASTRE' AND pseudo_adresse <> 'true'
+    AND hn <> '' AND length(hn) <= 11
+),
+num_final AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY insee, sidx, source, numero
+                                 ORDER BY doc_id DESC, part_idx DESC) AS rn
+    FROM src_num)
+  WHERE rn = 1
+),
+cumul AS (
+  SELECT n.insee,
+         substr(n.insee, 1, 2) AS dept,
+         n.source,
+         {_KEY.replace('sidx', 'n.sidx')} AS street_key,
+         n.numero, n.lon, n.lat, n.cp AS code_postal,
+         (CASE WHEN (CASE WHEN n.source = 'OSM' THEN COALESCE(oaf.af, false)
+                          ELSE false END)
+                    OR COALESCE(h.hw_has_fant, false)
+                    OR n.sidx < {dg.K_REG}
+               THEN {_CODE.replace('insee', 'n.insee').replace('sidx', 'n.sidx')}
+               ELSE '' END) AS fantoir,
+         (CASE WHEN n.source = 'OSM' OR COALESCE(h.n_hw, 0) > 0
+               THEN {_SPELL0.replace('sidx', 'n.sidx')} ELSE '' END) AS voie_osm,
+         (CASE WHEN n.sidx < {dg.K_REG}
+               THEN {_SPELL0.replace('sidx', 'n.sidx')} ELSE '' END) AS voie_fantoir,
+         (CASE WHEN n.source = 'BAL'
+               THEN list_extract({_slist(FLAT_SPELLINGS)}, n.sidx * 4 + 3) ELSE '' END) AS voie_bal,
+         (CASE WHEN n.source = 'CADASTRE'
+               THEN list_extract({_slist(FLAT_SPELLINGS)}, n.sidx * 4 + 4) ELSE '' END) AS voie_cadastre,
+         (CASE n.source
+               WHEN 'BAN' THEN list_extract({_slist(FLAT_SPELLINGS)}, n.sidx * 4 + 2)
+               WHEN 'BAL' THEN list_extract({_slist(FLAT_SPELLINGS)}, n.sidx * 4 + 3)
+               WHEN 'CADASTRE' THEN list_extract({_slist(FLAT_SPELLINGS)}, n.sidx * 4 + 4)
+               ELSE '' END) AS voie_autre,
+         n.sidx
+  FROM num_final n
+  LEFT JOIN hw h ON h.insee = n.insee AND h.sidx = n.sidx
+  LEFT JOIN osm_addr_fant oaf ON oaf.insee = n.insee AND oaf.sidx = n.sidx
+),
+first_seen AS (
+  SELECT insee, sidx, numero, MIN(doc_id * 100 + part_idx) AS fs
+  FROM osm_num GROUP BY 1, 2, 3
+),
+label_sel AS (
+  SELECT insee, sidx, numero FROM (
+    SELECT *, row_number() OVER (PARTITION BY insee, sidx ORDER BY fs DESC) AS rn
+    FROM first_seen)
+  WHERE rn = 1
+),
+cumul_voies AS (
+  SELECT c.*, COALESCE(h.highway_index, 0) AS highway_index
+  FROM label_sel l
+  JOIN cumul c ON c.source = 'OSM' AND c.insee = l.insee AND c.sidx = l.sidx
+              AND c.numero = l.numero
+  LEFT JOIN hw h ON h.insee = l.insee AND h.sidx = l.sidx
+)"""
+
+
+CUMUL_COLS = ("insee, dept, source, street_key, numero, lon, lat, "
+              "code_postal, fantoir, voie_osm, voie_fantoir, voie_bal, "
+              "voie_cadastre, voie_autre")
+
+
+def q_cumul_adresses() -> str:
+    return f"""WITH {_cumul_ctes()}
+SELECT {CUMUL_COLS} FROM cumul ORDER BY insee, source, street_key, numero"""
+
+
+def q_cumul_voies() -> str:
+    # cumul_voies rows carry no postcode (reference bano/models.py:156:
+    # code_postal stays '')
+    cols = (CUMUL_COLS.replace("code_postal", "'' AS code_postal")
+            .replace("numero", "'' AS numero"))
+    return f"""WITH {_cumul_ctes()}
+SELECT {cols}, highway_index
+FROM cumul_voies ORDER BY insee, street_key"""
+
+
+# ---------------------------------------------------------------------------
+# Layer-2b: export oracles (reference export_csv_dept.sql /
+# export_json_dept_voies_rapprochees.sql semantics, determinized)
+# ---------------------------------------------------------------------------
+
+_CANON = ("replace(replace(replace(replace(replace(replace(replace(replace("
+          "regexp_replace(upper(numero), '^0*', ''),"
+          "'BIS','B'),'TER','T'),'QUATER','Q'),'QUAT','Q'),' ',''),'à','-'),"
+          "';',','),'\"','')")
+
+
+def _zone_of(lon: str, lat: str) -> str:
+    zx = f"CAST(least(greatest(floor(({lon} - {dg.LON0}) / {dg.LON_SPAN} * {dg.NZX}), 0), {dg.NZX - 1}) AS BIGINT)"
+    zy = f"CAST(least(greatest(floor(({lat} - {dg.LAT0}) / {dg.LAT_SPAN} * {dg.NZY}), 0), {dg.NZY - 1}) AS BIGINT)"
+    return f"lpad(CAST(({zx} * {dg.NZY} + {zy} + 1) AS VARCHAR), 5, '0')"
+
+
+_PLAUS = ("regexp_matches({n}, '^[0-9]{{1,4}}( ?[A-Z]?.*)?') AND {n} <> '99999' "
+          "AND NOT regexp_matches({n}, '.[0-9 .-]{{9,}}')")
+
+
+def q_export_csv() -> str:
+    slice_tpl = """(SELECT * FROM (
+      SELECT *, {canon} AS num,
+             row_number() OVER (PARTITION BY fantoir, {canon}
+                                ORDER BY numero, lon, lat) AS rn
+      FROM cumul WHERE source = '{src}' {extra}) WHERE rn = 1)"""
+    o_sl = slice_tpl.format(canon=_CANON, src="OSM", extra="")
+    od_sl = slice_tpl.format(canon=_CANON, src="BAL", extra="AND lon <> 0 AND lat <> 0")
+    c_sl = slice_tpl.format(canon=_CANON, src="BAN", extra="AND lon <> 0 AND lat <> 0")
+    glon = "coalesce(o.lon, od.lon, c2.lon)"
+    glat = "coalesce(o.lat, od.lat, c2.lat)"
+    plaus = _PLAUS.format(n="numero")
+    return f"""WITH {_cumul_ctes()},
+canon AS (SELECT *, {_CANON} AS num FROM cumul WHERE fantoir <> ''),
+u AS (SELECT insee, fantoir, num FROM canon GROUP BY 1, 2, 3),
+o AS {o_sl},
+od AS {od_sl},
+c2 AS {c_sl},
+res AS (
+  SELECT u.fantoir || '-' || u.num AS id,
+         upper(replace(coalesce(o.numero, od.numero, c2.numero), ' ', '')) AS numero,
+         replace(replace(replace(coalesce(
+             nullif(replace(o.voie_osm, '’', chr(39)), ''),
+             nullif(replace(od.voie_osm, '’', chr(39)), ''),
+             nullif(replace(c2.voie_osm, '’', chr(39)), ''),
+             nullif(od.voie_autre, ''), nullif(c2.voie_autre, '')),
+           '"', chr(39)), ', ', ' '), ',', ' ') AS voie,
+         coalesce(nullif(o.code_postal, ''), nullif(c2.code_postal, ''),
+                  'P' || {_zone_of(glon, glat)},
+                  lpad(CAST(CAST(u.insee AS BIGINT) * 10 AS VARCHAR), 5, '0')) AS code_post,
+         'Zone ' || u.insee AS ville,
+         (CASE WHEN o.num IS NOT NULL THEN 'OSM'
+               WHEN od.num IS NOT NULL AND nullif(od.voie_osm, '') IS NOT NULL
+                    AND od.voie_osm <> od.voie_autre THEN 'O+O'
+               WHEN od.num IS NOT NULL THEN 'OD'
+               WHEN nullif(c2.voie_osm, '') IS NOT NULL THEN 'C+O'
+               ELSE 'CAD' END) AS source,
+         {glat} AS lat, {glon} AS lon
+  FROM u
+  LEFT JOIN o  ON o.fantoir = u.fantoir AND o.num = u.num
+  LEFT JOIN od ON od.fantoir = u.fantoir AND od.num = u.num
+  LEFT JOIN c2 ON c2.fantoir = u.fantoir AND c2.num = u.num
+),
+filt AS (
+  SELECT * FROM res
+  WHERE lat IS NOT NULL AND lon IS NOT NULL AND numero IS NOT NULL
+    AND {plaus}
+)
+SELECT id, numero, voie, code_post, ville, source, lat, lon
+FROM (SELECT *, row_number() OVER (PARTITION BY id ORDER BY numero, lat, lon) AS rn2
+      FROM filt)
+WHERE rn2 = 1 ORDER BY id"""
+
+
+_HAV = ("2.0 * 6371008.8 * asin(sqrt("
+        "pow(sin((radians({lat2}) - radians({lat1})) / 2.0), 2)"
+        " + cos(radians({lat1})) * cos(radians({lat2}))"
+        " * pow(sin((radians({lon2}) - radians({lon1})) / 2.0), 2)))")
+
+
+def q_street_json() -> str:
+    hav = _HAV.format(lat1="p1.lat", lat2="p2.lat", lon1="p1.lon", lon2="p2.lon")
+    plaus = _PLAUS.format(n="numero2")
+    pop = "(1000 + ((CAST(a.insee AS BIGINT) - 1) * 7919) % 100000)"
+    aw = "(1 + (CAST(a.insee AS BIGINT) - 1) % 6)"
+    tw = ("(CASE WHEN v.voie_osm LIKE 'Boulevard%' THEN 4"
+          " WHEN v.voie_osm LIKE 'Place%' THEN 4"
+          " WHEN v.voie_osm LIKE 'Espl%' THEN 4"
+          " WHEN v.voie_osm LIKE 'Av%' THEN 3"
+          " WHEN v.voie_osm LIKE 'Rue %' THEN 2 ELSE 1 END)")
+    return f"""WITH {_cumul_ctes()},
+pre AS (
+  SELECT *, replace(replace(numero, chr(92), ';'), '"', '') AS numero2,
+         (CASE source WHEN 'OSM' THEN 1 WHEN 'BAL' THEN 2 WHEN 'BAN' THEN 3 END) AS sortnum
+  FROM cumul WHERE source IN ('OSM', 'BAL', 'BAN') AND fantoir <> ''
+),
+rnk AS (
+  SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY fantoir, numero2
+                                              ORDER BY sortnum, lon, lat) AS rn
+                 FROM pre) WHERE rn = 1
+),
+plaus AS (
+  SELECT *, (CASE WHEN code_postal <> '' THEN code_postal
+                  ELSE 'P' || {_zone_of("lon", "lat")} END) AS cp_eff
+  FROM rnk WHERE {plaus}
+),
+dist AS (
+  SELECT p1.fantoir, p1.cp_eff, MAX({hav}) AS d
+  FROM plaus p1 JOIN plaus p2 ON p1.fantoir = p2.fantoir AND p1.cp_eff = p2.cp_eff
+  GROUP BY 1, 2
+),
+agg AS (
+  SELECT fantoir, cp_eff, insee, COUNT(*) AS cnt,
+         string_agg(numero2 || '$' || CAST(lat AS VARCHAR) || '$' || CAST(lon AS VARCHAR),
+                    '#' ORDER BY numero2) AS hns
+  FROM plaus GROUP BY 1, 2, 3
+),
+v AS (SELECT * FROM cumul_voies WHERE fantoir <> '')
+SELECT a.fantoir,
+       a.insee AS citycode,
+       replace(replace(replace(v.voie_osm, chr(9), ' '), '"', chr(39)), '’', chr(39)) AS name,
+       a.cp_eff AS postcode,
+       round(v.lat, 6) AS lat,
+       round(v.lon, 6) AS lon,
+       'Zone ' || a.insee AS city,
+       'Dept ' || substr(a.insee, 1, 2) AS departement,
+       'Region ' || substr(a.insee, 1, 2) AS region,
+       round(log({aw} + log({pop} + 1) / 3.0)
+             * log(1.0 + log(a.cnt + 1) + log(d.d + 1) + log({tw})), 4) AS importance,
+       a.hns AS housenumbers,
+       a.cnt AS n_adresses
+FROM agg a
+JOIN v ON v.fantoir = a.fantoir
+JOIN dist d ON d.fantoir = a.fantoir AND d.cp_eff = a.cp_eff
+ORDER BY a.fantoir, a.cp_eff"""

@@ -1,0 +1,92 @@
+"""The cumul pipeline: synthesized image rows → parsed/zone-assigned points →
+co-shuffled with the registry → per-zone merge (``cumul_adresses`` +
+``cumul_voies`` analogs, reference ``bano/core.py:281-323``).
+
+Shape (Ray-Data-first):
+
+    read(documents, columns=[doc_id])            # pruned read
+      → map_batches(synthesize)                  # stateless
+      → map_batches(parse_caption)               # arrow kernels
+      → map_batches(ZoneAssigner, actor pool)    # broadcast polygon index
+      → union(registry rows)                     # co-partition the registry
+      → groupby(insee).map_groups(merge_zone)    # THE shuffle
+
+Image ``bytes`` never enter this path: the pipeline synthesizes/reads only
+metadata columns; bytes re-join by image_id downstream (see
+``pipelines.flagship``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .. import datagen
+from ..runtime import ensure_worker_importable
+from ..stages.merge import merge_zone
+from ..stages.parse import ZoneAssigner, encode_cells, parse_caption
+
+POINT_COLS = ["rec_type", "insee", "doc_id", "source", "street", "street_key",
+              "hn", "lon", "lat", "fantoir_raw", "postcode", "pseudo_adresse",
+              "highway_type", "cell"]
+
+
+def _tag_points(batch: pa.Table) -> pa.Table:
+    n = batch.num_rows
+    batch = batch.append_column("rec_type", pa.array(["point"] * n))
+    return batch.select(POINT_COLS)
+
+
+def _registry_as_points() -> pa.Table:
+    reg = datagen.registry_table()
+    n = reg.num_rows
+    return pa.table({
+        "rec_type": pa.array(["registry"] * n),
+        "insee": reg.column("insee"),
+        "doc_id": pa.array(np.full(n, -1, dtype=np.int64)),
+        "source": pa.array([""] * n),
+        "street": reg.column("name"),
+        "street_key": reg.column("street_key"),
+        "hn": pa.array([""] * n),
+        "lon": pa.array(np.zeros(n)),
+        "lat": pa.array(np.zeros(n)),
+        "fantoir_raw": reg.column("fantoir10"),
+        "postcode": pa.array([""] * n),
+        "pseudo_adresse": pa.array([""] * n),
+        "highway_type": pa.array([""] * n),
+        "cell": pa.array(np.zeros(n, dtype=np.int64)),
+    })
+
+
+def points_dataset(sf_dir: str):
+    """Parsed + zone-assigned point rows (no bytes)."""
+    import ray
+
+    ensure_worker_importable()
+    ds = datagen.images_dataset(sf_dir)
+    ds = ds.map_batches(parse_caption, batch_format="pyarrow")
+    ds = ds.map_batches(encode_cells, batch_format="pyarrow")
+    zones_ref = ray.put(datagen.zone_boxes_wkb())
+    ds = ds.map_batches(ZoneAssigner, fn_constructor_args=(zones_ref,),
+                        concurrency=4, batch_format="pyarrow")
+    return ds
+
+
+def cumul_dataset(sf_dir: str):
+    """The merged cumul rows (rec_type ∈ {adresse, voie})."""
+    import ray
+
+    ensure_worker_importable()
+    pts = points_dataset(sf_dir).map_batches(_tag_points, batch_format="pyarrow")
+    reg = ray.data.from_arrow(_registry_as_points())
+    both = pts.union(reg)
+    return both.groupby("insee").map_groups(merge_zone, batch_format="pandas")
+
+
+def cumul_adresses(sf_dir: str):
+    return cumul_dataset(sf_dir).filter(expr="rec_type == 'adresse'")
+
+
+def cumul_voies(sf_dir: str):
+    return cumul_dataset(sf_dir).filter(expr="rec_type == 'voie'")

@@ -1,0 +1,205 @@
+"""Export-stage computations (per-zone pandas, run under
+``groupby(insee).map_groups``).
+
+- :func:`export_csv_zone` — the reference's CSV export
+  (``bano/sql/export_csv_dept.sql``): canonical-number universe, 3-way
+  source coalesce OSM>BAL>BAN, source labels {OSM,O+O,OD,C+O,CAD}, postal
+  fallback chain, plausibility filters, final per-id dedup.
+- :func:`street_json_zone` — the JSON street export
+  (``bano/sql/export_json_dept_voies_rapprochees.sql``): first-by-priority
+  dedup (OSM<BAL<BAN, CADASTRE dropped), postal fill, per-street importance
+  score and housenumber packing.
+
+Determinization note: where the reference leans on unspecified DB row order
+(LEFT-JOIN fan-out + ROW_NUMBER ties), this engine pins a total order
+(numero, lon, lat) — documented, and mirrored in the DuckDB oracles.
+Geodesic lengths use a haversine sphere (R=6371008.8) rather than PostGIS's
+spheroid; the formula is reproduced verbatim in the oracle SQL.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..functions.housenumber import PLAUSIBLE_RE, IMPLAUSIBLE_RE, canonical_num
+
+EARTH_R = 6371008.8
+
+EXPORT_CSV_COLS = ["id", "numero", "voie", "code_post", "ville", "source", "lat", "lon"]
+
+STREET_JSON_COLS = ["fantoir", "citycode", "name", "postcode", "lat", "lon",
+                    "city", "departement", "region", "importance", "housenumbers", "n_adresses"]
+
+
+def _nn(s) -> str:
+    """'' ≡ NULL (the reference's VALUES-string hack turns '' into SQL NULL,
+    bano/models.py:145)."""
+    return s if isinstance(s, str) and s != "" else ""
+
+
+def _first_nonempty(*vals) -> str:
+    for v in vals:
+        if isinstance(v, str) and v != "":
+            return v
+    return ""
+
+
+def _plausible(n: str) -> bool:
+    import re
+
+    return (bool(re.match(PLAUSIBLE_RE, n)) and n != "99999"
+            and not re.search(IMPLAUSIBLE_RE, n))
+
+
+def _slice(df: pd.DataFrame, source: str, need_nonzero: bool) -> pd.DataFrame:
+    s = df[df["source"] == source].copy()
+    if need_nonzero:
+        s = s[(s["lon"] != 0) & (s["lat"] != 0)]
+    s["num"] = [canonical_num(n) for n in s["numero"]]
+    # deterministic representative per (fantoir, num)
+    s = s.sort_values(["numero", "lon", "lat"], kind="stable")
+    return s.drop_duplicates(subset=["fantoir", "num"], keep="first").set_index(["fantoir", "num"])
+
+
+def export_csv_zone(df: pd.DataFrame, min_cp: str, ville: str) -> pd.DataFrame:
+    """One zone's cumul_adresses rows → export rows."""
+    from ..datagen import zone_of, insee_of_zone
+
+    if len(df) == 0:
+        return pd.DataFrame(columns=EXPORT_CSV_COLS)
+    adr = df[df["rec_type"] == "adresse"] if "rec_type" in df.columns else df
+    adr = adr[adr["fantoir"] != ""]
+    if len(adr) == 0:
+        return pd.DataFrame(columns=EXPORT_CSV_COLS)
+
+    u = adr.assign(num=[canonical_num(n) for n in adr["numero"]])
+    u = u[["insee", "fantoir", "num"]].drop_duplicates()
+
+    o = _slice(adr, "OSM", need_nonzero=False)
+    od = _slice(adr, "BAL", need_nonzero=True)
+    c = _slice(adr, "BAN", need_nonzero=True)
+
+    rows = []
+    for r in u.itertuples(index=False):
+        key = (r.fantoir, r.num)
+        ro = o.loc[key] if key in o.index else None
+        rod = od.loc[key] if key in od.index else None
+        rc = c.loc[key] if key in c.index else None
+        numero = _first_nonempty(
+            ro["numero"] if ro is not None else "",
+            rod["numero"] if rod is not None else "",
+            rc["numero"] if rc is not None else "")
+        if numero == "":
+            continue  # no geometry source matched (reference: lat IS NULL filter)
+        numero_out = numero.upper().replace(" ", "")
+        voie = _first_nonempty(
+            (ro["voie_osm"].replace("’", "'") if ro is not None else ""),
+            (rod["voie_osm"].replace("’", "'") if rod is not None else ""),
+            (rc["voie_osm"].replace("’", "'") if rc is not None else ""),
+            rod["voie_autre"] if rod is not None else "",
+            rc["voie_autre"] if rc is not None else "")
+        voie = voie.replace('"', "'").replace(", ", " ").replace(",", " ")
+        geom_row = ro if ro is not None else (rod if rod is not None else rc)
+        lon, lat = float(geom_row["lon"]), float(geom_row["lat"])
+        postal_poly_cp = "P" + insee_of_zone(zone_of(np.array([lon]), np.array([lat])))[0]
+        code_post = _first_nonempty(
+            ro["code_postal"] if ro is not None else "",
+            rc["code_postal"] if rc is not None else "",
+            postal_poly_cp, min_cp)
+        if ro is not None:
+            source = "OSM"
+        elif rod is not None and _nn(rod["voie_osm"]) and rod["voie_osm"] != rod["voie_autre"]:
+            source = "O+O"
+        elif rod is not None:
+            source = "OD"
+        elif rc is not None and _nn(rc["voie_osm"]):
+            source = "C+O"
+        else:
+            source = "CAD"
+        if not _plausible(numero_out):
+            continue
+        rows.append({"id": f"{r.fantoir}-{r.num}", "numero": numero_out,
+                     "voie": voie, "code_post": code_post, "ville": ville,
+                     "source": source, "lat": lat, "lon": lon})
+    out = pd.DataFrame(rows, columns=EXPORT_CSV_COLS)
+    if len(out) == 0:
+        return out
+    out = out.sort_values(["id", "numero", "lat", "lon"], kind="stable")
+    return out.drop_duplicates(subset=["id"], keep="first").sort_values("id").reset_index(drop=True)
+
+
+def haversine_m(lon1, lat1, lon2, lat2):
+    lon1, lat1, lon2, lat2 = (np.radians(np.asarray(v, dtype=np.float64))
+                              for v in (lon1, lat1, lon2, lat2))
+    h = (np.sin((lat2 - lat1) / 2.0) ** 2
+         + np.cos(lat1) * np.cos(lat2) * np.sin((lon2 - lon1) / 2.0) ** 2)
+    return 2.0 * EARTH_R * np.arcsin(np.sqrt(h))
+
+
+def _type_weight(voie_osm: str) -> int:
+    if voie_osm.startswith("Boulevard") or voie_osm.startswith("Place") \
+            or voie_osm.startswith("Espl"):
+        return 4
+    if voie_osm.startswith("Av"):
+        return 3
+    if voie_osm.startswith("Rue "):
+        return 2
+    return 1
+
+
+def street_json_zone(df: pd.DataFrame, dims: dict) -> pd.DataFrame:
+    """One zone's cumul rows (adresse + voie) → street JSON records.
+
+    ``dims``: insee → {population, adm_weight, name, dept_name, region_name}.
+    """
+    from ..datagen import zone_of, insee_of_zone
+
+    if len(df) == 0:
+        return pd.DataFrame(columns=STREET_JSON_COLS)
+    adr = df[df["rec_type"] == "adresse"].copy()
+    voies = df[(df["rec_type"] == "voie") & (df["fantoir"] != "")]
+    if len(adr) == 0 or len(voies) == 0:
+        return pd.DataFrame(columns=STREET_JSON_COLS)
+    insee = str(df["insee"].iloc[0])
+    d = dims[insee]
+
+    sortnum = {"OSM": 1, "BAL": 2, "BAN": 3}
+    adr = adr[adr["source"].isin(sortnum)]  # CADASTRE dropped (inner join)
+    adr["numero2"] = [n.replace("\\", ";").replace('"', "") for n in adr["numero"]]
+    adr["sortnum"] = adr["source"].map(sortnum)
+    adr = adr.sort_values(["sortnum", "lon", "lat"], kind="stable")
+    adr = adr.drop_duplicates(subset=["fantoir", "numero2"], keep="first")
+    # postal fill from containing postal polygon (single box per zone here;
+    # smallest-area-first tie-break exercised by the PolygonIndex tests)
+    poly_cp = np.char.add("P", insee_of_zone(zone_of(adr["lon"].to_numpy(), adr["lat"].to_numpy())))
+    adr["cp_eff"] = np.where(adr["code_postal"] != "", adr["code_postal"], poly_cp)
+    adr = adr[[_plausible(n) for n in adr["numero2"]]]
+
+    rows = []
+    for (fant, cp), g in adr.groupby(["fantoir", "cp_eff"], sort=True):
+        if fant == "":
+            continue
+        v = voies[voies["fantoir"] == fant]
+        if len(v) == 0:
+            continue
+        v = v.iloc[0]
+        cnt = len(g)
+        lon = g["lon"].to_numpy()
+        lat = g["lat"].to_numpy()
+        dist = float(haversine_m(lon[:, None], lat[:, None], lon[None, :], lat[None, :]).max())
+        name = v["voie_osm"].replace("\t", " ").replace('"', "'").replace("’", "'")
+        tw = _type_weight(v["voie_osm"])
+        importance = round(
+            np.log10(d["adm_weight"] + np.log10(d["population"] + 1) / 3.0)
+            * np.log10(1.0 + np.log10(cnt + 1) + np.log10(dist + 1) + np.log10(tw)), 4)
+        g2 = g.sort_values("numero2", kind="stable")
+        hns = "#".join(f"{n}${la}${lo}" for n, la, lo in
+                       zip(g2["numero2"], g2["lat"], g2["lon"]))
+        rows.append({
+            "fantoir": fant, "citycode": insee, "name": name, "postcode": cp,
+            "lat": round(float(v["lat"]), 6), "lon": round(float(v["lon"]), 6),
+            "city": d["name"], "departement": d["dept_name"], "region": d["region_name"],
+            "importance": float(importance), "housenumbers": hns, "n_adresses": cnt,
+        })
+    return pd.DataFrame(rows, columns=STREET_JSON_COLS)
