@@ -1,44 +1,76 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the bano_ray engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+The driver initialises Ray itself before importing this module; nothing
+here (or in the library) calls ``ray.init``/``ray.shutdown``.  Each
+``queries()`` entry is a pipeline from SURVEY.md §2; ``oracle_sql()`` holds
+the DuckDB-equivalent SQL (rendered by ``bano_ray.oracle`` from the same
+generative constants the pipelines use).  Queries without an oracle entry
+are non-SQL-expressible (hash functions / approximate algorithms) and get
+the driver's rows-only check.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# queries with full DuckDB value-parity oracles
+_ORACLE_QUERIES = [
+    "q_parse_caption",       # M-series caption → (hn, street, key)
+    "q_zone_counts",         # G1 PIP zone assignment counts
+    "q_cell_counts",         # cell index encoding (z12 tiles)
+    "q_phash_dups",          # §2.8 exact image dedup by phash
+    "q_hn_canon",            # M9 canonical housenumber key
+    "q_hn_explode",          # M7 OSM multi-number split
+    "q_hn_ranges",           # M8 conditional range expansion
+    "q_hn_plausible",        # M10 plausibility filters
+    "q_fixed_width_parse",   # S4 fixed-width registry parse
+    "q_cumul_adresses",      # §3.1 the per-zone merge (addresses)
+    "q_cumul_voies",         # §3.1 the per-zone merge (streets)
+    "q_export_csv",          # K1/J1/A1-A3 priority coalesce export
+    "q_street_json",         # A1/A4/A5 importance + packing export
+    "q_registry_unmatched",  # J9 anti-join
+    "q_ban_pseudo",          # J11 pseudo-registry augmentation
+    "q_min_cp",              # A6 min postal per zone
+    "q_tile_zones",          # G9 expire tiles → impacted zones
+    "q_knn_match",           # ST5 cell-local kNN matcher
+    "q_langid",              # text: language ID heuristic
+    "q_token_count",         # text: token counting
+    "q_quality",             # text: quality scoring
+    "q_fingerprint",         # text: rolling-hash fingerprint
+    "q_dedup_exact_docs",    # dedup: exact content hash
+    "q_events_hourly",       # streaming-style windowed aggregate
+    "q_lineitem_pricing",    # relational baseline (TPC-H Q1 shape)
+    "q_ann_topk",            # similarity search: brute cosine top-k
+]
+
+# rows-only queries (hashing/approx algorithms with no SQL equivalent)
+_ROWSONLY_QUERIES = [
+    "q_minhash_pairs",       # dedup: MinHash+LSH near-dup pairs
+    "q_simhash",             # dedup: SimHash signatures
+    "q_embedding_neardup",   # dedup: embedding-cosine near-dups (LSH)
+    "q_ann_lsh",             # similarity search: LSH-bucketed ANN
+]
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline (spatial join + street aggregation) on sf0.001."""
+    from bano_ray.pipelines.flagship import flagship
+
+    return flagship("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    import bano_ray.pipelines.queries as Q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: getattr(Q, name) for name in _ORACLE_QUERIES + _ROWSONLY_QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    import bano_ray.oracle as O
+
+    return {name: getattr(O, name)() for name in _ORACLE_QUERIES}

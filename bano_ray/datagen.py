@@ -298,15 +298,27 @@ def synthesize_batch(batch: pa.Table, with_bytes: bool = False) -> pa.Table:
     return pa.table(dict(zip(names, arrays)))
 
 
-def images_dataset(sf_dir: str, with_bytes: bool = False):
+def images_dataset(sf_dir: str, with_bytes: bool = False, expand: int = 1):
     """Ray Dataset of synthesized image rows for an sf dir.
 
     Column-pruned read (only doc_id leaves the parquet) → stateless
     map_batches synthesis, zero-copy Arrow batches.
+
+    ``expand`` > 1 derives ``expand`` images per document
+    (doc_id' = doc_id * expand + r) — the bench-scale corpus; every
+    derivation is a pure function of the expanded id, so pipelines behave
+    identically at any scale.
     """
     import ray.data
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    if expand > 1:
+        def blow_up(b: pa.Table) -> pa.Table:
+            d = b.column("doc_id").to_numpy()
+            out = (d[:, None] * expand + np.arange(expand)[None, :]).reshape(-1)
+            return pa.table({"doc_id": pa.array(out, type=pa.int64())})
+
+        ds = ds.map_batches(blow_up, batch_format="pyarrow")
     return ds.map_batches(lambda b: synthesize_batch(b, with_bytes=with_bytes),
                           batch_format="pyarrow")
 
@@ -362,3 +374,14 @@ def zone_dims_table() -> pa.Table:
         "min_cp": np.char.zfill(((zone + 1) * 10).astype("U"), 5),
         "postal_code": np.char.add("P", insee),
     })
+
+
+# Fixed expire-tile set (z/x/y, mixed zooms) driving incremental recompute
+# (reference bano/models.py:305-360); bboxes intersect a known zone subset.
+EXPIRE_TILES = [
+    (16, 33186, 22561),
+    (14, 8294, 5643),
+    (11, 1037, 705),
+    (16, 32859, 23830),
+    (12, 2127, 1397),
+]

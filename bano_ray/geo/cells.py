@@ -117,7 +117,10 @@ def mercator_to_lonlat(mx, my) -> tuple[np.ndarray, np.ndarray]:
     mx = np.asarray(mx, dtype=np.float64)
     my = np.asarray(my, dtype=np.float64)
     lon = mx / -MERC_ORIGIN * 180.0
-    lat = np.degrees(np.arctan(np.sinh(my / -MERC_ORIGIN * np.pi)))
+    # explicit (exp(x)-exp(-x))/2 instead of sinh: mirrored verbatim in the
+    # DuckDB oracle (which has no sinh) so both sides round identically
+    x = my / -MERC_ORIGIN * np.pi
+    lat = np.degrees(np.arctan((np.exp(x) - np.exp(-x)) / 2.0))
     return lon, lat
 
 

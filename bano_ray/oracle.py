@@ -463,3 +463,196 @@ FROM agg a
 JOIN v ON v.fantoir = a.fantoir
 JOIN dist d ON d.fantoir = a.fantoir AND d.cp_eff = a.cp_eff
 ORDER BY a.fantoir, a.cp_eff"""
+
+
+# ---------------------------------------------------------------------------
+# Layer-2c: registry joins, tiles, kNN
+# ---------------------------------------------------------------------------
+
+
+def q_registry_unmatched() -> str:
+    return f"""WITH {_cumul_ctes()},
+reg AS (
+  SELECT lpad(CAST(z.range + 1 AS VARCHAR), 5, '0') AS insee,
+         lpad(CAST(z.range + 1 AS VARCHAR), 5, '0')
+           || lpad(CAST(s.range AS VARCHAR), 4, '0') || 'A' AS fantoir
+  FROM range({dg.NZONES}) z, range({dg.K_REG}) s
+),
+matched AS (SELECT DISTINCT fantoir FROM cumul WHERE fantoir <> '')
+SELECT insee, fantoir FROM reg
+WHERE fantoir NOT IN (SELECT fantoir FROM matched)
+ORDER BY fantoir"""
+
+
+def q_ban_pseudo() -> str:
+    return f"""WITH {base_pts_cte()},
+b AS (SELECT DISTINCT insee, street_key FROM pts2
+      WHERE source = 'BAN' AND sidx >= {dg.K_REG})
+SELECT insee, street_key,
+       insee || 'b' || rpad(CAST(rn - 1 AS VARCHAR), 4, 'b') AS pseudo_fantoir
+FROM (SELECT *, row_number() OVER (PARTITION BY insee ORDER BY street_key) AS rn
+      FROM b)
+ORDER BY insee, street_key"""
+
+
+def q_min_cp() -> str:
+    return f"""WITH {_cumul_ctes()}
+SELECT insee, MIN(code_postal) AS min_cp
+FROM cumul WHERE code_postal <> '' GROUP BY insee ORDER BY insee"""
+
+
+def q_tile_zones() -> str:
+    tiles_vals = ", ".join(f"({z}, {x}, {y})" for z, x, y in dg.EXPIRE_TILES)
+    m = 20037508.34
+    return f"""WITH tiles(z, x, y) AS (VALUES {tiles_vals}),
+tb AS (
+  SELECT z, x, y,
+         -{m} + ({2*m:.2f} / pow(2.0, z)) * x AS mx0,
+         -{m} + ({2*m:.2f} / pow(2.0, z)) * (x + 1) AS mx1,
+         {m} - ({2*m:.2f} / pow(2.0, z)) * (y + 1) AS my0,
+         {m} - ({2*m:.2f} / pow(2.0, z)) * y AS my1
+  FROM tiles
+),
+tl AS (
+  SELECT z, x, y,
+         mx0 / {m} * 180.0 AS lon0, mx1 / {m} * 180.0 AS lon1,
+         degrees(atan((exp(my0 / {m} * pi()) - exp(-(my0 / {m} * pi()))) / 2.0)) AS lat0,
+         degrees(atan((exp(my1 / {m} * pi()) - exp(-(my1 / {m} * pi()))) / 2.0)) AS lat1
+  FROM tb
+),
+zones AS (
+  SELECT lpad(CAST(r.range + 1 AS VARCHAR), 5, '0') AS insee,
+         {dg.LON0} + ({dg.LON_SPAN} * (r.range // {dg.NZY})) / {dg.NZX} AS zx0,
+         {dg.LON0} + ({dg.LON_SPAN} * ((r.range // {dg.NZY}) + 1)) / {dg.NZX} AS zx1,
+         {dg.LAT0} + ({dg.LAT_SPAN} * (r.range % {dg.NZY})) / {dg.NZY} AS zy0,
+         {dg.LAT0} + ({dg.LAT_SPAN} * ((r.range % {dg.NZY}) + 1)) / {dg.NZY} AS zy1
+  FROM range({dg.NZONES}) r
+)
+SELECT t.z, t.x, t.y, zo.insee
+FROM tl t JOIN zones zo
+ON t.lon0 <= zo.zx1 AND t.lon1 >= zo.zx0 AND t.lat0 <= zo.zy1 AND t.lat1 >= zo.zy0
+ORDER BY t.z, t.x, t.y, zo.insee"""
+
+
+def q_knn_match() -> str:
+    hav = _HAV.format(lat1="p.lat", lat2="t.lat", lon1="p.lon", lon2="t.lon")
+    return f"""WITH {base_pts_cte()}
+SELECT probe_id, target_id, dist_m, CAST(1 AS BIGINT) AS rank
+FROM (
+  SELECT p.image_id AS probe_id, t.image_id AS target_id,
+         round({hav}, 3) AS dist_m,
+         row_number() OVER (PARTITION BY p.image_id
+                            ORDER BY round({hav}, 6), t.image_id) AS rn
+  FROM pts2 p
+  JOIN pts2 t ON p.insee = t.insee AND p.street_key = t.street_key
+             AND t.source = 'OSM'
+  WHERE p.source = 'BAN'
+)
+WHERE rn = 1 ORDER BY probe_id"""
+
+
+# ---------------------------------------------------------------------------
+# Layer-3: text analysis / dedup / ANN / events / relational baseline
+# (over the real testdata tables)
+# ---------------------------------------------------------------------------
+
+
+def _occ(expr: str, pat: str) -> str:
+    p = _q(pat)
+    return f"CAST((length({expr}) - length(replace({expr}, {p}, ''))) / {len(pat)} AS BIGINT)"
+
+
+def q_langid() -> str:
+    from .stages.text import EN_MARKERS, FR_MARKERS
+
+    en = " + ".join(_occ("lower(text)", p) for p in EN_MARKERS)
+    fr = " + ".join(_occ("lower(text)", p) for p in FR_MARKERS)
+    return f"""SELECT doc_id, ({en}) AS en_hits, ({fr}) AS fr_hits,
+       (CASE WHEN ({en}) > ({fr}) THEN 'en'
+             WHEN ({fr}) > ({en}) THEN 'fr' ELSE 'und' END) AS lang_pred
+FROM documents ORDER BY doc_id"""
+
+
+_NTOK = ("(CASE WHEN trim(text, ' \t\n\r') = '' THEN 0 ELSE "
+         "length(string_split_regex(trim(text, ' \t\n\r'), '[ \t\n\r]+')) END)")
+
+
+def q_token_count() -> str:
+    return f"""SELECT doc_id, CAST({_NTOK} AS INTEGER) AS n_tokens
+FROM documents ORDER BY doc_id"""
+
+
+def q_quality() -> str:
+    from .stages.text import EN_MARKERS, FR_MARKERS, PUNCT
+
+    punct = " + ".join(_occ("text", ch) for ch in PUNCT)
+    stop = " + ".join(_occ("lower(text)", p) for p in EN_MARKERS + FR_MARKERS)
+    return f"""WITH t AS (
+  SELECT doc_id, length(text) AS n_chars, {_NTOK} AS n_tokens,
+         ({punct}) AS punct, ({stop}) AS stop,
+         CAST(length(text) AS DOUBLE) AS nc
+  FROM documents
+)
+SELECT doc_id, n_chars, CAST(n_tokens AS INTEGER) AS n_tokens,
+       round(CAST(punct AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE), 6) AS punct_ratio,
+       round(CAST(stop AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE), 6) AS stop_ratio,
+       round(ln(nc + 1.0) * 0.25
+             + (CAST(stop AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE) * 2.0
+                - CAST(punct AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE) * 3.0), 6) AS quality
+FROM t ORDER BY doc_id"""
+
+
+def q_fingerprint() -> str:
+    from .stages.text import FP_LEN, FP_MOD, FP_MULTS
+
+    mults = "[" + ", ".join(str(m) for m in FP_MULTS) + "]"
+    return f"""SELECT doc_id,
+       CAST(COALESCE(list_sum(list_transform(range(least(length(text), {FP_LEN})),
+            i -> CAST(unicode(substr(text, i + 1, 1)) AS BIGINT) * list_extract({mults}, i + 1))), 0)
+            % {FP_MOD} AS BIGINT) AS fingerprint
+FROM documents ORDER BY doc_id"""
+
+
+def q_dedup_exact_docs() -> str:
+    return """SELECT md5(text) AS h, COUNT(*) AS n, MIN(doc_id) AS keeper
+FROM documents GROUP BY 1 ORDER BY h"""
+
+
+def q_events_hourly() -> str:
+    return """SELECT user_id, date_trunc('hour', ts) AS hour, COUNT(*) AS n,
+       round(SUM(value), 6) AS sum_value,
+       MIN(value) AS min_value, MAX(value) AS max_value
+FROM events GROUP BY 1, 2 ORDER BY user_id, hour"""
+
+
+def q_lineitem_pricing() -> str:
+    return """SELECT l_returnflag, l_linestatus,
+       round(SUM(l_quantity), 4) AS sum_qty,
+       round(SUM(l_extendedprice), 4) AS sum_price,
+       round(AVG(l_discount), 4) AS avg_disc,
+       COUNT(*) AS n
+FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+def q_ann_topk() -> str:
+    from .pipelines.queries import ANN_K, ANN_QUERY_IDS
+
+    mx = max(ANN_QUERY_IDS) + 1
+    return f"""WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings WHERE vec_id < {mx}
+),
+c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings WHERE vec_id >= {mx}
+),
+sims AS (
+  SELECT q.qid AS query_id, c.vec_id,
+         round(list_inner_product(q.e, c.e)
+               / (sqrt(list_inner_product(q.e, q.e)) * sqrt(list_inner_product(c.e, c.e))), 6) AS sim
+  FROM q, c
+)
+SELECT query_id, vec_id, sim, rn AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+      FROM sims)
+WHERE rn <= {ANN_K} ORDER BY query_id, rank"""

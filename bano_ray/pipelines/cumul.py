@@ -25,16 +25,28 @@ import pyarrow as pa
 from .. import datagen
 from ..runtime import ensure_worker_importable
 from ..stages.merge import merge_zone
-from ..stages.parse import ZoneAssigner, encode_cells, parse_caption
+from ..stages.parse import encode_cells, make_zone_assigner, parse_caption
 
-POINT_COLS = ["rec_type", "insee", "doc_id", "source", "street", "street_key",
-              "hn", "lon", "lat", "fantoir_raw", "postcode", "pseudo_adresse",
-              "highway_type", "cell"]
+POINT_COLS = ["rec_type", "insee", "salt", "doc_id", "source", "street",
+              "street_key", "hn", "lon", "lat", "fantoir_raw", "postcode",
+              "pseudo_adresse", "highway_type"]
+
+NSALT = 8  # skew splitting: streets stay whole, dense zones split NSALT ways
+
+
+def street_salt(street_key_arr) -> np.ndarray:
+    """Deterministic street-level salt — groups (zone, salt) keep every
+    street intact while splitting dense urban zones (SURVEY.md §4 skew)."""
+    import zlib
+
+    return np.asarray([zlib.crc32(k.encode()) % NSALT
+                       for k in street_key_arr.to_pylist()], dtype=np.int64)
 
 
 def _tag_points(batch: pa.Table) -> pa.Table:
     n = batch.num_rows
     batch = batch.append_column("rec_type", pa.array(["point"] * n))
+    batch = batch.append_column("salt", pa.array(street_salt(batch.column("street_key"))))
     return batch.select(POINT_COLS)
 
 
@@ -44,6 +56,7 @@ def _registry_as_points() -> pa.Table:
     return pa.table({
         "rec_type": pa.array(["registry"] * n),
         "insee": reg.column("insee"),
+        "salt": pa.array(street_salt(reg.column("street_key"))),
         "doc_id": pa.array(np.full(n, -1, dtype=np.int64)),
         "source": pa.array([""] * n),
         "street": reg.column("name"),
@@ -55,33 +68,32 @@ def _registry_as_points() -> pa.Table:
         "postcode": pa.array([""] * n),
         "pseudo_adresse": pa.array([""] * n),
         "highway_type": pa.array([""] * n),
-        "cell": pa.array(np.zeros(n, dtype=np.int64)),
     })
 
 
-def points_dataset(sf_dir: str):
+def points_dataset(sf_dir: str, expand: int = 1, assign_concurrency: int = 4):
     """Parsed + zone-assigned point rows (no bytes)."""
     import ray
 
     ensure_worker_importable()
-    ds = datagen.images_dataset(sf_dir)
+    ds = datagen.images_dataset(sf_dir, expand=expand)
     ds = ds.map_batches(parse_caption, batch_format="pyarrow")
     ds = ds.map_batches(encode_cells, batch_format="pyarrow")
     zones_ref = ray.put(datagen.zone_boxes_wkb())
-    ds = ds.map_batches(ZoneAssigner, fn_constructor_args=(zones_ref,),
-                        concurrency=4, batch_format="pyarrow")
+    ds = ds.map_batches(make_zone_assigner(zones_ref), batch_format="pyarrow")
     return ds
 
 
-def cumul_dataset(sf_dir: str):
+def cumul_dataset(sf_dir: str, expand: int = 1, assign_concurrency: int = 4):
     """The merged cumul rows (rec_type ∈ {adresse, voie})."""
     import ray
 
     ensure_worker_importable()
-    pts = points_dataset(sf_dir).map_batches(_tag_points, batch_format="pyarrow")
+    pts = points_dataset(sf_dir, expand=expand,
+                         assign_concurrency=assign_concurrency)         .map_batches(_tag_points, batch_format="pyarrow")
     reg = ray.data.from_arrow(_registry_as_points())
     both = pts.union(reg)
-    return both.groupby("insee").map_groups(merge_zone, batch_format="pandas")
+    return both.groupby(["insee", "salt"]).map_groups(merge_zone, batch_format="pandas")
 
 
 def cumul_adresses(sf_dir: str):

@@ -43,13 +43,43 @@ def _json_group(df: pd.DataFrame) -> pd.DataFrame:
     return street_json_zone(df, {insee: _dims_for(insee)})
 
 
-def export_csv(sf_dir: str):
-    ensure_worker_importable()
-    return cumul_dataset(sf_dir).groupby("insee").map_groups(
-        _csv_group, batch_format="pandas")
+def _pre_merge(sf_dir: str, expand: int, assign_concurrency: int):
+    """Points + registry union, ready for the single groupby(insee)."""
+    from .cumul import _registry_as_points, _tag_points, points_dataset
+    import ray
+
+    pts = points_dataset(sf_dir, expand=expand,
+                         assign_concurrency=assign_concurrency) \
+        .map_batches(_tag_points, batch_format="pyarrow")
+    reg = ray.data.from_arrow(_registry_as_points())
+    return pts.union(reg)
 
 
-def street_json(sf_dir: str):
+# The merge decomposes exactly to (zone, street): every accumulator
+# interaction in the reference is street-scoped (SURVEY.md §2.4 ST1-ST3),
+# so grouping on (insee, street-hash salt) is semantically identical to
+# per-zone grouping while splitting dense urban zones NSALT ways — skew
+# splitting with streets kept whole, and per-group pandas overhead bounded
+# (a pure (zone, street) key would mean ~50x more tiny group calls).
+
+
+def export_csv(sf_dir: str, expand: int = 1, assign_concurrency: int = 4):
+    """Merge + CSV export fused into ONE groupby(insee) shuffle (the merge
+    and the export group on the same key — a second shuffle would be pure
+    waste)."""
+    from .cumul import merge_zone
+
     ensure_worker_importable()
-    return cumul_dataset(sf_dir).groupby("insee").map_groups(
-        _json_group, batch_format="pandas")
+    return _pre_merge(sf_dir, expand, assign_concurrency) \
+        .groupby(["insee", "salt"]) \
+        .map_groups(lambda df: _csv_group(merge_zone(df)), batch_format="pandas")
+
+
+def street_json(sf_dir: str, expand: int = 1, assign_concurrency: int = 4):
+    """Merge + street aggregation fused into ONE groupby(insee) shuffle."""
+    from .cumul import merge_zone
+
+    ensure_worker_importable()
+    return _pre_merge(sf_dir, expand, assign_concurrency) \
+        .groupby(["insee", "salt"]) \
+        .map_groups(lambda df: _json_group(merge_zone(df)), batch_format="pandas")

@@ -150,3 +150,241 @@ def q_street_json(sf_dir: str):
     from .exports import street_json
 
     return street_json(sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# registry joins / incremental / kNN
+# ---------------------------------------------------------------------------
+
+
+def q_registry_unmatched(sf_dir: str):
+    """J9 anti-join: registry streets with no merged address rows
+    (reference bano/sql/export_json_dept_voies_non_rapprochees.sql:13-21),
+    expressed as union + groupby(fantoir) keep-unmatched — shuffle-based,
+    no driver-side set."""
+    import ray
+    from .cumul import cumul_adresses
+
+    reg = ray.data.from_arrow(datagen.registry_table()).map_batches(
+        lambda b: pa.table({"fantoir": b.column("fantoir10"),
+                            "insee": b.column("insee"),
+                            "side": pa.array(["r"] * b.num_rows)}),
+        batch_format="pyarrow")
+    matched = cumul_adresses(sf_dir).map_batches(
+        lambda b: pa.table({"fantoir": b.column("fantoir"),
+                            "insee": b.column("insee"),
+                            "side": pa.array(["m"] * b.num_rows)}),
+        batch_format="pyarrow").filter(expr="fantoir != ''")
+
+    def keep_unmatched(df: pd.DataFrame) -> pd.DataFrame:
+        if (df["side"] == "m").any():
+            return pd.DataFrame({"insee": [], "fantoir": []})
+        return df[df["side"] == "r"][["insee", "fantoir"]].drop_duplicates()
+
+    return (reg.union(matched).groupby("fantoir")
+            .map_groups(keep_unmatched, batch_format="pandas"))
+
+
+def q_ban_pseudo(sf_dir: str):
+    """J11: unmatched BAN street names → pseudo registry ids {insee}b{i}bbb
+    (reference bano/sources/ban2fantoir.py:18-33; enumeration determinized
+    to alphabetical street_key order per zone)."""
+    from ..functions.normalize import normalize
+    reg_keys = {normalize(g[0]) for g in datagen.STREET_SPELLINGS[:datagen.K_REG]}
+
+    def group_fn(df: pd.DataFrame) -> pd.DataFrame:
+        insee = str(df["insee"].iloc[0])
+        keys = sorted(set(df["street_key"]) - reg_keys)
+        return pd.DataFrame({
+            "insee": [insee] * len(keys),
+            "street_key": keys,
+            "pseudo_fantoir": [f"{insee}b{str(i).ljust(4, 'b')}" for i in range(len(keys))],
+        })
+
+    ban = points_dataset(sf_dir).filter(expr="source == 'BAN'") \
+        .select_columns(["insee", "street_key"])
+    return ban.groupby("insee").map_groups(group_fn, batch_format="pandas")
+
+
+def q_min_cp(sf_dir: str):
+    """A6: min postal code per zone over merged addresses."""
+    from ray.data.aggregate import Min
+    from .cumul import cumul_adresses
+
+    ds = cumul_adresses(sf_dir).filter(expr="code_postal != ''")
+    return ds.groupby("insee").aggregate(Min("code_postal", alias_name="min_cp"))
+
+
+def q_tile_zones(sf_dir: str):
+    """G9: expire tiles → impacted zone list (reference bano/models.py:305-360)."""
+    from .incremental import impacted_zones
+
+    return impacted_zones()
+
+
+def q_knn_match(sf_dir: str):
+    """ST5 graft: cell-local kNN — nearest OSM point for each BAN point
+    within (zone, street_key); grid-bucket index on large groups."""
+    from ..stages.knn import knn_match
+
+    pts = points_dataset(sf_dir).select_columns(
+        ["insee", "street_key", "source", "image_id", "lon", "lat"])
+    return knn_match(pts, k=1)
+
+
+# ---------------------------------------------------------------------------
+# text analysis / dedup / ANN / events / relational baseline
+# ---------------------------------------------------------------------------
+
+
+def _docs(sf_dir: str):
+    import ray
+
+    ensure_worker_importable()
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+
+def q_langid(sf_dir: str):
+    from ..stages.text import langid_batch
+
+    return _docs(sf_dir).map_batches(langid_batch, batch_format="pyarrow")
+
+
+def q_token_count(sf_dir: str):
+    from ..stages.text import token_count_batch
+
+    return _docs(sf_dir).map_batches(token_count_batch, batch_format="pyarrow")
+
+
+def q_quality(sf_dir: str):
+    from ..stages.text import quality_batch
+
+    return _docs(sf_dir).map_batches(quality_batch, batch_format="pyarrow")
+
+
+def q_fingerprint(sf_dir: str):
+    from ..stages.text import fingerprint_batch
+
+    return _docs(sf_dir).map_batches(fingerprint_batch, batch_format="pyarrow")
+
+
+def q_dedup_exact_docs(sf_dir: str):
+    """Exact text dedup: md5 hash-partition groupby, keep-first + group size."""
+    import hashlib
+    from ray.data.aggregate import Count, Min
+
+    def h(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        hs = [hashlib.md5(t.encode()).hexdigest() for t in texts]
+        return pa.table({"h": pa.array(hs), "doc_id": batch.column("doc_id")})
+
+    ds = _docs(sf_dir).map_batches(h, batch_format="pyarrow")
+    return ds.groupby("h").aggregate(Count("doc_id", alias_name="n"),
+                                     Min("doc_id", alias_name="keeper"))
+
+
+def q_minhash_pairs(sf_dir: str):
+    """MinHash+LSH near-dup candidate pairs, Jaccard-verified (rows-only
+    check: blake2b shingle hashing is not SQL-expressible)."""
+    from ..stages.dedup import minhash_candidate_pairs
+
+    return minhash_candidate_pairs(_docs(sf_dir), threshold=0.5)
+
+
+def q_simhash(sf_dir: str):
+    """SimHash per document (rows-only check)."""
+    from ..stages.dedup import simhash_batch
+
+    return _docs(sf_dir).map_batches(simhash_batch, batch_format="pyarrow")
+
+
+def q_embedding_neardup(sf_dir: str):
+    """Embedding-cosine near-dup pairs via LSH buckets (rows-only check)."""
+    import ray
+    from ..stages.dedup import embedding_neardup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_neardup(ds, sim_threshold=0.9)
+
+
+ANN_QUERY_IDS = list(range(8))
+ANN_K = 10
+
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-k (broadcast query matrix, per-batch matmul,
+    tiny global reduce)."""
+    import ray
+    from ..stages.ann import brute_topk
+
+    ensure_worker_importable()
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return brute_topk(ds, ANN_QUERY_IDS, k=ANN_K)
+
+
+def q_ann_lsh(sf_dir: str):
+    """LSH-bucketed ANN variant (rows-only; recall vs brute checked in tests)."""
+    import ray
+    from ..stages.ann import lsh_topk
+
+    ensure_worker_importable()
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return lsh_topk(ds, ANN_QUERY_IDS, k=ANN_K)
+
+
+def q_events_hourly(sf_dir: str):
+    """Windowed aggregate: per-user hourly event counts + value sums."""
+    import ray
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ensure_worker_importable()
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "value"])
+
+    def trunc(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "hour": pc.floor_temporal(batch.column("ts"), unit="hour"),
+            "value": batch.column("value"),
+        })
+
+    agg = (ds.map_batches(trunc, batch_format="pyarrow")
+           .groupby(["user_id", "hour"])
+           .aggregate(Count("value", alias_name="n"),
+                      Sum("value", alias_name="sum_value"),
+                      Min("value", alias_name="min_value"),
+                      Max("value", alias_name="max_value")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return batch.set_column(batch.column_names.index("sum_value"),
+                                "sum_value", pc.round(batch.column("sum_value"), 6))
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_lineitem_pricing(sf_dir: str):
+    """Relational baseline (TPC-H Q1 shape) over lineitem."""
+    import ray
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ensure_worker_importable()
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"])
+    agg = (ds.groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(Sum("l_quantity", alias_name="sum_qty"),
+                      Sum("l_extendedprice", alias_name="sum_price"),
+                      Mean("l_discount", alias_name="avg_disc"),
+                      Count("l_quantity", alias_name="n")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        for c in ("sum_qty", "sum_price", "avg_disc"):
+            batch = batch.set_column(batch.column_names.index(c), c,
+                                     pc.round(batch.column(c), 4))
+        return batch
+
+    return agg.map_batches(finish, batch_format="pyarrow")

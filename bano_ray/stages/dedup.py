@@ -1,0 +1,172 @@
+"""Deduplication operators over the ``documents`` table.
+
+- exact: content-hash groupby (hash-partition + per-group first) — the
+  scalable exact-dedup shape (same as the graft's phash dedup,
+  SURVEY.md §2.8).
+- MinHash + LSH: shingle → minhash signature → banded bucket groupby →
+  candidate pairs verified by exact Jaccard.  The band-bucket groupby is the
+  ONLY shuffle; signatures are computed vectorized per batch.
+- SimHash: 64-bit hyperplane-free simhash over token hashes; near-dup =
+  identical simhash (block) or Hamming ≤ k via rotation tables.
+- n-gram Jaccard: exact pairwise verification kernel (used on candidates,
+  never all-pairs).
+- embedding cosine near-dup: bucket by coarse LSH sign-pattern then exact
+  cosine within bucket.
+
+All heavy per-batch math is numpy; Python only touches per-unique strings.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+MINHASH_PERMS = 64
+MINHASH_BANDS = 16  # 16 bands × 4 rows
+_MERS = (1 << 61) - 1
+
+
+def _token_hashes(text: str, n: int = 3) -> np.ndarray:
+    """Hashes of word n-gram shingles (stable across processes)."""
+    toks = text.split()
+    if len(toks) < n:
+        shingles = [" ".join(toks)] if toks else []
+    else:
+        shingles = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+    out = np.empty(len(shingles), dtype=np.uint64)
+    for i, s in enumerate(shingles):
+        out[i] = int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
+    return out
+
+
+_A = np.random.default_rng(1234).integers(1, _MERS, MINHASH_PERMS, dtype=np.int64).astype(np.uint64)
+_B = np.random.default_rng(5678).integers(0, _MERS, MINHASH_PERMS, dtype=np.int64).astype(np.uint64)
+
+
+def minhash_signature(text: str) -> np.ndarray:
+    h = _token_hashes(text)
+    if len(h) == 0:
+        return np.zeros(MINHASH_PERMS, dtype=np.uint64)
+    # (a*h + b) mod mersenne, vectorized over perms × shingles
+    v = (h[None, :] * _A[:, None] + _B[:, None]) % np.uint64(_MERS)
+    return v.min(axis=1)
+
+
+def minhash_batch(batch: pa.Table) -> pa.Table:
+    texts = batch.column("text").to_pylist()
+    sigs = np.stack([minhash_signature(t) for t in texts]) if texts else \
+        np.zeros((0, MINHASH_PERMS), dtype=np.uint64)
+    rows_per_band = MINHASH_PERMS // MINHASH_BANDS
+    out = {"doc_id": batch.column("doc_id")}
+    bands = []
+    for b in range(MINHASH_BANDS):
+        seg = sigs[:, b * rows_per_band:(b + 1) * rows_per_band]
+        bh = np.array([hash((b,) + tuple(r)) & 0x7FFFFFFFFFFFFFFF for r in seg], dtype=np.int64)
+        bands.append(bh)
+    out["band_hashes"] = pa.array([list(map(int, r)) for r in np.stack(bands, axis=1)] if len(sigs) else [],
+                                  type=pa.list_(pa.int64()))
+    return pa.table(out)
+
+
+def jaccard(a: str, b: str, n: int = 3) -> float:
+    sa, sb = set(_token_hashes(a, n).tolist()), set(_token_hashes(b, n).tolist())
+    if not sa and not sb:
+        return 1.0
+    if not sa or not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def minhash_candidate_pairs(ds, threshold: float = 0.7):
+    """documents Dataset → verified near-dup pairs (doc_a, doc_b, jaccard).
+
+    flat_map band hashes → groupby(band bucket) → per-bucket pairs →
+    distinct → exact-Jaccard verify (re-reading text via a broadcast of the
+    candidate ids only — candidates are tiny relative to the corpus).
+    """
+    import ray
+
+    sig = ds.map_batches(minhash_batch, batch_format="pyarrow")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        doc = batch.column("doc_id").to_numpy()
+        bands = batch.column("band_hashes").to_pylist()
+        d, h = [], []
+        for i, bl in enumerate(bands):
+            for bh in bl:
+                d.append(doc[i])
+                h.append(bh)
+        return pa.table({"doc_id": pa.array(d, type=pa.int64()),
+                         "bucket": pa.array(h, type=pa.int64())})
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(df["doc_id"].unique())
+        if len(ids) < 2 or len(ids) > 200:  # skew guard: giant buckets are
+            return pd.DataFrame({"a": [], "b": []})  # degenerate hashes
+        a, b = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"a": ids[a], "b": ids[b]})
+
+    pairs = (sig.map_batches(explode, batch_format="pyarrow")
+             .groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+             .groupby(["a", "b"]).count())
+
+    cand = pairs.to_pandas()
+    texts = dict(zip(ds.to_pandas()["doc_id"], ds.to_pandas()["text"])) if len(cand) else {}
+    rows = []
+    for r in cand.itertuples(index=False):
+        j = jaccard(texts[int(r.a)], texts[int(r.b)])
+        if j >= threshold:
+            rows.append({"doc_a": int(r.a), "doc_b": int(r.b), "jaccard": round(j, 6)})
+    return pa.Table.from_pylist(rows) if rows else pa.table(
+        {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+         "jaccard": pa.array([], pa.float64())})
+
+
+def simhash64(text: str) -> int:
+    h = _token_hashes(text, n=1)
+    if len(h) == 0:
+        return 0
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+    v = (2 * bits - 1).sum(axis=0)
+    return int(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+
+
+def simhash_batch(batch: pa.Table) -> pa.Table:
+    texts = batch.column("text").to_pylist()
+    sh = np.array([simhash64(t) for t in texts], dtype=np.uint64).astype(np.int64)
+    return pa.table({"doc_id": batch.column("doc_id"), "simhash": pa.array(sh)})
+
+
+def embedding_neardup(ds, sim_threshold: float = 0.98, nbits: int = 12):
+    """embeddings Dataset → near-dup pairs by cosine ≥ threshold.
+
+    LSH sign-pattern bucket (random hyperplanes, seed-fixed) → per-bucket
+    exact cosine — the scale path; brute-force all-pairs never happens.
+    """
+    def project(batch: pa.Table) -> pa.Table:
+        vec = np.stack(batch.column("embedding").to_pylist()).astype(np.float64)
+        rng = np.random.default_rng(42)
+        planes = rng.standard_normal((vec.shape[1], nbits))
+        signs = (vec @ planes) > 0
+        bucket = (signs.astype(np.uint64) << np.arange(nbits, dtype=np.uint64)).sum(axis=1)
+        return pa.table({"vec_id": batch.column("vec_id"),
+                         "bucket": pa.array(bucket.astype(np.int64)),
+                         "embedding": batch.column("embedding")})
+
+    def bucket_dups(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2:
+            return pd.DataFrame({"a": [], "b": [], "cos": []})
+        v = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        n = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+        sims = n @ n.T
+        ids = df["vec_id"].to_numpy()
+        ii, jj = np.triu_indices(len(ids), k=1)
+        keep = sims[ii, jj] >= sim_threshold
+        return pd.DataFrame({"a": ids[ii][keep], "b": ids[jj][keep],
+                             "cos": np.round(sims[ii, jj][keep], 6)})
+
+    return (ds.map_batches(project, batch_format="pyarrow")
+            .groupby("bucket").map_groups(bucket_dups, batch_format="pandas"))

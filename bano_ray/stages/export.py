@@ -27,9 +27,16 @@ from ..functions.housenumber import PLAUSIBLE_RE, IMPLAUSIBLE_RE, canonical_num
 EARTH_R = 6371008.8
 
 EXPORT_CSV_COLS = ["id", "numero", "voie", "code_post", "ville", "source", "lat", "lon"]
+_CSV_DTYPES = {"lat": "float64", "lon": "float64"}
 
 STREET_JSON_COLS = ["fantoir", "citycode", "name", "postcode", "lat", "lon",
                     "city", "departement", "region", "importance", "housenumbers", "n_adresses"]
+_JSON_DTYPES = {"lat": "float64", "lon": "float64", "importance": "float64",
+                "n_adresses": "int64"}
+
+
+def _typed_empty(cols: list[str], dtypes: dict[str, str]) -> pd.DataFrame:
+    return pd.DataFrame({c: pd.Series(dtype=dtypes.get(c, "object")) for c in cols})
 
 
 def _nn(s) -> str:
@@ -67,11 +74,11 @@ def export_csv_zone(df: pd.DataFrame, min_cp: str, ville: str) -> pd.DataFrame:
     from ..datagen import zone_of, insee_of_zone
 
     if len(df) == 0:
-        return pd.DataFrame(columns=EXPORT_CSV_COLS)
+        return _typed_empty(EXPORT_CSV_COLS, _CSV_DTYPES)
     adr = df[df["rec_type"] == "adresse"] if "rec_type" in df.columns else df
     adr = adr[adr["fantoir"] != ""]
     if len(adr) == 0:
-        return pd.DataFrame(columns=EXPORT_CSV_COLS)
+        return _typed_empty(EXPORT_CSV_COLS, _CSV_DTYPES)
 
     u = adr.assign(num=[canonical_num(n) for n in adr["numero"]])
     u = u[["insee", "fantoir", "num"]].drop_duplicates()
@@ -124,7 +131,7 @@ def export_csv_zone(df: pd.DataFrame, min_cp: str, ville: str) -> pd.DataFrame:
                      "source": source, "lat": lat, "lon": lon})
     out = pd.DataFrame(rows, columns=EXPORT_CSV_COLS)
     if len(out) == 0:
-        return out
+        return _typed_empty(EXPORT_CSV_COLS, _CSV_DTYPES)
     out = out.sort_values(["id", "numero", "lat", "lon"], kind="stable")
     return out.drop_duplicates(subset=["id"], keep="first").sort_values("id").reset_index(drop=True)
 
@@ -156,11 +163,11 @@ def street_json_zone(df: pd.DataFrame, dims: dict) -> pd.DataFrame:
     from ..datagen import zone_of, insee_of_zone
 
     if len(df) == 0:
-        return pd.DataFrame(columns=STREET_JSON_COLS)
+        return _typed_empty(STREET_JSON_COLS, _JSON_DTYPES)
     adr = df[df["rec_type"] == "adresse"].copy()
     voies = df[(df["rec_type"] == "voie") & (df["fantoir"] != "")]
     if len(adr) == 0 or len(voies) == 0:
-        return pd.DataFrame(columns=STREET_JSON_COLS)
+        return _typed_empty(STREET_JSON_COLS, _JSON_DTYPES)
     insee = str(df["insee"].iloc[0])
     d = dims[insee]
 
@@ -202,4 +209,7 @@ def street_json_zone(df: pd.DataFrame, dims: dict) -> pd.DataFrame:
             "city": d["name"], "departement": d["dept_name"], "region": d["region_name"],
             "importance": float(importance), "housenumbers": hns, "n_adresses": cnt,
         })
-    return pd.DataFrame(rows, columns=STREET_JSON_COLS)
+    out = pd.DataFrame(rows, columns=STREET_JSON_COLS)
+    if len(out) == 0:
+        return _typed_empty(STREET_JSON_COLS, _JSON_DTYPES)
+    return out

@@ -41,19 +41,62 @@ def encode_cells(batch: pa.Table, res: int = CELL_RES) -> pa.Table:
     return batch.append_column("cell", pa.array(cell, type=pa.int64()))
 
 
-class ZoneAssigner:
-    """Actor-pool stage: broadcast polygon set → per-batch PIP.
+def _assign_with_index(index: PolygonIndex, batch: pa.Table) -> pa.Table:
+    """Exact PIP pass; rows left unmatched get the bbox relaxation pass
+    (reference ``bano/sql/hsnr_bbox_insee_nocache.sql:20``).  Multi-matches
+    keep the smallest polygon slot (= smallest zone id here) — deterministic,
+    equivalent to the reference's UNION-dedup for identical keys."""
+    lon = batch.column("lon").to_numpy()
+    lat = batch.column("lat").to_numpy()
+    n = len(lon)
+    NO = np.iinfo(np.int64).max
+    slot = np.full(n, NO, dtype=np.int64)
+    via_bbox = np.zeros(n, dtype=bool)
+    pi, gi = index.assign_all(lon, lat)
+    if len(pi):
+        np.minimum.at(slot, pi, gi)
+    missing = np.nonzero(slot == NO)[0]
+    if len(missing):
+        pi2, gi2 = index.assign_bbox(lon[missing], lat[missing])
+        if len(pi2):
+            np.minimum.at(slot, missing[pi2], gi2)
+            via_bbox[missing[pi2]] = True
+    keys = np.asarray(index.keys + [""], dtype=object)
+    assigned = keys[np.where(slot == NO, len(index.keys), slot)]
+    return (batch
+            .append_column("insee", pa.array(assigned, type=pa.string()))
+            .append_column("zone_via_bbox", pa.array(via_bbox)))
 
-    Built ONCE per actor from a ``ray.put`` object ref (never re-shipped per
-    batch).  Exact pass first; rows it leaves unmatched get the bbox
-    relaxation pass (reference ``bano/sql/hsnr_bbox_insee_nocache.sql:20``).
-    Multi-matches keep the smallest zone id — deterministic, and equivalent
-    to the reference's UNION-dedup for identical keys.
+
+_INDEX_CACHE: dict = {}
+
+
+def make_zone_assigner(zones_ref):
+    """Stateless-task zone assigner with a worker-process-global index cache:
+    the polygon index is built once per worker from the broadcast ref (never
+    re-shipped / re-built per batch), without paying actor-pool startup.
+    """
+    def assign(batch: pa.Table) -> pa.Table:
+        key = zones_ref.hex() if hasattr(zones_ref, "hex") else id(zones_ref)
+        index = _INDEX_CACHE.get(key)
+        if index is None:
+            import ray
+
+            zones = ray.get(zones_ref) if not isinstance(zones_ref, list) else zones_ref
+            index = PolygonIndex(zones)
+            _INDEX_CACHE[key] = index
+        return _assign_with_index(index, batch)
+
+    return assign
+
+
+class ZoneAssigner:
+    """Actor-pool form of the same stage — for deployments where index build
+    is heavy (e.g. ~35k commune polygons) and warm actors amortize it.
 
     At 10^12-row scale the polygon side is sharded by cell and this stage
     becomes the per-cell ``map_groups`` PIP; the broadcast form is right
-    whenever the polygon set fits a worker heap (56 zones here,
-    ~35k communes in the reference's world — both tiny).
+    whenever the polygon set fits a worker heap.
     """
 
     def __init__(self, zones_ref):
@@ -63,25 +106,4 @@ class ZoneAssigner:
         self.index = PolygonIndex(zones)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        lon = batch.column("lon").to_numpy()
-        lat = batch.column("lat").to_numpy()
-        n = len(lon)
-        assigned = np.full(n, "", dtype=object)
-        via_bbox = np.zeros(n, dtype=bool)
-        pi, gi = self.index.assign_all(lon, lat)
-        for p, g in zip(pi.tolist(), gi.tolist()):
-            k = self.index.keys[g]
-            if assigned[p] == "" or k < assigned[p]:
-                assigned[p] = k
-        missing = np.nonzero(assigned == "")[0]
-        if len(missing):
-            pi2, gi2 = self.index.assign_bbox(lon[missing], lat[missing])
-            for p, g in zip(pi2.tolist(), gi2.tolist()):
-                i = missing[p]
-                k = self.index.keys[g]
-                if assigned[i] == "" or k < assigned[i]:
-                    assigned[i] = k
-                via_bbox[i] = True
-        return (batch
-                .append_column("insee", pa.array(assigned, type=pa.string()))
-                .append_column("zone_via_bbox", pa.array(via_bbox)))
+        return _assign_with_index(self.index, batch)

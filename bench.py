@@ -1,0 +1,151 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <flagship seconds>, "unit": "sec",
+   "queries": {...per-pipeline seconds...}, "sf": ..., "num_cpus": N,
+   "rows": ..., "rows_per_s": ...}
+
+``--scaling``: runs the flagship twice in fresh subprocesses
+(num_cpus=8 then num_cpus=32) on the same input and reports both
+throughputs + scaling efficiency (the sandbox stand-in for the N vs 4N
+cluster-size criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+EXPAND = int(os.environ.get("GRAFT_BENCH_EXPAND", "120"))  # images per doc
+
+
+def run_benchmarks() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                 log_to_driver=False)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from bano_ray import datagen
+    from bano_ray.pipelines.cumul import cumul_dataset  # noqa: F401
+    from bano_ray.pipelines.queries import (q_ann_topk, q_dedup_exact_docs,
+                                            q_events_hourly,
+                                            q_lineitem_pricing)
+    from bano_ray.runtime import ensure_worker_importable
+    from bano_ray.stages.export import street_json_zone  # noqa: F401
+    ensure_worker_importable()
+
+    timings: dict[str, float] = {}
+    n_rows = datagen.images_dataset(SF_DIR, expand=EXPAND).count()
+
+    # headline: full spatial-join + merge + street aggregation at bench scale
+    from bano_ray.pipelines.flagship import flagship
+
+    def flagship_expanded():
+        return flagship(SF_DIR, expand=EXPAND,
+                        assign_concurrency=max(4, NUM_CPUS // 4))
+
+    t0 = time.time()
+    out_rows = flagship_expanded().count()
+    flagship_s = time.time() - t0
+    timings["flagship_street_json"] = round(flagship_s, 3)
+
+    others = {
+        "ann_topk": lambda: q_ann_topk(SF_DIR).count(),
+        "dedup_exact_docs": lambda: q_dedup_exact_docs(SF_DIR).count(),
+        "events_hourly": lambda: q_events_hourly(SF_DIR).count(),
+        "lineitem_pricing": lambda: q_lineitem_pricing(SF_DIR).count(),
+    }
+    for name, fn in others.items():
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    # image payload stage at reduced expansion (binary-heavy)
+    from bano_ray.pipelines.flagship import ImageRoundtrip
+    t0 = time.time()
+    img_n = (datagen.images_dataset(SF_DIR, with_bytes=True, expand=max(1, EXPAND // 8))
+             .map_batches(ImageRoundtrip, concurrency=max(2, NUM_CPUS // 4),
+                          batch_size=256, batch_format="pyarrow").count())
+    timings["image_roundtrip"] = round(time.time() - t0, 3)
+
+    return {
+        "metric": "flagship spatial-join+merge+street-agg wall time",
+        "value": round(flagship_s, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "rows": int(n_rows),
+        "out_rows": int(out_rows),
+        "img_rows": int(img_n),
+        "rows_per_s": round(n_rows / flagship_s, 1),
+    }
+
+
+def run_scaling() -> dict:
+    """Same flagship job at num_cpus=8 and 32 in fresh processes."""
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=SF_DIR)
+        out = subprocess.run([sys.executable, os.path.abspath(__file__), "--single"],
+                             capture_output=True, text=True, env=env,
+                             cwd=os.path.dirname(os.path.abspath(__file__)))
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    r8, r32 = results[8], results[32]
+    eff = (r32["rows_per_s"] / r8["rows_per_s"]) / (32 / 8)
+    return {
+        "metric": "scaling efficiency N(8cpu) -> 4N(32cpu)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "queries": {"flagship_8cpu_s": r8["value"], "flagship_32cpu_s": r32["value"]},
+        "rows_per_s_8": r8["rows_per_s"],
+        "rows_per_s_32": r32["rows_per_s"],
+        "sf": SF_DIR,
+        "num_cpus": 32,
+    }
+
+
+def run_single() -> dict:
+    """Flagship only (used by --scaling subprocesses)."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                 log_to_driver=False)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from bano_ray import datagen
+    from bano_ray.pipelines.flagship import flagship
+    from bano_ray.runtime import ensure_worker_importable
+    ensure_worker_importable()
+
+    n_rows = datagen.images_dataset(SF_DIR, expand=EXPAND).count()
+    t0 = time.time()
+    out_rows = flagship(SF_DIR, expand=EXPAND,
+                        assign_concurrency=max(4, NUM_CPUS // 4)).count()
+    dt = time.time() - t0
+    return {"metric": "flagship wall time", "value": round(dt, 3), "unit": "sec",
+            "queries": {"flagship_street_json": round(dt, 3)}, "sf": SF_DIR,
+            "num_cpus": NUM_CPUS, "rows": int(n_rows), "out_rows": int(out_rows),
+            "rows_per_s": round(n_rows / dt, 1)}
+
+
+if __name__ == "__main__":
+    import ray
+
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    elif "--single" in sys.argv:
+        print(json.dumps(run_single()))
+        ray.shutdown()
+    else:
+        res = run_benchmarks()
+        print(json.dumps(res))
+        ray.shutdown()
