@@ -265,27 +265,93 @@ def pixels_of(doc_id: int, w: int, h: int) -> np.ndarray:
 # Batch generator (runs inside map_batches)
 # ---------------------------------------------------------------------------
 
+class _LookupTables:
+    """Precomputed string tables — every string column is a function of a
+    small index tuple (zone, sidx, src, hn_idx, variant), so the hot path is
+    integer arithmetic + one fancy-index per column instead of per-row
+    string building.  Built once per process from the same scalar logic."""
+
+    def __init__(self):
+        zones = np.arange(NZONES, dtype=np.int64)
+        sidxs = np.arange(NSTREET, dtype=np.int64)
+        self.insee = insee_of_zone(zones).astype(object)          # [zone]
+        self.flat = np.asarray([sp for g in STREET_SPELLINGS for sp in g],
+                               dtype=object)                       # [sidx*4+src]
+        voie = np.char.zfill(sidxs.astype("U"), 4)
+        zz, ss = np.meshgrid(zones, sidxs, indexing="ij")
+        ins = self.insee[zz.ravel()].astype("U")
+        vv = voie[ss.ravel()]
+        self.valid10 = np.char.add(np.char.add(ins, vv), "A").astype(object).reshape(NZONES, NSTREET)
+        self.ban10 = np.char.add(np.char.add(ins, "_"), vv).astype(object).reshape(NZONES, NSTREET)
+        self.cp = np.char.zfill(((zones + 1) * 10).astype("U"), 5).astype(object)  # [zone]
+        # caption[(hn_idx+1 if hn else 0), flat_idx]; hn_idx 0 == empty
+        caps = np.empty((NHN + 1, NSTREET * 4), dtype=object)
+        caps[0, :] = self.flat
+        for hi, hn in enumerate(HOUSENUMBERS):
+            caps[hi + 1, :] = np.char.add(hn + ", ", self.flat.astype("U")).astype(object)
+        self.caption = caps
+        self.sources = np.asarray(SOURCES, dtype=object)
+        self.hwt = np.asarray(HIGHWAY_TYPES_GEN, dtype=object)
+        self.fmt = np.asarray(["png", "jpeg"], dtype=object)
+        self.tf = np.asarray(["false", "true"], dtype=object)
+        self.empty = np.asarray([""], dtype=object)
+
+
+_TABLES: _LookupTables | None = None
+
+
+def _tables() -> _LookupTables:
+    global _TABLES
+    if _TABLES is None:
+        _TABLES = _LookupTables()
+    return _TABLES
+
+
 def synthesize_batch(batch: pa.Table, with_bytes: bool = False) -> pa.Table:
-    """doc_id batch → image+caption rows.  Pure function of doc_id."""
+    """doc_id batch → image+caption rows.  Pure function of doc_id; all
+    string columns come from precomputed low-cardinality lookup tables."""
+    import pyarrow.compute as pc
+
+    T = _tables()
     doc_id = batch.column("doc_id").to_numpy()
+    d = np.asarray(doc_id, dtype=np.int64)
     lon, lat = lon_lat(doc_id)
+    zone = zone_of(lon, lat)
+    sidx = street_idx(doc_id)
+    src = source_idx(doc_id)
+    h4 = stream(doc_id, 4)
+    hn_slot = np.where(h4 % HN_EMPTY_MOD == 0, 0, (h4 % NHN) + 1)
+    h6 = stream(doc_id, 6)
+    variant = (h6 % 3).astype(np.int64)
+    # fantoir: OSM rows get tag-form, BAN rows underscore-form, others none;
+    # variant 2 = wrong-zone (same tables indexed by the next zone)
+    zone_eff = np.where(variant == 2, (zone + 1) % NZONES, zone)
+    fant = np.where(src == 0, T.valid10[zone_eff, sidx],
+                    np.where(src == 1, T.ban10[zone_eff, sidx], ""))
+    fant = np.where(variant == 1, "", fant)
+    fant = np.where(src >= 2, "", fant).astype(object)
+    h5 = stream(doc_id, 5)
+    postcode = np.where(h5 % POSTCODE_EMPTY_MOD == 0, "", T.cp[zone]).astype(object)
     w, h = dims_of(doc_id)
-    fmt = fmt_of(doc_id)
+    fmt = T.fmt[(d % FMT_JPEG_MOD == 0).astype(np.int64)]
+    ids = pc.binary_join_element_wise(
+        pa.array(np.repeat("img", len(d))),
+        pc.utf8_lpad(pc.cast(pa.array(d), pa.string()), 8, "0"), "")
     cols: dict[str, object] = {
-        "doc_id": doc_id,
-        "image_id": np.char.add("img", np.char.zfill(doc_id.astype("U"), 8)),
+        "doc_id": d,
+        "image_id": ids,
         "w": w,
         "h": h,
-        "fmt": fmt.astype(object),
-        "caption": caption_of(doc_id),
+        "fmt": fmt,
+        "caption": T.caption[hn_slot, sidx * 4 + src],
         "phash": phash_of(doc_id).astype(np.int64),
         "lon": lon,
         "lat": lat,
-        "source": np.asarray(SOURCES, dtype=object)[source_idx(doc_id)],
-        "fantoir_raw": fantoir_of(doc_id),
-        "postcode": postcode_of(doc_id),
-        "pseudo_adresse": pseudo_of(doc_id),
-        "highway_type": highway_type_of(doc_id),
+        "source": T.sources[src],
+        "fantoir_raw": fant,
+        "postcode": postcode,
+        "pseudo_adresse": T.tf[(stream(doc_id, 9) % PSEUDO_MOD == 0).astype(np.int64)],
+        "highway_type": T.hwt[(stream(doc_id, 10) % 16).astype(np.int64)],
     }
     if with_bytes:
         blobs = [encode_image(pixels_of(int(d), int(ww), int(hh)), str(f))

@@ -214,3 +214,217 @@ def merge_zone(df: pd.DataFrame, registry: dict[str, dict[str, str]] | None = No
     out["highway_index"] = out["highway_index"].astype("int64")
     return out.sort_values(["rec_type", "source", "street_key", "numero"],
                            kind="stable").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Vectorized merge — same semantics as merge_zone, pandas/numpy group ops
+# instead of a per-row Python loop (the hot path at bench scale).
+# Differentially tested against merge_zone (tests/test_merge.py) and against
+# the DuckDB oracle.
+# ---------------------------------------------------------------------------
+
+
+def _explode_osm(rows: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized OSM multi-number explode: split results memoized per
+    UNIQUE hn string, broadcast with np.repeat (housenumber strings are
+    low-cardinality in any real corpus)."""
+    hn = rows["hn"].to_numpy()
+    uniq, inv = np.unique(hn.astype("U"), return_inverse=True)
+    splits = [split_multi(u) for u in uniq]
+    lens = np.array([len(s) for s in splits], dtype=np.int64)
+    reps = lens[inv]
+    idx = np.repeat(np.arange(len(rows)), reps)
+    numeros = np.concatenate([np.asarray(splits[i], dtype=object) for i in inv]) \
+        if len(rows) else np.empty(0, dtype=object)
+    out = rows.iloc[idx].copy()
+    out["numero"] = numeros
+    # part ordering within a row = split order
+    out["part_idx"] = np.concatenate([np.arange(r) for r in reps]) if len(rows) else []
+    return out
+
+
+def merge_zone_vec(df: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized replay of the reference per-commune merge (see
+    :func:`merge_zone` for the semantics inventory and citations)."""
+    if len(df) == 0:
+        return _empty_out()
+    insee = str(df["insee"].iloc[0])
+    dept = get_code_dept_from_insee(insee)
+
+    reg_rows = df[df["rec_type"] == "registry"]
+    key_to_f10 = dict(zip(reg_rows["street_key"], reg_rows["fantoir_raw"]))
+    f10_to_name = dict(zip(reg_rows["fantoir_raw"], reg_rows["street"]))
+    f9_to_f10 = {f[0:9]: f for f in reg_rows["fantoir_raw"]}
+
+    pts = df[df["rec_type"] == "point"].sort_values("doc_id", kind="stable") \
+        .reset_index(drop=True)
+    if len(pts) == 0:
+        return _empty_out()
+
+    fr = pts["fantoir_raw"].astype(str)
+    pts = pts.assign(
+        fant_valid=(fr.str.len() == 10) & (fr.str.slice(0, 5) == insee),
+        row_ord=np.arange(len(pts), dtype=np.int64),
+    )
+
+    hw = pts[(pts["source"] == "OSM") & (pts["hn"] == "")]
+    # highway street-level facts (first-valid / last-row semantics of the
+    # sequential has_already_fantoir loop)
+    hw_valid = hw[hw["fant_valid"]]
+    hw_first_valid = hw_valid.drop_duplicates("street_key", keep="first") \
+        .set_index("street_key")
+    hw_last = hw.drop_duplicates("street_key", keep="last").set_index("street_key")
+    hw_counts = hw.groupby("street_key").size()
+    # distinct highway types per street → += of powers == OR
+    ht = hw[hw["highway_type"].isin(HIGHWAY_TYPES_INDEX)]
+    ht = ht.drop_duplicates(["street_key", "highway_type"])
+    hw_index = ht.assign(p=ht["highway_type"].map(HIGHWAY_TYPES_INDEX)) \
+        .groupby("street_key")["p"].sum()
+
+    out_frames: list[pd.DataFrame] = []
+
+    for source in SOURCES_ORDER:
+        rows = pts[pts["source"] == source]
+        if source == "CADASTRE":
+            rows = rows[rows["pseudo_adresse"] != "true"]
+        if len(rows) == 0:
+            continue
+
+        # A. accepted numeros
+        if source == "OSM":
+            withhn = rows[rows["hn"] != ""]
+            ex = _explode_osm(withhn) if len(withhn) else withhn.assign(
+                numero=pd.Series(dtype=object), part_idx=pd.Series(dtype=np.int64))
+            acc = ex[(ex["numero"].str.len() > 0) & (ex["numero"].str.len() <= 11)]
+            cp_col = acc["postcode"]
+        else:
+            acc = rows[(rows["hn"].str.len() > 0) & (rows["hn"].str.len() <= 11)].copy()
+            acc["numero"] = acc["hn"]
+            acc["part_idx"] = 0
+            cp_col = acc["postcode"] if source == "BAN" else ""
+        acc = acc.assign(cp=cp_col)
+        if len(acc) == 0:
+            continue
+        acc = acc.reset_index(drop=True)
+        acc["seq"] = np.arange(len(acc), dtype=np.int64)  # (doc, part) order
+
+        # last-writer per (street, numero)
+        num_final = acc.drop_duplicates(["street_key", "numero"], keep="last")
+
+        # B. street-level facts
+        addr_last = acc.drop_duplicates("street_key", keep="last").set_index("street_key")
+        keys = pd.Index(num_final["street_key"].unique())
+
+        if source == "OSM":
+            af = acc[acc["fant_valid"]].drop_duplicates("street_key", keep="last")
+            addr_fant = af.set_index("street_key")["fantoir_raw"]
+        else:
+            addr_fant = pd.Series(dtype=object)
+        if source == "BAN":
+            cand = rows[rows["fantoir_raw"].str.len() == 10].copy()
+            cand["f9"] = cand["fantoir_raw"].str.slice(0, 5) \
+                + cand["fantoir_raw"].str.slice(6, 10)
+            cand["f10"] = cand["f9"].map(f9_to_f10)
+            cand = cand[cand["f10"].notna()].drop_duplicates("street_key", keep="last")
+            ban_repair = cand.set_index("street_key")["f10"]
+        else:
+            ban_repair = pd.Series(dtype=object)
+
+        # C. facets per emitting street
+        fac = pd.DataFrame(index=keys)
+        fac["has_hw"] = keys.isin(hw_counts.index)
+        fac["hw_has_valid"] = keys.isin(hw_first_valid.index)
+        fac["hw_fant"] = hw_first_valid["fantoir_raw"].reindex(keys)
+        fac["hw_street"] = np.where(
+            fac["hw_has_valid"], hw_first_valid["street"].reindex(keys),
+            hw_last["street"].reindex(keys))
+        fac["addr_street"] = addr_last["street"].reindex(keys)
+        fac["addr_fant"] = addr_fant.reindex(keys)
+        reg_f = pd.Series(keys.map(key_to_f10), index=keys, dtype=object)
+        if source == "BAN":
+            rep = ban_repair.reindex(keys)
+            fac["fant_F"] = reg_f.where(reg_f.notna(), rep)
+        else:
+            fac["fant_F"] = reg_f
+        if source == "OSM":
+            af_k = fac["addr_fant"]
+            fac["fant_osm"] = af_k.where(af_k.notna(), fac["hw_fant"])
+        else:
+            fac["fant_osm"] = fac["hw_fant"]
+        b1 = fac["fant_osm"].where(fac["fant_osm"].notna(), fac["fant_F"])
+        fac["best"] = b1.where(b1.notna(), "")
+        # per-run OSM-name-by-code mapping (first valid hw row per code)
+        code_to_name: dict = {}
+        for f, st_name in zip(hw_first_valid["fantoir_raw"], hw_first_valid["street"]):
+            code_to_name.setdefault(f, st_name)
+        if source == "OSM":
+            voie_osm = np.where(fac["addr_fant"].notna(), fac["addr_street"],
+                                np.where(fac["has_hw"], fac["hw_street"],
+                                         fac["addr_street"]))
+        else:
+            mapped = fac["best"].map(code_to_name)
+            voie_osm = np.where(fac["has_hw"], fac["hw_street"],
+                                mapped.where(mapped.notna(), ""))
+        fac["voie_osm"] = voie_osm
+        # registry attach name: key match, else OSM code known to registry
+        vf = pd.Series(keys.map(lambda k: f10_to_name.get(key_to_f10.get(k, ""), "")),
+                       index=keys)
+        via_code = fac["fant_osm"].map(f10_to_name)
+        fac["voie_fantoir"] = np.where(vf != "", vf,
+                                       via_code.where(via_code.notna(), ""))
+        fac["voie_bal"] = fac["addr_street"] if source == "BAL" else ""
+        fac["voie_cadastre"] = fac["addr_street"] if source == "CADASTRE" else ""
+        fac["voie_autre"] = fac["addr_street"] if source in ("BAN", "BAL", "CADASTRE") else ""
+
+        # D. adresse rows
+        nf = num_final.merge(fac[["best", "voie_osm", "voie_fantoir", "voie_bal",
+                                  "voie_cadastre", "voie_autre"]],
+                             left_on="street_key", right_index=True, how="left")
+        adresse = pd.DataFrame({
+            "rec_type": "adresse", "insee": insee, "dept": dept, "source": source,
+            "street_key": nf["street_key"].to_numpy(),
+            "numero": nf["numero"].to_numpy(),
+            "lon": nf["lon"].to_numpy(), "lat": nf["lat"].to_numpy(),
+            "code_postal": nf["cp"].to_numpy() if source in ("OSM", "BAN") else "",
+            "fantoir": nf["best"].to_numpy(),
+            "voie_osm": nf["voie_osm"].to_numpy(),
+            "voie_fantoir": nf["voie_fantoir"].to_numpy(),
+            "voie_bal": nf["voie_bal"].to_numpy(),
+            "voie_cadastre": nf["voie_cadastre"].to_numpy(),
+            "voie_autre": nf["voie_autre"].to_numpy(),
+            "highway_index": 0,
+        })
+        out_frames.append(adresse)
+
+        # E. voie rows (label point: last FIRST-inserted numero's last write)
+        if source == "OSM":
+            fs = acc.groupby(["street_key", "numero"], sort=False)["seq"].min()
+            label = fs.reset_index().sort_values("seq", kind="stable") \
+                .drop_duplicates("street_key", keep="last")
+            lab = label.merge(
+                num_final[["street_key", "numero", "lon", "lat"]],
+                on=["street_key", "numero"], how="left")
+            lab = lab.merge(fac, left_on="street_key", right_index=True, how="left")
+            hwi = lab["street_key"].map(hw_index)
+            lab["highway_index"] = hwi.where(hwi.notna(), 0).astype("int64")
+            voie = pd.DataFrame({
+                "rec_type": "voie", "insee": insee, "dept": dept, "source": source,
+                "street_key": lab["street_key"].to_numpy(), "numero": "",
+                "lon": lab["lon"].to_numpy(), "lat": lab["lat"].to_numpy(),
+                "code_postal": "", "fantoir": lab["best"].to_numpy(),
+                "voie_osm": lab["voie_osm"].to_numpy(),
+                "voie_fantoir": lab["voie_fantoir"].to_numpy(),
+                "voie_bal": lab["voie_bal"].to_numpy(),
+                "voie_cadastre": lab["voie_cadastre"].to_numpy(),
+                "voie_autre": lab["voie_autre"].to_numpy(),
+                "highway_index": lab["highway_index"].to_numpy(),
+            })
+            out_frames.append(voie)
+
+    if not out_frames:
+        return _empty_out()
+    out = pd.concat(out_frames, ignore_index=True)[ADRESSE_COLS]
+    out["highway_index"] = out["highway_index"].astype("int64")
+    return out.sort_values(["rec_type", "source", "street_key", "numero"],
+                           kind="stable").reset_index(drop=True)
+
