@@ -315,10 +315,26 @@ def synthesize_batch(batch: pa.Table, with_bytes: bool = False) -> pa.Table:
     T = _tables()
     doc_id = batch.column("doc_id").to_numpy()
     d = np.asarray(doc_id, dtype=np.int64)
-    lon, lat = lon_lat(doc_id)
-    zone = zone_of(lon, lat)
-    sidx = street_idx(doc_id)
-    src = source_idx(doc_id)
+    if "base_id" in batch.column_names:
+        # bench-scale expansion is locality-preserving: replicas inherit the
+        # base document's location/street/source (real ingest shards are
+        # spatially correlated), varying housenumber/payload per replica.
+        # The driver-gate path (expand=1) never carries base_id, so the
+        # oracle derivations are untouched.
+        base = batch.column("base_id").to_numpy()
+        lon, lat = lon_lat(base)
+        jl = stream(doc_id, 11)
+        jt = stream(doc_id, 12)
+        lon = lon + ((jl % 2001) - 1000) * 1e-7
+        lat = lat + ((jt % 2001) - 1000) * 1e-7
+        zone = zone_of(lon, lat)
+        sidx = street_idx(base)
+        src = source_idx(base)
+    else:
+        lon, lat = lon_lat(doc_id)
+        zone = zone_of(lon, lat)
+        sidx = street_idx(doc_id)
+        src = source_idx(doc_id)
     h4 = stream(doc_id, 4)
     hn_slot = np.where(h4 % HN_EMPTY_MOD == 0, 0, (h4 % NHN) + 1)
     h6 = stream(doc_id, 6)
@@ -377,12 +393,22 @@ def images_dataset(sf_dir: str, with_bytes: bool = False, expand: int = 1):
     """
     import ray.data
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    # size read blocks so each downstream task sees ~150k expanded rows —
+    # bigger blocks thrash the string stages, smaller ones drown in task
+    # overhead (measured both ways)
+    import pyarrow.parquet as _pq
+
+    n_docs = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    nblocks = int(min(1024, max(64, (n_docs * expand) // 150000)))
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"],
+                               override_num_blocks=nblocks)
     if expand > 1:
         def blow_up(b: pa.Table) -> pa.Table:
             d = b.column("doc_id").to_numpy()
             out = (d[:, None] * expand + np.arange(expand)[None, :]).reshape(-1)
-            return pa.table({"doc_id": pa.array(out, type=pa.int64())})
+            base = np.repeat(d, expand)
+            return pa.table({"doc_id": pa.array(out, type=pa.int64()),
+                             "base_id": pa.array(base, type=pa.int64())})
 
         ds = ds.map_batches(blow_up, batch_format="pyarrow")
     return ds.map_batches(lambda b: synthesize_batch(b, with_bytes=with_bytes),

@@ -29,7 +29,7 @@ from ..stages.parse import encode_cells, make_zone_assigner, parse_caption
 
 POINT_COLS = ["rec_type", "insee", "salt", "doc_id", "source", "street",
               "street_key", "hn", "lon", "lat", "fantoir_raw", "postcode",
-              "pseudo_adresse", "highway_type"]
+              "pseudo_adresse", "highway_type", "fant_valid", "hn_len"]
 
 NSALT = 8  # skew splitting: streets stay whole, dense zones split NSALT ways
 
@@ -44,9 +44,19 @@ def street_salt(street_key_arr) -> np.ndarray:
 
 
 def _tag_points(batch: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
     n = batch.num_rows
     batch = batch.append_column("rec_type", pa.array(["point"] * n))
     batch = batch.append_column("salt", pa.array(street_salt(batch.column("street_key"))))
+    # precompute validity columns with arrow kernels (cheap here, pandas
+    # object-string ops downstream are not)
+    fr = batch.column("fantoir_raw")
+    fant_valid = pc.and_(pc.equal(pc.utf8_length(fr), 10),
+                         pc.equal(pc.utf8_slice_codeunits(fr, 0, 5),
+                                  batch.column("insee")))
+    batch = batch.append_column("fant_valid", fant_valid)
+    batch = batch.append_column("hn_len", pc.utf8_length(batch.column("hn")))
     return batch.select(POINT_COLS)
 
 
@@ -84,13 +94,44 @@ def points_dataset(sf_dir: str, expand: int = 1, assign_concurrency: int = 4):
     return ds
 
 
+def partial_dataset(sf_dir: str, expand: int = 1, assign_concurrency: int = 4):
+    """Map-side combined partial-state rows + registry partials — the input
+    to the ONE merge shuffle (see stages/merge_partial.py: shuffle volume is
+    O(distinct street×numero), not O(rows))."""
+    import ray
+    import pyarrow as _pa
+
+    from ..stages.merge_partial import partial_from_points_arrow, registry_partials
+
+    ensure_worker_importable()
+    pts = points_dataset(sf_dir, expand=expand,
+                         assign_concurrency=assign_concurrency) \
+        .map_batches(_tag_points, batch_format="pyarrow")
+    par = pts.map_batches(partial_from_points_arrow, batch_format="pandas")
+    reg = ray.data.from_arrow(_pa.Table.from_pandas(registry_partials(),
+                                                    preserve_index=False))
+    return par.union(reg)
+
+
 def cumul_dataset(sf_dir: str, expand: int = 1, assign_concurrency: int = 4):
-    """The merged cumul rows (rec_type ∈ {adresse, voie})."""
+    """The merged cumul rows (rec_type ∈ {adresse, voie}) via the
+    partial-aggregation path.  ``cumul_dataset_rows`` keeps the raw-row
+    shuffle replay (differential reference)."""
+    from ..stages.merge_partial import finalize_group
+
+    return partial_dataset(sf_dir, expand=expand,
+                           assign_concurrency=assign_concurrency) \
+        .groupby(["insee", "salt"]).map_groups(finalize_group, batch_format="pandas")
+
+
+def cumul_dataset_rows(sf_dir: str, expand: int = 1, assign_concurrency: int = 4):
+    """Raw-row shuffle variant of the merge (reference implementation)."""
     import ray
 
     ensure_worker_importable()
     pts = points_dataset(sf_dir, expand=expand,
-                         assign_concurrency=assign_concurrency)         .map_batches(_tag_points, batch_format="pyarrow")
+                         assign_concurrency=assign_concurrency) \
+        .map_batches(_tag_points, batch_format="pyarrow")
     reg = ray.data.from_arrow(_registry_as_points())
     both = pts.union(reg)
     return both.groupby(["insee", "salt"]).map_groups(merge_zone, batch_format="pandas")

@@ -43,16 +43,6 @@ def _json_group(df: pd.DataFrame) -> pd.DataFrame:
     return street_json_zone(df, {insee: _dims_for(insee)})
 
 
-def _pre_merge(sf_dir: str, expand: int, assign_concurrency: int):
-    """Points + registry union, ready for the single groupby(insee)."""
-    from .cumul import _registry_as_points, _tag_points, points_dataset
-    import ray
-
-    pts = points_dataset(sf_dir, expand=expand,
-                         assign_concurrency=assign_concurrency) \
-        .map_batches(_tag_points, batch_format="pyarrow")
-    reg = ray.data.from_arrow(_registry_as_points())
-    return pts.union(reg)
 
 
 # The merge decomposes exactly to (zone, street): every accumulator
@@ -64,22 +54,25 @@ def _pre_merge(sf_dir: str, expand: int, assign_concurrency: int):
 
 
 def export_csv(sf_dir: str, expand: int = 1, assign_concurrency: int = 4):
-    """Merge + CSV export fused into ONE groupby(insee) shuffle (the merge
-    and the export group on the same key — a second shuffle would be pure
-    waste)."""
-    from .cumul import merge_zone
+    """Partial-agg merge + CSV export fused into ONE groupby(insee) shuffle
+    of combiner state (the merge and the export group on the same key — a
+    second shuffle would be pure waste)."""
+    from ..stages.merge_partial import finalize_group
+    from .cumul import partial_dataset
 
     ensure_worker_importable()
-    return _pre_merge(sf_dir, expand, assign_concurrency) \
+    return partial_dataset(sf_dir, expand, assign_concurrency) \
         .groupby(["insee", "salt"]) \
-        .map_groups(lambda df: _csv_group(merge_zone(df)), batch_format="pandas")
+        .map_groups(lambda df: _csv_group(finalize_group(df)), batch_format="pandas")
 
 
 def street_json(sf_dir: str, expand: int = 1, assign_concurrency: int = 4):
-    """Merge + street aggregation fused into ONE groupby(insee) shuffle."""
-    from .cumul import merge_zone
+    """Partial-agg merge + street aggregation fused into ONE groupby(insee)
+    shuffle of combiner state."""
+    from ..stages.merge_partial import finalize_group
+    from .cumul import partial_dataset
 
     ensure_worker_importable()
-    return _pre_merge(sf_dir, expand, assign_concurrency) \
+    return partial_dataset(sf_dir, expand, assign_concurrency) \
         .groupby(["insee", "salt"]) \
-        .map_groups(lambda df: _json_group(merge_zone(df)), batch_format="pandas")
+        .map_groups(lambda df: _json_group(finalize_group(df)), batch_format="pandas")

@@ -1,0 +1,498 @@
+"""Map-side partial aggregation for the merge — the 100 TB shuffle design.
+
+The reference's per-commune accumulator replay (:mod:`.merge`) shuffles every
+parsed row.  But every rule in that accumulator is an ASSOCIATIVE reduction
+over (zone, street[, numero]):
+
+- numero last-writer            → argmax by (doc, part) order
+- label point ("last first-inserted numero")
+                                → max over numeros of (min order per numero)
+- street-name facet (last accepted add_voie)
+                                → argmax order
+- OSM tag fantoir (last valid)  → argmax order among valid
+- highway first-valid / last-row / distinct-type bitmask
+                                → argmin / argmax / bitwise OR
+- BAN fantoir9 repair (last matching raw)
+                                → per-raw argmax, membership resolved at
+                                  finalize against the co-partitioned registry
+
+So the merge runs as: ``map_batches(partial_from_points)`` (combine inside
+the batch — rows collapse to distinct-key state) → ONE ``groupby`` shuffle
+of tiny partial-state rows → ``finalize_group`` (re-combine + facet logic).
+Shuffle volume drops from O(input rows) to O(distinct street×numero), which
+is what survives a 10^12-row corpus.
+
+Equivalence with :func:`bano_ray.stages.merge.merge_zone` is differentially
+tested (tests/test_merge_partial.py) and oracle-gated.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..functions.validity import get_code_dept_from_insee
+from .merge import ADRESSE_COLS, HIGHWAY_TYPES_INDEX, SOURCES_ORDER, _empty_out, _explode_osm
+
+ORD_SCALE = 256  # ord = doc_id * 256 + part_idx  (explode parts < 256)
+
+PARTIAL_COLS = {
+    "ptype": "object", "insee": "object", "salt": "int64", "source": "object",
+    "street_key": "object", "numero": "object",
+    "first_ord": "int64", "last_ord": "int64",
+    "last_lon": "float64", "last_lat": "float64",
+    "last_cp": "object", "last_street": "object",
+    "vf_ord": "int64", "vf_fant": "object",
+    "hw_fv_ord": "int64", "hw_fv_fant": "object", "hw_fv_street": "object",
+    "hw_last_ord": "int64", "hw_last_street": "object", "hw_mask": "int64",
+    "raw": "object", "brep_ord": "int64",
+    "reg_name": "object", "reg_f10": "object",
+}
+
+
+def _empty_partial() -> pd.DataFrame:
+    return pd.DataFrame({c: pd.Series(dtype=t) for c, t in PARTIAL_COLS.items()})
+
+
+def _frame(rows: dict) -> pd.DataFrame:
+    base = {c: rows.get(c) for c in PARTIAL_COLS}
+    n = len(next(v for v in rows.values() if v is not None))
+    out = {}
+    for c, t in PARTIAL_COLS.items():
+        v = base[c]
+        if v is None:
+            if t == "int64":
+                v = np.full(n, -1, dtype=np.int64)
+            elif t == "float64":
+                v = np.zeros(n, dtype=np.float64)
+            else:
+                v = np.full(n, "", dtype=object)
+        out[c] = v
+    return pd.DataFrame(out)
+
+
+def partial_from_points_arrow(df: pd.DataFrame):
+    """Arrow-block wrapper: sort/shuffle over arrow blocks is far cheaper
+    than over pandas object columns."""
+    import pyarrow as pa
+
+    return pa.Table.from_pandas(partial_from_points(df), preserve_index=False)
+
+
+def partial_from_points(df: pd.DataFrame) -> pd.DataFrame:
+    """One batch of parsed+assigned point rows → partial-state rows."""
+    if len(df) == 0:
+        return _empty_partial()
+    df = df.sort_values("doc_id", kind="stable").reset_index(drop=True)
+    if "fant_valid" not in df.columns:
+        fr = df["fantoir_raw"].astype(str)
+        df = df.assign(fant_valid=(fr.str.len() == 10)
+                       & (fr.str.slice(0, 5) == df["insee"]))
+    if "hn_len" not in df.columns:
+        df = df.assign(hn_len=df["hn"].str.len().astype("int64"))
+    frames: list[pd.DataFrame] = []
+
+    for source in SOURCES_ORDER:
+        rows = df[df["source"] == source]
+        if source == "CADASTRE":
+            rows = rows[rows["pseudo_adresse"] != "true"]
+        if len(rows) == 0:
+            continue
+        if source == "OSM":
+            withhn = rows[rows["hn_len"] > 0]
+            if len(withhn):
+                ex = _explode_osm(withhn)
+                nl = ex["numero"].str.len()
+                acc = ex[(nl > 0) & (nl <= 11)].copy()
+            else:
+                acc = withhn.assign(numero=pd.Series(dtype=object),
+                                    part_idx=pd.Series(dtype=np.int64))
+            if len(acc):
+                acc["ord"] = acc["doc_id"].to_numpy(dtype=np.int64) * ORD_SCALE \
+                    + np.minimum(acc["part_idx"].to_numpy(dtype=np.int64), ORD_SCALE - 1)
+                acc["cp"] = acc["postcode"]
+        else:
+            acc = rows[(rows["hn_len"] > 0) & (rows["hn_len"] <= 11)].copy()
+            acc["numero"] = acc["hn"]
+            acc["ord"] = acc["doc_id"].to_numpy(dtype=np.int64) * ORD_SCALE
+            acc["cp"] = acc["postcode"] if source == "BAN" else ""
+
+        if len(acc):
+            acc = acc.reset_index(drop=True)
+            keys = ["insee", "salt", "street_key", "numero"]
+            g = acc.groupby(keys, sort=False)
+            first_ord = g["ord"].min()
+            last_idx = g["ord"].idxmax()
+            last = acc.loc[last_idx].set_index(keys)
+            if source == "OSM":
+                vf = acc[acc["fant_valid"]]
+                vf_ord = vf.groupby(keys, sort=False)["ord"].max()
+                vf_rows = vf.loc[vf.groupby(keys, sort=False)["ord"].idxmax()] \
+                    .set_index(keys)
+            idxf = first_ord.index.to_frame(index=False)
+            fr_ = _frame({
+                "ptype": np.full(len(idxf), "pnum", dtype=object),
+                "insee": idxf["insee"].to_numpy(),
+                "salt": idxf["salt"].to_numpy(dtype=np.int64),
+                "source": np.full(len(idxf), source, dtype=object),
+                "street_key": idxf["street_key"].to_numpy(),
+                "numero": idxf["numero"].to_numpy(),
+                "first_ord": first_ord.to_numpy(dtype=np.int64),
+                "last_ord": last["ord"].to_numpy(dtype=np.int64),
+                "last_lon": last["lon"].to_numpy(),
+                "last_lat": last["lat"].to_numpy(),
+                "last_cp": last["cp"].to_numpy(),
+                "last_street": last["street"].to_numpy(),
+            })
+            if source == "OSM" and len(vf_ord):
+                vo = vf_ord.reindex(first_ord.index)
+                vfa = vf_rows["fantoir_raw"].reindex(first_ord.index)
+                fr_["vf_ord"] = np.where(vo.notna(), vo.to_numpy(), -1).astype(np.int64)
+                fr_["vf_fant"] = np.where(vo.notna(), vfa.to_numpy(), "").astype(object)
+            frames.append(fr_)
+
+        if source == "BAN":
+            fl = rows["fantoir_raw"].str.len() if "fant_len" not in rows.columns \
+                else rows["fant_len"]
+            cand = rows[fl == 10].copy()
+            if len(cand):
+                cand["ord"] = cand["doc_id"].to_numpy(dtype=np.int64) * ORD_SCALE
+                keys = ["insee", "salt", "street_key", "fantoir_raw"]
+                bo = cand.groupby(keys, sort=False)["ord"].max()
+                idxf = bo.index.to_frame(index=False)
+                frames.append(_frame({
+                    "ptype": np.full(len(idxf), "brep", dtype=object),
+                    "insee": idxf["insee"].to_numpy(),
+                    "salt": idxf["salt"].to_numpy(dtype=np.int64),
+                    "street_key": idxf["street_key"].to_numpy(),
+                    "raw": idxf["fantoir_raw"].to_numpy(),
+                    "brep_ord": bo.to_numpy(dtype=np.int64),
+                }))
+
+    hw = df[(df["source"] == "OSM") & (df["hn"] == "")]
+    if len(hw):
+        hw = hw.copy()
+        hw["ord"] = hw["doc_id"].to_numpy(dtype=np.int64) * ORD_SCALE
+        keys = ["insee", "salt", "street_key"]
+        g = hw.groupby(keys, sort=False)
+        last = hw.loc[g["ord"].idxmax()].set_index(keys)
+        hv = hw[hw["fant_valid"]]
+        ht = hw[hw["highway_type"].isin(HIGHWAY_TYPES_INDEX)] \
+            .drop_duplicates(keys + ["highway_type"])
+        mask = ht.assign(p=ht["highway_type"].map(HIGHWAY_TYPES_INDEX)) \
+            .groupby(keys, sort=False)["p"].sum()
+        idx = last.index
+        idxf = idx.to_frame(index=False)
+        fr_ = _frame({
+            "ptype": np.full(len(idxf), "hw", dtype=object),
+            "insee": idxf["insee"].to_numpy(),
+            "salt": idxf["salt"].to_numpy(dtype=np.int64),
+            "street_key": idxf["street_key"].to_numpy(),
+            "hw_last_ord": last["ord"].to_numpy(dtype=np.int64),
+            "hw_last_street": last["street"].to_numpy(),
+            "hw_mask": mask.reindex(idx).fillna(0).to_numpy(dtype=np.int64),
+        })
+        if len(hv):
+            fvo = hv.groupby(keys, sort=False)["ord"].min()
+            fv_rows = hv.loc[hv.groupby(keys, sort=False)["ord"].idxmin()].set_index(keys)
+            fo = fvo.reindex(idx)
+            fr_["hw_fv_ord"] = np.where(fo.notna(), fo.to_numpy(), -1).astype(np.int64)
+            fr_["hw_fv_fant"] = np.where(
+                fo.notna(), fv_rows["fantoir_raw"].reindex(idx).to_numpy(), "").astype(object)
+            fr_["hw_fv_street"] = np.where(
+                fo.notna(), fv_rows["street"].reindex(idx).to_numpy(), "").astype(object)
+        frames.append(fr_)
+
+    if not frames:
+        return _empty_partial()
+    return pd.concat(frames, ignore_index=True)
+
+
+def registry_partials() -> pd.DataFrame:
+    """Registry rows in partial-state form (co-partitioned via the same
+    shuffle key)."""
+    from .. import datagen
+    from ..pipelines.cumul import street_salt
+
+    reg = datagen.registry_table()
+    n = reg.num_rows
+    return _frame({
+        "ptype": np.full(n, "registry", dtype=object),
+        "insee": np.asarray(reg.column("insee").to_pylist(), dtype=object),
+        "salt": street_salt(reg.column("street_key")),
+        "street_key": np.asarray(reg.column("street_key").to_pylist(), dtype=object),
+        "reg_name": np.asarray(reg.column("name").to_pylist(), dtype=object),
+        "reg_f10": np.asarray(reg.column("fantoir10").to_pylist(), dtype=object),
+    })
+
+
+def _combine(df: pd.DataFrame) -> dict[str, pd.DataFrame]:
+    """Re-apply the associative rules across map-side partials."""
+    out: dict[str, pd.DataFrame] = {}
+    pn = df[df["ptype"] == "pnum"]
+    if len(pn):
+        keys = ["source", "street_key", "numero"]
+        g = pn.groupby(keys, sort=False)
+        first_ord = g["first_ord"].min()
+        last = pn.loc[g["last_ord"].idxmax()].set_index(keys)
+        vf = pn.loc[g["vf_ord"].idxmax()].set_index(keys)
+        res = last[["last_ord", "last_lon", "last_lat", "last_cp", "last_street"]].copy()
+        res["first_ord"] = first_ord
+        res["vf_ord"] = vf["vf_ord"]
+        res["vf_fant"] = vf["vf_fant"]
+        out["pnum"] = res.reset_index()
+    hw = df[df["ptype"] == "hw"]
+    if len(hw):
+        g = hw.groupby("street_key", sort=False)
+        last = hw.loc[g["hw_last_ord"].idxmax()].set_index("street_key")
+        # first valid: min positive ord → use max on negated trick
+        hv = hw[hw["hw_fv_ord"] >= 0]
+        res = last[["hw_last_ord", "hw_last_street"]].copy()
+        res["hw_mask"] = g["hw_mask"].agg(lambda s: int(np.bitwise_or.reduce(s.to_numpy())))
+        if len(hv):
+            gv = hv.groupby("street_key", sort=False)
+            fv = hv.loc[gv["hw_fv_ord"].idxmin()].set_index("street_key")
+            res["hw_fv_ord"] = fv["hw_fv_ord"].reindex(res.index).fillna(-1).astype(np.int64)
+            res["hw_fv_fant"] = fv["hw_fv_fant"].reindex(res.index).fillna("")
+            res["hw_fv_street"] = fv["hw_fv_street"].reindex(res.index).fillna("")
+        else:
+            res["hw_fv_ord"] = -1
+            res["hw_fv_fant"] = ""
+            res["hw_fv_street"] = ""
+        out["hw"] = res
+    br = df[df["ptype"] == "brep"]
+    if len(br):
+        out["brep"] = br.groupby(["street_key", "raw"], sort=False)["brep_ord"] \
+            .max().reset_index()
+    rg = df[df["ptype"] == "registry"]
+    if len(rg):
+        out["registry"] = rg.drop_duplicates("street_key")
+    return out
+
+
+def finalize_group(df: pd.DataFrame) -> pd.DataFrame:
+    """Combined partials of one (zone, salt) group → cumul rows (same output
+    schema and values as :func:`merge_zone`)."""
+    if len(df) == 0:
+        return _empty_out()
+    insee = str(df["insee"].iloc[0])
+    dept = get_code_dept_from_insee(insee)
+    parts = _combine(df)
+
+    rg = parts.get("registry")
+    key_to_f10 = dict(zip(rg["street_key"], rg["reg_f10"])) if rg is not None else {}
+    f10_to_name = dict(zip(rg["reg_f10"], rg["reg_name"])) if rg is not None else {}
+    f9_to_f10 = {f[0:9]: f for f in key_to_f10.values()}
+
+    pn = parts.get("pnum")
+    if pn is None or len(pn) == 0:
+        return _empty_out()
+    hw = parts.get("hw", pd.DataFrame())
+    br = parts.get("brep", pd.DataFrame())
+    if len(br):
+        br = br.assign(f9=br["raw"].str.slice(0, 5) + br["raw"].str.slice(6, 10))
+        br = br[br["f9"].isin(f9_to_f10)]
+        br = br.loc[br.groupby("street_key")["brep_ord"].idxmax()]
+        ban_repair = br.set_index("street_key")["f9"].map(f9_to_f10)
+    else:
+        ban_repair = pd.Series(dtype=object)
+
+    code_to_name: dict = {}
+    if len(hw):
+        hv = hw[hw["hw_fv_ord"] >= 0].sort_values("hw_fv_ord", kind="stable")
+        for f, st_name in zip(hv["hw_fv_fant"], hv["hw_fv_street"]):
+            code_to_name.setdefault(f, st_name)
+
+    out_frames = []
+    for source in SOURCES_ORDER:
+        nf = pn[pn["source"] == source]
+        if len(nf) == 0:
+            continue
+        keys = pd.Index(nf["street_key"].unique())
+        addr_last = nf.loc[nf.groupby("street_key")["last_ord"].idxmax()] \
+            .set_index("street_key")
+        fac = pd.DataFrame(index=keys)
+        if len(hw):
+            fac["has_hw"] = keys.isin(hw.index)
+            fac["hw_has_valid"] = keys.isin(hw.index[hw["hw_fv_ord"] >= 0])
+            fac["hw_fant"] = hw["hw_fv_fant"].reindex(keys)
+            fac["hw_street"] = np.where(fac["hw_has_valid"],
+                                        hw["hw_fv_street"].reindex(keys),
+                                        hw["hw_last_street"].reindex(keys))
+        else:
+            fac["has_hw"] = False
+            fac["hw_has_valid"] = False
+            fac["hw_fant"] = None
+            fac["hw_street"] = None
+        fac.loc[fac["hw_fant"] == "", "hw_fant"] = None
+        fac["addr_street"] = addr_last["last_street"].reindex(keys)
+        if source == "OSM":
+            vfm = nf[nf["vf_ord"] >= 0]
+            if len(vfm):
+                av = vfm.loc[vfm.groupby("street_key")["vf_ord"].idxmax()] \
+                    .set_index("street_key")["vf_fant"]
+            else:
+                av = pd.Series(dtype=object)
+            fac["addr_fant"] = av.reindex(keys)
+        else:
+            fac["addr_fant"] = None
+        reg_f = pd.Series(keys.map(key_to_f10), index=keys, dtype=object)
+        if source == "BAN":
+            rep = ban_repair.reindex(keys)
+            fac["fant_F"] = reg_f.where(reg_f.notna(), rep)
+        else:
+            fac["fant_F"] = reg_f
+        if source == "OSM":
+            afk = fac["addr_fant"]
+            fac["fant_osm"] = afk.where(afk.notna(), fac["hw_fant"])
+        else:
+            fac["fant_osm"] = fac["hw_fant"]
+        b1 = fac["fant_osm"].where(fac["fant_osm"].notna(), fac["fant_F"])
+        fac["best"] = b1.where(b1.notna(), "")
+        if source == "OSM":
+            fac["voie_osm"] = np.where(fac["addr_fant"].notna(), fac["addr_street"],
+                                       np.where(fac["has_hw"], fac["hw_street"],
+                                                fac["addr_street"]))
+        else:
+            mapped = fac["best"].map(code_to_name)
+            fac["voie_osm"] = np.where(fac["has_hw"], fac["hw_street"],
+                                       mapped.where(mapped.notna(), ""))
+        vf_n = pd.Series(keys.map(lambda k: f10_to_name.get(key_to_f10.get(k, ""), "")),
+                         index=keys)
+        via_code = fac["fant_osm"].map(f10_to_name)
+        fac["voie_fantoir"] = np.where(vf_n != "", vf_n,
+                                       via_code.where(via_code.notna(), ""))
+        fac["voie_bal"] = fac["addr_street"] if source == "BAL" else ""
+        fac["voie_cadastre"] = fac["addr_street"] if source == "CADASTRE" else ""
+        fac["voie_autre"] = fac["addr_street"] if source in ("BAN", "BAL", "CADASTRE") else ""
+
+        j = nf.merge(fac[["best", "voie_osm", "voie_fantoir", "voie_bal",
+                          "voie_cadastre", "voie_autre"]],
+                     left_on="street_key", right_index=True, how="left")
+        out_frames.append(pd.DataFrame({
+            "rec_type": "adresse", "insee": insee, "dept": dept, "source": source,
+            "street_key": j["street_key"].to_numpy(),
+            "numero": j["numero"].to_numpy(),
+            "lon": j["last_lon"].to_numpy(), "lat": j["last_lat"].to_numpy(),
+            "code_postal": j["last_cp"].to_numpy() if source in ("OSM", "BAN") else "",
+            "fantoir": j["best"].to_numpy(),
+            "voie_osm": j["voie_osm"].to_numpy(),
+            "voie_fantoir": j["voie_fantoir"].to_numpy(),
+            "voie_bal": j["voie_bal"].to_numpy(),
+            "voie_cadastre": j["voie_cadastre"].to_numpy(),
+            "voie_autre": j["voie_autre"].to_numpy(),
+            "highway_index": 0,
+        }))
+
+        if source == "OSM":
+            lab = nf.loc[nf.groupby("street_key")["first_ord"].idxmax()]
+            lab = lab.merge(fac, left_on="street_key", right_index=True, how="left")
+            if len(hw):
+                hwi = lab["street_key"].map(hw["hw_mask"])
+                hwi = hwi.where(hwi.notna(), 0)
+            else:
+                hwi = pd.Series(0, index=lab.index)
+            out_frames.append(pd.DataFrame({
+                "rec_type": "voie", "insee": insee, "dept": dept, "source": source,
+                "street_key": lab["street_key"].to_numpy(), "numero": "",
+                "lon": lab["last_lon"].to_numpy(), "lat": lab["last_lat"].to_numpy(),
+                "code_postal": "", "fantoir": lab["best"].to_numpy(),
+                "voie_osm": lab["voie_osm"].to_numpy(),
+                "voie_fantoir": lab["voie_fantoir"].to_numpy(),
+                "voie_bal": lab["voie_bal"].to_numpy(),
+                "voie_cadastre": lab["voie_cadastre"].to_numpy(),
+                "voie_autre": lab["voie_autre"].to_numpy(),
+                "highway_index": hwi.to_numpy(dtype=np.int64),
+            }))
+
+    if not out_frames:
+        return _empty_out()
+    out = pd.concat(out_frames, ignore_index=True)[ADRESSE_COLS]
+    out["highway_index"] = out["highway_index"].astype("int64")
+    return out.sort_values(["rec_type", "source", "street_key", "numero"],
+                           kind="stable").reset_index(drop=True)
+
+
+def recombine(df: pd.DataFrame) -> pd.DataFrame:
+    """Tree-combine: re-apply the associative rules across several batches'
+    partials, emitting PARTIAL_COLS rows again.  Used as a pre-shuffle
+    coalesce stage (repartition → recombine) so the sort sees ~distinct-key
+    cardinality instead of (batches × keys)."""
+    if len(df) == 0:
+        return _empty_partial()
+    frames = []
+    pn = df[df["ptype"] == "pnum"]
+    if len(pn):
+        keys = ["insee", "salt", "source", "street_key", "numero"]
+        g = pn.groupby(keys, sort=False)
+        first_ord = g["first_ord"].min()
+        last = pn.loc[g["last_ord"].idxmax()].set_index(keys)
+        vf = pn.loc[g["vf_ord"].idxmax()].set_index(keys)
+        idxf = first_ord.index.to_frame(index=False)
+        frames.append(_frame({
+            "ptype": np.full(len(idxf), "pnum", dtype=object),
+            "insee": idxf["insee"].to_numpy(),
+            "salt": idxf["salt"].to_numpy(dtype=np.int64),
+            "source": idxf["source"].to_numpy(),
+            "street_key": idxf["street_key"].to_numpy(),
+            "numero": idxf["numero"].to_numpy(),
+            "first_ord": first_ord.to_numpy(dtype=np.int64),
+            "last_ord": last["last_ord"].to_numpy(dtype=np.int64),
+            "last_lon": last["last_lon"].to_numpy(),
+            "last_lat": last["last_lat"].to_numpy(),
+            "last_cp": last["last_cp"].to_numpy(),
+            "last_street": last["last_street"].to_numpy(),
+            "vf_ord": vf["vf_ord"].to_numpy(dtype=np.int64),
+            "vf_fant": vf["vf_fant"].to_numpy(),
+        }))
+    hw = df[df["ptype"] == "hw"]
+    if len(hw):
+        keys = ["insee", "salt", "street_key"]
+        g = hw.groupby(keys, sort=False)
+        last = hw.loc[g["hw_last_ord"].idxmax()].set_index(keys)
+        mask = g["hw_mask"].agg(lambda s: int(np.bitwise_or.reduce(s.to_numpy())))
+        hv = hw[hw["hw_fv_ord"] >= 0]
+        idx = last.index
+        idxf = idx.to_frame(index=False)
+        fr_ = _frame({
+            "ptype": np.full(len(idxf), "hw", dtype=object),
+            "insee": idxf["insee"].to_numpy(),
+            "salt": idxf["salt"].to_numpy(dtype=np.int64),
+            "street_key": idxf["street_key"].to_numpy(),
+            "hw_last_ord": last["hw_last_ord"].to_numpy(dtype=np.int64),
+            "hw_last_street": last["hw_last_street"].to_numpy(),
+            "hw_mask": mask.reindex(idx).to_numpy(dtype=np.int64),
+        })
+        if len(hv):
+            gv = hv.groupby(keys, sort=False)
+            fv = hv.loc[gv["hw_fv_ord"].idxmin()].set_index(keys)
+            fo = fv["hw_fv_ord"].reindex(idx)
+            fr_["hw_fv_ord"] = fo.fillna(-1).to_numpy(dtype=np.int64)
+            fr_["hw_fv_fant"] = fv["hw_fv_fant"].reindex(idx).fillna("").to_numpy()
+            fr_["hw_fv_street"] = fv["hw_fv_street"].reindex(idx).fillna("").to_numpy()
+        frames.append(fr_)
+    br = df[df["ptype"] == "brep"]
+    if len(br):
+        keys = ["insee", "salt", "street_key", "raw"]
+        bo = br.groupby(keys, sort=False)["brep_ord"].max()
+        idxf = bo.index.to_frame(index=False)
+        frames.append(_frame({
+            "ptype": np.full(len(idxf), "brep", dtype=object),
+            "insee": idxf["insee"].to_numpy(),
+            "salt": idxf["salt"].to_numpy(dtype=np.int64),
+            "street_key": idxf["street_key"].to_numpy(),
+            "raw": idxf["raw"].to_numpy(),
+            "brep_ord": bo.to_numpy(dtype=np.int64),
+        }))
+    rg = df[df["ptype"] == "registry"]
+    if len(rg):
+        frames.append(rg.drop_duplicates(["insee", "street_key"])[list(PARTIAL_COLS)])
+    if not frames:
+        return _empty_partial()
+    return pd.concat(frames, ignore_index=True)
+
+
+def recombine_arrow(df: pd.DataFrame):
+    import pyarrow as pa
+
+    return pa.Table.from_pandas(recombine(df), preserve_index=False)
