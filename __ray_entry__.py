@@ -38,6 +38,7 @@ _ORACLE_QUERIES = [
     "q_min_cp",              # A6 min postal per zone
     "q_tile_zones",          # G9 expire tiles → impacted zones
     "q_knn_match",           # ST5 cell-local kNN matcher
+    "q_places",              # §3.2 lieux-dits merge cascade
     "q_langid",              # text: language ID heuristic
     "q_token_count",         # text: token counting
     "q_quality",             # text: quality scoring

@@ -656,3 +656,83 @@ SELECT query_id, vec_id, sim, rn AS rank
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
       FROM sims)
 WHERE rn <= {ANN_K} ORDER BY query_id, rank"""
+
+
+def q_places() -> str:
+    """Places (lieux-dits) merge — reference core_place.py cascade with its
+    overwrite-by-id quirks, in closed form over the generative structure."""
+    from .functions.toponyme import format_toponyme
+    from .pipelines.places import LD_LO, LD_HI, PLACE_TYPES
+
+    fmt_cad = [format_toponyme(dg.STREET_SPELLINGS[s][3]) for s in range(LD_LO, LD_HI)]
+    osm_names = [dg.STREET_SPELLINGS[s][0] for s in range(LD_LO, LD_HI)]
+    norms_band = [normalize(dg.STREET_SPELLINGS[s][0]) for s in range(LD_LO, LD_HI)]
+    kreg = dg.K_REG
+    pt = f"list_extract({_slist(PLACE_TYPES)}, ({H(13)} % 4) + 1)"
+    return f"""WITH {base_pts_cte()},
+prow AS (
+  SELECT pts2.*, (sidx - {LD_LO} + 1) AS band,
+         {pt} AS ptype
+  FROM pts2
+  WHERE hn = '' AND sidx >= {LD_LO} AND sidx < {LD_HI}
+    AND source IN ('CADASTRE', 'OSM')
+),
+cad_last AS (
+  SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY insee, sidx
+                                              ORDER BY doc_id DESC) rn
+                 FROM prow WHERE source = 'CADASTRE') WHERE rn = 1
+),
+osm_last AS (
+  SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY insee, sidx
+                                              ORDER BY doc_id DESC) rn
+                 FROM prow WHERE source = 'OSM') WHERE rn = 1
+),
+osm_v0_last AS (
+  SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY insee, sidx
+                                              ORDER BY doc_id DESC) rn
+                 FROM prow WHERE source = 'OSM' AND fant_variant = 0) WHERE rn = 1
+),
+osm_inv_last AS (
+  SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY insee, sidx
+                                              ORDER BY doc_id DESC) rn
+                 FROM prow WHERE source = 'OSM' AND fant_variant <> 0) WHERE rn = 1
+),
+code AS (SELECT DISTINCT insee, sidx,
+                insee || lpad(CAST(sidx AS VARCHAR), 4, '0') || 'A' AS c,
+                list_extract({_slist(osm_names)}, sidx - {LD_LO} + 1) AS oname,
+                list_extract({_slist(fmt_cad)}, sidx - {LD_LO} + 1) AS cname,
+                list_extract({_slist(norms_band)}, sidx - {LD_LO} + 1) AS nkey,
+                (CASE WHEN sidx % 2 = 0 THEN '1' ELSE '' END) AS bati
+         FROM prow)
+-- seeded band (sidx < K_REG): everything attaches to the registry place
+SELECT cl.insee, k.c AS place_id, 'CADASTRE' AS source,
+       k.cname AS libelle_cadastre,
+       (CASE WHEN ol.insee IS NOT NULL THEN k.oname ELSE '' END) AS libelle_osm,
+       k.oname AS libelle_fantoir, k.c AS fantoir, k.bati AS ld_bati,
+       '' AS ld_osm, cl.lon, cl.lat
+FROM cad_last cl JOIN code k ON k.insee = cl.insee AND k.sidx = cl.sidx
+LEFT JOIN osm_last ol ON ol.insee = cl.insee AND ol.sidx = cl.sidx
+WHERE cl.sidx < {kreg}
+UNION ALL
+SELECT ol.insee, k.c, 'OSM', '', k.oname, k.oname, k.c, k.bati, ol.ptype,
+       ol.lon, ol.lat
+FROM osm_last ol JOIN code k ON k.insee = ol.insee AND k.sidx = ol.sidx
+WHERE ol.sidx < {kreg}
+UNION ALL
+-- unseeded band: code-keyed place from valid-code rows
+SELECT v.insee, k.c, 'OSM', '', k.oname, '', k.c, '-1', v.ptype, v.lon, v.lat
+FROM osm_v0_last v JOIN code k ON k.insee = v.insee AND k.sidx = v.sidx
+WHERE v.sidx >= {kreg}
+UNION ALL
+-- unseeded band: name-keyed place from invalid-code rows (overwrites any
+-- cadastre place of the same id — reference add_place quirk)
+SELECT i.insee, k.nkey, 'OSM', '', k.oname, '', '', '-1', i.ptype, i.lon, i.lat
+FROM osm_inv_last i JOIN code k ON k.insee = i.insee AND k.sidx = i.sidx
+WHERE i.sidx >= {kreg}
+UNION ALL
+-- unseeded cadastre place survives only with no invalid-code OSM rows
+SELECT cl.insee, k.nkey, 'CADASTRE', k.cname, '', '', '', '-1', '', cl.lon, cl.lat
+FROM cad_last cl JOIN code k ON k.insee = cl.insee AND k.sidx = cl.sidx
+LEFT JOIN osm_inv_last i ON i.insee = cl.insee AND i.sidx = cl.sidx
+WHERE cl.sidx >= {kreg} AND i.insee IS NULL
+ORDER BY 1, 2, 3"""

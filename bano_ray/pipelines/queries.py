@@ -332,7 +332,10 @@ def q_ann_lsh(sf_dir: str):
     ensure_worker_importable()
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
-    return lsh_topk(ds, ANN_QUERY_IDS, k=ANN_K)
+    # near-uniform synthetic embeddings have no cluster structure, so recall
+    # tracks bucket coverage — use few bits + wide multi-probe here; real
+    # clustered corpora want more bits / fewer probes
+    return lsh_topk(ds, ANN_QUERY_IDS, k=ANN_K, nbits=5, nprobe=8)
 
 
 def q_events_hourly(sf_dir: str):
@@ -388,3 +391,10 @@ def q_lineitem_pricing(sf_dir: str):
         return batch
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_places(sf_dir: str):
+    """Places (lieux-dits) merge pipeline (reference core_place.py §3.2)."""
+    from .places import places_dataset
+
+    return places_dataset(sf_dir)

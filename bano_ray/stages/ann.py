@@ -128,9 +128,13 @@ def lsh_topk(ds, query_ids: list[int], k: int = 10, nbits: int = 8, nprobe: int 
 
     tagged = ds.map_batches(lambda b: project(b, probe=True), batch_format="pyarrow")
     pairs = tagged.groupby("bucket").map_groups(bucket_knn, batch_format="pandas")
-    dedup = pairs.groupby(["query_id", "vec_id"]).max("sim")
-    # rename via map_batches: Dataset.rename_columns' Project operator
-    # rejects pandas blocks in ray 2.49
-    ren = dedup.map_batches(lambda df: df.rename(columns={"max(sim)": "sim"}),
-                            batch_format="pandas")
-    return ren.groupby("query_id").map_groups(_final_topk(k), batch_format="pandas")
+    # candidate set is tiny (queries × k × probed buckets): finish on the
+    # driver — avoids two more all-to-all stages (which can also starve the
+    # executor at very low CPU counts)
+    cand = pairs.to_pandas()
+    if len(cand) == 0:
+        return pd.DataFrame({"query_id": [], "vec_id": [], "sim": [], "rank": []})
+    cand = cand.astype({"query_id": "int64", "vec_id": "int64"})
+    dedup = cand.groupby(["query_id", "vec_id"], as_index=False)["sim"].max()
+    out = dedup.groupby("query_id", group_keys=False)[dedup.columns].apply(_final_topk(k))
+    return out.reset_index(drop=True)

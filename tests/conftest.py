@@ -11,7 +11,7 @@ def ray_session():
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=4, include_dashboard=False,
+        ray.init(address="local", num_cpus=8, include_dashboard=False,
                  ignore_reinit_error=True)
     yield
     ray.shutdown()

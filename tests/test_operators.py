@@ -1,0 +1,128 @@
+"""Operator-level behavior tests: suffix zones, kNN matcher, dedup family,
+ANN recall, sinks — pieces not fully covered by the SQL oracle gate."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from bano_ray.stages.suffix import (build_zones, decorate_points,
+                                    name_frequency, select_suffixes,
+                                    suffix_pipeline_zone)
+
+
+class TestSuffix:
+    def test_frequency_and_selection(self):
+        # plant 6 streets sharing a 2-word hamlet suffix (>5 rule) —
+        # reference bano/pre_process_suffixe.py:47-81
+        keys = [f"CHEMIN DES VIGNES N{i} LE GRAND VAL" for i in range(6)]
+        keys += ["RUE DU PONT", "RUE DES FLEURS HAUT BOURG"]
+        freq = name_frequency(keys)
+        sel = select_suffixes(freq)
+        assert "GRAND VAL" in sel and len(sel["GRAND VAL"]["liste"]) == 6
+        # component words blocked for the 1-word pass
+        assert "VAL" not in sel
+        # digit suffixes never selected
+        keys2 = [f"RUE DU BOURG NEUF SECTEUR {i} 7" for i in range(8)]
+        f2 = name_frequency([k for k in keys2])
+        assert all(not k.isdigit() for k in select_suffixes(f2))
+
+    def test_zone_build_and_decorate(self):
+        sel = {"HAMEAU": {"nombre": 6, "liste": ["S1", "S2"]}}
+        pts = {"S1": [(0.0, 0.0), (0.001, 0.0), (9.0, 9.0)],  # 3rd ignored (max 2)
+               "S2": [(0.01, 0.01)]}
+        zones = build_zones(sel, pts)
+        df = pd.DataFrame({"lon": [0.0001, 0.5, 9.0], "lat": [0.0, 0.5, 9.0]})
+        out = decorate_points(df, zones)
+        assert list(out["suffixe"]) == ["HAMEAU", "", ""]
+
+    def test_pipeline_zone_end_to_end(self):
+        rows = []
+        for i in range(7):
+            rows.append({"street_key": f"CHEMIN DU PRE N{i} LES HAUTS BOIS",
+                         "lon": 1.0 + i * 1e-5, "lat": 2.0})
+        rows.append({"street_key": "RUE DU CENTRE", "lon": 1.00002, "lat": 2.0})
+        rows.append({"street_key": "RUE LOIN", "lon": 5.0, "lat": 5.0})
+        out = suffix_pipeline_zone(pd.DataFrame(rows))
+        assert (out[out["street_key"] == "RUE DU CENTRE"]["suffixe"] == "HAUTS BOIS").all()
+        assert (out[out["street_key"] == "RUE LOIN"]["suffixe"] == "").all()
+
+
+class TestKnn:
+    def test_grid_index_exact_vs_brute(self):
+        from bano_ray.stages.export import haversine_m
+        from bano_ray.stages.knn import GridIndex
+
+        rng = np.random.default_rng(5)
+        lon = rng.uniform(2.0, 2.1, 3000)
+        lat = rng.uniform(48.0, 48.1, 3000)
+        idx = GridIndex(lon, lat)
+        for qlon, qlat in [(2.05, 48.05), (2.0, 48.0), (2.0999, 48.02)]:
+            got = idx.query(qlon, qlat, 3)
+            d = haversine_m(qlon, qlat, lon, lat)
+            want = np.argsort(d, kind="stable")[:3]
+            assert set(got.tolist()) == set(want.tolist())
+
+    def test_knn_match_group_exact_key_consistency(self):
+        # one candidate per key → the kNN match IS the exact-key match
+        from bano_ray.stages.knn import knn_match_group
+
+        df = pd.DataFrame({
+            "source": ["BAN", "OSM", "BAN", "OSM"],
+            "image_id": ["b1", "o1", "b2", "o2"],
+            "lon": [1.0, 1.0005, 2.0, 2.0005],
+            "lat": [1.0, 1.0, 2.0, 2.0],
+        })
+        out = knn_match_group(df, k=1)
+        got = dict(zip(out["probe_id"], out["target_id"]))
+        assert got == {"b1": "o1", "b2": "o2"}
+
+
+class TestDedup:
+    def test_minhash_jaccard_agreement(self):
+        from bano_ray.stages.dedup import jaccard, minhash_signature
+
+        a = "the quick brown fox jumps over the lazy dog again and again today"
+        b = "the quick brown fox jumps over the lazy dog again and again tonight"
+        c = "completely different words here about other topics entirely now"
+        sig_a, sig_b, sig_c = (minhash_signature(t) for t in (a, b, c))
+        est_ab = float((sig_a == sig_b).mean())
+        est_ac = float((sig_a == sig_c).mean())
+        assert abs(est_ab - jaccard(a, b)) < 0.25
+        assert est_ac <= 0.1 and jaccard(a, c) == 0.0
+
+    def test_simhash_near_text_low_hamming(self):
+        from bano_ray.stages.dedup import simhash64
+
+        a = simhash64("alpha beta gamma delta epsilon zeta eta theta")
+        b = simhash64("alpha beta gamma delta epsilon zeta eta iota")
+        c = simhash64("nothing in common with that sentence at all whatsoever")
+        ham = lambda x, y: bin(x ^ y).count("1")
+        assert ham(a, b) < ham(a, c)
+
+    def test_simhash_deterministic(self):
+        from bano_ray.stages.dedup import simhash64
+
+        assert simhash64("stable input text") == simhash64("stable input text")
+
+
+class TestSinks:
+    def test_ttl_render_and_publish(self, tmp_path):
+        import pyarrow as pa
+
+        from bano_ray.pipelines.sinks import publish_concat, render_ttl_batch
+
+        batch = pa.table({
+            "id": ["X-1"], "numero": ["12"], "voie": ["Rue du Test"],
+            "code_post": ["75001"], "lat": [48.85], "lon": [2.35],
+        })
+        t = render_ttl_batch(batch)
+        frag = t.column("ttl")[0].as_py()
+        assert "locn:thoroughfare \"Rue du Test\"" in frag
+        import pyarrow.parquet as pq
+
+        pq.write_table(t, tmp_path / "part-0.parquet")
+        out = publish_concat(str(tmp_path), str(tmp_path / "full.ttl.gz"))
+        import gzip
+
+        content = gzip.open(out, "rt").read()
+        assert content.startswith("@prefix") and "X-1" in content
