@@ -10,7 +10,7 @@ Every derived column is a pure integer-arithmetic function of ``doc_id``
 (multiplicative-hash streams + modulo indexing into fixed template lists),
 written so the exact same values are reproducible in DuckDB SQL — that is
 what gives the driver's correctness gate real oracles for the spatial
-pipeline.  ``bano_ray.oracle.sql_exprs`` renders the matching SQL from the
+pipeline.  ``bano_ray.oracle`` renders the matching SQL from the
 same constants (single source of truth).
 
 Scale note: generation is a stateless ``map_batches`` over a column-pruned
@@ -393,13 +393,32 @@ def images_dataset(sf_dir: str, with_bytes: bool = False, expand: int = 1):
     """
     import ray.data
 
+    lance_path = f"{sf_dir}/documents.lance"
+    import os as _os
+    if _os.path.exists(lance_path):
+        try:  # Lance is the production input format (input_hint); the
+            # sandbox ships parquet only, so this is import-gated
+            return ray.data.read_lance(lance_path, columns=["doc_id"]) \
+                .map_batches(lambda b: synthesize_batch(b, with_bytes=with_bytes),
+                             batch_format="pyarrow")
+        except ImportError:
+            pass
     # size read blocks so each downstream task sees ~150k expanded rows —
     # bigger blocks thrash the string stages, smaller ones drown in task
     # overhead (measured both ways)
     import pyarrow.parquet as _pq
 
     n_docs = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
-    nblocks = int(min(1024, max(64, (n_docs * expand) // 150000)))
+    # blocks ≈ 8 waves per core, bounded by ~150k-row batches: enough tasks
+    # to pipeline and balance, big enough batches to amortize kernel setup
+    try:
+        import ray
+
+        ncpu = int(ray.cluster_resources().get("CPU", 32)) if ray.is_initialized() else 32
+    except Exception:
+        ncpu = 32
+    by_rows = (n_docs * expand) // 150000
+    nblocks = int(min(1024, max(16, min(8 * ncpu, by_rows) if by_rows > 0 else 16)))
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"],
                                override_num_blocks=nblocks)
     if expand > 1:

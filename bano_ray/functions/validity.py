@@ -48,3 +48,23 @@ def pseudo_fantoir(index: int, code_insee: str) -> str:
 
 def find_cp_in_tags(tags: dict) -> str:
     return tags.get("addr:postcode") or tags.get("postal_code") or ""
+
+
+def append_suffixe(name: str, suffixe: str) -> str:
+    """M13: append a hamlet suffix to a street name unless already suffixed
+    (length-aware check — reference ``bano/core.py:33-45``, quirks and all:
+    the comparison slices by the RAW suffix length but compares against the
+    raw name tail)."""
+    from .normalize import normalize
+
+    res = name
+    if suffixe:
+        name_norm = normalize(name)
+        ln = len(name_norm)
+        ls = len(suffixe)
+        if ln > ls:
+            if name[-ls:] != suffixe:
+                res = name + " " + suffixe
+        else:
+            res = name + " " + suffixe
+    return res

@@ -76,10 +76,22 @@ def flagship(sf_dir: str, expand: int = 1, assign_concurrency: int = 4):
                        assign_concurrency=assign_concurrency)
 
 
-def flagship_with_bytes(sf_dir: str):
-    """Flagship + payload validation: bytes are decoded/validated in a
-    parallel branch and re-joined to the street output by image_id via the
-    merge keys — demonstrating the no-bytes-through-shuffle layout.  Returns
-    the street dataset; raises downstream if any payload fails its
-    invariant (checked in tests)."""
-    return flagship(sf_dir)
+def flagship_with_bytes(sf_dir: str, num_partitions: int = 16):
+    """Per-image joined output demonstrating the bytes-never-shuffle layout:
+
+    - branch A (metadata): parse + zone assign — no ``bytes`` column
+    - branch B (payload): decode/validate actor stage over the bytes
+    - hash-join on ``image_id`` re-attaches the payload verdict to the
+      spatial assignment (``Dataset.join``; at 10^12 rows both sides are
+      hash-partitioned on the same key, so the join is the only exchange
+      the payload bytes' metadata ever sees)
+    """
+    from .cumul import points_dataset
+
+    ensure_worker_importable()
+    meta = points_dataset(sf_dir).select_columns(
+        ["image_id", "insee", "street_key", "cell", "hn"])
+    payload = image_roundtrip(sf_dir).select_columns(
+        ["image_id", "fmt", "decode_ok", "psnr_db", "mean_lum"])
+    return meta.join(payload, join_type="inner", num_partitions=num_partitions,
+                     on=("image_id",))

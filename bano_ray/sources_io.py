@@ -1,0 +1,130 @@
+"""Source readers (SURVEY.md §2.1 S-series) on Ray Data natives.
+
+- S1/S2: delimited CSV(.gz) address files → ``ray.data.read_csv`` with
+  explicit arrow parse options (gzip inferred from extension)
+- S3: GeoJSON FeatureCollection → feature table with WKB geometry
+- S4: fixed-width registry records → ``read_text`` + vectorized slicing
+- S6-S8: small dimension CSVs → ``read_csv`` then broadcast driver-side
+
+Plus the G8 postal-polygon lookup with the reference's smallest-area-first
+tie-break (``bano/sql/export_json_dept_voies_rapprochees.sql:38-42``).
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .geo.geomops import shoelace_area
+from .geo.pip import PolygonIndex
+from .geo.wkb import encode_multipolygon, encode_point, encode_polygon
+
+
+def read_delimited(path: str, delimiter: str = ";", **kwargs):
+    """S1/S2 reader: ``;``-delimited (BAL) or ``,``-delimited (BAN) CSV,
+    transparently gunzipped by arrow."""
+    from pyarrow import csv as pcsv
+    import ray.data
+
+    return ray.data.read_csv(
+        path, parse_options=pcsv.ParseOptions(delimiter=delimiter), **kwargs)
+
+
+def geojson_features_to_table(text: str) -> pa.Table:
+    """S3: FeatureCollection → (properties..., geom_wkb) rows."""
+    fc = json.loads(text)
+    names: dict[str, list] = {}
+    wkbs: list[bytes] = []
+    for feat in fc.get("features", []):
+        props = feat.get("properties", {})
+        geom = feat.get("geometry", {})
+        gtype = geom.get("type")
+        coords = geom.get("coordinates")
+        if gtype == "Point":
+            blob = encode_point(*coords[:2])
+        elif gtype == "Polygon":
+            blob = encode_polygon([np.asarray(r, dtype=np.float64) for r in coords])
+        elif gtype == "MultiPolygon":
+            blob = encode_multipolygon(
+                [[np.asarray(r, dtype=np.float64) for r in poly] for poly in coords])
+        else:
+            continue
+        for k, v in props.items():
+            names.setdefault(k, []).append(v)
+        wkbs.append(blob)
+    cols = {k: pa.array(v) for k, v in names.items()}
+    cols["geom_wkb"] = pa.array(wkbs, type=pa.binary())
+    return pa.table(cols)
+
+
+def read_geojson(path: str) -> pa.Table:
+    """Small GeoJSON file → table (driver-side; shard big collections into
+    NDJSON and use read_json + map_batches at scale)."""
+    import gzip
+
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rt") as f:
+        return geojson_features_to_table(f.read())
+
+
+FANTOIR_SLICES = {
+    "code_insee": (0, 5),
+    "id_voie": (5, 9),
+    "cle_rivoli": (9, 10),
+    "libelle": (10, 40),
+    "type_voie": (108, 109),
+    "caractere_annul": (112, 113),
+}
+
+
+def parse_fixed_width_batch(batch: pa.Table,
+                            slices: dict[str, tuple[int, int]] = None) -> pa.Table:
+    """S4: fixed-width record slicing with arrow kernels (reference
+    sql/load_fantoir.sql:5-34)."""
+    slices = slices or FANTOIR_SLICES
+    text = batch.column("text")
+    cols = {name: pc.utf8_trim_whitespace(pc.utf8_slice_codeunits(text, a, b))
+            for name, (a, b) in slices.items()}
+    return pa.table(cols)
+
+
+def read_fixed_width(path: str, slices=None):
+    import ray.data
+
+    ds = ray.data.read_text(path)
+    return ds.map_batches(lambda b: parse_fixed_width_batch(b, slices),
+                          batch_format="pyarrow")
+
+
+class PostalIndex(PolygonIndex):
+    """G8: postal polygon lookup — when polygons nest/overlap, the SMALLEST
+    area wins, ties broken by insertion id (reference ORDER BY ST_Area +
+    RANK() OVER (ORDER BY id))."""
+
+    def __init__(self, polygons):
+        super().__init__(polygons)
+        # shell areas (sum over multipolygon parts) for the tie-break rank
+        self.areas = np.array([sum(shoelace_area(rings[0]) for rings in polys)
+                               for polys in self.polys], dtype=np.float64)
+        self.order = np.lexsort((np.arange(len(self.areas)), self.areas))
+
+    def assign_smallest(self, px, py) -> np.ndarray:
+        """Per point: key of the smallest containing polygon, or ''."""
+        px = np.asarray(px, dtype=np.float64)
+        py = np.asarray(py, dtype=np.float64)
+        out = np.full(len(px), "", dtype=object)
+        pi, gi = self.assign_all(px, py)
+        if len(pi) == 0:
+            return out
+        rank_of = np.empty(len(self.keys), dtype=np.int64)
+        rank_of[self.order] = np.arange(len(self.keys))
+        best = {}
+        for p, g in zip(pi.tolist(), gi.tolist()):
+            if p not in best or rank_of[g] < rank_of[best[p]]:
+                best[p] = g
+        for p, g in best.items():
+            out[p] = self.keys[g]
+        return out

@@ -79,3 +79,12 @@ def test_oracle_parity_subset(ray_session, sf):
         b = df_o[cols].sort_values(cols).reset_index(drop=True)
         assert len(a) == len(b), name
         pd.testing.assert_frame_equal(a, b, check_dtype=False, obj=name)
+
+
+def test_flagship_with_bytes_join(ray_session, sf):
+    from bano_ray.pipelines.flagship import flagship_with_bytes
+
+    t = flagship_with_bytes(sf).to_pandas()
+    assert len(t) == 500  # one row per image at sf0.001
+    assert t["decode_ok"].all()
+    assert set(t.columns) >= {"image_id", "insee", "street_key", "decode_ok"}

@@ -1,0 +1,98 @@
+"""Sources readers, display expansion, rep promotion, postal tie-break."""
+
+import gzip
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from bano_ray.functions.display import (expand_display_name, promote_rep,
+                                        rep_b_as_bis)
+from bano_ray.geo.wkb import encode_polygon
+from bano_ray.sources_io import (PostalIndex, geojson_features_to_table,
+                                 parse_fixed_width_batch, read_delimited,
+                                 read_fixed_width)
+
+
+def test_expand_display_name():
+    arr = pa.array(["IMP DES LILAS", "RTE DU GAL LECLERC", "BD ST MICHEL",
+                    'PL DE LA "MAIRIE"', "RUE HTE DU VX BOURG"])
+    out = expand_display_name(arr).to_pylist()
+    assert out == ["Impasse DES LILAS", "Route DU Général LECLERC",
+                   "Boulevard Saint MICHEL", "Place DE LA MAIRIE",
+                   "RUE Haute DU Vieux BOURG"]
+
+
+def test_rep_b_as_bis_except_semantics():
+    ban = pd.DataFrame({
+        "id_fantoir": ["F1", "F1", "F2", "F3", "F3"],
+        "numero": ["4", "4", "7", "9", "9"],
+        "rep": ["b", "a", "b", "b", "c"],
+    })
+    # F1/4 has an 'a' sibling, F3/9 has a 'c' sibling → only F2/7 promotes
+    assert rep_b_as_bis(ban) == {("F2", "7")}
+    out = promote_rep(ban)
+    by = dict(zip(zip(out["id_fantoir"], out["numero"], out["rep"]),
+                  out["housenumber"]))
+    assert by[("F2", "7", "b")] == "7 bis"
+    assert by[("F1", "4", "b")] == "4 b"
+
+
+def test_geojson_features_roundtrip():
+    fc = {"type": "FeatureCollection", "features": [
+        {"type": "Feature", "properties": {"nom": "Le Pré", "commune": "00001"},
+         "geometry": {"type": "Polygon",
+                      "coordinates": [[[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]]]}},
+        {"type": "Feature", "properties": {"nom": "Pt", "commune": "00002"},
+         "geometry": {"type": "Point", "coordinates": [2.5, 48.0]}},
+    ]}
+    import json
+
+    t = geojson_features_to_table(json.dumps(fc))
+    assert t.num_rows == 2 and "geom_wkb" in t.column_names
+    from bano_ray.geo.wkb import decode
+
+    kind, val = decode(t.column("geom_wkb")[1].as_py())
+    assert kind == "point" and val == (2.5, 48.0)
+
+
+def test_fixed_width_parse_batch():
+    rec = ("12345" + "6789" + "A" + "RUE DES FLEURS".ljust(98) + "3" + "   " + "O").ljust(120)
+    t = parse_fixed_width_batch(pa.table({"text": [rec]}))
+    r = t.to_pylist()[0]
+    assert r["code_insee"] == "12345" and r["id_voie"] == "6789"
+    assert r["libelle"] == "RUE DES FLEURS"
+    assert r["type_voie"] == "3" and r["caractere_annul"] == "O"
+
+
+def test_read_delimited_and_fixed_width(ray_session, tmp_path):
+    p = tmp_path / "bal.csv.gz"
+    with gzip.open(p, "wt") as f:
+        f.write("cle;numero;voie\nA1;12;Rue du Test\nA2;7;Avenue Haute\n")
+    ds = read_delimited(str(p), delimiter=";")
+    assert ds.count() == 2 and "voie" in ds.schema().names
+    fw = tmp_path / "fantoir.txt"
+    fw.write_text("00001" + "0005" + "B" + "GRANDE RUE".ljust(110) + "\n")
+    t = read_fixed_width(str(fw)).to_pandas()
+    assert t.iloc[0]["libelle"] == "GRANDE RUE"
+
+
+def test_postal_smallest_area_tie_break():
+    outer = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], float)
+    inner = np.array([[2, 2], [6, 2], [6, 6], [2, 6], [2, 2]], float)
+    idx = PostalIndex([("P_OUTER", encode_polygon([outer])),
+                       ("P_INNER", encode_polygon([inner]))])
+    got = idx.assign_smallest([3.0, 8.0, 20.0], [3.0, 8.0, 20.0])
+    assert list(got) == ["P_INNER", "P_OUTER", ""]
+
+
+def test_append_suffixe_reference_quirks():
+    from bano_ray.functions.validity import append_suffixe
+
+    assert append_suffixe("Rue des Fleurs", "LE BOURG") == "Rue des Fleurs LE BOURG"
+    # already suffixed (raw tail match) → unchanged
+    assert append_suffixe("Rue des Fleurs LE BOURG", "LE BOURG") == "Rue des Fleurs LE BOURG"
+    # empty suffix → unchanged
+    assert append_suffixe("Rue A", "") == "Rue A"
+    # short normalized name (<= suffix length) always appends
+    assert append_suffixe("Rue", "QUARTIER DES LONGS CHAMPS") == "Rue QUARTIER DES LONGS CHAMPS"
