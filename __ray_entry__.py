@@ -47,6 +47,7 @@ _ORACLE_QUERIES = [
     "q_events_hourly",       # streaming-style windowed aggregate
     "q_lineitem_pricing",    # relational baseline (TPC-H Q1 shape)
     "q_ann_topk",            # similarity search: brute cosine top-k
+    "q_display_expand",      # M15 display-name expansion
 ]
 
 # rows-only queries (hashing/approx algorithms with no SQL equivalent)
@@ -55,6 +56,7 @@ _ROWSONLY_QUERIES = [
     "q_simhash",             # dedup: SimHash signatures
     "q_embedding_neardup",   # dedup: embedding-cosine near-dups (LSH)
     "q_ann_lsh",             # similarity search: LSH-bucketed ANN
+    "q_image_roundtrip",     # image payload decode/validate stage
 ]
 
 

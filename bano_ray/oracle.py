@@ -736,3 +736,17 @@ FROM cad_last cl JOIN code k ON k.insee = cl.insee AND k.sidx = cl.sidx
 LEFT JOIN osm_inv_last i ON i.insee = cl.insee AND i.sidx = cl.sidx
 WHERE cl.sidx >= {kreg} AND i.insee IS NULL
 ORDER BY 1, 2, 3"""
+
+
+def q_display_expand() -> str:
+    from .functions.display import INFIX_EXPANSIONS, PREFIX_EXPANSIONS
+
+    expr = "voie_osm"
+    for pat, rep in PREFIX_EXPANSIONS:
+        expr = f"regexp_replace({expr}, {_q(pat)}, {_q(rep)})"
+    for pat, rep in INFIX_EXPANSIONS:
+        expr = f"replace({expr}, {_q(pat)}, {_q(rep)})"
+    expr = f"replace(replace({expr}, '\"', ''), '’', chr(39))"
+    return f"""WITH {_cumul_ctes()}
+SELECT insee, fantoir, {expr} AS display_name
+FROM cumul_voies ORDER BY insee, fantoir"""

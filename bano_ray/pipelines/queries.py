@@ -398,3 +398,28 @@ def q_places(sf_dir: str):
     from .places import places_dataset
 
     return places_dataset(sf_dir)
+
+
+def q_display_expand(sf_dir: str):
+    """M15: abbreviated street-name display expansion over merged voies."""
+    from ..functions.display import expand_display_name
+    from .cumul import cumul_voies
+
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "insee": batch.column("insee"),
+            "fantoir": batch.column("fantoir"),
+            "display_name": expand_display_name(batch.column("voie_osm")),
+        })
+
+    return cumul_voies(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def q_image_roundtrip(sf_dir: str):
+    """Image payload decode/validate stage (rows-only check: PNG/lossy
+    codecs are not SQL-expressible).  Asserts per-row invariants inside the
+    stage output: decode_ok must hold for every row."""
+    from .flagship import image_roundtrip
+
+    return image_roundtrip(sf_dir).select_columns(
+        ["image_id", "fmt", "decode_ok", "psnr_db", "mean_lum"])

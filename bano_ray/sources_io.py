@@ -70,24 +70,44 @@ def read_geojson(path: str) -> pa.Table:
         return geojson_features_to_table(f.read())
 
 
+# real FANTOIR record layout (reference sql/load_fantoir.sql:5-34; substr is
+# 1-based there, slices here are 0-based)
 FANTOIR_SLICES = {
-    "code_insee": (0, 5),
-    "id_voie": (5, 9),
-    "cle_rivoli": (9, 10),
-    "libelle": (10, 40),
+    "code_dir": (2, 3),
+    "id_voie": (6, 10),
+    "cle_rivoli": (10, 11),
+    "nature_voie": (11, 15),
+    "libelle_voie": (15, 41),
+    "caractere_annul": (73, 74),
     "type_voie": (108, 109),
-    "caractere_annul": (112, 113),
+    "ld_bati": (109, 110),
 }
 
 
 def parse_fixed_width_batch(batch: pa.Table,
                             slices: dict[str, tuple[int, int]] = None) -> pa.Table:
-    """S4: fixed-width record slicing with arrow kernels (reference
-    sql/load_fantoir.sql:5-34)."""
+    """S4: FANTOIR fixed-width record slicing with arrow kernels, including
+    the composed columns and header-row filters of the reference loader
+    (``sql/load_fantoir.sql:5-34``)."""
     slices = slices or FANTOIR_SLICES
     text = batch.column("text")
+    # header rows: '______ %' and '___ %' patterns are filtered out
+    keep = pc.and_(
+        pc.invert(pc.match_substring_regex(text, "^.{6} ")),
+        pc.invert(pc.match_substring_regex(text, "^.{3} ")))
+    text = pc.filter(text, keep)
     cols = {name: pc.utf8_trim_whitespace(pc.utf8_slice_codeunits(text, a, b))
             for name, (a, b) in slices.items()}
+    dept2 = pc.utf8_slice_codeunits(text, 0, 2)
+    com3 = pc.utf8_slice_codeunits(text, 3, 6)
+    cols["code_dept"] = pc.if_else(pc.equal(dept2, "97"),
+                                   pc.binary_join_element_wise(
+                                       dept2, pc.utf8_slice_codeunits(text, 3, 4), ""),
+                                   dept2)
+    insee = pc.binary_join_element_wise(dept2, com3, "")
+    cols["code_insee"] = insee
+    cols["fantoir10"] = pc.binary_join_element_wise(
+        insee, pc.utf8_slice_codeunits(text, 6, 11), "")
     return pa.table(cols)
 
 

@@ -57,12 +57,21 @@ def test_geojson_features_roundtrip():
 
 
 def test_fixed_width_parse_batch():
-    rec = ("12345" + "6789" + "A" + "RUE DES FLEURS".ljust(98) + "3" + "   " + "O").ljust(120)
-    t = parse_fixed_width_batch(pa.table({"text": [rec]}))
+    # real FANTOIR layout (sql/load_fantoir.sql): dept(2) dir(1) com(3)
+    # voie(4) cle(1) nature(4) libelle(26) ... annul@74 ... type@109 bati@110
+    rec = ("75" + "1" + "056" + "1234" + "K" + "RUE " + "DES FLEURS".ljust(26)
+           ).ljust(73) + "O" + "".ljust(108 - 74) + "1" + "B"
+    t = parse_fixed_width_batch(pa.table({"text": [rec, "123456 HEADER", "123 HDR"]}))
+    assert t.num_rows == 1  # header rows filtered
     r = t.to_pylist()[0]
-    assert r["code_insee"] == "12345" and r["id_voie"] == "6789"
-    assert r["libelle"] == "RUE DES FLEURS"
-    assert r["type_voie"] == "3" and r["caractere_annul"] == "O"
+    assert r["code_insee"] == "75056" and r["id_voie"] == "1234"
+    assert r["fantoir10"] == "750561234K"
+    assert r["nature_voie"] == "RUE" and r["libelle_voie"] == "DES FLEURS"
+    assert r["caractere_annul"] == "O" and r["type_voie"] == "1" and r["ld_bati"] == "B"
+    # 97x dept rule
+    rec97 = ("97" + "4" + "411" + "0001" + "A").ljust(120)
+    t2 = parse_fixed_width_batch(pa.table({"text": [rec97]}))
+    assert t2.to_pylist()[0]["code_dept"] == "974"
 
 
 def test_read_delimited_and_fixed_width(ray_session, tmp_path):
@@ -72,9 +81,11 @@ def test_read_delimited_and_fixed_width(ray_session, tmp_path):
     ds = read_delimited(str(p), delimiter=";")
     assert ds.count() == 2 and "voie" in ds.schema().names
     fw = tmp_path / "fantoir.txt"
-    fw.write_text("00001" + "0005" + "B" + "GRANDE RUE".ljust(110) + "\n")
+    rec = ("01" + "1" + "001" + "0005" + "B" + "GR  " + "GRANDE RUE".ljust(26)).ljust(120)
+    fw.write_text(rec + "\n")
     t = read_fixed_width(str(fw)).to_pandas()
-    assert t.iloc[0]["libelle"] == "GRANDE RUE"
+    assert t.iloc[0]["libelle_voie"] == "GRANDE RUE"
+    assert t.iloc[0]["fantoir10"] == "010010005B"
 
 
 def test_postal_smallest_area_tie_break():
