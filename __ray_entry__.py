@@ -48,6 +48,7 @@ _ORACLE_QUERIES = [
     "q_lineitem_pricing",    # relational baseline (TPC-H Q1 shape)
     "q_ann_topk",            # similarity search: brute cosine top-k
     "q_display_expand",      # M15 display-name expansion
+    "q_source_counts",       # A11 monitoring counts
 ]
 
 # rows-only queries (hashing/approx algorithms with no SQL equivalent)

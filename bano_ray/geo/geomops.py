@@ -128,3 +128,21 @@ class CircleUnionZone:
         py = np.asarray(py, dtype=np.float64)[:, None]
         d2 = (px - self.centers[None, :, 0]) ** 2 + (py - self.centers[None, :, 1]) ** 2
         return (d2 <= self.radius ** 2).any(axis=1)
+
+
+def line_centroid(coords: np.ndarray) -> tuple[float, float]:
+    """G4: centroid of a linestring — length-weighted average of segment
+    midpoints (PostGIS ST_Centroid on lines, reference
+    ``bano/sql/hsnr_insee.sql:29,60`` centroid-of-way)."""
+    coords = np.asarray(coords, dtype=np.float64)
+    if len(coords) == 1:
+        return float(coords[0, 0]), float(coords[0, 1])
+    seg = coords[1:] - coords[:-1]
+    lengths = np.sqrt((seg ** 2).sum(axis=1))
+    mids = (coords[1:] + coords[:-1]) / 2.0
+    total = lengths.sum()
+    if total == 0:
+        return float(coords[:, 0].mean()), float(coords[:, 1].mean())
+    cx = float((mids[:, 0] * lengths).sum() / total)
+    cy = float((mids[:, 1] * lengths).sum() / total)
+    return cx, cy

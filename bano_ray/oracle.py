@@ -750,3 +750,10 @@ def q_display_expand() -> str:
     return f"""WITH {_cumul_ctes()}
 SELECT insee, fantoir, {expr} AS display_name
 FROM cumul_voies ORDER BY insee, fantoir"""
+
+
+def q_source_counts() -> str:
+    return f"""WITH {_cumul_ctes()}
+SELECT source, COUNT(*) AS n_adresses,
+       SUM(CASE WHEN fantoir <> '' THEN 1 ELSE 0 END) AS n_matched
+FROM cumul GROUP BY source ORDER BY source"""

@@ -423,3 +423,28 @@ def q_image_roundtrip(sf_dir: str):
 
     return image_roundtrip(sf_dir).select_columns(
         ["image_id", "fmt", "decode_ok", "psnr_db", "mean_lum"])
+
+
+def q_source_counts(sf_dir: str):
+    """A11 monitoring metrics: merged address rows per source + matched vs
+    unmatched street counts (reference munin/bano_main:21-28,
+    munin/bano_rapproche:14-16)."""
+    from ray.data.aggregate import Count, Sum
+    from .cumul import cumul_dataset
+
+    ds = cumul_dataset(sf_dir)
+
+    def f(batch: pa.Table) -> pa.Table:
+        adr = pc.equal(batch.column("rec_type"), "adresse")
+        matched = pc.and_(adr, pc.not_equal(batch.column("fantoir"), ""))
+        return pa.table({
+            "source": batch.column("source"),
+            "is_adresse": pc.cast(adr, pa.int64()),
+            "is_matched": pc.cast(matched, pa.int64()),
+        })
+
+    agg = (ds.map_batches(f, batch_format="pyarrow")
+           .groupby("source")
+           .aggregate(Sum("is_adresse", alias_name="n_adresses"),
+                      Sum("is_matched", alias_name="n_matched")))
+    return agg.filter(expr="n_adresses > 0")

@@ -72,3 +72,13 @@ def test_circle_union_zone():
     z = CircleUnionZone(np.array([[0.0, 0.0], [1.0, 0.0]]), radius=0.1)
     got = z.contains(np.array([0.05, 0.5, 1.05]), np.array([0.0, 0.0, 0.0]))
     assert list(got) == [True, False, True]
+
+
+def test_line_centroid_length_weighted():
+    from bano_ray.geo.geomops import line_centroid
+
+    # L-shaped line: long leg dominates
+    c = line_centroid(np.array([[0.0, 0.0], [10.0, 0.0], [10.0, 2.0]]))
+    assert abs(c[0] - (5.0 * 10 + 10.0 * 2) / 12) < 1e-12
+    assert abs(c[1] - (0.0 * 10 + 1.0 * 2) / 12) < 1e-12
+    assert line_centroid(np.array([[3.0, 4.0]])) == (3.0, 4.0)
