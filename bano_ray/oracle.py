@@ -757,3 +757,27 @@ def q_source_counts() -> str:
 SELECT source, COUNT(*) AS n_adresses,
        SUM(CASE WHEN fantoir <> '' THEN 1 ELSE 0 END) AS n_matched
 FROM cumul GROUP BY source ORDER BY source"""
+
+
+def q_zone_raster() -> str:
+    from .pipelines.queries import RASTER_RES
+
+    n = float(1 << RASTER_RES)
+    zx0 = f"({dg.LON0} + ({dg.LON_SPAN} * (r.range // {dg.NZY})) / {dg.NZX})"
+    zx1 = f"({dg.LON0} + ({dg.LON_SPAN} * ((r.range // {dg.NZY}) + 1)) / {dg.NZX})"
+    zy0 = f"({dg.LAT0} + ({dg.LAT_SPAN} * (r.range % {dg.NZY})) / {dg.NZY})"
+    zy1 = f"({dg.LAT0} + ({dg.LAT_SPAN} * ((r.range % {dg.NZY}) + 1)) / {dg.NZY})"
+
+    def mercy(lat):
+        return (f"((1.0 - ln(tan(radians({lat})) + 1.0/cos(radians({lat}))) / pi())"
+                f" / 2.0 * {n})")
+
+    ax = f"(({zx0} + 180.0) / 360.0 * {n})"
+    bx = f"(({zx1} + 180.0) / 360.0 * {n})"
+    ay = mercy(zy1)  # y grows southward
+    by = mercy(zy0)
+    return f"""SELECT lpad(CAST(r.range + 1 AS VARCHAR), 5, '0') AS insee,
+       (CAST(floor({bx} - 0.5) AS BIGINT) - CAST(ceil({ax} - 0.5) AS BIGINT) + 1)
+     * (CAST(floor({by} - 0.5) AS BIGINT) - CAST(ceil({ay} - 0.5) AS BIGINT) + 1)
+       AS n_cells
+FROM range({dg.NZONES}) r ORDER BY insee"""

@@ -448,3 +448,27 @@ def q_source_counts(sf_dir: str):
            .aggregate(Sum("is_adresse", alias_name="n_adresses"),
                       Sum("is_matched", alias_name="n_matched")))
     return agg.filter(expr="n_adresses > 0")
+
+
+RASTER_RES = 14
+
+
+def q_zone_raster(sf_dir: str):
+    """Raster↔vector: rasterize each zone polygon to cells at z14 (center
+    sampling) and count — checked against a closed-form arithmetic oracle
+    (independent implementation: actual PIP rasterization vs index math)."""
+    import ray
+
+    ensure_worker_importable()
+    zones = datagen.zone_boxes_wkb()
+    ds = ray.data.from_items([{"insee": k, "wkb": w} for k, w in zones])
+
+    def f(batch: pa.Table) -> pa.Table:
+        from ..geo.raster import rasterize
+
+        counts = [len(rasterize(w.as_py(), RASTER_RES))
+                  for w in batch.column("wkb")]
+        return pa.table({"insee": batch.column("insee"),
+                         "n_cells": pa.array(counts, pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow")

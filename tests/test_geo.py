@@ -82,3 +82,47 @@ def test_line_centroid_length_weighted():
     assert abs(c[0] - (5.0 * 10 + 10.0 * 2) / 12) < 1e-12
     assert abs(c[1] - (0.0 * 10 + 1.0 * 2) / 12) < 1e-12
     assert line_centroid(np.array([[3.0, 4.0]])) == (3.0, 4.0)
+
+
+class TestRasterVector:
+    def test_rasterize_box_counts(self):
+        from bano_ray.geo.cells import cell_decode
+        from bano_ray.geo.raster import cell_centers, rasterize
+        from bano_ray.geo.wkb import encode_polygon
+
+        ring = np.array([[0.0, 44.0], [1.75, 44.0], [1.75, 45.0], [0.0, 45.0],
+                         [0.0, 44.0]])
+        cells = rasterize(encode_polygon([ring]), 10)
+        assert len(cells) > 0
+        lon, lat = cell_centers(cells)
+        assert (lon > 0.0).all() and (lon < 1.75).all()
+        assert (lat > 44.0).all() and (lat < 45.0).all()
+        z, _, _ = cell_decode(cells)
+        assert (z == 10).all()
+
+    def test_rasterize_vectorize_roundtrip(self):
+        from bano_ray.geo.pip import points_in_polygon
+        from bano_ray.geo.raster import cell_centers, rasterize, vectorize_cells
+        from bano_ray.geo.wkb import encode_polygon, polygon_rings
+        from bano_ray.geo.cells import cover_bbox
+
+        shell = np.array([[0.0, 44.0], [1.0, 44.0], [1.0, 45.0], [0.0, 45.0],
+                          [0.0, 44.0]])
+        hole = np.array([[0.3, 44.3], [0.3, 44.7], [0.7, 44.7], [0.7, 44.3],
+                         [0.3, 44.3]])
+        blob = encode_polygon([shell, hole])
+        cells = rasterize(blob, 11)
+        out = vectorize_cells(cells)
+        polys = polygon_rings(out)
+        # every candidate center classifies the same vs the vectorized outline
+        cand = cover_bbox(-0.1, 43.9, 1.1, 45.1, 11)
+        lon, lat = cell_centers(cand)
+        in_vec = points_in_polygon(lon, lat, polys)
+        in_set = np.isin(cand, cells)
+        assert (in_vec == in_set).all()
+
+    def test_vectorize_empty(self):
+        from bano_ray.geo.raster import vectorize_cells
+        from bano_ray.geo.wkb import polygon_rings
+
+        assert polygon_rings(vectorize_cells(np.array([], dtype=np.int64))) == []
