@@ -114,7 +114,19 @@ def minhash_candidate_pairs(ds, threshold: float = 0.7):
              .groupby(["a", "b"]).count())
 
     cand = pairs.to_pandas()
-    texts = dict(zip(ds.to_pandas()["doc_id"], ds.to_pandas()["text"])) if len(cand) else {}
+    if len(cand):
+        need = set(cand["a"]).union(cand["b"])
+        # fetch only candidate texts (tiny vs corpus): semi-join by id
+        import pyarrow.compute as _pc
+        import pyarrow as _pa
+
+        keys = _pa.array(sorted(int(x) for x in need))
+        docs = ds.map_batches(
+            lambda b: b.filter(_pc.is_in(b.column("doc_id"), value_set=keys)),
+            batch_format="pyarrow").to_pandas()
+        texts = dict(zip(docs["doc_id"], docs["text"]))
+    else:
+        texts = {}
     rows = []
     for r in cand.itertuples(index=False):
         j = jaccard(texts[int(r.a)], texts[int(r.b)])
