@@ -161,6 +161,11 @@ def normalize_array(values) -> np.ndarray:
     Nulls map to empty string.
     """
     arr = np.asarray(values, dtype=object)
+    if len(arr) == 0:
+        return np.empty(0, dtype=object)
+    # null-safe: None must become '' BEFORE the U-cast (astype('U') would
+    # stringify None as 'None')
+    arr = np.where(arr == None, "", arr)  # noqa: E711 — elementwise None test
     uniq, inv = np.unique(arr.astype("U"), return_inverse=True)
-    out_uniq = np.array([normalize(u) if u is not None else "" for u in uniq], dtype=object)
+    out_uniq = np.array([normalize(u) for u in uniq], dtype=object)
     return out_uniq[inv]

@@ -142,6 +142,10 @@ def run_partitioned(sf_dir: str, out_dir: str, tiles=None) -> dict:
     - incremental mode: only tile-impacted zones recompute (others skipped)
     - resume: partitions with valid lineage are skipped on restart
     Returns a summary manifest.
+
+    Partition writes happen inside map_groups tasks: ``out_dir`` must be a
+    shared filesystem (or object-store URI) on a multi-node cluster — the
+    same requirement as any partitioned ``write_parquet``.
     """
     from .cumul import cumul_dataset
 
