@@ -97,8 +97,6 @@ def lsh_topk(ds, query_ids: list[int], k: int = 10, nbits: int = 8, nprobe: int 
                 out_b.append(b)
                 out_q.append(bool(is_q))
         emb = batch.column("embedding").to_pylist()
-        embs = [emb[j] for j, v in enumerate(vid) for _ in range(1)]  # aligned below
-        # rebuild aligned embeddings
         idx_of = {int(v): j for j, v in enumerate(vid)}
         out_e = [emb[idx_of[v]] for v in out_v]
         return pa.table({"vec_id": pa.array(out_v, pa.int64()),
