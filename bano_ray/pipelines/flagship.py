@@ -17,6 +17,17 @@ from ..codecs import decode_image, psnr
 from ..runtime import ensure_worker_importable
 
 
+def _cluster_cpus(default: int = 32) -> int:
+    try:
+        import ray
+
+        if ray.is_initialized():
+            return int(ray.cluster_resources().get("CPU", default))
+    except Exception:
+        pass
+    return default
+
+
 class ImageRoundtrip:
     """Actor-pool stage: decode each payload, verify the per-row invariant
     (bit-exact pixels for png; PSNR ≥ 40 dB for lossy) against the
@@ -56,10 +67,16 @@ class ImageRoundtrip:
         })
 
 
-def image_roundtrip(sf_dir: str, concurrency: int = 4):
+def image_roundtrip(sf_dir: str, concurrency: int | None = None):
     """Decode-validate every payload (actor pool, small batches — binary
-    rows are wide; batch_size keeps batch × concurrency in worker heap)."""
+    rows are wide; batch_size keeps batch × concurrency in worker heap).
+
+    Actor-pool size is capped at half the cluster CPUs: a pool that reserves
+    every slot deadlocks the upstream stateless stages.
+    """
     ensure_worker_importable()
+    if concurrency is None:
+        concurrency = max(1, min(8, _cluster_cpus() // 2))
     ds = datagen.images_dataset(sf_dir, with_bytes=True)
     return ds.map_batches(ImageRoundtrip, concurrency=concurrency,
                           batch_size=256, batch_format="pyarrow")
@@ -76,7 +93,7 @@ def flagship(sf_dir: str, expand: int = 1, assign_concurrency: int = 4):
                        assign_concurrency=assign_concurrency)
 
 
-def flagship_with_bytes(sf_dir: str, num_partitions: int = 16):
+def flagship_with_bytes(sf_dir: str, num_partitions: int | None = None):
     """Per-image joined output demonstrating the bytes-never-shuffle layout:
 
     - branch A (metadata): parse + zone assign — no ``bytes`` column
@@ -89,9 +106,34 @@ def flagship_with_bytes(sf_dir: str, num_partitions: int = 16):
     from .cumul import points_dataset
 
     ensure_worker_importable()
+    cpus = _cluster_cpus()
     meta = points_dataset(sf_dir).select_columns(
         ["image_id", "insee", "street_key", "cell", "hn"])
     payload = image_roundtrip(sf_dir).select_columns(
         ["image_id", "fmt", "decode_ok", "psnr_db", "mean_lum"])
-    return meta.join(payload, join_type="inner", num_partitions=num_partitions,
-                     on=("image_id",))
+    if cpus >= 8:
+        if num_partitions is None:
+            num_partitions = max(2, min(16, cpus // 2))
+        return meta.join(payload, join_type="inner",
+                         num_partitions=num_partitions, on=("image_id",))
+    # below ~8 CPU slots ray 2.49's hash-join aggregator actors starve the
+    # streaming executor — fall back to a sort-based co-group join
+    import pandas as pd
+    import pyarrow as pa
+
+    def tag(side):
+        def f(b: pa.Table) -> pa.Table:
+            return b.append_column("_side", pa.array([side] * b.num_rows))
+
+        return f
+
+    both = meta.map_batches(tag("l"), batch_format="pyarrow")         .union(payload.map_batches(tag("r"), batch_format="pyarrow"))
+
+    def join_group(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["_side"] == "l"].drop(columns=["_side"]).dropna(axis=1, how="all")
+        r = df[df["_side"] == "r"].drop(columns=["_side"]).dropna(axis=1, how="all")
+        if len(l) == 0 or len(r) == 0:
+            return pd.DataFrame()
+        return l.merge(r, on="image_id", how="inner")
+
+    return both.groupby("image_id").map_groups(join_group, batch_format="pandas")

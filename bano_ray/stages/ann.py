@@ -59,9 +59,15 @@ def _final_topk(k: int):
     return f
 
 
-def brute_topk(ds, query_ids: list[int], k: int = 10, concurrency: int = 4):
+def brute_topk(ds, query_ids: list[int], k: int = 10, concurrency: int | None = None):
     """Exact cosine top-k of each query over the corpus (queries excluded)."""
     import ray
+
+    if concurrency is None:
+        try:
+            concurrency = max(2, min(8, int(ray.cluster_resources().get("CPU", 8)) // 2))
+        except Exception:
+            concurrency = 4
 
     qdf = ds.filter(expr=f"vec_id < {max(query_ids) + 1}").to_pandas()
     qdf = qdf[qdf["vec_id"].isin(query_ids)].sort_values("vec_id")

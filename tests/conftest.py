@@ -11,9 +11,7 @@ def ray_session():
     import ray
 
     if not ray.is_initialized():
-        # 8 cpus, not 4: ray 2.49's streaming executor can starve multi-stage
-        # sort pipelines (groupby chains) below ~8 CPU slots
-        ray.init(address="local", num_cpus=8, include_dashboard=False,
+        ray.init(address="local", num_cpus=4, include_dashboard=False,
                  ignore_reinit_error=True)
     yield
     ray.shutdown()
