@@ -221,7 +221,7 @@ hw AS (
   SELECT insee, sidx,
          bool_or(fant_variant = 0) AS hw_has_fant,
          COUNT(*) AS n_hw,
-         COALESCE(SUM(DISTINCT (1 << htype_idx)), 0) AS highway_index
+         CAST(COALESCE(SUM(DISTINCT (1 << htype_idx)), 0) AS BIGINT) AS highway_index
   FROM pts2 WHERE source = 'OSM' AND hn = ''
   GROUP BY 1, 2
 ),
@@ -324,7 +324,7 @@ def q_cumul_voies() -> str:
             .replace("numero", "'' AS numero"))
     return f"""WITH {_cumul_ctes()}
 SELECT {cols}, highway_index
-FROM cumul_voies ORDER BY insee, street_key"""
+FROM cumul_voies ORDER BY insee, street_key, source, fantoir"""
 
 
 # ---------------------------------------------------------------------------
@@ -755,7 +755,7 @@ FROM cumul_voies ORDER BY insee, fantoir"""
 def q_source_counts() -> str:
     return f"""WITH {_cumul_ctes()}
 SELECT source, COUNT(*) AS n_adresses,
-       SUM(CASE WHEN fantoir <> '' THEN 1 ELSE 0 END) AS n_matched
+       CAST(SUM(CASE WHEN fantoir <> '' THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
 FROM cumul GROUP BY source ORDER BY source"""
 
 

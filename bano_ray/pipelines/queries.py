@@ -137,7 +137,12 @@ def q_cumul_adresses(sf_dir: str):
 def q_cumul_voies(sf_dir: str):
     from .cumul import cumul_voies
 
-    return cumul_voies(sf_dir).select_columns(CUMUL_OUT_COLS + ["highway_index"])
+    # Deterministic final sort: the output is ~O(streets) rows (87 at
+    # sf0.001), so a total-order sort is free and makes the result
+    # byte-stable for order-sensitive downstream hashing.
+    return (cumul_voies(sf_dir)
+            .select_columns(CUMUL_OUT_COLS + ["highway_index"])
+            .sort(["insee", "street_key", "source", "fantoir"]))
 
 
 def q_export_csv(sf_dir: str):
@@ -447,7 +452,9 @@ def q_source_counts(sf_dir: str):
            .groupby("source")
            .aggregate(Sum("is_adresse", alias_name="n_adresses"),
                       Sum("is_matched", alias_name="n_matched")))
-    return agg.filter(expr="n_adresses > 0")
+    # Deterministic final sort (a handful of rows) so row order can never
+    # affect order-sensitive result hashing.
+    return agg.filter(expr="n_adresses > 0").sort("source")
 
 
 RASTER_RES = 14
