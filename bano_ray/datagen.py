@@ -106,6 +106,51 @@ STREET_SPELLINGS: list[list[str]] = [
 NSTREET = len(STREET_SPELLINGS)   # 48
 K_REG = 40                        # streets 0..39 exist in the registry
 
+# --- hamlet (suffix-zone) street population -------------------------------
+# Models the real-world situation the reference's suffix machinery exists
+# for (bano/pre_process_suffixe.py): BAN/BAL/CADASTRE names carry a hamlet
+# tail ("... Kervella"), the OSM name lacks it, and geometric suffix-zone
+# decoration re-unifies the merge keys.  Spelling groups are
+# [OSM(no tail), BAN, BAL, CADASTRE] — the last three normalize to the SAME
+# key; normalize(OSM) + ' ' + TAIL == that key (tests/test_datagen.py).
+# Family A (groups 0..7) shares the one-word tail KERVELLA (4-word keys);
+# family B (groups 8..15) shares the two-word tail BAS BOURG (5-word keys),
+# exercising the two-word-beats-components selection rule.
+HAMLET_SPELLINGS: list[list[str]] = [
+    ["Chemin des Quatre Vents", "CHEMIN DES QUATRE VENTS KERVELLA", "chemin des quatre vents Kervella", "Chemin des Quatre Vents Kervella "],
+    ["Impasse du Vieux Moulin", "IMPASSE DU VIEUX MOULIN KERVELLA", "impasse du vieux moulin Kervella", "Impasse du Vieux Moulin Kervella "],
+    ["Rue de la Petite Fontaine", "RUE DE LA PETITE FONTAINE KERVELLA", "rue de la petite fontaine Kervella", "Rue de la Petite Fontaine Kervella "],
+    ["Allée des Hauts Jardins", "ALLEE DES HAUTS JARDINS KERVELLA", "allée des hauts jardins Kervella", "Allee des Hauts Jardins Kervella "],
+    ["Route du Petit Port", "ROUTE DU PETIT PORT KERVELLA", "route du petit port Kervella", "Route du Petit Port Kervella "],
+    ["Rue des Longs Champs", "RUE DES LONGS CHAMPS KERVELLA", "rue des longs champs Kervella", "Rue des Longs Champs Kervella "],
+    ["Chemin du Haut Bosquet", "CHEMIN DU HAUT BOSQUET KERVELLA", "chemin du haut bosquet Kervella", "Chemin du Haut Bosquet Kervella "],
+    ["Impasse des Trois Chênes", "IMPASSE DES TROIS CHENES KERVELLA", "impasse des trois chênes Kervella", "Impasse des Trois Chenes Kervella "],
+    ["Rue du Clos Vert", "RUE DU CLOS VERT BAS BOURG", "rue du clos vert Bas Bourg", "Rue du Clos Vert Bas Bourg "],
+    ["Chemin des Roches Grises", "CHEMIN DES ROCHES GRISES BAS BOURG", "chemin des roches grises Bas Bourg", "Chemin des Roches Grises Bas Bourg "],
+    ["Impasse du Puits Salé", "IMPASSE DU PUITS SALE BAS BOURG", "impasse du puits salé Bas Bourg", "Impasse du Puits Sale Bas Bourg "],
+    ["Route du Vieux Chêne", "ROUTE DU VIEUX CHENE BAS BOURG", "route du vieux chêne Bas Bourg", "Route du Vieux Chene Bas Bourg "],
+    ["Allée des Quatre Saisons", "ALLEE DES QUATRE SAISONS BAS BOURG", "allée des quatre saisons Bas Bourg", "Allee des Quatre Saisons Bas Bourg "],
+    ["Rue de la Grande Lande", "RUE DE LA GRANDE LANDE BAS BOURG", "rue de la grande lande Bas Bourg", "Rue de la Grande Lande Bas Bourg "],
+    ["Chemin du Petit Val", "CHEMIN DU PETIT VAL BAS BOURG", "chemin du petit val Bas Bourg", "Chemin du Petit Val Bas Bourg "],
+    ["Rue des Blés Dorés", "RUE DES BLES DORES BAS BOURG", "rue des blés dorés Bas Bourg", "Rue des Bles Dores Bas Bourg "],
+]
+NHAMLET = len(HAMLET_SPELLINGS)   # 16
+NSTREET_ALL = NSTREET + NHAMLET   # 64; hamlet streets are sidx 48..63
+HAMLET_TAILS = ["KERVELLA", "BAS BOURG"]  # family A / family B suffixes
+HAMLET_MOD = 7                    # doc_id % 7 == 3 (and not urban) → hamlet
+HAMLET_RESIDUE = 3
+# family cluster centers (both inside zone 00031); jitter keeps every point
+# within 2e-4·√2 ≈ 2.83e-4 deg of any sample center — inside the reference's
+# 3e-4-deg suffix-zone buffer (bano/pre_process_suffixe.py:27)
+HAM_FAM_LON = (3.0005, 3.0035)
+HAM_FAM_LAT = (44.5005, 44.5005)
+HAM_JITTER = 0.0001
+
+
+def is_hamlet(doc_id: np.ndarray) -> np.ndarray:
+    d = np.asarray(doc_id, dtype=np.int64)
+    return (d % HAMLET_MOD == HAMLET_RESIDUE) & (d % URBAN_MOD != 0)
+
 # housenumber variants — covers multi-value, ranges asc/desc, rep letters,
 # junk, oversize, leading zeros (reference fixture cases, FIXTURES.md F4)
 HOUSENUMBERS = [
@@ -141,6 +186,13 @@ def lon_lat(doc_id: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     urban = (np.asarray(doc_id, dtype=np.int64) % URBAN_MOD) == 0
     lon = np.where(urban, URBAN_LON0 + URBAN_SPAN * ((h1 % 1000) + 0.5) / 1000.0, lon)
     lat = np.where(urban, URBAN_LAT0 + URBAN_SPAN * ((h2 % 1000) + 0.5) / 1000.0, lat)
+    ham = is_hamlet(doc_id)
+    fam = ((stream(doc_id, 13) % NHAMLET) >= NHAMLET // 2).astype(np.int64)
+    fam_lon = np.asarray(HAM_FAM_LON)[fam]
+    fam_lat = np.asarray(HAM_FAM_LAT)[fam]
+    jit = 2.0 * HAM_JITTER
+    lon = np.where(ham, fam_lon + ((h1 % 1000) + 0.5) / 1000.0 * jit - HAM_JITTER, lon)
+    lat = np.where(ham, fam_lat + ((h2 % 1000) + 0.5) / 1000.0 * jit - HAM_JITTER, lat)
     return lon, lat
 
 
@@ -159,7 +211,9 @@ def insee_of_zone(zone: np.ndarray) -> np.ndarray:
 
 
 def street_idx(doc_id: np.ndarray) -> np.ndarray:
-    return stream(doc_id, 3) % NSTREET
+    base = stream(doc_id, 3) % NSTREET
+    ham = NSTREET + stream(doc_id, 13) % NHAMLET
+    return np.where(is_hamlet(doc_id), ham, base)
 
 
 def source_idx(doc_id: np.ndarray) -> np.ndarray:
@@ -176,7 +230,8 @@ def housenumber_of(doc_id: np.ndarray) -> np.ndarray:
 def caption_of(doc_id: np.ndarray) -> np.ndarray:
     sidx = street_idx(doc_id)
     src = source_idx(doc_id)
-    flat = np.asarray([sp for group in STREET_SPELLINGS for sp in group], dtype=object)
+    flat = np.asarray([sp for group in STREET_SPELLINGS + HAMLET_SPELLINGS
+                       for sp in group], dtype=object)
     street = flat[(sidx * 4 + src).astype(np.int64)]
     hn = housenumber_of(doc_id)
     return np.where(hn == "", street, np.char.add(np.char.add(hn.astype("U"), ", "), street.astype("U")).astype(object))
@@ -273,19 +328,19 @@ class _LookupTables:
 
     def __init__(self):
         zones = np.arange(NZONES, dtype=np.int64)
-        sidxs = np.arange(NSTREET, dtype=np.int64)
+        sidxs = np.arange(NSTREET_ALL, dtype=np.int64)
         self.insee = insee_of_zone(zones).astype(object)          # [zone]
-        self.flat = np.asarray([sp for g in STREET_SPELLINGS for sp in g],
-                               dtype=object)                       # [sidx*4+src]
+        self.flat = np.asarray([sp for g in STREET_SPELLINGS + HAMLET_SPELLINGS
+                                for sp in g], dtype=object)        # [sidx*4+src]
         voie = np.char.zfill(sidxs.astype("U"), 4)
         zz, ss = np.meshgrid(zones, sidxs, indexing="ij")
         ins = self.insee[zz.ravel()].astype("U")
         vv = voie[ss.ravel()]
-        self.valid10 = np.char.add(np.char.add(ins, vv), "A").astype(object).reshape(NZONES, NSTREET)
-        self.ban10 = np.char.add(np.char.add(ins, "_"), vv).astype(object).reshape(NZONES, NSTREET)
+        self.valid10 = np.char.add(np.char.add(ins, vv), "A").astype(object).reshape(NZONES, NSTREET_ALL)
+        self.ban10 = np.char.add(np.char.add(ins, "_"), vv).astype(object).reshape(NZONES, NSTREET_ALL)
         self.cp = np.char.zfill(((zones + 1) * 10).astype("U"), 5).astype(object)  # [zone]
         # caption[(hn_idx+1 if hn else 0), flat_idx]; hn_idx 0 == empty
-        caps = np.empty((NHN + 1, NSTREET * 4), dtype=object)
+        caps = np.empty((NHN + 1, NSTREET_ALL * 4), dtype=object)
         caps[0, :] = self.flat
         for hi, hn in enumerate(HOUSENUMBERS):
             caps[hi + 1, :] = np.char.add(hn + ", ", self.flat.astype("U")).astype(object)

@@ -34,16 +34,38 @@ def H(k: int) -> str:
     return f"(((doc_id + {dg.STREAM_STEP * k}) * {dg.MULT}) % {dg.MOD})"
 
 
-FLAT_SPELLINGS = [sp for group in dg.STREET_SPELLINGS for sp in group]
-NORMS = [normalize(g[0]) for g in dg.STREET_SPELLINGS]
+FLAT_SPELLINGS = [sp for group in dg.STREET_SPELLINGS + dg.HAMLET_SPELLINGS
+                  for sp in group]
+# canonical merge key per street group: for hamlet groups (sidx >= NSTREET)
+# the BAN spelling carries the tail and is the canonical key; the OSM
+# spelling normalizes to the shorter pre-decoration key
+NORMS = [normalize(g[0]) for g in dg.STREET_SPELLINGS] + \
+        [normalize(g[1]) for g in dg.HAMLET_SPELLINGS]
+HAM_OSM_NORMS = [normalize(g[0]) for g in dg.HAMLET_SPELLINGS]
 
 _LON_MAIN = f"(-5.0 + (14.0 * (({H(1)} % 1000000) + 0.5)) / 1000000.0)"
 _LAT_MAIN = f"(41.0 + (10.0 * (({H(2)} % 1000000) + 0.5)) / 1000000.0)"
 _LON_URBAN = f"({dg.URBAN_LON0} + ({dg.URBAN_SPAN} * (({H(1)} % 1000) + 0.5)) / 1000.0)"
 _LAT_URBAN = f"({dg.URBAN_LAT0} + ({dg.URBAN_SPAN} * (({H(2)} % 1000) + 0.5)) / 1000.0)"
 
-LON_EXPR = f"(CASE WHEN doc_id % {dg.URBAN_MOD} = 0 THEN {_LON_URBAN} ELSE {_LON_MAIN} END)"
-LAT_EXPR = f"(CASE WHEN doc_id % {dg.URBAN_MOD} = 0 THEN {_LAT_URBAN} ELSE {_LAT_MAIN} END)"
+_HAM_COND = (f"(doc_id % {dg.HAMLET_MOD} = {dg.HAMLET_RESIDUE}"
+             f" AND doc_id % {dg.URBAN_MOD} <> 0)")
+_HAM_FAM = f"(({H(13)} % {dg.NHAMLET}) >= {dg.NHAMLET // 2})"
+_J = dg.HAM_JITTER
+_LON_HAM = (f"((CASE WHEN {_HAM_FAM} THEN {dg.HAM_FAM_LON[1]} ELSE {dg.HAM_FAM_LON[0]} END)"
+            f" + (({H(1)} % 1000) + 0.5) / 1000.0 * {2 * _J} - {_J})")
+_LAT_HAM = (f"((CASE WHEN {_HAM_FAM} THEN {dg.HAM_FAM_LAT[1]} ELSE {dg.HAM_FAM_LAT[0]} END)"
+            f" + (({H(2)} % 1000) + 0.5) / 1000.0 * {2 * _J} - {_J})")
+
+LON_EXPR = (f"(CASE WHEN {_HAM_COND} THEN {_LON_HAM}"
+            f" WHEN doc_id % {dg.URBAN_MOD} = 0 THEN {_LON_URBAN}"
+            f" ELSE {_LON_MAIN} END)")
+LAT_EXPR = (f"(CASE WHEN {_HAM_COND} THEN {_LAT_HAM}"
+            f" WHEN doc_id % {dg.URBAN_MOD} = 0 THEN {_LAT_URBAN}"
+            f" ELSE {_LAT_MAIN} END)")
+
+SIDX_EXPR = (f"(CASE WHEN {_HAM_COND} THEN {dg.NSTREET} + ({H(13)} % {dg.NHAMLET})"
+             f" ELSE ({H(3)} % {dg.NSTREET}) END)")
 
 
 def base_pts_cte() -> str:
@@ -56,7 +78,7 @@ raw AS (
          'img' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS image_id,
          {LON_EXPR} AS lon,
          {LAT_EXPR} AS lat,
-         ({H(3)} % {dg.NSTREET}) AS sidx,
+         {SIDX_EXPR} AS sidx,
          (doc_id % 4) AS src_idx,
          list_extract({_slist(dg.SOURCES)}, (doc_id % 4) + 1) AS source,
          (CASE WHEN {H(4)} % {dg.HN_EMPTY_MOD} = 0 THEN ''
@@ -77,7 +99,9 @@ pts AS (
          lpad(CAST(({zx} * {dg.NZY} + {zy} + 1) AS VARCHAR), 5, '0') AS insee,
          lpad(CAST((((({zx} * {dg.NZY} + {zy}) + 1) % {dg.NZONES}) + 1) AS VARCHAR), 5, '0') AS insee_next,
          list_extract({_slist(FLAT_SPELLINGS)}, sidx * 4 + src_idx + 1) AS street,
-         list_extract({_slist(NORMS)}, sidx + 1) AS street_key
+         (CASE WHEN sidx >= {dg.NSTREET} AND src_idx = 0
+               THEN list_extract({_slist(HAM_OSM_NORMS)}, sidx - {dg.NSTREET - 1})
+               ELSE list_extract({_slist(NORMS)}, sidx + 1) END) AS street_key
   FROM raw
 ),
 pts2 AS (
@@ -213,47 +237,67 @@ _SPELL0 = f"list_extract({_slist(FLAT_SPELLINGS)}, sidx * 4 + 1)"
 _KEY = f"list_extract({_slist(NORMS)}, sidx + 1)"
 _CODE = "insee || lpad(CAST(sidx AS VARCHAR), 4, '0') || 'A'"
 
+# Suffix-zone decoration predicate for OSM rows of hamlet streets (phase 2
+# wires the geometric point-in-suffix-zone join here; until then nothing is
+# decorated and every hamlet OSM row keeps its tail-less key).
+_DECORATED = "false"
+
 
 def _cumul_ctes() -> str:
+    # ``side`` splits a hamlet street group (sidx >= NSTREET) into the
+    # decorated/canonical key group (side 0: BAN/BAL/CADASTRE rows plus OSM
+    # street rows re-unified by suffix-zone decoration) and the undecorated
+    # OSM-key group (side 1: OSM rows whose merge key stays the tail-less
+    # OSM normalization — reference core.py only decorates highways, so OSM
+    # *address* rows always stay on side 1).
     split = "string_split(translate(p.hn, ',à;-/*', '$$$$$$'), '$')"
+    key = (f"(CASE WHEN n.side = 1"
+           f" THEN list_extract({_slist(HAM_OSM_NORMS)}, n.sidx - {dg.NSTREET - 1})"
+           f" ELSE {_KEY.replace('sidx', 'n.sidx')} END)")
     return f"""{base_pts_cte()},
+pts3 AS (
+  SELECT pts2.*,
+         (CASE WHEN sidx >= {dg.NSTREET} AND source = 'OSM'
+                    AND NOT ({_DECORATED}) THEN 1 ELSE 0 END) AS side
+  FROM pts2
+),
 hw AS (
-  SELECT insee, sidx,
+  SELECT insee, sidx, side,
          bool_or(fant_variant = 0) AS hw_has_fant,
          COUNT(*) AS n_hw,
          CAST(COALESCE(SUM(DISTINCT (1 << htype_idx)), 0) AS BIGINT) AS highway_index
-  FROM pts2 WHERE source = 'OSM' AND hn = ''
-  GROUP BY 1, 2
+  FROM pts3 WHERE source = 'OSM' AND hn = ''
+  GROUP BY 1, 2, 3
 ),
 osm_num_all AS (
-  SELECT insee, sidx, doc_id, lon, lat, postcode, fant_variant,
+  SELECT insee, sidx, side, doc_id, lon, lat, postcode, fant_variant,
          trim(part) AS numero, CAST(pi AS BIGINT) AS part_idx
   FROM (
     SELECT p.*, unnest({split}) AS part, generate_subscripts({split}, 1) AS pi
-    FROM pts2 p WHERE p.source = 'OSM' AND p.hn <> ''
+    FROM pts3 p WHERE p.source = 'OSM' AND p.hn <> ''
   )
 ),
 osm_num AS (SELECT * FROM osm_num_all WHERE numero <> '' AND length(numero) <= 11),
 osm_addr_fant AS (
-  SELECT insee, sidx, bool_or(fant_variant = 0) AS af FROM osm_num GROUP BY 1, 2
+  SELECT insee, sidx, side, bool_or(fant_variant = 0) AS af FROM osm_num GROUP BY 1, 2, 3
 ),
 src_num AS (
-  SELECT insee, sidx, 'OSM' AS source, numero, doc_id, part_idx, lon, lat,
+  SELECT insee, sidx, side, 'OSM' AS source, numero, doc_id, part_idx, lon, lat,
          postcode AS cp FROM osm_num
   UNION ALL
-  SELECT insee, sidx, 'BAN', hn, doc_id, 0, lon, lat, postcode FROM pts2
+  SELECT insee, sidx, 0, 'BAN', hn, doc_id, 0, lon, lat, postcode FROM pts3
   WHERE source = 'BAN' AND hn <> '' AND length(hn) <= 11
   UNION ALL
-  SELECT insee, sidx, 'BAL', hn, doc_id, 0, lon, lat, '' FROM pts2
+  SELECT insee, sidx, 0, 'BAL', hn, doc_id, 0, lon, lat, '' FROM pts3
   WHERE source = 'BAL' AND hn <> '' AND length(hn) <= 11
   UNION ALL
-  SELECT insee, sidx, 'CADASTRE', hn, doc_id, 0, lon, lat, '' FROM pts2
+  SELECT insee, sidx, 0, 'CADASTRE', hn, doc_id, 0, lon, lat, '' FROM pts3
   WHERE source = 'CADASTRE' AND pseudo_adresse <> 'true'
     AND hn <> '' AND length(hn) <= 11
 ),
 num_final AS (
   SELECT * FROM (
-    SELECT *, row_number() OVER (PARTITION BY insee, sidx, source, numero
+    SELECT *, row_number() OVER (PARTITION BY insee, sidx, side, source, numero
                                  ORDER BY doc_id DESC, part_idx DESC) AS rn
     FROM src_num)
   WHERE rn = 1
@@ -262,7 +306,7 @@ cumul AS (
   SELECT n.insee,
          substr(n.insee, 1, 2) AS dept,
          n.source,
-         {_KEY.replace('sidx', 'n.sidx')} AS street_key,
+         {key} AS street_key,
          n.numero, n.lon, n.lat, n.cp AS code_postal,
          (CASE WHEN (CASE WHEN n.source = 'OSM' THEN COALESCE(oaf.af, false)
                           ELSE false END)
@@ -283,18 +327,19 @@ cumul AS (
                WHEN 'BAL' THEN list_extract({_slist(FLAT_SPELLINGS)}, n.sidx * 4 + 3)
                WHEN 'CADASTRE' THEN list_extract({_slist(FLAT_SPELLINGS)}, n.sidx * 4 + 4)
                ELSE '' END) AS voie_autre,
-         n.sidx
+         n.sidx, n.side
   FROM num_final n
-  LEFT JOIN hw h ON h.insee = n.insee AND h.sidx = n.sidx
+  LEFT JOIN hw h ON h.insee = n.insee AND h.sidx = n.sidx AND h.side = n.side
   LEFT JOIN osm_addr_fant oaf ON oaf.insee = n.insee AND oaf.sidx = n.sidx
+                             AND oaf.side = n.side
 ),
 first_seen AS (
-  SELECT insee, sidx, numero, MIN(doc_id * 100 + part_idx) AS fs
-  FROM osm_num GROUP BY 1, 2, 3
+  SELECT insee, sidx, side, numero, MIN(doc_id * 100 + part_idx) AS fs
+  FROM osm_num GROUP BY 1, 2, 3, 4
 ),
 label_sel AS (
-  SELECT insee, sidx, numero FROM (
-    SELECT *, row_number() OVER (PARTITION BY insee, sidx ORDER BY fs DESC) AS rn
+  SELECT insee, sidx, side, numero FROM (
+    SELECT *, row_number() OVER (PARTITION BY insee, sidx, side ORDER BY fs DESC) AS rn
     FROM first_seen)
   WHERE rn = 1
 ),
@@ -302,8 +347,8 @@ cumul_voies AS (
   SELECT c.*, COALESCE(h.highway_index, 0) AS highway_index
   FROM label_sel l
   JOIN cumul c ON c.source = 'OSM' AND c.insee = l.insee AND c.sidx = l.sidx
-              AND c.numero = l.numero
-  LEFT JOIN hw h ON h.insee = l.insee AND h.sidx = l.sidx
+              AND c.side = l.side AND c.numero = l.numero
+  LEFT JOIN hw h ON h.insee = l.insee AND h.sidx = l.sidx AND h.side = l.side
 )"""
 
 

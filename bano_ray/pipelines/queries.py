@@ -368,7 +368,7 @@ def q_events_hourly(sf_dir: str):
 
     def finish(batch: pa.Table) -> pa.Table:
         return batch.set_column(batch.column_names.index("sum_value"),
-                                "sum_value", pc.round(batch.column("sum_value"), 6))
+                                "sum_value", pc.round(batch.column("sum_value"), ndigits=6, round_mode="half_towards_infinity"))
 
     return agg.map_batches(finish, batch_format="pyarrow")
 
@@ -392,7 +392,7 @@ def q_lineitem_pricing(sf_dir: str):
     def finish(batch: pa.Table) -> pa.Table:
         for c in ("sum_qty", "sum_price", "avg_disc"):
             batch = batch.set_column(batch.column_names.index(c), c,
-                                     pc.round(batch.column(c), 4))
+                                     pc.round(batch.column(c), ndigits=4, round_mode="half_towards_infinity"))
         return batch
 
     return agg.map_batches(finish, batch_format="pyarrow")

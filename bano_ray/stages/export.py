@@ -23,6 +23,7 @@ import numpy as np
 import pandas as pd
 
 from ..functions.housenumber import PLAUSIBLE_RE, IMPLAUSIBLE_RE, canonical_num
+from ..functions.rounding import sql_round
 
 EARTH_R = 6371008.8
 
@@ -197,15 +198,15 @@ def street_json_zone(df: pd.DataFrame, dims: dict) -> pd.DataFrame:
         dist = float(haversine_m(lon[:, None], lat[:, None], lon[None, :], lat[None, :]).max())
         name = v["voie_osm"].replace("\t", " ").replace('"', "'").replace("’", "'")
         tw = _type_weight(v["voie_osm"])
-        importance = round(
-            np.log10(d["adm_weight"] + np.log10(d["population"] + 1) / 3.0)
-            * np.log10(1.0 + np.log10(cnt + 1) + np.log10(dist + 1) + np.log10(tw)), 4)
+        importance = sql_round(
+            float(np.log10(d["adm_weight"] + np.log10(d["population"] + 1) / 3.0)
+                  * np.log10(1.0 + np.log10(cnt + 1) + np.log10(dist + 1) + np.log10(tw))), 4)
         g2 = g.sort_values("numero2", kind="stable")
         hns = "#".join(f"{n}${la}${lo}" for n, la, lo in
                        zip(g2["numero2"], g2["lat"], g2["lon"]))
         rows.append({
             "fantoir": fant, "citycode": insee, "name": name, "postcode": cp,
-            "lat": round(float(v["lat"]), 6), "lon": round(float(v["lon"]), 6),
+            "lat": sql_round(float(v["lat"]), 6), "lon": sql_round(float(v["lon"]), 6),
             "city": d["name"], "departement": d["dept_name"], "region": d["region_name"],
             "importance": float(importance), "housenumbers": hns, "n_adresses": cnt,
         })

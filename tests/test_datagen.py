@@ -78,3 +78,47 @@ def test_registry_and_dims_shapes():
     assert reg.num_rows == dg.NZONES * dg.K_REG
     dims = dg.zone_dims_table()
     assert dims.num_rows == dg.NZONES
+
+
+def test_hamlet_spelling_invariants():
+    """BAN/BAL/CADASTRE spellings share one key; normalize(OSM)+' '+tail ==
+    that key; family A keys are 4 words, family B 5; append_suffixe on the
+    raw OSM name lands on the canonical key (the re-unification contract)."""
+    from bano_ray.functions.normalize import normalize
+    from bano_ray.functions.validity import append_suffixe
+
+    for i, g in enumerate(dg.HAMLET_SPELLINGS):
+        tail = dg.HAMLET_TAILS[0] if i < dg.NHAMLET // 2 else dg.HAMLET_TAILS[1]
+        n_osm, n_ban = normalize(g[0]), normalize(g[1])
+        assert n_ban == normalize(g[2]) == normalize(g[3])
+        assert n_ban == n_osm + " " + tail
+        assert len(n_ban) <= 30
+        want_words = 4 if i < dg.NHAMLET // 2 else 5
+        assert len(n_ban.split()) == want_words
+        assert normalize(append_suffixe(g[0], tail)) == n_ban
+
+
+def test_hamlet_population_clusters_inside_buffer():
+    """All hamlet points of a family sit in one zone and within the 3e-4-deg
+    suffix buffer of each other (so circle-union zones from any 2 samples
+    cover the family); families never overlap each other's buffers."""
+    d = np.arange(5000, dtype=np.int64)
+    ham = dg.is_hamlet(d)
+    hd = d[ham]
+    sidx = dg.street_idx(hd)
+    lon, lat = dg.lon_lat(hd)
+    assert len(set(dg.zone_of(lon, lat).tolist())) == 1
+    half = dg.NSTREET + dg.NHAMLET // 2
+    for mask in (sidx < half, sidx >= half):
+        lo, la = lon[mask], lat[mask]
+        dx = lo[:, None] - lo[None, :]
+        dy = la[:, None] - la[None, :]
+        assert float(np.sqrt(dx ** 2 + dy ** 2).max()) < 3e-4
+        # each family has >5 distinct streets (the selection threshold)
+        fam_sidx = sidx[mask]
+        assert len(set(fam_sidx.tolist())) > 5
+    # families are disjoint in space
+    a = sidx < half
+    dx = lon[a][:, None] - lon[~a][None, :]
+    dy = lat[a][:, None] - lat[~a][None, :]
+    assert float(np.sqrt(dx ** 2 + dy ** 2).min()) > 3e-4
