@@ -237,10 +237,78 @@ _SPELL0 = f"list_extract({_slist(FLAT_SPELLINGS)}, sidx * 4 + 1)"
 _KEY = f"list_extract({_slist(NORMS)}, sidx + 1)"
 _CODE = "insee || lpad(CAST(sidx AS VARCHAR), 4, '0') || 'A'"
 
-# Suffix-zone decoration predicate for OSM rows of hamlet streets (phase 2
-# wires the geometric point-in-suffix-zone join here; until then nothing is
-# decorated and every hamlet OSM row keeps its tail-less key).
-_DECORATED = "false"
+# --- suffix-zone (hamlet) decoration -------------------------------------
+# Exact SQL replica of the reference pre_process_suffixe flow over the
+# synthesized world: distinct BAN street keys per zone → 1/2-word tail
+# frequency (>5, two-word tails block their component words, digits
+# excluded) → ≤2 lowest-doc_id BAN address sample points per member street
+# → union-of-circles membership (Euclidean degrees, r = 3e-4) → first
+# (alphabetically smallest) matching hamlet per OSM highway point.
+
+_SFX_R2 = repr(0.0003 ** 2)
+
+
+def _suffix_ctes() -> str:
+    last1 = "list_extract(w, len(w))"
+    last2 = "list_extract(w, len(w) - 1) || ' ' || list_extract(w, len(w))"
+    return f"""sfx_keys AS (
+  SELECT DISTINCT insee, street_key FROM pts2 WHERE source = 'BAN'
+),
+sfx_kw AS (
+  SELECT insee, street_key, string_split(street_key, ' ') AS w FROM sfx_keys
+),
+sfx_t AS (
+  SELECT insee, street_key, {last2} AS tail, 2 AS nw FROM sfx_kw WHERE len(w) > 4
+  UNION ALL
+  SELECT insee, street_key, {last1} AS tail, 1 AS nw FROM sfx_kw WHERE len(w) > 3
+),
+sfx_sel2 AS (
+  SELECT insee, tail FROM sfx_t WHERE nw = 2 GROUP BY 1, 2 HAVING COUNT(*) > 5
+),
+sfx_blocked AS (
+  SELECT DISTINCT insee, unnest(string_split(tail, ' ')) AS word FROM sfx_sel2
+),
+sfx_sel1 AS (
+  SELECT insee, tail FROM sfx_t
+  WHERE nw = 1 AND NOT regexp_matches(tail, '^[0-9]+$')
+  GROUP BY 1, 2 HAVING COUNT(*) > 5
+),
+sfx_sel AS (
+  SELECT insee, tail FROM sfx_sel2
+  UNION ALL
+  SELECT s.insee, s.tail FROM sfx_sel1 s
+  WHERE NOT EXISTS (SELECT 1 FROM sfx_blocked b
+                    WHERE b.insee = s.insee AND b.word = s.tail)
+),
+sfx_members AS (
+  SELECT s.insee, s.tail AS hamlet, t.street_key
+  FROM sfx_sel s JOIN sfx_t t ON t.insee = s.insee AND t.tail = s.tail
+),
+sfx_samples AS (
+  SELECT insee, street_key, lon, lat FROM (
+    SELECT insee, street_key, lon, lat,
+           row_number() OVER (PARTITION BY insee, street_key ORDER BY doc_id) AS rn
+    FROM pts2 WHERE source = 'BAN' AND hn <> '' AND length(hn) <= 11)
+  WHERE rn <= 2
+),
+sfx_centers AS (
+  SELECT m.insee, m.hamlet, s.lon, s.lat
+  FROM sfx_members m JOIN sfx_samples s
+    ON s.insee = m.insee AND s.street_key = m.street_key
+),
+sfx AS (
+  SELECT p.doc_id, MIN(c.hamlet) AS suffixe
+  FROM pts2 p JOIN sfx_centers c ON c.insee = p.insee
+   AND (p.lon - c.lon) * (p.lon - c.lon)
+     + (p.lat - c.lat) * (p.lat - c.lat) <= {_SFX_R2}
+  WHERE p.source = 'OSM' AND p.hn = ''
+  GROUP BY p.doc_id
+)"""
+
+
+# an OSM row is decorated when it is a highway point (hn = '') inside a
+# suffix zone — exactly the rows the sfx CTE resolves
+_DECORATED = "EXISTS (SELECT 1 FROM sfx WHERE sfx.doc_id = pts2.doc_id)"
 
 
 def _cumul_ctes() -> str:
@@ -255,6 +323,7 @@ def _cumul_ctes() -> str:
            f" THEN list_extract({_slist(HAM_OSM_NORMS)}, n.sidx - {dg.NSTREET - 1})"
            f" ELSE {_KEY.replace('sidx', 'n.sidx')} END)")
     return f"""{base_pts_cte()},
+{_suffix_ctes()},
 pts3 AS (
   SELECT pts2.*,
          (CASE WHEN sidx >= {dg.NSTREET} AND source = 'OSM'
@@ -795,6 +864,18 @@ def q_display_expand() -> str:
     return f"""WITH {_cumul_ctes()}
 SELECT insee, fantoir, {expr} AS display_name
 FROM cumul_voies ORDER BY insee, fantoir"""
+
+
+def q_suffix_zones() -> str:
+    # street_key || ' ' || suffixe == normalize(append_suffixe(street, sfx))
+    # for every in-world decoration (pinned by tests/test_datagen.py
+    # hamlet-spelling invariants)
+    return f"""WITH {base_pts_cte()},
+{_suffix_ctes()}
+SELECT s.doc_id, p.insee, s.suffixe,
+       p.street_key || ' ' || s.suffixe AS street_key
+FROM sfx s JOIN pts2 p ON p.doc_id = s.doc_id
+ORDER BY s.doc_id"""
 
 
 def q_source_counts() -> str:

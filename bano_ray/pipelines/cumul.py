@@ -94,6 +94,41 @@ def points_dataset(sf_dir: str, expand: int = 1, assign_concurrency: int = 4):
     return ds
 
 
+# suffix-center pre-pass results per (sf_dir, expand) — the centers table is
+# dim-sized; caching avoids re-running the pre-pass for every query that
+# builds on the merged stream within one session
+_SUFFIX_CENTERS_CACHE: dict = {}
+
+
+def suffix_centers_ref(sf_dir: str, expand: int = 1):
+    """``ray.put`` handle of the suffix-zone sample centers for this corpus
+    (reference runs pre_process_suffixe before the merge the same way)."""
+    import ray
+
+    from ..stages.suffix import suffix_centers
+
+    key = (sf_dir, expand)
+    if key not in _SUFFIX_CENTERS_CACHE:
+        centers = suffix_centers(points_dataset(sf_dir, expand=expand))
+        _SUFFIX_CENTERS_CACHE[key] = ray.put(centers)
+    return _SUFFIX_CENTERS_CACHE[key]
+
+
+def decorated_points_dataset(sf_dir: str, expand: int = 1,
+                             assign_concurrency: int = 4, emit_suffix: bool = False):
+    """Point rows with OSM highways re-keyed through suffix-zone decoration
+    (reference core.py:159-177 highway_suffixe path).  Two passes over the
+    synthesized stream: a pre-pass shrinking BAN rows to hamlet sample
+    centers (broadcast), then the decorate map_batches stage inline."""
+    from ..stages.suffix import make_suffix_decorator
+
+    ref = suffix_centers_ref(sf_dir, expand=expand)
+    pts = points_dataset(sf_dir, expand=expand,
+                         assign_concurrency=assign_concurrency)
+    return pts.map_batches(make_suffix_decorator(ref, emit_suffix=emit_suffix),
+                           batch_format="pyarrow")
+
+
 def partial_dataset(sf_dir: str, expand: int = 1, assign_concurrency: int = 4):
     """Map-side combined partial-state rows + registry partials — the input
     to the ONE merge shuffle (see stages/merge_partial.py: shuffle volume is
@@ -104,8 +139,8 @@ def partial_dataset(sf_dir: str, expand: int = 1, assign_concurrency: int = 4):
     from ..stages.merge_partial import partial_from_points_arrow, registry_partials
 
     ensure_worker_importable()
-    pts = points_dataset(sf_dir, expand=expand,
-                         assign_concurrency=assign_concurrency) \
+    pts = decorated_points_dataset(sf_dir, expand=expand,
+                                   assign_concurrency=assign_concurrency) \
         .map_batches(_tag_points, batch_format="pyarrow")
     par = pts.map_batches(partial_from_points_arrow, batch_format="pandas")
     reg = ray.data.from_arrow(_pa.Table.from_pandas(registry_partials(),
@@ -129,8 +164,8 @@ def cumul_dataset_rows(sf_dir: str, expand: int = 1, assign_concurrency: int = 4
     import ray
 
     ensure_worker_importable()
-    pts = points_dataset(sf_dir, expand=expand,
-                         assign_concurrency=assign_concurrency) \
+    pts = decorated_points_dataset(sf_dir, expand=expand,
+                                   assign_concurrency=assign_concurrency) \
         .map_batches(_tag_points, batch_format="pyarrow")
     reg = ray.data.from_arrow(_registry_as_points())
     both = pts.union(reg)

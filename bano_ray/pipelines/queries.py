@@ -430,6 +430,21 @@ def q_image_roundtrip(sf_dir: str):
         ["image_id", "fmt", "decode_ok", "psnr_db", "mean_lum"])
 
 
+def q_suffix_zones(sf_dir: str):
+    """G6/G7/A8/M13 end-to-end: suffix-zone (hamlet) selection over BAN
+    street names, circle-union zone build from sample address points, and
+    the highway decoration that re-unifies the OSM merge key with the
+    hamlet-carrying sources (reference bano/pre_process_suffixe.py +
+    core.py:159-177).  Output: every decorated OSM highway point with its
+    hamlet and the decorated merge key."""
+    from .cumul import decorated_points_dataset
+
+    return (decorated_points_dataset(sf_dir, emit_suffix=True)
+            .filter(expr="suffixe != ''")
+            .select_columns(["doc_id", "insee", "suffixe", "street_key"])
+            .sort("doc_id"))
+
+
 def q_source_counts(sf_dir: str):
     """A11 monitoring metrics: merged address rows per source + matched vs
     unmatched street counts (reference munin/bano_main:21-28,

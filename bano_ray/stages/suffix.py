@@ -105,3 +105,154 @@ def suffix_pipeline_zone(df: pd.DataFrame) -> pd.DataFrame:
         pts_by_street.setdefault(r.street_key, []).append((r.lon, r.lat))
     zones = build_zones(sel, pts_by_street)
     return decorate_points(df, zones)
+
+
+# ---------------------------------------------------------------------------
+# Distributed integration (the reference runs pre_process_suffixe as a
+# per-commune pre-pass before the merge; here the pre-pass is a map-side
+# partial + one tiny groupby(insee), and the decoration is a broadcast
+# map_batches stage over the point stream).
+# ---------------------------------------------------------------------------
+
+MAX_HN_LEN = 11  # same BAN-address condition the merge uses
+
+
+def suffix_partials(batch) -> pd.DataFrame:
+    """Map-side shrink of the BAN stream for the suffix pre-pass: one
+    presence row per distinct (insee, street_key) in the batch plus up to
+    ``MAX_SAMPLES`` lowest-doc_id address rows per key.  Shuffle volume is
+    O(distinct keys × blocks), not O(rows)."""
+    import pyarrow.compute as pc
+
+    t = batch.filter(pc.equal(batch.column("source"), "BAN"))
+    df = pd.DataFrame({
+        "insee": t.column("insee").to_numpy(zero_copy_only=False),
+        "street_key": t.column("street_key").to_numpy(zero_copy_only=False),
+        "doc_id": t.column("doc_id").to_numpy(),
+        "lon": t.column("lon").to_numpy(),
+        "lat": t.column("lat").to_numpy(),
+        "hn": t.column("hn").to_numpy(zero_copy_only=False),
+    })
+    if len(df) == 0:
+        return pd.DataFrame({"insee": [], "street_key": [], "doc_id": [],
+                             "lon": [], "lat": [], "is_sample": []})
+    df["is_sample"] = (df["hn"] != "") & (df["hn"].str.len() <= MAX_HN_LEN)
+    samples = (df[df["is_sample"]]
+               .sort_values("doc_id", kind="stable")
+               .groupby(["insee", "street_key"], sort=False)
+               .head(MAX_SAMPLES))
+    presence = df.drop_duplicates(["insee", "street_key"]).copy()
+    presence["is_sample"] = False
+    presence["doc_id"] = -1
+    out = pd.concat([samples, presence], ignore_index=True)
+    return out[["insee", "street_key", "doc_id", "lon", "lat", "is_sample"]]
+
+
+def build_centers(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-insee reduce: combine partials, run frequency→selection, emit one
+    row per (hamlet, sample center).  Output is tiny — only zones with a
+    qualifying hamlet produce rows."""
+    empty = pd.DataFrame({"insee": pd.Series(dtype=object),
+                          "hamlet": pd.Series(dtype=object),
+                          "lon": pd.Series(dtype="float64"),
+                          "lat": pd.Series(dtype="float64")})
+    if len(df) == 0:
+        return empty
+    insee = str(df["insee"].iloc[0])
+    keys = df["street_key"].unique()
+    sel = select_suffixes(name_frequency(keys))
+    if not sel:
+        return empty
+    sm = (df[df["is_sample"]]
+          .sort_values("doc_id", kind="stable")
+          .groupby("street_key", sort=False)
+          .head(MAX_SAMPLES))
+    pts_by_street = {k: list(zip(g["lon"], g["lat"]))
+                     for k, g in sm.groupby("street_key", sort=False)}
+    rows = []
+    for hamlet, info in sel.items():
+        for street in info["liste"]:
+            for lo, la in pts_by_street.get(street, [])[:MAX_SAMPLES]:
+                rows.append({"insee": insee, "hamlet": hamlet,
+                             "lon": lo, "lat": la})
+    if not rows:
+        return empty
+    return pd.DataFrame(rows, columns=["insee", "hamlet", "lon", "lat"])
+
+
+def suffix_centers(pts_ds) -> pd.DataFrame:
+    """Distributed pre-pass: BAN point stream → selected hamlet sample
+    centers (reference ``bano/pre_process_suffixe.py:process``).  The result
+    is dim-sized (selected hamlets only) and safe to collect/broadcast."""
+    ds = (pts_ds
+          .map_batches(suffix_partials, batch_format="pyarrow")
+          .groupby("insee")
+          .map_groups(build_centers, batch_format="pandas"))
+    return ds.to_pandas()
+
+
+def make_suffix_decorator(centers_ref, emit_suffix: bool = False):
+    """Broadcast decoration stage: OSM highway rows (hn == '') falling in a
+    suffix zone get their merge key re-unified with the hamlet-carrying
+    sources — street_key := normalize(append_suffixe(street, hamlet)); the
+    display name stays raw (reference ``core.py:177`` add_voie(.., name)).
+
+    ``centers_ref`` is a ``ray.put`` handle of the centers DataFrame; the
+    zone index is built once per worker process, not per batch."""
+    import ray
+
+    from ..functions.normalize import normalize
+    from ..functions.validity import append_suffixe
+
+    cache: dict = {}
+
+    def _zones():
+        if "z" not in cache:
+            centers = ray.get(centers_ref)
+            by: dict[str, dict[str, CircleUnionZone]] = {}
+            for (insee, hamlet), g in centers.groupby(["insee", "hamlet"], sort=True):
+                by.setdefault(str(insee), {})[str(hamlet)] = CircleUnionZone(
+                    np.column_stack([g["lon"].to_numpy(), g["lat"].to_numpy()]),
+                    radius=BUFFER_DEG)
+            cache["z"] = by
+        return cache["z"]
+
+    def decorate(batch):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        zones_by_insee = _zones()
+        n = batch.num_rows
+        suffixes = np.full(n, "", dtype=object)
+        if zones_by_insee:
+            mask = pc.and_(pc.equal(batch.column("source"), "OSM"),
+                           pc.equal(batch.column("hn"), ""))
+            insee_np = batch.column("insee").to_numpy(zero_copy_only=False)
+            cand = mask.to_numpy(zero_copy_only=False) & np.isin(
+                insee_np, np.asarray(list(zones_by_insee), dtype=object))
+        else:
+            cand = np.zeros(n, dtype=bool)
+        if cand.any():
+            key = batch.column("street_key").to_numpy(zero_copy_only=False).copy()
+            lon = batch.column("lon").to_numpy()
+            lat = batch.column("lat").to_numpy()
+            street = batch.column("street").to_numpy(zero_copy_only=False)
+            idx = np.flatnonzero(cand)
+            for insee in np.unique(insee_np[idx]):
+                zi = zones_by_insee[insee]
+                sub = idx[insee_np[idx] == insee]
+                assigned = np.full(len(sub), "", dtype=object)
+                for hamlet in sorted(zi):
+                    hit = zi[hamlet].contains(lon[sub], lat[sub])
+                    assigned[hit & (assigned == "")] = hamlet
+                suffixes[sub] = assigned
+                for j, sfx in zip(sub, assigned):
+                    if sfx:
+                        key[j] = normalize(append_suffixe(street[j], sfx))
+            i = batch.column_names.index("street_key")
+            batch = batch.set_column(i, "street_key", pa.array(key, type=pa.string()))
+        if emit_suffix:
+            batch = batch.append_column("suffixe", pa.array(suffixes, type=pa.string()))
+        return batch
+
+    return decorate

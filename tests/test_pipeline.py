@@ -88,3 +88,32 @@ def test_flagship_with_bytes_join(ray_session, sf):
     assert len(t) == 500  # one row per image at sf0.001
     assert t["decode_ok"].all()
     assert set(t.columns) >= {"image_id", "insee", "street_key", "decode_ok"}
+
+
+def test_suffix_zone_decoration_end_to_end(ray_session, sf):
+    """The suffix pre-pass selects exactly the planted hamlet tails, the
+    decorated highway keys re-unify with the BAN (tail-carrying) keys, and
+    q_suffix_zones matches its DuckDB oracle."""
+    from bano_ray import datagen as dg
+    from bano_ray import oracle as O
+    from bano_ray.pipelines.cumul import suffix_centers_ref
+    from bano_ray.pipelines.queries import q_suffix_zones
+    import ray
+
+    centers = ray.get(suffix_centers_ref(sf))
+    assert set(centers["hamlet"]) == set(dg.HAMLET_TAILS)
+    assert set(centers["insee"]) == {"00031"}
+
+    t = q_suffix_zones(sf).to_pandas()
+    assert len(t) > 0
+    assert set(t["suffixe"]).issubset(set(dg.HAMLET_TAILS))
+    for _, r in t.iterrows():
+        assert r["street_key"].endswith(" " + r["suffixe"])
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')")
+    oc = con.sql(O.q_suffix_zones()).df()
+    cols = sorted(oc.columns)
+    a = t[cols].sort_values(cols).reset_index(drop=True)
+    b = oc[cols].sort_values(cols).reset_index(drop=True)
+    assert a.astype(str).equals(b.astype(str))
