@@ -113,28 +113,82 @@ def minhash_candidate_pairs(ds, threshold: float = 0.7):
              .groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
              .groupby(["a", "b"]).count())
 
-    cand = pairs.to_pandas()
-    if len(cand):
-        need = set(cand["a"]).union(cand["b"])
-        # fetch only candidate texts (tiny vs corpus): semi-join by id
-        import pyarrow.compute as _pc
-        import pyarrow as _pa
+    # Distributed verification: candidate texts never touch the driver.
+    # Only the candidate ID LIST (ints — tiny next to texts, and next to the
+    # corpus even at LSH false-positive volume) is collected to broadcast a
+    # semi-join filter; pairs then pick up each side's text through a
+    # co-group shuffle and the exact-Jaccard verify runs inside map_groups.
+    import ray
+    import pyarrow.compute as _pc
 
-        keys = _pa.array(sorted(int(x) for x in need))
-        docs = ds.map_batches(
-            lambda b: b.filter(_pc.is_in(b.column("doc_id"), value_set=keys)),
-            batch_format="pyarrow").to_pandas()
-        texts = dict(zip(docs["doc_id"], docs["text"]))
-    else:
-        texts = {}
-    rows = []
-    for r in cand.itertuples(index=False):
-        j = jaccard(texts[int(r.a)], texts[int(r.b)])
-        if j >= threshold:
-            rows.append({"doc_a": int(r.a), "doc_b": int(r.b), "jaccard": round(j, 6)})
-    return pa.Table.from_pylist(rows) if rows else pa.table(
-        {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
-         "jaccard": pa.array([], pa.float64())})
+    EMPTY = pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
+
+    def pair_halves(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy().astype(np.int64)
+        b = batch.column("b").to_numpy().astype(np.int64)
+        return pa.table({
+            "key": pa.array(np.concatenate([a, b])),
+            "a": pa.array(np.concatenate([a, a])),
+            "b": pa.array(np.concatenate([b, b])),
+            "side": pa.array(["a"] * len(a) + ["b"] * len(b)),
+            "text": pa.array([""] * (2 * len(a)), type=pa.string()),
+        })
+
+    halves = pairs.map_batches(pair_halves, batch_format="pyarrow")
+
+    ids = sorted(int(x) for x in halves.select_columns(["key"]).unique("key"))
+    if not ids:
+        return ray.data.from_arrow(EMPTY)
+    keys_ref = ray.put(pa.array(ids, type=pa.int64()))
+
+    def text_rows(batch: pa.Table) -> pa.Table:
+        t = batch.filter(_pc.is_in(batch.column("doc_id"),
+                                   value_set=ray.get(keys_ref)))
+        n = t.num_rows
+        return pa.table({
+            "key": t.column("doc_id"),
+            "a": pa.array(np.full(n, -1, dtype=np.int64)),
+            "b": pa.array(np.full(n, -1, dtype=np.int64)),
+            "side": pa.array(["t"] * n),
+            "text": t.column("text"),
+        })
+
+    cand_texts = ds.map_batches(text_rows, batch_format="pyarrow")
+
+    _EMPTY_ATTACH = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                  "b": pd.Series(dtype="int64"),
+                                  "side": pd.Series(dtype=object),
+                                  "text": pd.Series(dtype=object)})
+    _EMPTY_VERIFY = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                                  "doc_b": pd.Series(dtype="int64"),
+                                  "jaccard": pd.Series(dtype="float64")})
+
+    def attach_text(df: pd.DataFrame) -> pd.DataFrame:
+        tr = df[df["side"] == "t"]
+        if len(tr) == 0:
+            return _EMPTY_ATTACH
+        text = tr["text"].iloc[0]
+        pr = df[df["side"] != "t"]
+        return pd.DataFrame({"a": pr["a"], "b": pr["b"], "side": pr["side"],
+                             "text": [text] * len(pr)})
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        ta = df[df["side"] == "a"]["text"]
+        tb = df[df["side"] == "b"]["text"]
+        if len(ta) == 0 or len(tb) == 0:
+            return _EMPTY_VERIFY
+        j = jaccard(ta.iloc[0], tb.iloc[0])
+        if j < threshold:
+            return _EMPTY_VERIFY
+        return pd.DataFrame({"doc_a": [int(df["a"].iloc[0])],
+                             "doc_b": [int(df["b"].iloc[0])],
+                             "jaccard": [round(j, 6)]})
+
+    return (halves.union(cand_texts)
+            .groupby("key").map_groups(attach_text, batch_format="pandas")
+            .groupby(["a", "b"]).map_groups(verify, batch_format="pandas"))
 
 
 def simhash64(text: str) -> int:
