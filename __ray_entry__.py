@@ -57,6 +57,7 @@ _ORACLE_QUERIES = [
 _ROWSONLY_QUERIES = [
     "q_minhash_pairs",       # dedup: MinHash+LSH near-dup pairs
     "q_simhash",             # dedup: SimHash signatures
+    "q_simhash_neardup",     # dedup: SimHash Hamming-<=3 banding pairs
     "q_embedding_neardup",   # dedup: embedding-cosine near-dups (LSH)
     "q_ann_lsh",             # similarity search: LSH-bucketed ANN
     "q_image_roundtrip",     # image payload decode/validate stage

@@ -551,3 +551,47 @@ EXPIRE_TILES = [
     (16, 32859, 23830),
     (12, 2127, 1397),
 ]
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup planting (mirrors the planted phash duplicate pairs):
+# every NEARDUP_MOD-th base vector gains a deterministically perturbed twin
+# at vec_id + NEARDUP_OFFSET with cosine ≳ 0.9999 — the pairs the
+# embedding-cosine near-dup operator must recover.
+# ---------------------------------------------------------------------------
+
+NEARDUP_MOD = 25
+NEARDUP_OFFSET = 10_000_000
+NEARDUP_EPS = 0.001
+
+
+def plant_neardup_batch(batch: pa.Table) -> pa.Table:
+    ids = batch.column("vec_id").to_numpy()
+    sel = (ids % NEARDUP_MOD) == 0
+    base = pa.table({"vec_id": batch.column("vec_id"),
+                     "embedding": batch.column("embedding")})
+    if not sel.any():
+        return base
+    vec = np.stack([np.asarray(v, dtype=np.float32)
+                    for v in batch.column("embedding").to_pylist()])[sel]
+    sid = ids[sel]
+    dim = vec.shape[1]
+    h = stream(sid[:, None] * 131 + np.arange(dim)[None, :], 14) % 2001
+    noise = ((h - 1000) / 1000.0 * NEARDUP_EPS).astype(np.float32)
+    dup = vec + noise
+    dup_t = pa.table({
+        "vec_id": pa.array(sid + NEARDUP_OFFSET, type=pa.int64()),
+        "embedding": pa.array([row for row in dup.tolist()],
+                              type=base.column("embedding").type),
+    })
+    return pa.concat_tables([base, dup_t])
+
+
+def embeddings_dataset(sf_dir: str):
+    """Embeddings table with planted near-dup twins (pure function of the
+    driver-generated base vectors — no external data)."""
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                 columns=["vec_id", "embedding"]) \
+        .map_batches(plant_neardup_batch, batch_format="pyarrow")

@@ -304,13 +304,24 @@ def q_simhash(sf_dir: str):
     return _docs(sf_dir).map_batches(simhash_batch, batch_format="pyarrow")
 
 
+def q_simhash_neardup(sf_dir: str):
+    """SimHash Hamming-≤3 near-dup pairs via pigeonhole block banding
+    (rows-only check; exact-recall property asserted vs a brute-force
+    reference in tests/test_pipeline.py)."""
+    from ..stages.dedup import simhash_neardup
+
+    return simhash_neardup(_docs(sf_dir), k=3).sort(["a", "b"])
+
+
 def q_embedding_neardup(sf_dir: str):
-    """Embedding-cosine near-dup pairs via LSH buckets (rows-only check)."""
-    import ray
+    """Embedding-cosine near-dup pairs via banded LSH buckets (rows-only
+    check).  Runs over the corpus with planted perturbed twins
+    (datagen.embeddings_dataset); recall on the planted pairs is asserted
+    by tests/test_pipeline.py against a brute-force reference."""
     from ..stages.dedup import embedding_neardup
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    return embedding_neardup(ds, sim_threshold=0.9)
+    return embedding_neardup(datagen.embeddings_dataset(sf_dir),
+                             sim_threshold=0.9).sort(["a", "b"])
 
 
 ANN_QUERY_IDS = list(range(8))

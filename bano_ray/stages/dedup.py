@@ -6,8 +6,8 @@
 - MinHash + LSH: shingle → minhash signature → banded bucket groupby →
   candidate pairs verified by exact Jaccard.  The band-bucket groupby is the
   ONLY shuffle; signatures are computed vectorized per batch.
-- SimHash: 64-bit hyperplane-free simhash over token hashes; near-dup =
-  identical simhash (block) or Hamming ≤ k via rotation tables.
+- SimHash: 64-bit simhash over token hashes; near-dup = Hamming ≤ k via
+  pigeonhole block banding (exact recall for k < SIMHASH_BLOCKS).
 - n-gram Jaccard: exact pairwise verification kernel (used on candidates,
   never all-pairs).
 - embedding cosine near-dup: bucket by coarse LSH sign-pattern then exact
@@ -206,33 +206,107 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
     return pa.table({"doc_id": batch.column("doc_id"), "simhash": pa.array(sh)})
 
 
-def embedding_neardup(ds, sim_threshold: float = 0.98, nbits: int = 12):
+SIMHASH_BLOCKS = 4  # 4 × 16-bit blocks → exact recall for Hamming ≤ 3
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (numpy < 2.0 has no bitwise_count)."""
+    v = x.view(np.uint8) if x.dtype == np.uint64 else x.astype(np.uint64).view(np.uint8)
+    return np.unpackbits(v.reshape(len(x), 8), axis=1).sum(axis=1)
+
+
+def simhash_neardup(ds, k: int = 3, max_bucket: int = 200):
+    """documents Dataset → pairs with simhash Hamming distance ≤ k.
+
+    Pigeonhole banding: split the 64-bit simhash into ``SIMHASH_BLOCKS``
+    16-bit blocks; any pair within Hamming ≤ SIMHASH_BLOCKS-1 shares at
+    least one intact block, so bucketing by (block index, block value) has
+    exact recall for k ≤ 3.  Verification (popcount) runs inside the bucket
+    groups; pairs found in several bands dedup through one tiny groupby.
+    """
+    from ray.data.aggregate import Min
+
+    sig = ds.map_batches(simhash_batch, batch_format="pyarrow")
+
+    def explode_blocks(batch: pa.Table) -> pa.Table:
+        sh = batch.column("simhash").to_numpy().astype(np.int64)
+        doc = batch.column("doc_id").to_numpy()
+        parts = []
+        for blk in range(SIMHASH_BLOCKS):
+            val = (sh.view(np.uint64) >> np.uint64(16 * blk)) & np.uint64(0xFFFF)
+            parts.append(pa.table({
+                "doc_id": pa.array(doc),
+                "simhash": pa.array(sh),
+                "bucket": pa.array((np.int64(blk) << 16) | val.astype(np.int64)),
+            }))
+        return pa.concat_tables(parts)
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                              "b": pd.Series(dtype="int64"),
+                              "hamming": pd.Series(dtype="int64")})
+        u = df.drop_duplicates("doc_id").sort_values("doc_id")
+        if len(u) < 2 or len(u) > max_bucket:  # skew guard (degenerate blocks)
+            return empty
+        ids = u["doc_id"].to_numpy()
+        sh = u["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+        ii, jj = np.triu_indices(len(ids), k=1)
+        ham = _popcount64(sh[ii] ^ sh[jj])
+        keep = ham <= k
+        if not keep.any():
+            return empty
+        return pd.DataFrame({"a": ids[ii][keep], "b": ids[jj][keep],
+                             "hamming": ham[keep].astype(np.int64)})
+
+    return (sig.map_batches(explode_blocks, batch_format="pyarrow")
+            .groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+            .groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming")))
+
+
+def embedding_neardup(ds, sim_threshold: float = 0.98, nbits: int = 12,
+                      nbands: int = 2):
     """embeddings Dataset → near-dup pairs by cosine ≥ threshold.
 
-    LSH sign-pattern bucket (random hyperplanes, seed-fixed) → per-bucket
-    exact cosine — the scale path; brute-force all-pairs never happens.
+    Banded LSH sign-pattern buckets (``nbands`` independent hyperplane sets,
+    seed-fixed) → per-bucket exact cosine → pair dedup across bands — the
+    scale path; brute-force all-pairs never happens.  Multiple bands keep
+    recall high: a near-dup pair is missed only if a hyperplane splits it in
+    EVERY band (~(nbits·θ/π)^nbands).
     """
+    from ray.data.aggregate import Max
+
     def project(batch: pa.Table) -> pa.Table:
         vec = np.stack(batch.column("embedding").to_pylist()).astype(np.float64)
         rng = np.random.default_rng(42)
-        planes = rng.standard_normal((vec.shape[1], nbits))
+        planes = rng.standard_normal((vec.shape[1], nbits * nbands))
         signs = (vec @ planes) > 0
-        bucket = (signs.astype(np.uint64) << np.arange(nbits, dtype=np.uint64)).sum(axis=1)
-        return pa.table({"vec_id": batch.column("vec_id"),
-                         "bucket": pa.array(bucket.astype(np.int64)),
-                         "embedding": batch.column("embedding")})
+        parts = []
+        for band in range(nbands):
+            seg = signs[:, band * nbits:(band + 1) * nbits]
+            b = (seg.astype(np.uint64) << np.arange(nbits, dtype=np.uint64)).sum(axis=1)
+            parts.append(pa.table({
+                "vec_id": batch.column("vec_id"),
+                "bucket": pa.array(b.astype(np.int64) + (band << (nbits + 1))),
+                "embedding": batch.column("embedding"),
+            }))
+        return pa.concat_tables(parts)
 
     def bucket_dups(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) < 2:
-            return pd.DataFrame({"a": [], "b": [], "cos": []})
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64"),
+                                 "cos": pd.Series(dtype="float64")})
         v = np.stack(df["embedding"].to_numpy()).astype(np.float64)
         n = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
         sims = n @ n.T
         ids = df["vec_id"].to_numpy()
         ii, jj = np.triu_indices(len(ids), k=1)
         keep = sims[ii, jj] >= sim_threshold
-        return pd.DataFrame({"a": ids[ii][keep], "b": ids[jj][keep],
+        lo = np.minimum(ids[ii][keep], ids[jj][keep])
+        hi = np.maximum(ids[ii][keep], ids[jj][keep])
+        return pd.DataFrame({"a": lo, "b": hi,
                              "cos": np.round(sims[ii, jj][keep], 6)})
 
     return (ds.map_batches(project, batch_format="pyarrow")
-            .groupby("bucket").map_groups(bucket_dups, batch_format="pandas"))
+            .groupby("bucket").map_groups(bucket_dups, batch_format="pandas")
+            .groupby(["a", "b"]).aggregate(Max("cos", alias_name="cos")))

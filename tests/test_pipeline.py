@@ -117,3 +117,48 @@ def test_suffix_zone_decoration_end_to_end(ray_session, sf):
     a = t[cols].sort_values(cols).reset_index(drop=True)
     b = oc[cols].sort_values(cols).reset_index(drop=True)
     assert a.astype(str).equals(b.astype(str))
+
+
+def test_embedding_neardup_recovers_planted_pairs(ray_session, sf):
+    """Planted perturbed twins must all be found; the full output equals the
+    brute-force cosine >= 0.9 pair set."""
+    import numpy as np
+    from bano_ray import datagen as dg
+    from bano_ray.pipelines.queries import q_embedding_neardup
+
+    df = q_embedding_neardup(sf).to_pandas()
+    allv = dg.embeddings_dataset(sf).to_pandas()
+    v = np.stack(allv["embedding"].to_numpy()).astype(np.float64)
+    n = v / np.linalg.norm(v, axis=1, keepdims=True)
+    sims = n @ n.T
+    ids = allv["vec_id"].to_numpy()
+    ii, jj = np.triu_indices(len(ids), k=1)
+    keep = sims[ii, jj] >= 0.9
+    exp = {(min(a, b), max(a, b)) for a, b in zip(ids[ii][keep], ids[jj][keep])}
+    got = {(a, b) for a, b in zip(df["a"], df["b"])}
+    assert got == exp
+    planted = {(i, i + dg.NEARDUP_OFFSET) for i in ids
+               if i < dg.NEARDUP_OFFSET and i % dg.NEARDUP_MOD == 0}
+    assert planted <= got
+    assert len(planted) > 0
+
+
+def test_simhash_neardup_matches_brute_force(ray_session, sf):
+    """Pigeonhole banding has exact recall for Hamming <= 3: output equals
+    the all-pairs brute-force reference."""
+    import numpy as np
+    from bano_ray.pipelines.queries import q_simhash_neardup, q_simhash
+
+    pairs = q_simhash_neardup(sf).to_pandas()
+    sig = q_simhash(sf).to_pandas().sort_values("doc_id")
+    sh = sig["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+    ids = sig["doc_id"].to_numpy()
+    ii, jj = np.triu_indices(len(ids), k=1)
+    x = (sh[ii] ^ sh[jj]).view(np.uint8).reshape(-1, 8)
+    ham = np.unpackbits(x, axis=1).sum(axis=1)
+    keep = ham <= 3
+    exp = {(min(a, b), max(a, b)): h
+           for a, b, h in zip(ids[ii][keep], ids[jj][keep], ham[keep])}
+    got = {(a, b): h for a, b, h in zip(pairs["a"], pairs["b"], pairs["hamming"])}
+    assert got == exp
+    assert len(got) > 0
