@@ -27,7 +27,7 @@ def encode_lossy(pixels: np.ndarray) -> bytes:
     pixels = np.ascontiguousarray(pixels, dtype=np.uint8)
     h, w, c = pixels.shape
     q = (pixels.astype(np.uint16) // _STEP).astype(np.uint8)
-    return _MAGIC + struct.pack("<HHB", w, h, c) + zlib.compress(q.tobytes(), 6)
+    return _MAGIC + struct.pack("<HHB", w, h, c) + zlib.compress(q.tobytes(), 1)
 
 
 def decode_lossy(data: bytes) -> np.ndarray:

@@ -311,9 +311,32 @@ def postcode_of(doc_id: np.ndarray) -> np.ndarray:
     return np.where(h5 % POSTCODE_EMPTY_MOD == 0, "", cp).astype(object)
 
 
+PX_STEP = 1000003
+PX_SALT = 12345
+
+
 def pixels_of(doc_id: int, w: int, h: int) -> np.ndarray:
-    rng = np.random.default_rng(doc_id)
-    return rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    """Deterministic source pixels — one vectorized hash-stream evaluation
+    per image (a per-row ``default_rng(doc_id)`` construction costs ~35 µs;
+    this is ~2 µs for the same noise-like content)."""
+    k = np.arange(h * w * 3, dtype=np.int64)
+    v = ((np.int64(doc_id) * PX_STEP + k + PX_SALT) * MULT) % MOD
+    return (v % 256).astype(np.uint8).reshape(h, w, 3)
+
+
+def pixels_of_batch(doc_ids: np.ndarray, ws: np.ndarray, hs: np.ndarray) -> list[np.ndarray]:
+    """Batched :func:`pixels_of`: ONE hash-stream evaluation for a whole
+    batch of (ragged-size) images, split back per row."""
+    d = np.asarray(doc_ids, dtype=np.int64)
+    sizes = (np.asarray(ws, dtype=np.int64) * np.asarray(hs, dtype=np.int64) * 3)
+    offsets = np.concatenate([[0], np.cumsum(sizes)])
+    total = int(offsets[-1])
+    k = np.arange(total, dtype=np.int64) - np.repeat(offsets[:-1], sizes)
+    dd = np.repeat(d, sizes)
+    v = ((dd * PX_STEP + k + PX_SALT) * MULT) % MOD
+    flat = (v % 256).astype(np.uint8)
+    return [flat[offsets[i]:offsets[i + 1]].reshape(int(hs[i]), int(ws[i]), 3)
+            for i in range(len(d))]
 
 
 # ---------------------------------------------------------------------------
@@ -425,8 +448,8 @@ def synthesize_batch(batch: pa.Table, with_bytes: bool = False) -> pa.Table:
         "highway_type": T.hwt[(stream(doc_id, 10) % 16).astype(np.int64)],
     }
     if with_bytes:
-        blobs = [encode_image(pixels_of(int(d), int(ww), int(hh)), str(f))
-                 for d, ww, hh, f in zip(doc_id, w, h, fmt)]
+        px = pixels_of_batch(d, w, h)
+        blobs = [encode_image(p, str(f)) for p, f in zip(px, fmt)]
         cols["bytes"] = pa.array(blobs, type=pa.binary())
     names = ["doc_id", "image_id"] + (["bytes"] if with_bytes else []) + \
         ["w", "h", "fmt", "caption", "phash", "lon", "lat", "source",

@@ -41,22 +41,31 @@ class ImageRoundtrip:
         pass  # heavy codec/model init would live here, once per actor
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch.column("image_id").to_pylist()
         fmts = batch.column("fmt").to_pylist()
         blobs = batch.column("bytes").to_pylist()
-        ok = np.zeros(len(ids), dtype=bool)
-        psnr_db = np.zeros(len(ids), dtype=np.float64)
-        mean_lum = np.zeros(len(ids), dtype=np.float64)
-        for i, (iid, fmt, blob) in enumerate(zip(ids, fmts, blobs)):
-            px = decode_image(blob, fmt)
-            src = datagen.pixels_of(int(iid[3:]), px.shape[1], px.shape[0])
-            if fmt == "png":
-                ok[i] = bool((px == src).all())
-                psnr_db[i] = float("inf") if ok[i] else psnr(src, px)
-            else:
-                psnr_db[i] = psnr(src, px)
-                ok[i] = psnr_db[i] >= 40.0
-            mean_lum[i] = float(px.mean())
+        doc_ids = batch.column("doc_id").to_numpy() if "doc_id" in batch.column_names \
+            else np.asarray([int(s[3:]) for s in batch.column("image_id").to_pylist()],
+                            dtype=np.int64)
+        n = len(fmts)
+        decoded = [decode_image(blob, fmt) for fmt, blob in zip(fmts, blobs)]
+        ws = np.asarray([p.shape[1] for p in decoded], dtype=np.int64)
+        hs = np.asarray([p.shape[0] for p in decoded], dtype=np.int64)
+        srcs = datagen.pixels_of_batch(doc_ids, ws, hs)
+        # one flat pass for the per-image reductions instead of n tiny ones
+        sizes = ws * hs * 3
+        offsets = np.concatenate([[0], np.cumsum(sizes)])
+        flat_px = np.concatenate([p.ravel() for p in decoded]).astype(np.int64)
+        flat_src = np.concatenate([s.ravel() for s in srcs]).astype(np.int64)
+        sq = (flat_px - flat_src) ** 2
+        grp = np.repeat(np.arange(n), sizes)
+        sse = np.bincount(grp, weights=sq, minlength=n)
+        lum_sum = np.bincount(grp, weights=flat_px, minlength=n)
+        mse = sse / sizes
+        with np.errstate(divide="ignore"):
+            psnr_db = np.where(mse == 0, np.inf, 10.0 * np.log10(255.0 ** 2 / np.maximum(mse, 1e-300)))
+        is_png = np.asarray([f == "png" for f in fmts])
+        ok = np.where(is_png, mse == 0, psnr_db >= 40.0)
+        mean_lum = lum_sum / sizes
         return pa.table({
             "image_id": batch.column("image_id"),
             "fmt": batch.column("fmt"),
