@@ -83,34 +83,42 @@ def lsh_topk(ds, query_ids: list[int], k: int = 10, nbits: int = 8, nprobe: int 
     """LSH-bucketed ANN: co-group corpus and multi-probed queries by bucket,
     exact cosine within bucket, global reduce.  Recall < 1; intended for the
     10^12-row regime where brute force is off the table."""
+    qarr = np.asarray(sorted(query_ids), dtype=np.int64)
+
     def project(batch: pa.Table, probe: bool) -> pa.Table:
+        import pyarrow.compute as pc
+
         vid = batch.column("vec_id").to_numpy()
         mat = np.stack(batch.column("embedding").to_pylist()).astype(np.float64)
         rng = np.random.default_rng(4242)
         planes = rng.standard_normal((mat.shape[1], nbits))
         proj = mat @ planes
-        base = ((proj > 0).astype(np.uint64) << np.arange(nbits, dtype=np.uint64)).sum(axis=1)
-        out_v, out_b, out_q = [], [], []
-        for i in range(len(vid)):
-            buckets = {int(base[i])}
-            if probe:
-                order = np.argsort(np.abs(proj[i]))[:nprobe]
-                for bit in order:
-                    buckets.add(int(base[i]) ^ (1 << int(bit)))
-            is_q = vid[i] in qset
-            for b in buckets if (probe and is_q) else [int(base[i])]:
-                out_v.append(int(vid[i]))
-                out_b.append(b)
-                out_q.append(bool(is_q))
-        emb = batch.column("embedding").to_pylist()
-        idx_of = {int(v): j for j, v in enumerate(vid)}
-        out_e = [emb[idx_of[v]] for v in out_v]
-        return pa.table({"vec_id": pa.array(out_v, pa.int64()),
-                         "bucket": pa.array(out_b, pa.int64()),
-                         "is_query": pa.array(out_q),
-                         "embedding": pa.array(out_e)})
-
-    qset = set(query_ids)
+        base = ((proj > 0).astype(np.uint64)
+                << np.arange(nbits, dtype=np.uint64)).sum(axis=1).astype(np.int64)
+        is_q = np.isin(vid, qarr)
+        # corpus rows: base bucket only; query rows: base + nprobe flipped
+        # buckets (lowest-|projection| bits) — all as array ops, no row loop
+        cidx = np.flatnonzero(~is_q)
+        qidx = np.flatnonzero(is_q)
+        if probe and len(qidx):
+            eff = min(nprobe, nbits)
+            bits = np.argsort(np.abs(proj[qidx]), axis=1, kind="stable")[:, :eff]
+            flips = base[qidx][:, None] ^ (np.int64(1) << bits.astype(np.int64))
+            qbuckets = np.concatenate([base[qidx][:, None], flips], axis=1)
+            take_q = np.repeat(qidx, eff + 1)
+            buck_q = qbuckets.ravel()
+        else:
+            take_q = qidx
+            buck_q = base[qidx]
+        take = np.concatenate([cidx, take_q])
+        buckets = np.concatenate([base[cidx], buck_q])
+        flags = np.concatenate([np.zeros(len(cidx), dtype=bool),
+                                np.ones(len(take_q), dtype=bool)])
+        emb = pc.take(batch.column("embedding"), pa.array(take, pa.int64()))
+        return pa.table({"vec_id": pa.array(vid[take], pa.int64()),
+                         "bucket": pa.array(buckets, pa.int64()),
+                         "is_query": pa.array(flags),
+                         "embedding": emb})
 
     def bucket_knn(df: pd.DataFrame) -> pd.DataFrame:
         qs = df[df["is_query"]]
