@@ -50,6 +50,7 @@ _ORACLE_QUERIES = [
     "q_display_expand",      # M15 display-name expansion
     "q_source_counts",       # A11 monitoring counts
     "q_suffix_zones",        # G6/G7/A8/M13 suffix-zone decoration
+    "q_communes_json",       # communes JSON export (importance variant)
     "q_zone_raster",         # raster<->vector: polygon rasterization census
 ]
 

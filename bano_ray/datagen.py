@@ -618,3 +618,52 @@ def embeddings_dataset(sf_dir: str):
     return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                  columns=["vec_id", "embedding"]) \
         .map_batches(plant_neardup_batch, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Postal-code dim (reference codes_postaux): several rows per zone with a
+# ligne_5 qualifier; the communes export picks rank 1 over (ligne_5, cp).
+# ---------------------------------------------------------------------------
+
+COMMUNE_TYPES = ["municipality", "village", "town", "city"]
+
+
+def postal_codes_table() -> pa.Table:
+    zones = np.arange(NZONES, dtype=np.int64)
+    insee = insee_of_zone(zones).astype(object)
+    cp0 = (zones + 1) * 10
+    rows_insee, rows_cp, rows_l5 = [], [], []
+    for i, z in enumerate(zones):
+        rows_insee += [insee[i]] * 3
+        rows_cp += [str(cp0[i]).zfill(5), str(cp0[i] + 3).zfill(5),
+                    str(cp0[i] + 7).zfill(5)]
+        rows_l5 += ["", "", "CEDEX A"]
+    return pa.table({"insee": rows_insee, "cp": rows_cp, "ligne_5": rows_l5})
+
+
+def postal_polygons_wkb() -> list[tuple[str, bytes]]:
+    """Postal polygons with NESTING: per zone, the full zone box keyed
+    'P<insee>' plus an inner box (central half-spans, 1/4 the area) keyed
+    'Q<insee>' — points in the inner box must resolve to 'Q<insee>' through
+    the smallest-area tie-break (reference ORDER BY ST_Area, G8)."""
+    from .geo.wkb import encode_polygon
+
+    out = []
+    for zx in range(NZX):
+        for zy in range(NZY):
+            x0 = LON0 + LON_SPAN * zx / NZX
+            x1 = LON0 + LON_SPAN * (zx + 1) / NZX
+            y0 = LAT0 + LAT_SPAN * zy / NZY
+            y1 = LAT0 + LAT_SPAN * (zy + 1) / NZY
+            cx = LON0 + LON_SPAN * (zx + 0.5) / NZX
+            cy = LAT0 + LAT_SPAN * (zy + 0.5) / NZY
+            hx = LON_SPAN / (4.0 * NZX)
+            hy = LAT_SPAN / (4.0 * NZY)
+            insee = str(zx * NZY + zy + 1).zfill(5)
+            ring = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])
+            inner = np.array([[cx - hx, cy - hy], [cx + hx, cy - hy],
+                              [cx + hx, cy + hy], [cx - hx, cy + hy],
+                              [cx - hx, cy - hy]])
+            out.append(("P" + insee, encode_polygon([ring])))
+            out.append(("Q" + insee, encode_polygon([inner])))
+    return out

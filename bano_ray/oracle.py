@@ -462,6 +462,19 @@ _PLAUS = ("regexp_matches({n}, '^[0-9]{{1,4}}( ?[A-Z]?.*)?') AND {n} <> '99999' 
           "AND NOT regexp_matches({n}, '.[0-9 .-]{{9,}}')")
 
 
+def _postal_cp(lon: str, lat: str) -> str:
+    """G8 nested-postal-polygon fill: inner 'Q' box (1/4 area) wins over the
+    zone-wide 'P' box via the smallest-area tie-break."""
+    zx = f"least(greatest(floor(({lon} - {dg.LON0}) / {dg.LON_SPAN} * {dg.NZX}), 0), {dg.NZX - 1})"
+    zy = f"least(greatest(floor(({lat} - {dg.LAT0}) / {dg.LAT_SPAN} * {dg.NZY}), 0), {dg.NZY - 1})"
+    cx = f"({dg.LON0} + {dg.LON_SPAN} * ({zx} + 0.5) / {dg.NZX})"
+    cy = f"({dg.LAT0} + {dg.LAT_SPAN} * ({zy} + 0.5) / {dg.NZY})"
+    hx = dg.LON_SPAN / (4.0 * dg.NZX)
+    hy = dg.LAT_SPAN / (4.0 * dg.NZY)
+    inner = (f"(abs({lon} - {cx}) <= {hx!r} AND abs({lat} - {cy}) <= {hy!r})")
+    return (f"(CASE WHEN {inner} THEN 'Q' ELSE 'P' END) || {_zone_of(lon, lat)}")
+
+
 def q_export_csv() -> str:
     slice_tpl = """(SELECT * FROM (
       SELECT *, {canon} AS num,
@@ -490,7 +503,7 @@ res AS (
              nullif(od.voie_autre, ''), nullif(c2.voie_autre, '')),
            '"', chr(39)), ', ', ' '), ',', ' ') AS voie,
          coalesce(nullif(o.code_postal, ''), nullif(c2.code_postal, ''),
-                  'P' || {_zone_of(glon, glat)},
+                  {_postal_cp(glon, glat)},
                   lpad(CAST(CAST(u.insee AS BIGINT) * 10 AS VARCHAR), 5, '0')) AS code_post,
          'Zone ' || u.insee AS ville,
          (CASE WHEN o.num IS NOT NULL THEN 'OSM'
@@ -545,7 +558,7 @@ rnk AS (
 ),
 plaus AS (
   SELECT *, (CASE WHEN code_postal <> '' THEN code_postal
-                  ELSE 'P' || {_zone_of("lon", "lat")} END) AS cp_eff
+                  ELSE {_postal_cp("lon", "lat")} END) AS cp_eff
   FROM rnk WHERE {plaus}
 ),
 dist AS (
@@ -864,6 +877,51 @@ def q_display_expand() -> str:
     return f"""WITH {_cumul_ctes()}
 SELECT insee, fantoir, {expr} AS display_name
 FROM cumul_voies ORDER BY insee, fantoir"""
+
+
+def q_communes_json() -> str:
+    # reference bano/sql/export_json_dept_communes.sql: rank-1 postal code
+    # over (ligne_5, cp), zone-center coordinates, communes importance
+    # variant with the 0.075 floor
+    z = "r.range"
+    insee = f"lpad(CAST({z} + 1 AS VARCHAR), 5, '0')"
+    cp0 = f"({z} + 1) * 10"
+    lon = f"({dg.LON0} + {dg.LON_SPAN} * (({z} // {dg.NZY}) + 0.5) / {dg.NZX})"
+    lat = f"({dg.LAT0} + {dg.LAT_SPAN} * (({z} % {dg.NZY}) + 0.5) / {dg.NZY})"
+    pop = f"(1000 + ({z} * 7919) % 100000)"
+    aw = f"(1 + {z} % 6)"
+    return f"""WITH communes AS (
+  SELECT {insee} AS insee, {z} AS zone,
+         {lon} AS lon, {lat} AS lat, {pop} AS population, {aw} AS adm_weight
+  FROM range({dg.NZONES}) r
+),
+codes_postaux AS (
+  SELECT {insee} AS insee, lpad(CAST({cp0} AS VARCHAR), 5, '0') AS cp, '' AS ligne_5
+  FROM range({dg.NZONES}) r
+  UNION ALL
+  SELECT {insee}, lpad(CAST({cp0} + 3 AS VARCHAR), 5, '0'), '' FROM range({dg.NZONES}) r
+  UNION ALL
+  SELECT {insee}, lpad(CAST({cp0} + 7 AS VARCHAR), 5, '0'), 'CEDEX A' FROM range({dg.NZONES}) r
+),
+cp1 AS (
+  SELECT insee, cp FROM (
+    SELECT *, rank() OVER (PARTITION BY insee ORDER BY ligne_5, cp) AS rang
+    FROM codes_postaux) WHERE rang = 1
+)
+SELECT c.insee AS id,
+       list_extract({_slist(dg.COMMUNE_TYPES)}, (c.zone % 4) + 1) AS type,
+       'Zone ' || c.insee AS name,
+       cp1.cp AS postcode,
+       round(c.lat, 6) AS lat,
+       round(c.lon, 6) AS lon,
+       'Zone ' || c.insee AS city,
+       'Dept ' || substr(c.insee, 1, 2) AS departement,
+       'Region ' || substr(c.insee, 1, 2) AS region,
+       CAST(c.population AS BIGINT) AS population,
+       CAST(c.adm_weight AS BIGINT) AS adm_weight,
+       greatest(0.075, round(log(c.adm_weight + log(c.population + 1) / 3.0), 4)) AS importance
+FROM communes c JOIN cp1 ON cp1.insee = c.insee
+ORDER BY id"""
 
 
 def q_suffix_zones() -> str:

@@ -183,7 +183,8 @@ def q_registry_unmatched(sf_dir: str):
 
     def keep_unmatched(df: pd.DataFrame) -> pd.DataFrame:
         if (df["side"] == "m").any():
-            return pd.DataFrame({"insee": [], "fantoir": []})
+            return pd.DataFrame({"insee": pd.Series(dtype="string"),
+                                 "fantoir": pd.Series(dtype="string")})
         return df[df["side"] == "r"][["insee", "fantoir"]].drop_duplicates()
 
     return (reg.union(matched).groupby("fantoir")
@@ -439,6 +440,14 @@ def q_image_roundtrip(sf_dir: str):
 
     return image_roundtrip(sf_dir).select_columns(
         ["image_id", "fmt", "decode_ok", "psnr_db", "mean_lum"])
+
+
+def q_communes_json(sf_dir: str):
+    """Communes JSON export (reference export_json_dept_communes.sql):
+    rank-1 postal pick + dims join + communes importance variant."""
+    from .exports import communes_json
+
+    return communes_json(sf_dir).sort("id")
 
 
 def q_suffix_zones(sf_dir: str):

@@ -102,12 +102,16 @@ def minhash_candidate_pairs(ds, threshold: float = 0.7):
         return pa.table({"doc_id": pa.array(d, type=pa.int64()),
                          "bucket": pa.array(h, type=pa.int64())})
 
+    _EMPTY_PAIRS = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64")})
+
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(df["doc_id"].unique())
         if len(ids) < 2 or len(ids) > 200:  # skew guard: giant buckets are
-            return pd.DataFrame({"a": [], "b": []})  # degenerate hashes
+            return _EMPTY_PAIRS               # degenerate hashes
         a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"a": ids[a], "b": ids[b]})
+        return pd.DataFrame({"a": ids[a].astype(np.int64),
+                             "b": ids[b].astype(np.int64)})
 
     pairs = (sig.map_batches(explode, batch_format="pyarrow")
              .groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
@@ -138,7 +142,11 @@ def minhash_candidate_pairs(ds, threshold: float = 0.7):
 
     halves = pairs.map_batches(pair_halves, batch_format="pyarrow")
 
-    ids = sorted(int(x) for x in halves.select_columns(["key"]).unique("key"))
+    # distinct via groupby-count (Dataset.unique's Unique aggregate breaks
+    # combining partials at >8-way parallelism in ray 2.49)
+    ids = sorted(int(x) for x in
+                 halves.select_columns(["key"]).groupby("key").count()
+                 .to_pandas()["key"])
     if not ids:
         return ray.data.from_arrow(EMPTY)
     keys_ref = ray.put(pa.array(ids, type=pa.int64()))
@@ -157,10 +165,12 @@ def minhash_candidate_pairs(ds, threshold: float = 0.7):
 
     cand_texts = ds.map_batches(text_rows, batch_format="pyarrow")
 
+    # empty OBJECT columns would convert to arrow null type and destabilize
+    # the downstream aggregate's schema — pin them to string
     _EMPTY_ATTACH = pd.DataFrame({"a": pd.Series(dtype="int64"),
                                   "b": pd.Series(dtype="int64"),
-                                  "side": pd.Series(dtype=object),
-                                  "text": pd.Series(dtype=object)})
+                                  "side": pd.Series(dtype="string"),
+                                  "text": pd.Series(dtype="string")})
     _EMPTY_VERIFY = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
                                   "doc_b": pd.Series(dtype="int64"),
                                   "jaccard": pd.Series(dtype="float64")})

@@ -25,6 +25,21 @@ import pandas as pd
 from ..functions.housenumber import PLAUSIBLE_RE, IMPLAUSIBLE_RE, canonical_num
 from ..functions.rounding import sql_round
 
+_POSTAL_INDEX = None
+
+
+def get_postal_index():
+    """Process-cached G8 postal polygon index (nested 'P'/'Q' boxes,
+    smallest-area wins) — built once per worker from the closed-form
+    polygon dim, never shipped per batch."""
+    global _POSTAL_INDEX
+    if _POSTAL_INDEX is None:
+        from .. import datagen
+        from ..sources_io import PostalIndex
+
+        _POSTAL_INDEX = PostalIndex(datagen.postal_polygons_wkb())
+    return _POSTAL_INDEX
+
 EARTH_R = 6371008.8
 
 EXPORT_CSV_COLS = ["id", "numero", "voie", "code_post", "ville", "source", "lat", "lon"]
@@ -110,7 +125,8 @@ def export_csv_zone(df: pd.DataFrame, min_cp: str, ville: str) -> pd.DataFrame:
         voie = voie.replace('"', "'").replace(", ", " ").replace(",", " ")
         geom_row = ro if ro is not None else (rod if rod is not None else rc)
         lon, lat = float(geom_row["lon"]), float(geom_row["lat"])
-        postal_poly_cp = "P" + insee_of_zone(zone_of(np.array([lon]), np.array([lat])))[0]
+        postal_poly_cp = str(get_postal_index().assign_smallest(
+            np.array([lon]), np.array([lat]))[0])
         code_post = _first_nonempty(
             ro["code_postal"] if ro is not None else "",
             rc["code_postal"] if rc is not None else "",
@@ -178,9 +194,10 @@ def street_json_zone(df: pd.DataFrame, dims: dict) -> pd.DataFrame:
     adr["sortnum"] = adr["source"].map(sortnum)
     adr = adr.sort_values(["sortnum", "lon", "lat"], kind="stable")
     adr = adr.drop_duplicates(subset=["fantoir", "numero2"], keep="first")
-    # postal fill from containing postal polygon (single box per zone here;
-    # smallest-area-first tie-break exercised by the PolygonIndex tests)
-    poly_cp = np.char.add("P", insee_of_zone(zone_of(adr["lon"].to_numpy(), adr["lat"].to_numpy())))
+    # postal fill from the containing postal polygon — nested P/Q boxes,
+    # smallest area wins (G8 live in the export path)
+    poly_cp = get_postal_index().assign_smallest(adr["lon"].to_numpy(),
+                                                 adr["lat"].to_numpy())
     adr["cp_eff"] = np.where(adr["code_postal"] != "", adr["code_postal"], poly_cp)
     adr = adr[[_plausible(n) for n in adr["numero2"]]]
 
