@@ -126,3 +126,31 @@ class TestRasterVector:
         from bano_ray.geo.wkb import polygon_rings
 
         assert polygon_rings(vectorize_cells(np.array([], dtype=np.int64))) == []
+
+
+def test_cell_sharded_index_matches_broadcast_index():
+    """Property: the cell-sharded PIP resolves every point to exactly the
+    same (min-slot) polygon as the broadcast PolygonIndex — zone boxes and
+    the nested postal polygons, random + boundary-ish points."""
+    import numpy as np
+    from bano_ray import datagen as dg
+    from bano_ray.geo.pip import PolygonIndex
+    from bano_ray.geo.pip_sharded import CellShardedIndex
+
+    rng = np.random.default_rng(7)
+    lon = rng.uniform(dg.LON0 - 0.5, dg.LON0 + dg.LON_SPAN + 0.5, 4000)
+    lat = rng.uniform(dg.LAT0 - 0.5, dg.LAT0 + dg.LAT_SPAN + 0.5, 4000)
+    for polys in (dg.zone_boxes_wkb(), dg.postal_polygons_wkb()):
+        ref = PolygonIndex(polys)
+        shd = CellShardedIndex(polys)
+        for method in ("assign_all", "assign_bbox"):
+            NO = np.iinfo(np.int64).max
+
+            def resolve(ix):
+                slot = np.full(len(lon), NO, dtype=np.int64)
+                pi, gi = getattr(ix, method)(lon, lat)
+                if len(pi):
+                    np.minimum.at(slot, pi, gi)
+                return slot
+
+            assert (resolve(ref) == resolve(shd)).all()

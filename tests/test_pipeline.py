@@ -162,3 +162,25 @@ def test_simhash_neardup_matches_brute_force(ray_session, sf):
     got = {(a, b): h for a, b, h in zip(pairs["a"], pairs["b"], pairs["hamming"])}
     assert got == exp
     assert len(got) > 0
+
+
+def test_cosharded_pip_matches_broadcast_assigner(ray_session, sf):
+    """Distributed co-partitioned PIP (polygon fragments + points in one
+    groupby(cell)) assigns the same (insee, zone_via_bbox) per point as the
+    broadcast-index stage."""
+    from bano_ray import datagen as dg
+    from bano_ray.geo.pip_sharded import assign_zones_cosharded
+    from bano_ray.pipelines.cumul import points_dataset
+
+    ref = (points_dataset(sf)
+           .select_columns(["doc_id", "insee", "zone_via_bbox"]).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+
+    import ray
+    base = dg.images_dataset(sf).select_columns(["doc_id", "lon", "lat"])
+    got = (assign_zones_cosharded(base, dg.zone_boxes_wkb())
+           .select_columns(["doc_id", "insee", "zone_via_bbox"]).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert len(ref) == len(got)
+    assert (ref["insee"].to_numpy() == got["insee"].to_numpy()).all()
+    assert (ref["zone_via_bbox"].to_numpy() == got["zone_via_bbox"].to_numpy()).all()
