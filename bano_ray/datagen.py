@@ -458,7 +458,8 @@ def synthesize_batch(batch: pa.Table, with_bytes: bool = False) -> pa.Table:
     return pa.table(dict(zip(names, arrays)))
 
 
-def images_dataset(sf_dir: str, with_bytes: bool = False, expand: int = 1):
+def images_dataset(sf_dir: str, with_bytes: bool = False, expand: int = 1,
+                   doc_residue: tuple[int, int] | None = None):
     """Ray Dataset of synthesized image rows for an sf dir.
 
     Column-pruned read (only doc_id leaves the parquet) → stateless
@@ -468,6 +469,10 @@ def images_dataset(sf_dir: str, with_bytes: bool = False, expand: int = 1):
     (doc_id' = doc_id * expand + r) — the bench-scale corpus; every
     derivation is a pure function of the expanded id, so pipelines behave
     identically at any scale.
+
+    ``doc_residue=(m, r)`` filters to ``doc_id % m == r`` BEFORE synthesis
+    — predicate pushdown for pre-passes that only need one source's rows
+    (source is ``doc_id % 4``), skipping the string synthesis for the rest.
     """
     import ray.data
 
@@ -499,17 +504,33 @@ def images_dataset(sf_dir: str, with_bytes: bool = False, expand: int = 1):
     nblocks = int(min(1024, max(16, min(8 * ncpu, by_rows) if by_rows > 0 else 16)))
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"],
                                override_num_blocks=nblocks)
+    if doc_residue is not None and expand == 1:
+        m, r = doc_residue
+
+        def prefilter(b: pa.Table) -> pa.Table:
+            d = b.column("doc_id").to_numpy()
+            return b.filter(pa.array(d % m == r))
+
+        ds = ds.map_batches(prefilter, batch_format="pyarrow", batch_size=None)
     if expand > 1:
+        mr = doc_residue
+
         def blow_up(b: pa.Table) -> pa.Table:
             d = b.column("doc_id").to_numpy()
+            if mr is not None:  # source derives from the BASE id in
+                d = d[d % mr[0] == mr[1]]  # locality-preserving expansion
             out = (d[:, None] * expand + np.arange(expand)[None, :]).reshape(-1)
             base = np.repeat(d, expand)
             return pa.table({"doc_id": pa.array(out, type=pa.int64()),
                              "base_id": pa.array(base, type=pa.int64())})
 
-        ds = ds.map_batches(blow_up, batch_format="pyarrow")
+        ds = ds.map_batches(blow_up, batch_format="pyarrow", batch_size=None)
+    # metadata-only synthesis runs whole-block (micro-batching multiplies
+    # per-batch fixed costs ~12x on the combiner stages); byte payloads keep
+    # the default batch size so batch x concurrency stays in worker heaps
+    bs = None if not with_bytes else "default"
     return ds.map_batches(lambda b: synthesize_batch(b, with_bytes=with_bytes),
-                          batch_format="pyarrow")
+                          batch_format="pyarrow", batch_size=bs)
 
 
 # ---------------------------------------------------------------------------

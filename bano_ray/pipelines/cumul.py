@@ -87,10 +87,10 @@ def points_dataset(sf_dir: str, expand: int = 1, assign_concurrency: int = 4):
 
     ensure_worker_importable()
     ds = datagen.images_dataset(sf_dir, expand=expand)
-    ds = ds.map_batches(parse_caption, batch_format="pyarrow")
-    ds = ds.map_batches(encode_cells, batch_format="pyarrow")
+    ds = ds.map_batches(parse_caption, batch_format="pyarrow", batch_size=None)
+    ds = ds.map_batches(encode_cells, batch_format="pyarrow", batch_size=None)
     zones_ref = ray.put(datagen.zone_boxes_wkb())
-    ds = ds.map_batches(make_zone_assigner(zones_ref), batch_format="pyarrow")
+    ds = ds.map_batches(make_zone_assigner(zones_ref), batch_format="pyarrow", batch_size=None)
     return ds
 
 
@@ -109,7 +109,13 @@ def suffix_centers_ref(sf_dir: str, expand: int = 1):
 
     key = (sf_dir, expand)
     if key not in _SUFFIX_CENTERS_CACHE:
-        centers = suffix_centers(points_dataset(sf_dir, expand=expand))
+        # slim pre-pass: only BAN rows (doc_id % 4 == 1) are synthesized —
+        # predicate pushdown ahead of the string stages
+        ds = datagen.images_dataset(sf_dir, expand=expand, doc_residue=(4, 1))
+        ds = ds.map_batches(parse_caption, batch_format="pyarrow", batch_size=None)
+        zones_ref = ray.put(datagen.zone_boxes_wkb())
+        ds = ds.map_batches(make_zone_assigner(zones_ref), batch_format="pyarrow", batch_size=None)
+        centers = suffix_centers(ds)
         _SUFFIX_CENTERS_CACHE[key] = ray.put(centers)
     return _SUFFIX_CENTERS_CACHE[key]
 
@@ -126,7 +132,7 @@ def decorated_points_dataset(sf_dir: str, expand: int = 1,
     pts = points_dataset(sf_dir, expand=expand,
                          assign_concurrency=assign_concurrency)
     return pts.map_batches(make_suffix_decorator(ref, emit_suffix=emit_suffix),
-                           batch_format="pyarrow")
+                           batch_format="pyarrow", batch_size=None)
 
 
 def partial_dataset(sf_dir: str, expand: int = 1, assign_concurrency: int = 4):
@@ -141,8 +147,8 @@ def partial_dataset(sf_dir: str, expand: int = 1, assign_concurrency: int = 4):
     ensure_worker_importable()
     pts = decorated_points_dataset(sf_dir, expand=expand,
                                    assign_concurrency=assign_concurrency) \
-        .map_batches(_tag_points, batch_format="pyarrow")
-    par = pts.map_batches(partial_from_points_arrow, batch_format="pandas")
+        .map_batches(_tag_points, batch_format="pyarrow", batch_size=None)
+    par = pts.map_batches(partial_from_points_arrow, batch_format="pandas", batch_size=None)
     reg = ray.data.from_arrow(_pa.Table.from_pandas(registry_partials(),
                                                     preserve_index=False))
     return par.union(reg)
@@ -166,7 +172,7 @@ def cumul_dataset_rows(sf_dir: str, expand: int = 1, assign_concurrency: int = 4
     ensure_worker_importable()
     pts = decorated_points_dataset(sf_dir, expand=expand,
                                    assign_concurrency=assign_concurrency) \
-        .map_batches(_tag_points, batch_format="pyarrow")
+        .map_batches(_tag_points, batch_format="pyarrow", batch_size=None)
     reg = ray.data.from_arrow(_registry_as_points())
     both = pts.union(reg)
     return both.groupby(["insee", "salt"]).map_groups(merge_zone, batch_format="pandas")

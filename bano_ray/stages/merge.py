@@ -22,7 +22,11 @@ group function replays the reference's per-source accumulation exactly:
 - OSM-name-by-fantoir fallback for the voie_osm facet
   (``bano/models.py:127``, mapping built at ``bano/core.py:197-199``)
 - cumul_voies label point = the reference's quirky "last first-inserted
-  numero's last-written coords" (``bano/models.py:143-153``)
+  numero's last-written coords" (``bano/models.py:143-153``).  The
+  point_par_rue label-point OVERRIDE and its street-level OSM name/fantoir
+  injection (``bano/core.py:237-264``, ``bano/models.py:151-153``) are
+  intentionally outside the modeled world: the synthetic input has no
+  point_par_rue source, so only the no-override fallback path is replicated
 - highway-type bitmask OR-accumulation (``bano/core.py:273-279``)
 
 Output is a union block: ``rec_type`` ∈ {adresse, voie} (one shuffle, one

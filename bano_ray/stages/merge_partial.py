@@ -34,7 +34,12 @@ import pandas as pd
 from ..functions.validity import get_code_dept_from_insee
 from .merge import ADRESSE_COLS, HIGHWAY_TYPES_INDEX, SOURCES_ORDER, _empty_out, _explode_osm
 
-ORD_SCALE = 256  # ord = doc_id * 256 + part_idx  (explode parts < 256)
+# ord = doc_id * ORD_SCALE + part_idx.  2^20 parts per caption bounds real
+# inputs by orders of magnitude while keeping doc_id headroom at 2^43 ids
+# (~10^12 documents) before int64 overflow; exceeding it is a hard error —
+# silently clamping would let last-writer ties resolve by groupby order and
+# diverge from the row-replay merge.
+ORD_SCALE = 1 << 20
 
 PARTIAL_COLS = {
     "ptype": "object", "insee": "object", "salt": "int64", "source": "object",
@@ -108,8 +113,12 @@ def partial_from_points(df: pd.DataFrame) -> pd.DataFrame:
                 acc = withhn.assign(numero=pd.Series(dtype=object),
                                     part_idx=pd.Series(dtype=np.int64))
             if len(acc):
-                acc["ord"] = acc["doc_id"].to_numpy(dtype=np.int64) * ORD_SCALE \
-                    + np.minimum(acc["part_idx"].to_numpy(dtype=np.int64), ORD_SCALE - 1)
+                part_idx = acc["part_idx"].to_numpy(dtype=np.int64)
+                if part_idx.size and int(part_idx.max()) >= ORD_SCALE:
+                    raise ValueError(
+                        f"caption split into {int(part_idx.max()) + 1} parts; "
+                        f"ORD_SCALE={ORD_SCALE} would collapse ordering")
+                acc["ord"] = acc["doc_id"].to_numpy(dtype=np.int64) * ORD_SCALE + part_idx
                 acc["cp"] = acc["postcode"]
         else:
             acc = rows[(rows["hn_len"] > 0) & (rows["hn_len"] <= 11)].copy()

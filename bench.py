@@ -90,33 +90,54 @@ def run_benchmarks() -> dict:
     }
 
 
+SCALE_RUNS = int(os.environ.get("GRAFT_SCALE_RUNS", "5"))
+
+
 def run_scaling() -> dict:
-    """Same flagship job at num_cpus=8 and 32 in fresh processes
-    (best of 2 runs per size — the sandbox shows heavy co-tenancy jitter)."""
-    results = {}
-    for cpus in (8, 32):
-        best = None
-        for _ in range(2):
+    """Same flagship job at num_cpus=8 and 32 in fresh processes.
+
+    Headline = MEDIAN of ``GRAFT_SCALE_RUNS`` (default 5) runs per size —
+    an unbiased statistic under the sandbox's ±30-40% co-tenancy jitter;
+    best-of-N is reported as supplementary only.  Runs interleave sizes
+    (8,32,8,32,...) so a slow co-tenant phase hits both sizes equally."""
+    import statistics
+
+    host_cpus = os.cpu_count() or 0
+    if host_cpus < 32:
+        print(json.dumps({"warning": f"host has {host_cpus} CPUs < 32; "
+                          "the 8-vs-32 ratio would be meaningless"}),
+              file=sys.stderr)
+        if os.environ.get("GRAFT_SCALE_FORCE") != "1":
+            raise SystemExit(2)
+
+    runs: dict[int, list[dict]] = {8: [], 32: []}
+    for _ in range(SCALE_RUNS):
+        for cpus in (8, 32):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=SF_DIR,
                        GRAFT_BENCH_EXPAND=str(SCALE_EXPAND))
             out = subprocess.run([sys.executable, os.path.abspath(__file__), "--single"],
                                  capture_output=True, text=True, env=env,
                                  cwd=os.path.dirname(os.path.abspath(__file__)))
             line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-            r = json.loads(line)
-            if best is None or r["value"] < best["value"]:
-                best = r
-        results[cpus] = best
-    r8, r32 = results[8], results[32]
-    eff = (r32["rows_per_s"] / r8["rows_per_s"]) / (32 / 8)
+            runs[cpus].append(json.loads(line))
+
+    med = {c: statistics.median(r["rows_per_s"] for r in runs[c]) for c in (8, 32)}
+    best = {c: max(r["rows_per_s"] for r in runs[c]) for c in (8, 32)}
+    eff = (med[32] / med[8]) / (32 / 8)
     return {
-        "metric": "scaling efficiency N(8cpu) -> 4N(32cpu)",
+        "metric": f"scaling efficiency N(8cpu) -> 4N(32cpu), median of {SCALE_RUNS}",
         "value": round(eff, 3),
         "unit": "efficiency",
-        "queries": {"flagship_8cpu_s": r8["value"], "flagship_32cpu_s": r32["value"]},
-        "rows_per_s_8": r8["rows_per_s"],
-        "rows_per_s_32": r32["rows_per_s"],
-        "rows": r32["rows"],
+        "queries": {
+            "flagship_8cpu_s_median": round(statistics.median(r["value"] for r in runs[8]), 3),
+            "flagship_32cpu_s_median": round(statistics.median(r["value"] for r in runs[32]), 3),
+        },
+        "rows_per_s_8": round(med[8], 1),
+        "rows_per_s_32": round(med[32], 1),
+        "rows_per_s_8_all": [r["rows_per_s"] for r in runs[8]],
+        "rows_per_s_32_all": [r["rows_per_s"] for r in runs[32]],
+        "eff_best_of_n": round((best[32] / best[8]) / 4.0, 3),
+        "rows": runs[32][0]["rows"],
         "sf": SF_DIR,
         "num_cpus": 32,
     }
