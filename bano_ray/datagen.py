@@ -315,28 +315,54 @@ PX_STEP = 1000003
 PX_SALT = 12345
 
 
-def pixels_of(doc_id: int, w: int, h: int) -> np.ndarray:
-    """Deterministic source pixels — one vectorized hash-stream evaluation
-    per image (a per-row ``default_rng(doc_id)`` construction costs ~35 µs;
-    this is ~2 µs for the same noise-like content)."""
-    k = np.arange(h * w * 3, dtype=np.int64)
-    v = ((np.int64(doc_id) * PX_STEP + k + PX_SALT) * MULT) % MOD
-    return (v % 256).astype(np.uint8).reshape(h, w, 3)
+PX_NOISE = 6  # +/- noise amplitude over the smooth base
 
 
 def pixels_of_batch(doc_ids: np.ndarray, ws: np.ndarray, hs: np.ndarray) -> list[np.ndarray]:
-    """Batched :func:`pixels_of`: ONE hash-stream evaluation for a whole
-    batch of (ragged-size) images, split back per row."""
+    """Deterministic photo-like source pixels, fully batch-vectorized.
+
+    Content = per-channel smooth field (base level + bilinear gradient +
+    one 2-D cosine) + small hash noise — the statistics a real captioned
+    image corpus presents to a codec (uniform noise is the adversarial
+    worst case for any transform coder and was never representative).
+    One hash-stream evaluation covers the whole batch of ragged images.
+    """
     d = np.asarray(doc_ids, dtype=np.int64)
-    sizes = (np.asarray(ws, dtype=np.int64) * np.asarray(hs, dtype=np.int64) * 3)
+    ws = np.asarray(ws, dtype=np.int64)
+    hs = np.asarray(hs, dtype=np.int64)
+    sizes = ws * hs * 3
     offsets = np.concatenate([[0], np.cumsum(sizes)])
     total = int(offsets[-1])
     k = np.arange(total, dtype=np.int64) - np.repeat(offsets[:-1], sizes)
+    # pixel coordinates + channel from the flat index (row-major h,w,3)
+    ch = k % 3
+    pix = k // 3
+    wrep = np.repeat(ws, sizes)
+    x = (pix % wrep).astype(np.float64) / np.maximum(wrep - 1, 1)
+    y = (pix // wrep).astype(np.float64) / np.maximum(np.repeat(hs, sizes) - 1, 1)
     dd = np.repeat(d, sizes)
-    v = ((dd * PX_STEP + k + PX_SALT) * MULT) % MOD
-    flat = (v % 256).astype(np.uint8)
+    # per-(doc, channel) parameters from hash streams
+    def h_of(salt):
+        return (((dd * 3 + ch) * PX_STEP + salt) * MULT) % MOD
+
+    base = 64.0 + (h_of(11) % 128).astype(np.float64)
+    gx = (h_of(12) % 129).astype(np.float64) - 64.0
+    gy = (h_of(13) % 129).astype(np.float64) - 64.0
+    amp = 16.0 + (h_of(14) % 33).astype(np.float64)
+    fx = 1.0 + (h_of(15) % 2).astype(np.float64)
+    fy = 1.0 + (h_of(16) % 2).astype(np.float64)
+    noise = (((dd * PX_STEP + k + PX_SALT) * MULT) % MOD % (2 * PX_NOISE + 1)
+             ).astype(np.float64) - PX_NOISE
+    v = base + gx * x + gy * y \
+        + amp * np.cos(2.0 * np.pi * (fx * x + fy * y)) + noise
+    flat = np.clip(np.round(v), 0, 255).astype(np.uint8)
     return [flat[offsets[i]:offsets[i + 1]].reshape(int(hs[i]), int(ws[i]), 3)
             for i in range(len(d))]
+
+
+def pixels_of(doc_id: int, w: int, h: int) -> np.ndarray:
+    """Single-image form of :func:`pixels_of_batch` (same content)."""
+    return pixels_of_batch(np.array([doc_id]), np.array([w]), np.array([h]))[0]
 
 
 # ---------------------------------------------------------------------------
@@ -448,8 +474,10 @@ def synthesize_batch(batch: pa.Table, with_bytes: bool = False) -> pa.Table:
         "highway_type": T.hwt[(stream(doc_id, 10) % 16).astype(np.int64)],
     }
     if with_bytes:
+        from .codecs import encode_image_batch
+
         px = pixels_of_batch(d, w, h)
-        blobs = [encode_image(p, str(f)) for p, f in zip(px, fmt)]
+        blobs = encode_image_batch(px, [str(f) for f in fmt])
         cols["bytes"] = pa.array(blobs, type=pa.binary())
     names = ["doc_id", "image_id"] + (["bytes"] if with_bytes else []) + \
         ["w", "h", "fmt", "caption", "phash", "lon", "lat", "source",

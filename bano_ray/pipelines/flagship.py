@@ -47,7 +47,9 @@ class ImageRoundtrip:
             else np.asarray([int(s[3:]) for s in batch.column("image_id").to_pylist()],
                             dtype=np.int64)
         n = len(fmts)
-        decoded = [decode_image(blob, fmt) for fmt, blob in zip(fmts, blobs)]
+        from ..codecs import decode_image_batch
+
+        decoded = decode_image_batch(blobs, fmts)
         ws = np.asarray([p.shape[1] for p in decoded], dtype=np.int64)
         hs = np.asarray([p.shape[0] for p in decoded], dtype=np.int64)
         srcs = datagen.pixels_of_batch(doc_ids, ws, hs)

@@ -69,3 +69,40 @@ def test_lossy_stub_meets_psnr_invariant():
 def test_unknown_format_raises():
     with pytest.raises(NotImplementedError):
         encode_image(np.zeros((2, 2, 3), np.uint8), "webp")
+
+
+def test_jpeg_real_stream_roundtrip():
+    """fmt='jpeg' payloads are genuine baseline JPEG: SOI/EOI framing,
+    standard markers, >=40 dB round-trip on corpus pixels; batch encoder is
+    byte-identical to the scalar one and batch decode matches scalar."""
+    import numpy as np
+    from bano_ray import datagen as dg
+    from bano_ray.codecs import psnr
+    from bano_ray.codecs.jpeg import (decode_jpeg, decode_jpeg_batch,
+                                      encode_jpeg, encode_jpeg_batch)
+
+    rng = np.random.default_rng(11)
+    imgs = [dg.pixels_of(i, int(rng.integers(12, 21)), int(rng.integers(12, 21)))
+            for i in range(24)]
+    datas = encode_jpeg_batch(imgs, 98)
+    assert all(d[:2] == b"\xff\xd8" and d[-2:] == b"\xff\xd9" for d in datas)
+    assert all(b"JFIF" in d[:30] for d in datas)
+    assert datas == [encode_jpeg(px, 98) for px in imgs]
+    outs = decode_jpeg_batch(datas)
+    for px, out, d in zip(imgs, outs, datas):
+        assert out.shape == px.shape
+        assert psnr(px, out) >= 40.0
+        assert (decode_jpeg(d) == out).all()
+
+
+def test_jpeg_worst_case_noise_quality():
+    """Even on uniform noise (adversarial for a transform coder) the
+    configured quality keeps PSNR above the lossy invariant."""
+    import numpy as np
+    from bano_ray.codecs import JPEG_QUALITY, psnr
+    from bano_ray.codecs.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, (20, 20, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(px, JPEG_QUALITY))
+    assert psnr(px, out) >= 40.0
