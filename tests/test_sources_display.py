@@ -107,3 +107,53 @@ def test_append_suffixe_reference_quirks():
     assert append_suffixe("Rue A", "") == "Rue A"
     # short normalized name (<= suffix length) always appends
     assert append_suffixe("Rue", "QUARTIER DES LONGS CHAMPS") == "Rue QUARTIER DES LONGS CHAMPS"
+
+
+def test_shapefile_point_roundtrip(tmp_path):
+    """K4: .shp/.shx/.dbf trio round-trips points + text attributes; header
+    invariants (file code, shape type, record count) hold."""
+    import struct
+    import pandas as pd
+    from bano_ray.sources_io_shp import read_point_shapefile, write_point_shapefile
+
+    df = pd.DataFrame({
+        "id": ["000010001A-1", "000010001A-2", "000020002A-7"],
+        "voie": ["Rue des Lilas", "Rue de l'Église", "Chemin du Pré Haut"],
+        "lon": [2.351, -1.25, 5.5],
+        "lat": [48.85, 43.6, 44.0],
+    })
+    base = str(tmp_path / "part")
+    write_point_shapefile(df, base, attr_cols=["id", "voie"])
+    raw = open(base + ".shp", "rb").read()
+    assert struct.unpack(">I", raw[:4])[0] == 9994
+    assert struct.unpack("<I", raw[32:36])[0] == 1
+    shx = open(base + ".shx", "rb").read()
+    assert (len(shx) - 100) // 8 == 3
+    out = read_point_shapefile(base)
+    assert len(out) == 3
+    assert list(out["ID"]) == list(df["id"])
+    assert list(out["VOIE"]) == list(df["voie"])
+    assert out["lon"].tolist() == df["lon"].tolist()
+    assert out["lat"].tolist() == df["lat"].tolist()
+
+
+def test_shapefile_partitioned_sink(ray_session, sf_dir, tmp_path):
+    """Distributed K4 sink over the CSV export: one shapefile trio per
+    zone, atomic rename publish, re-readable."""
+    import os
+    from bano_ray.pipelines.exports import export_csv
+    from bano_ray.sources_io_shp import read_point_shapefile, write_shapefile_partitioned
+
+    out_dir = str(tmp_path / "shp")
+    manifest = write_shapefile_partitioned(
+        export_csv(sf_dir), out_dir, partition_col="ville").to_pandas()
+    assert len(manifest) > 0
+    total = 0
+    for _, row in manifest.iterrows():
+        base = os.path.join(out_dir, row["partition"])
+        for ext in (".shp", ".shx", ".dbf"):
+            assert os.path.exists(base + ext)
+        part = read_point_shapefile(base)
+        assert len(part) == row["n"]
+        total += len(part)
+    assert total == export_csv(sf_dir).count()
