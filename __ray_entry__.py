@@ -51,6 +51,7 @@ _ORACLE_QUERIES = [
     "q_source_counts",       # A11 monitoring counts
     "q_suffix_zones",        # G6/G7/A8/M13 suffix-zone decoration
     "q_communes_json",       # communes JSON export (importance variant)
+    "q_pbf_nodes",           # S5 OSM PBF import (write + distributed read)
     "q_zone_raster",         # raster<->vector: polygon rasterization census
 ]
 

@@ -879,6 +879,25 @@ SELECT insee, fantoir, {expr} AS display_name
 FROM cumul_voies ORDER BY insee, fantoir"""
 
 
+def _pbf_coord(col: str) -> str:
+    """PBF nanodegree quantization: half-away round to 1e-7 deg units, then
+    the reader's exact (granularity·units)/1e9 reconstruction."""
+    s = f"({col} * 10000000)"
+    u = (f"CAST((CASE WHEN {s} >= 0 THEN floor({s} + 0.5)"
+         f" ELSE ceil({s} - 0.5) END) AS BIGINT)")
+    return f"(({u} * 100) / 1000000000.0)"
+
+
+def q_pbf_nodes() -> str:
+    return f"""WITH {base_pts_cte()}
+SELECT doc_id AS node_id,
+       {_pbf_coord('lon')} AS lon,
+       {_pbf_coord('lat')} AS lat,
+       hn AS addr_housenumber,
+       street AS addr_street
+FROM pts2 WHERE source = 'OSM' ORDER BY doc_id"""
+
+
 def q_communes_json() -> str:
     # reference bano/sql/export_json_dept_communes.sql: rank-1 postal code
     # over (ligne_5, cp), zone-center coordinates, communes importance

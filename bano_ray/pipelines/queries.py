@@ -442,6 +442,37 @@ def q_image_roundtrip(sf_dir: str):
         ["image_id", "fmt", "decode_ok", "psnr_db", "mean_lum"])
 
 
+def q_pbf_nodes(sf_dir: str):
+    """S5: OSM PBF import — the corpus's OSM points are written to a real
+    ``.osm.pbf`` (DenseNodes, delta/zigzag/packed-varint, zlib blobs) and
+    read back through the distributed blob reader; output carries the
+    nanodegree-quantized coordinates.  The DuckDB oracle recomputes the
+    same rows (including the coordinate quantization) from documents."""
+    import os
+    import tempfile
+
+    import ray
+
+    from ..sources_pbf import read_pbf, write_pbf
+
+    path = os.path.join(tempfile.gettempdir(),
+                        f"bano_ray_pbf_{abs(hash(sf_dir)) % 10**8}.osm.pbf")
+    if not os.path.exists(path):
+        pts = (points_dataset(sf_dir).filter(expr="source == 'OSM'")
+               .select_columns(["doc_id", "lon", "lat", "hn", "street"])
+               .to_pandas().sort_values("doc_id"))
+        tags = [[("addr:housenumber", h), ("addr:street", s)] if h != ""
+                else [("addr:street", s)]
+                for h, s in zip(pts["hn"], pts["street"])]
+        write_pbf(path + ".tmp", pts["doc_id"].to_numpy(),
+                  pts["lon"].to_numpy(), pts["lat"].to_numpy(), tags)
+        os.replace(path + ".tmp", path)
+    return (read_pbf(path)
+            .select_columns(["node_id", "lon", "lat",
+                             "addr_housenumber", "addr_street"])
+            .sort("node_id"))
+
+
 def q_communes_json(sf_dir: str):
     """Communes JSON export (reference export_json_dept_communes.sql):
     rank-1 postal pick + dims join + communes importance variant."""

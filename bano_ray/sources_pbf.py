@@ -1,0 +1,327 @@
+"""S5: OSM PBF source — pure stdlib/numpy protobuf wire-format codec.
+
+The reference ingests OSM via osm2pgsql into PostGIS (out of band); the
+engine equivalent is a real ``.osm.pbf`` reader: the container format
+(BlobHeader/Blob framing, zlib-compressed PrimitiveBlocks, string table,
+DenseNodes with delta-coded packed sint64 ids/coords and key/value index
+runs) parsed directly — no protobuf library exists in this environment, so
+the needed subset of the wire format is implemented here, plus a writer to
+synthesize spec-conformant files for tests and oracle-gated queries.
+
+Scale shape: the driver scans ONLY the blob framing (a few bytes per
+multi-thousand-node blob) to build an offset index, then block decode runs
+distributed in ``map_batches`` over (offset, size) rows — the file body
+never passes through the driver.
+
+Wire-format references: OSM PBF format spec (fileformat.proto /
+osmformat.proto), protobuf encoding docs — all public.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+
+# --- protobuf primitives ---------------------------------------------------
+
+def _uvarint(x: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = x & 0x7F
+        x >>= 7
+        if x:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _read_uvarint(buf: memoryview, pos: int) -> tuple[int, int]:
+    x = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        x |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return x, pos
+        shift += 7
+
+
+def _zigzag(v: np.ndarray) -> np.ndarray:
+    v = np.asarray(v, dtype=np.int64)
+    return ((v << 1) ^ (v >> 63)).astype(np.uint64)
+
+
+def _unzigzag(u: np.ndarray) -> np.ndarray:
+    u = np.asarray(u, dtype=np.uint64)
+    return ((u >> np.uint64(1)).astype(np.int64)
+            ^ -(u & np.uint64(1)).astype(np.int64))
+
+
+def _packed_uvarints(vals) -> bytes:
+    out = bytearray()
+    for v in vals:
+        out += _uvarint(int(v))
+    return bytes(out)
+
+
+def _read_packed_uvarints(data: bytes) -> np.ndarray:
+    """Vectorized packed-varint decode: split on continuation bits."""
+    b = np.frombuffer(data, dtype=np.uint8)
+    if len(b) == 0:
+        return np.zeros(0, dtype=np.uint64)
+    is_last = (b & 0x80) == 0
+    ends = np.nonzero(is_last)[0]
+    starts = np.concatenate([[0], ends[:-1] + 1])
+    vals = np.zeros(len(ends), dtype=np.uint64)
+    # varints here are ≤ 10 bytes; accumulate byte position k per varint
+    maxlen = int((ends - starts).max()) + 1
+    for k in range(maxlen):
+        idx = starts + k
+        active = idx <= ends
+        vals[active] |= ((b[idx[active]] & np.uint8(0x7F)).astype(np.uint64)
+                         << np.uint64(7 * k))
+    return vals
+
+
+def _field(tag: int, wire: int) -> bytes:
+    return _uvarint((tag << 3) | wire)
+
+
+def _len_delim(tag: int, payload: bytes) -> bytes:
+    return _field(tag, 2) + _uvarint(len(payload)) + payload
+
+
+def _iter_fields(buf: memoryview):
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        key, pos = _read_uvarint(buf, pos)
+        tag, wire = key >> 3, key & 7
+        if wire == 0:
+            val, pos = _read_uvarint(buf, pos)
+            yield tag, wire, val
+        elif wire == 2:
+            ln, pos = _read_uvarint(buf, pos)
+            yield tag, wire, bytes(buf[pos:pos + ln])
+            pos += ln
+        elif wire == 5:
+            yield tag, wire, bytes(buf[pos:pos + 4])
+            pos += 4
+        elif wire == 1:
+            yield tag, wire, bytes(buf[pos:pos + 8])
+            pos += 8
+        else:
+            raise ValueError(f"unsupported wire type {wire}")
+
+
+# --- writer ----------------------------------------------------------------
+
+GRANULARITY = 100  # 1e-7 deg units (standard)
+NODES_PER_BLOCK = 8000
+
+
+def _coord_units(deg: np.ndarray) -> np.ndarray:
+    """Degrees → granularity units, ANSI-ROUND (half away) for oracle
+    reproducibility: floor(x·1e7 + 0.5) on non-negatives, mirrored."""
+    s = deg * 1e7
+    return np.where(s >= 0, np.floor(s + 0.5), np.ceil(s - 0.5)).astype(np.int64)
+
+
+def _dense_block(ids: np.ndarray, lon: np.ndarray, lat: np.ndarray,
+                 tags: list[list[tuple[str, str]]]) -> bytes:
+    strings = [b""]  # index 0 reserved
+    sidx: dict[str, int] = {}
+
+    def s_of(s: str) -> int:
+        if s not in sidx:
+            sidx[s] = len(strings)
+            strings.append(s.encode())
+        return sidx[s]
+
+    keys_vals: list[int] = []
+    for tg in tags:
+        for k, v in tg:
+            keys_vals.append(s_of(k))
+            keys_vals.append(s_of(v))
+        keys_vals.append(0)
+
+    latu = _coord_units(lat)
+    lonu = _coord_units(lon)
+    did = np.diff(np.concatenate([[0], ids])).astype(np.int64)
+    dlat = np.diff(np.concatenate([[0], latu]))
+    dlon = np.diff(np.concatenate([[0], lonu]))
+
+    dense = (_len_delim(1, _packed_uvarints(_zigzag(did)))
+             + _len_delim(8, _packed_uvarints(_zigzag(dlat)))
+             + _len_delim(9, _packed_uvarints(_zigzag(dlon)))
+             + _len_delim(10, _packed_uvarints(keys_vals)))
+    group = _len_delim(2, dense)
+    st = b"".join(_len_delim(1, s) for s in strings)
+    block = (_len_delim(1, st) + _len_delim(2, group)
+             + _field(17, 0) + _uvarint(GRANULARITY))
+    return block
+
+
+def _blob(type_: str, payload: bytes) -> bytes:
+    comp = zlib.compress(payload, 6)
+    blob = _field(2, 0) + _uvarint(len(payload)) + _len_delim(3, comp)
+    header = (_len_delim(1, type_.encode())
+              + _field(3, 0) + _uvarint(len(blob)))
+    return struct.pack(">I", len(header)) + header + blob
+
+
+def write_pbf(path: str, ids: np.ndarray, lon: np.ndarray, lat: np.ndarray,
+              tags: list[list[tuple[str, str]]]) -> str:
+    """Nodes → a spec-conformant ``.osm.pbf`` (OSMHeader + OSMData blobs)."""
+    header_block = (_len_delim(4, b"DenseNodes")
+                    + _len_delim(16, b"bano_ray"))
+    with open(path, "wb") as f:
+        f.write(_blob("OSMHeader", header_block))
+        for s in range(0, len(ids), NODES_PER_BLOCK):
+            e = s + NODES_PER_BLOCK
+            f.write(_blob("OSMData", _dense_block(
+                np.asarray(ids[s:e]), np.asarray(lon[s:e]),
+                np.asarray(lat[s:e]), tags[s:e])))
+    return path
+
+
+# --- reader ----------------------------------------------------------------
+
+def scan_blobs(path: str) -> list[dict]:
+    """Driver-side framing scan: (offset, size, type) per blob — reads only
+    the few-byte headers, never blob bodies."""
+    out = []
+    with open(path, "rb") as f:
+        while True:
+            lenb = f.read(4)
+            if len(lenb) < 4:
+                break
+            (hlen,) = struct.unpack(">I", lenb)
+            header = f.read(hlen)
+            btype = "?"
+            dsize = 0
+            for tag, wire, val in _iter_fields(memoryview(header)):
+                if tag == 1:
+                    btype = val.decode()
+                elif tag == 3:
+                    dsize = val
+            off = f.tell()
+            out.append({"offset": off, "size": dsize, "type": btype,
+                        "path": path})
+            f.seek(off + dsize)
+    return out
+
+
+def decode_blob(path: str, offset: int, size: int) -> bytes:
+    with open(path, "rb") as f:
+        f.seek(offset)
+        blob = f.read(size)
+    raw = None
+    for tag, wire, val in _iter_fields(memoryview(blob)):
+        if tag == 1:
+            raw = val
+        elif tag == 3:
+            raw = zlib.decompress(val)
+    if raw is None:
+        raise ValueError("empty blob")
+    return raw
+
+
+def parse_dense_block(raw: bytes) -> dict:
+    """PrimitiveBlock bytes → dict of numpy columns + tag lists."""
+    strings: list[bytes] = []
+    groups: list[bytes] = []
+    gran = 100
+    lat_off = lon_off = 0
+    for tag, wire, val in _iter_fields(memoryview(raw)):
+        if tag == 1:
+            for t2, w2, v2 in _iter_fields(memoryview(val)):
+                if t2 == 1:
+                    strings.append(v2)
+        elif tag == 2:
+            groups.append(val)
+        elif tag == 17:
+            gran = val
+        elif tag == 19:
+            lat_off = val
+        elif tag == 20:
+            lon_off = val
+    ids_l, lat_l, lon_l, tags_l = [], [], [], []
+    for g in groups:
+        for t2, w2, v2 in _iter_fields(memoryview(g)):
+            if t2 != 2:
+                continue
+            did = dlat = dlon = kv = None
+            for t3, w3, v3 in _iter_fields(memoryview(v2)):
+                if t3 == 1:
+                    did = _unzigzag(_read_packed_uvarints(v3))
+                elif t3 == 8:
+                    dlat = _unzigzag(_read_packed_uvarints(v3))
+                elif t3 == 9:
+                    dlon = _unzigzag(_read_packed_uvarints(v3))
+                elif t3 == 10:
+                    kv = _read_packed_uvarints(v3).astype(np.int64)
+            ids = np.cumsum(did)
+            latu = np.cumsum(dlat)
+            lonu = np.cumsum(dlon)
+            lat = (lat_off + gran * latu) / 1e9
+            lon = (lon_off + gran * lonu) / 1e9
+            tags: list[dict] = []
+            if kv is None:
+                tags = [{} for _ in ids]
+            else:
+                cur: dict = {}
+                i = 0
+                kvl = kv.tolist()
+                while i < len(kvl):
+                    if kvl[i] == 0:
+                        tags.append(cur)
+                        cur = {}
+                        i += 1
+                    else:
+                        cur[strings[kvl[i]].decode()] = strings[kvl[i + 1]].decode()
+                        i += 2
+            ids_l.append(ids)
+            lat_l.append(lat)
+            lon_l.append(lon)
+            tags_l.extend(tags)
+    return {"id": np.concatenate(ids_l) if ids_l else np.zeros(0, dtype=np.int64),
+            "lat": np.concatenate(lat_l) if lat_l else np.zeros(0),
+            "lon": np.concatenate(lon_l) if lon_l else np.zeros(0),
+            "tags": tags_l}
+
+
+def read_pbf(path: str, tag_keys: tuple[str, ...] = ("addr:housenumber", "addr:street")):
+    """Distributed PBF node source: framing scan on the driver, block
+    decode in map_batches; tag columns projected out per ``tag_keys``."""
+    import pyarrow as pa
+    import ray.data
+
+    blobs = [b for b in scan_blobs(path) if b["type"] == "OSMData"]
+    ds = ray.data.from_items(blobs)
+
+    def decode(batch: pa.Table) -> pa.Table:
+        outs = {"node_id": [], "lon": [], "lat": []}
+        tag_cols: dict[str, list] = {k: [] for k in tag_keys}
+        for row in batch.to_pylist():
+            d = parse_dense_block(decode_blob(row["path"], row["offset"], row["size"]))
+            outs["node_id"].append(d["id"])
+            outs["lon"].append(d["lon"])
+            outs["lat"].append(d["lat"])
+            for k in tag_keys:
+                tag_cols[k].extend(t.get(k, "") for t in d["tags"])
+        t = pa.table({
+            "node_id": pa.array(np.concatenate(outs["node_id"]), type=pa.int64()),
+            "lon": pa.array(np.concatenate(outs["lon"])),
+            "lat": pa.array(np.concatenate(outs["lat"])),
+        })
+        for k in tag_keys:
+            t = t.append_column(k.replace(":", "_"), pa.array(tag_cols[k], type=pa.string()))
+        return t
+
+    return ds.map_batches(decode, batch_format="pyarrow")

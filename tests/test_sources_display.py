@@ -157,3 +157,33 @@ def test_shapefile_partitioned_sink(ray_session, sf_dir, tmp_path):
         assert len(part) == row["n"]
         total += len(part)
     assert total == export_csv(sf_dir).count()
+
+
+def test_pbf_roundtrip_and_distributed_read(ray_session, tmp_path):
+    """S5: spec-level invariants — blob framing, zlib blobs, DenseNodes
+    delta/zigzag coding, string-table tags — via write → distributed read."""
+    import numpy as np
+    from bano_ray.sources_pbf import (parse_dense_block, decode_blob,
+                                      read_pbf, scan_blobs, write_pbf)
+
+    rng = np.random.default_rng(2)
+    n = 20000
+    ids = np.sort(rng.choice(10**9, n, replace=False)).astype(np.int64)
+    lon = rng.uniform(-5, 9, n)
+    lat = rng.uniform(41, 51, n)
+    tags = [[("addr:housenumber", str(i % 97)), ("addr:street", f"Rue {i % 13}")]
+            for i in range(n)]
+    p = str(tmp_path / "t.osm.pbf")
+    write_pbf(p, ids, lon, lat, tags)
+
+    blobs = scan_blobs(p)
+    assert blobs[0]["type"] == "OSMHeader"
+    assert sum(b["type"] == "OSMData" for b in blobs) == (n + 7999) // 8000
+
+    df = read_pbf(p).to_pandas().sort_values("node_id").reset_index(drop=True)
+    assert (df["node_id"].to_numpy() == ids).all()
+    # coordinates are quantized to 1e-7 deg
+    assert np.abs(df["lon"].to_numpy() - lon).max() < 1e-7
+    assert np.abs(df["lat"].to_numpy() - lat).max() < 1e-7
+    assert df["addr_housenumber"].tolist() == [t[0][1] for t in tags]
+    assert df["addr_street"].tolist() == [t[1][1] for t in tags]
