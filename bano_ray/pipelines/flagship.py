@@ -87,10 +87,13 @@ def image_roundtrip(sf_dir: str, concurrency: int | None = None):
     """
     ensure_worker_importable()
     if concurrency is None:
-        concurrency = max(1, min(8, _cluster_cpus() // 2))
+        concurrency = max(1, min(16, _cluster_cpus() // 2))
     ds = datagen.images_dataset(sf_dir, with_bytes=True)
+    # 512-row batches amortize the batched JPEG decode (one dequant/IDCT
+    # pass per batch) while batch × concurrency stays well inside heaps
+    # (~1 KB payload rows)
     return ds.map_batches(ImageRoundtrip, concurrency=concurrency,
-                          batch_size=256, batch_format="pyarrow")
+                          batch_size=512, batch_format="pyarrow")
 
 
 def flagship(sf_dir: str, expand: int = 1, assign_concurrency: int = 4):

@@ -87,18 +87,30 @@ def knn_match_group(df: pd.DataFrame, probe_source: str = "BAN",
     tid = targets["image_id"].to_numpy()
     tlon = targets["lon"].to_numpy()
     tlat = targets["lat"].to_numpy()
+    # dense id rank gives integer tie-break keys for vectorized lexsort
+    t_rank = np.empty(len(tid), dtype=np.int64)
+    t_rank[np.argsort(tid, kind="stable")] = np.arange(len(tid))
     use_index = len(targets) > 2048  # grid index pays off only on big groups
-    idx = GridIndex(tlon, tlat) if use_index else None
     rows = []
+    if not use_index:
+        plon = probes["lon"].to_numpy()
+        plat = probes["lat"].to_numpy()
+        pid = probes["image_id"].to_numpy()
+        d = haversine_m(plon[:, None], plat[:, None], tlon[None, :], tlat[None, :])
+        dr = np.round(d, 6)
+        for p in range(len(pid)):
+            order = np.lexsort((t_rank, dr[p]))[:k]
+            for rank, i in enumerate(order, start=1):
+                rows.append({"probe_id": pid[p], "target_id": tid[i],
+                             "dist_m": round(float(d[p, i]), 3), "rank": rank})
+        return pd.DataFrame(rows)
+    idx = GridIndex(tlon, tlat)
     for r in probes.itertuples(index=False):
-        if use_index:
-            nn = idx.query(float(r.lon), float(r.lat), k)
-        else:
-            nn = np.arange(len(tid))
+        nn = idx.query(float(r.lon), float(r.lat), k)
         # deterministic tie-handling: rank hits by (rounded dist, id)
         d = haversine_m(r.lon, r.lat, tlon[nn], tlat[nn])
-        order = sorted(range(len(nn)), key=lambda i: (round(float(d[i]), 6), tid[nn[i]]))
-        for rank, i in enumerate(order[:k], start=1):
+        order = np.lexsort((t_rank[nn], np.round(d, 6)))[:k]
+        for rank, i in enumerate(order, start=1):
             rows.append({"probe_id": r.image_id, "target_id": tid[nn[i]],
                          "dist_m": round(float(d[i]), 3), "rank": rank})
     return pd.DataFrame(rows)
