@@ -62,6 +62,7 @@ _ROWSONLY_QUERIES = [
     "q_simhash_neardup",     # dedup: SimHash Hamming-<=3 banding pairs
     "q_embedding_neardup",   # dedup: embedding-cosine near-dups (LSH)
     "q_ann_lsh",             # similarity search: LSH-bucketed ANN
+    "q_ann_ivf",             # similarity search: IVF (k-means lists) ANN
     "q_image_roundtrip",     # image payload decode/validate stage
 ]
 

@@ -151,7 +151,19 @@ def partial_dataset(sf_dir: str, expand: int = 1, assign_concurrency: int = 4):
     par = pts.map_batches(partial_from_points_arrow, batch_format="pandas", batch_size=None)
     reg = ray.data.from_arrow(_pa.Table.from_pandas(registry_partials(),
                                                     preserve_index=False))
-    return par.union(reg)
+    # The combined partial stream is O(distinct keys) — tiny next to the
+    # input — but it inherits the input's block count, and the downstream
+    # sort-based groupby is an all-to-all with blocks² shuffle objects
+    # (256 upstream blocks → 66k tiny objects ground the driver: measured
+    # 84s job wall for ~13s of remote work at 32 cpus).  Coalesce the
+    # partials to O(cluster) blocks first; at multi-node scale this is the
+    # "pre-aggregate, then shuffle few fat partitions" discipline.
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 32)) if ray.is_initialized() else 32
+    except Exception:
+        ncpu = 32
+    npart = max(8, min(64, 2 * ncpu))
+    return par.union(reg).repartition(npart)
 
 
 def cumul_dataset(sf_dir: str, expand: int = 1, assign_concurrency: int = 4):

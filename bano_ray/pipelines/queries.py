@@ -355,6 +355,20 @@ def q_ann_lsh(sf_dir: str):
     return lsh_topk(ds, ANN_QUERY_IDS, k=ANN_K, nbits=5, nprobe=8)
 
 
+def q_ann_ivf(sf_dir: str):
+    """IVF ANN variant (rows-only; recall vs brute checked in tests):
+    hash-sampled k-means training, broadcast centroids, inverted-list
+    co-group with multi-probed queries."""
+    import ray
+    from ..stages.ann import ivf_topk
+
+    ensure_worker_importable()
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    # unclustered synthetic vectors: few lists + wide probing (see q_ann_lsh)
+    return ivf_topk(ds, ANN_QUERY_IDS, k=ANN_K, ncentroids=8, nprobe=4)
+
+
 def q_events_hourly(sf_dir: str):
     """Windowed aggregate: per-user hourly event counts + value sums."""
     import ray

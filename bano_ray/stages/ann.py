@@ -150,3 +150,111 @@ def lsh_topk(ds, query_ids: list[int], k: int = 10, nbits: int = 8, nprobe: int 
     dedup = cand.groupby(["query_id", "vec_id"], as_index=False)["sim"].max()
     out = dedup.groupby("query_id", group_keys=False)[dedup.columns].apply(_final_topk(k))
     return out.reset_index(drop=True)
+
+
+def _kmeans(sample: np.ndarray, ncentroids: int, iters: int = 8,
+            seed: int = 7) -> np.ndarray:
+    """Deterministic spherical k-means on a driver-side sample (the IVF
+    training step; the sample is dim-sized, the corpus never leaves the
+    cluster)."""
+    s = _normalize_rows(np.asarray(sample, dtype=np.float64))
+    rng = np.random.default_rng(seed)
+    cent = s[rng.choice(len(s), size=min(ncentroids, len(s)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(s @ cent.T, axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                cent[c] = s[m].mean(axis=0)
+        cent = _normalize_rows(cent)
+    return cent
+
+
+def ivf_topk(ds, query_ids: list[int], k: int = 10, ncentroids: int = 16,
+             nprobe: int = 4, sample_mod: int = 7):
+    """IVF ANN: train centroids on a hash-sampled subset, assign the corpus
+    to inverted lists via broadcast centroids, co-group probed queries with
+    their lists, exact cosine within list, global reduce — same output
+    contract as :func:`brute_topk`, recall < 1 by design.
+
+    Scale shape: ONE pass assigns (broadcast centroid matrix, per-batch
+    matmul), the only shuffle is the list-id groupby; queries fan out to
+    ``nprobe`` lists each.
+    """
+    import ray
+    from ray.data.aggregate import Max
+
+    qmax = max(query_ids) + 1
+
+    # 1. deterministic hash-sample for training (vec_id % mod == 0)
+    def _sample_filter(batch: pa.Table) -> pa.Table:
+        vid = batch.column("vec_id").to_numpy()
+        return batch.filter(pa.array((vid % sample_mod == 0) & (vid >= qmax)))
+
+    sample = ds.map_batches(_sample_filter, batch_format="pyarrow").to_pandas()
+    cent = _kmeans(np.stack(sample["embedding"].to_numpy()), ncentroids)
+    cent_ref = ray.put(cent)
+    qarr = np.asarray(sorted(query_ids), dtype=np.int64)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        c = ray.get(cent_ref)
+        vec = _normalize_rows(np.stack(batch.column("embedding").to_pylist()).astype(np.float64))
+        sims = vec @ c.T
+        vid = batch.column("vec_id").to_numpy()
+        is_q = np.isin(vid, qarr)
+        parts = []
+        corp = ~is_q
+        if corp.any():
+            parts.append(pa.table({
+                "vec_id": pa.array(vid[corp]),
+                "bucket": pa.array(np.argmax(sims[corp], axis=1).astype(np.int64)),
+                "is_query": pa.array(np.zeros(int(corp.sum()), dtype=bool)),
+                "embedding": pc.take(batch.column("embedding"),
+                                    pa.array(np.flatnonzero(corp))),
+            }))
+        if is_q.any():
+            qi = np.flatnonzero(is_q)
+            probes = np.argsort(-sims[qi], axis=1, kind="stable")[:, :nprobe]
+            take = np.repeat(qi, nprobe)
+            parts.append(pa.table({
+                "vec_id": pa.array(np.repeat(vid[qi], nprobe)),
+                "bucket": pa.array(probes.ravel().astype(np.int64)),
+                "is_query": pa.array(np.ones(len(take), dtype=bool)),
+                "embedding": pc.take(batch.column("embedding"), pa.array(take)),
+            }))
+        return pa.concat_tables(parts) if parts else pa.table(
+            {"vec_id": pa.array([], pa.int64()), "bucket": pa.array([], pa.int64()),
+             "is_query": pa.array([], pa.bool_()),
+             "embedding": batch.column("embedding").slice(0, 0)})
+
+    def bucket_knn(df: pd.DataFrame) -> pd.DataFrame:
+        qs = df[df["is_query"]]
+        cs = df[~df["is_query"]]
+        if len(qs) == 0 or len(cs) == 0:
+            return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                                 "vec_id": pd.Series(dtype="int64"),
+                                 "sim": pd.Series(dtype="float64")})
+        qm = _normalize_rows(np.stack(qs["embedding"].to_numpy()).astype(np.float64))
+        cm = _normalize_rows(np.stack(cs["embedding"].to_numpy()).astype(np.float64))
+        sims = qm @ cm.T
+        cv = cs["vec_id"].to_numpy()
+        kk = min(k, sims.shape[1])
+        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        qv = qs["vec_id"].to_numpy()
+        return pd.DataFrame({
+            "query_id": np.repeat(qv, kk),
+            "vec_id": cv[idx.ravel()],
+            "sim": np.take_along_axis(sims, idx, axis=1).ravel(),
+        })
+
+    pairs = (ds.map_batches(assign, batch_format="pyarrow")
+             .groupby("bucket").map_groups(bucket_knn, batch_format="pandas")
+             .groupby(["query_id", "vec_id"]).aggregate(Max("sim", alias_name="sim")))
+    cand = pairs.to_pandas()
+    if len(cand) == 0:
+        return pd.DataFrame({"query_id": [], "vec_id": [], "sim": [], "rank": []})
+    cand = cand.astype({"query_id": "int64", "vec_id": "int64"})
+    out = cand.groupby("query_id", group_keys=False)[cand.columns].apply(_final_topk(k))
+    return out.reset_index(drop=True)

@@ -184,3 +184,21 @@ def test_cosharded_pip_matches_broadcast_assigner(ray_session, sf):
     assert len(ref) == len(got)
     assert (ref["insee"].to_numpy() == got["insee"].to_numpy()).all()
     assert (ref["zone_via_bbox"].to_numpy() == got["zone_via_bbox"].to_numpy()).all()
+
+
+def test_ann_ivf_recall_vs_brute(ray_session, sf):
+    """IVF variant: valid top-k contract + recall@10 vs exact brute force."""
+    import bano_ray.pipelines.queries as Q
+
+    brute = Q.q_ann_topk(sf).to_pandas()
+    ivf = Q.q_ann_ivf(sf)
+    if not isinstance(ivf, pd.DataFrame):
+        ivf = ivf.to_pandas()
+    assert (ivf.groupby("query_id")["rank"].max() <= 10).all()
+    recalls = []
+    for qid, g in brute.groupby("query_id"):
+        want = set(g["vec_id"])
+        got = set(ivf[ivf["query_id"] == qid]["vec_id"])
+        recalls.append(len(want & got) / max(len(want), 1))
+    # nprobe/ncentroids = 4/8 → expected coverage ≥ half the corpus
+    assert sum(recalls) / len(recalls) > 0.3
