@@ -162,6 +162,11 @@ def partial_dataset(sf_dir: str, expand: int = 1, assign_concurrency: int = 4):
         ncpu = int(ray.cluster_resources().get("CPU", 32)) if ray.is_initialized() else 32
     except Exception:
         ncpu = 32
+    if ncpu < 16:
+        # below ~16 slots the extra AllToAll starves the streaming executor
+        # (measured: map concurrency collapses to ~1 at 8 cpus), and the
+        # input block count is small enough that the shuffle is cheap anyway
+        return par.union(reg)
     npart = max(8, min(64, 2 * ncpu))
     return par.union(reg).repartition(npart)
 
