@@ -528,8 +528,14 @@ def images_dataset(sf_dir: str, with_bytes: bool = False, expand: int = 1,
         ncpu = int(ray.cluster_resources().get("CPU", 32)) if ray.is_initialized() else 32
     except Exception:
         ncpu = 32
-    by_rows = (n_docs * expand) // 150000
-    nblocks = int(min(1024, max(16, min(8 * ncpu, by_rows) if by_rows > 0 else 16)))
+    # metadata rows target ~150k rows/block; byte-payload rows are ~1.3 KB
+    # each, so the bytes path uses ~6k-row blocks — the expansion happens
+    # inside the task, and oversized per-task outputs (30 MB+) trip the
+    # streaming executor's memory budgeting into capping actor concurrency
+    row_target = 6000 if with_bytes else 150000
+    by_rows = (n_docs * expand) // row_target
+    cap = 512 if with_bytes else 1024
+    nblocks = int(min(cap, max(16, min(8 * ncpu, by_rows) if by_rows > 0 else 16)))
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"],
                                override_num_blocks=nblocks)
     if doc_residue is not None and expand == 1:

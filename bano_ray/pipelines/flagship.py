@@ -87,7 +87,11 @@ def image_roundtrip(sf_dir: str, concurrency: int | None = None):
     """
     ensure_worker_importable()
     if concurrency is None:
-        concurrency = max(1, min(16, _cluster_cpus() // 2))
+        # cap at 8: wider pools intermittently deadlock ray 2.49's
+        # streaming executor when the synthesis chain fuses into the actor
+        # op (observed: 16 actors requested, 2 created, tasks queued on
+        # idle actors indefinitely)
+        concurrency = max(1, min(8, _cluster_cpus() // 2))
     ds = datagen.images_dataset(sf_dir, with_bytes=True)
     # 512-row batches amortize the batched JPEG decode (one dequant/IDCT
     # pass per batch) while batch × concurrency stays well inside heaps

@@ -72,7 +72,7 @@ def run_benchmarks() -> dict:
     from bano_ray.pipelines.flagship import ImageRoundtrip
     t0 = time.time()
     img_n = (datagen.images_dataset(SF_DIR, with_bytes=True, expand=max(1, EXPAND // 24))
-             .map_batches(ImageRoundtrip, concurrency=max(2, NUM_CPUS // 2),
+             .map_batches(ImageRoundtrip, concurrency=max(2, min(8, NUM_CPUS // 4)),
                           batch_size=512, batch_format="pyarrow").count())
     timings["image_roundtrip"] = round(time.time() - t0, 3)
 
