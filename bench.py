@@ -26,6 +26,20 @@ EXPAND = int(os.environ.get("GRAFT_BENCH_EXPAND", "1920"))   # images per doc
 SCALE_EXPAND = int(os.environ.get("GRAFT_SCALE_EXPAND", "7680"))  # --scaling corpus
 
 
+def mem_bw_canary() -> float:
+    """Seconds for a fixed 10M-element numpy streaming kernel (~0.05 s on a
+    quiet box).  The sandbox's co-tenants contend on MEMORY BANDWIDTH, not
+    CPU slots — observed 15-20 s for this same kernel at loadavg ~1 — so
+    every benchmark line carries this context number."""
+    import numpy as np
+
+    t0 = time.process_time()
+    x = np.arange(10_000_000)
+    y = (x * 3) % 7
+    y.sum()
+    return round(time.process_time() - t0, 3)
+
+
 def run_benchmarks() -> dict:
     import ray
 
@@ -87,6 +101,7 @@ def run_benchmarks() -> dict:
         "out_rows": int(out_rows),
         "img_rows": int(img_n),
         "rows_per_s": round(n_rows / flagship_s, 1),
+        "mem_bw_canary_s": mem_bw_canary(),
     }
 
 
@@ -140,6 +155,7 @@ def run_scaling() -> dict:
         "rows": runs[32][0]["rows"],
         "sf": SF_DIR,
         "num_cpus": 32,
+        "mem_bw_canary_s_all": [r.get("mem_bw_canary_s") for r in runs[8] + runs[32]],
     }
 
 
@@ -164,7 +180,8 @@ def run_single() -> dict:
     return {"metric": "flagship wall time", "value": round(dt, 3), "unit": "sec",
             "queries": {"flagship_street_json": round(dt, 3)}, "sf": SF_DIR,
             "num_cpus": NUM_CPUS, "rows": int(n_rows), "out_rows": int(out_rows),
-            "rows_per_s": round(n_rows / dt, 1)}
+            "rows_per_s": round(n_rows / dt, 1),
+            "mem_bw_canary_s": mem_bw_canary()}
 
 
 if __name__ == "__main__":
