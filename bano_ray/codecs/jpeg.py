@@ -400,29 +400,38 @@ def encode_jpeg_batch(images: list[np.ndarray], quality: int = 97) -> list[bytes
     qc = _scaled_q(QC_BASE, quality)
     qf = np.stack([ql, qc, qc]).astype(np.float64)
 
-    blocks = []          # (total_units, 8, 8) in per-image MCU order
-    unit_q = []          # component index per unit
-    img_units = []
-    dims = []
-    for px in images:
-        px = np.ascontiguousarray(px, dtype=np.uint8)
-        h, w, _ = px.shape
+    # Blockify grouped by exact (h, w) so the pad / colorspace / block
+    # reshuffle run once per distinct shape instead of once per image —
+    # tiny-image batches are dominated by fixed numpy-call overhead
+    # otherwise.  Unit order per image is unchanged (block row-major, Y/Cb/Cr
+    # interleaved), so the output stays byte-identical to the scalar encoder.
+    n_img = len(images)
+    by_shape: dict[tuple[int, int], list[int]] = {}
+    for i, px in enumerate(images):
+        by_shape.setdefault((px.shape[0], px.shape[1]), []).append(i)
+    per_img_blocks: list = [None] * n_img
+    per_img_nb = np.empty(n_img, dtype=np.int64)
+    dims = [(px.shape[0], px.shape[1]) for px in images]
+    for (h, w), idxs in by_shape.items():
+        stack = np.stack([images[i] for i in idxs]).astype(np.uint8, copy=False)
         hp, wp = (h + 7) // 8 * 8, (w + 7) // 8 * 8
-        padded = np.pad(px, ((0, hp - h), (0, wp - w), (0, 0)), mode="edge")
-        yc = _rgb_to_ycbcr(padded) - 128.0
+        padded = np.pad(stack, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)),
+                        mode="edge")
+        yc = _rgb_to_ycbcr(padded) - 128.0              # (g, hp, wp, 3)
         nby, nbx = hp // 8, wp // 8
         nb = nby * nbx
-        comp = np.stack([
-            yc[..., ci].reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3).reshape(nb, 8, 8)
-            for ci in range(3)])                       # (3, nb, 8, 8)
-        inter = comp.transpose(1, 0, 2, 3).reshape(3 * nb, 8, 8)  # MCU order
-        blocks.append(inter)
-        unit_q.append(np.tile(np.arange(3), nb))
-        img_units.append(3 * nb)
-        dims.append((h, w))
+        g = len(idxs)
+        inter = (yc.transpose(0, 3, 1, 2)               # (g, 3, hp, wp)
+                 .reshape(g, 3, nby, 8, nbx, 8)
+                 .transpose(0, 2, 4, 1, 3, 5)           # (g, nby, nbx, 3, 8, 8)
+                 .reshape(g, 3 * nb, 8, 8))
+        for j, i in enumerate(idxs):
+            per_img_blocks[i] = inter[j]
+            per_img_nb[i] = nb
 
-    allb = np.concatenate(blocks)                       # (U, 8, 8)
-    ci_of = np.concatenate(unit_q)
+    allb = np.concatenate(per_img_blocks)               # (U, 8, 8)
+    img_units = (3 * per_img_nb).tolist()
+    ci_of = np.tile(np.arange(3), int(per_img_nb.sum()))
     coef = np.einsum("ij,ujk,kl->uil", _D, allb, _DT)
     quant = np.round(coef / qf[ci_of]).astype(np.int32)
     zz = quant.reshape(-1, 64)[:, ZIGZAG]
@@ -501,13 +510,16 @@ def encode_jpeg_batch(images: list[np.ndarray], quality: int = 97) -> list[bytes
     lens = all_lens[order]
     unit_sorted = all_unit[order]
 
-    # global bit matrix → flat bits; per-image slices found by bit counts
-    j = np.arange(_MAXB, dtype=np.uint32)
-    shifts = lens[:, None].astype(np.int64) - 1 - j[None, :]
-    bits = np.where(shifts >= 0,
-                    (codes[:, None].astype(np.uint64) >> np.maximum(shifts, 0).astype(np.uint64)) & np.uint64(1),
-                    np.uint64(0)).astype(np.uint8)
-    flat = bits[shifts >= 0]
+    # variable-length bit unpack: explode each symbol to exactly its own
+    # ``lens`` bits (not a dense n×MAXB matrix — that form streamed ~5×
+    # more memory and was bandwidth-bound).  int32 throughout: codes are
+    # ≤ 26 bits and total bit counts stay far below 2^31 per batch.
+    lens32 = lens.astype(np.int32)
+    total_bits = int(lens32.sum())
+    starts = (np.cumsum(lens32, dtype=np.int64) - lens32).astype(np.int32)
+    pos_in = np.arange(total_bits, dtype=np.int32) - np.repeat(starts, lens32)
+    shift = np.repeat(lens32, lens32) - 1 - pos_in
+    flat = ((np.repeat(codes.astype(np.int32), lens32) >> shift) & 1).astype(np.uint8)
     sym_img = img_of[unit_sorted]
     bits_per_img = np.bincount(sym_img, weights=lens, minlength=len(images)).astype(np.int64)
     bbounds = np.concatenate([[0], np.cumsum(bits_per_img)])

@@ -318,6 +318,16 @@ def _cumul_ctes() -> str:
     # OSM-key group (side 1: OSM rows whose merge key stays the tail-less
     # OSM normalization — reference core.py only decorates highways, so OSM
     # *address* rows always stay on side 1).
+    #
+    # ``side = 2`` quarantines NON-hamlet OSM highway points that happen to
+    # fall inside a suffix zone: the engine's decorator is geometry-only
+    # (stages/suffix.make_suffix_decorator re-keys ANY hn='' OSM point in a
+    # zone to normalize(append_suffixe(street, tail))), so such a stray row
+    # leaves its canonical street group and forms a tail-appended key group
+    # of its own.  That group holds highway rows only (addresses are never
+    # decorated), hence emits no cumul_adresses/cumul_voies rows — but its
+    # departure must still be mirrored here so the canonical group's
+    # highway_index / hw_has_fant / voie_osm no longer count it.
     split = "string_split(translate(p.hn, ',à;-/*', '$$$$$$'), '$')"
     key = (f"(CASE WHEN n.side = 1"
            f" THEN list_extract({_slist(HAM_OSM_NORMS)}, n.sidx - {dg.NSTREET - 1})"
@@ -327,7 +337,10 @@ def _cumul_ctes() -> str:
 pts3 AS (
   SELECT pts2.*,
          (CASE WHEN sidx >= {dg.NSTREET} AND source = 'OSM'
-                    AND NOT ({_DECORATED}) THEN 1 ELSE 0 END) AS side
+                    AND NOT ({_DECORATED}) THEN 1
+               WHEN sidx < {dg.NSTREET} AND source = 'OSM' AND hn = ''
+                    AND ({_DECORATED}) THEN 2
+               ELSE 0 END) AS side
   FROM pts2
 ),
 hw AS (

@@ -78,26 +78,40 @@ class ImageRoundtrip:
         })
 
 
-def image_roundtrip(sf_dir: str, concurrency: int | None = None):
+# Declared per-task memory for the decode-validate actor stage.  A 512-row
+# batch of ~1 KB payloads peaks well under 100 MB inside __call__; 256 MiB
+# leaves headroom for block-size variance while letting 32 actors fit in a
+# fraction of one node's heap.  Declaring it also makes the stage's remote
+# args incompatible with the upstream task ops, so ray 2.49's operator-fusion
+# rule (operator_fusion._are_remote_args_compatible) keeps the synthesis
+# chain OUT of the actor op — the fused-chain form intermittently deadlocked
+# the streaming executor (16 actors requested, 2 created) and mis-attributed
+# the whole chain's footprint to the actor task (the r2 "11.3GB per task,
+# Ray requests 0.0B" warning).
+IMAGE_STAGE_MEMORY = 256 * 1024 * 1024
+
+
+def image_roundtrip(sf_dir: str, concurrency=None, expand: int = 1):
     """Decode-validate every payload (actor pool, small batches — binary
     rows are wide; batch_size keeps batch × concurrency in worker heap).
 
-    Actor-pool size is capped at half the cluster CPUs: a pool that reserves
-    every slot deadlocks the upstream stateless stages.
+    The pool autoscales with the cluster: ``concurrency=(2, cpus - 2)``
+    leaves slots for the upstream synthesis/read tasks while letting the
+    heaviest CPU stage claim the rest of the node.  Per-task ``memory`` is
+    declared (see IMAGE_STAGE_MEMORY) so the executor can budget the stage
+    — and so the stage never fuses with its upstream task chain.
     """
     ensure_worker_importable()
     if concurrency is None:
-        # cap at 8: wider pools intermittently deadlock ray 2.49's
-        # streaming executor when the synthesis chain fuses into the actor
-        # op (observed: 16 actors requested, 2 created, tasks queued on
-        # idle actors indefinitely)
-        concurrency = max(1, min(8, _cluster_cpus() // 2))
-    ds = datagen.images_dataset(sf_dir, with_bytes=True)
+        cpus = _cluster_cpus()
+        concurrency = (min(2, max(1, cpus - 2)), max(2, cpus - 2))
+    ds = datagen.images_dataset(sf_dir, with_bytes=True, expand=expand)
     # 512-row batches amortize the batched JPEG decode (one dequant/IDCT
     # pass per batch) while batch × concurrency stays well inside heaps
     # (~1 KB payload rows)
     return ds.map_batches(ImageRoundtrip, concurrency=concurrency,
-                          batch_size=512, batch_format="pyarrow")
+                          batch_size=512, batch_format="pyarrow",
+                          memory=IMAGE_STAGE_MEMORY)
 
 
 def flagship(sf_dir: str, expand: int = 1, assign_concurrency: int = 4):

@@ -83,11 +83,9 @@ def run_benchmarks() -> dict:
         timings[name] = round(time.time() - t0, 3)
 
     # image payload stage at reduced expansion (binary-heavy)
-    from bano_ray.pipelines.flagship import ImageRoundtrip
+    from bano_ray.pipelines.flagship import image_roundtrip
     t0 = time.time()
-    img_n = (datagen.images_dataset(SF_DIR, with_bytes=True, expand=max(1, EXPAND // 24))
-             .map_batches(ImageRoundtrip, concurrency=max(2, min(8, NUM_CPUS // 4)),
-                          batch_size=512, batch_format="pyarrow").count())
+    img_n = image_roundtrip(SF_DIR, expand=max(1, EXPAND // 24)).count()
     timings["image_roundtrip"] = round(time.time() - t0, 3)
 
     return {
