@@ -462,6 +462,7 @@ def q_pbf_nodes(sf_dir: str):
     read back through the distributed blob reader; output carries the
     nanodegree-quantized coordinates.  The DuckDB oracle recomputes the
     same rows (including the coordinate quantization) from documents."""
+    import hashlib
     import os
     import tempfile
 
@@ -469,8 +470,19 @@ def q_pbf_nodes(sf_dir: str):
 
     from ..sources_pbf import read_pbf, write_pbf
 
+    # Cache key must be stable across interpreter runs (builtin hash() is
+    # salted) and must invalidate when the corpus is regenerated — key on
+    # the absolute sf_dir plus documents.parquet's (mtime, size) fingerprint.
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(doc_path)
+        fp = f"{st.st_mtime_ns}_{st.st_size}"
+    except OSError:
+        fp = "nodoc"
+    digest = hashlib.sha1(
+        f"{os.path.abspath(sf_dir)}|{fp}".encode()).hexdigest()[:16]
     path = os.path.join(tempfile.gettempdir(),
-                        f"bano_ray_pbf_{abs(hash(sf_dir)) % 10**8}.osm.pbf")
+                        f"bano_ray_pbf_{digest}.osm.pbf")
     if not os.path.exists(path):
         pts = (points_dataset(sf_dir).filter(expr="source == 'OSM'")
                .select_columns(["doc_id", "lon", "lat", "hn", "street"])

@@ -162,13 +162,26 @@ def _ensure_builtins() -> None:
 
     @step("merge_cumul", kind="dataset", schema=["rec_type", "insee", "street_key"])
     def _merge(ds):
+        import pyarrow as _pa
+        import ray
+
         from .pipelines.cumul import _tag_points
-        from .stages.merge_partial import finalize_group, partial_from_points_arrow
+        from .stages.merge_partial import (finalize_group,
+                                           partial_from_points_arrow,
+                                           registry_partials)
 
         tagged = ds.map_batches(_tag_points, batch_format="pyarrow", batch_size=None)
         par = tagged.map_batches(partial_from_points_arrow,
                                  batch_format="pandas", batch_size=None)
-        return par.groupby(["insee", "salt"]).map_groups(
+        # Union the FANTOIR registry partials exactly as
+        # pipelines/cumul.partial_dataset does — without them the merged
+        # rows lack registry matching (fantoir ids, match flags,
+        # registry-sourced voie rows), silently diverging from
+        # cumul_dataset's output when the flagship is re-composed from a
+        # pipeline spec.
+        reg = ray.data.from_arrow(_pa.Table.from_pandas(registry_partials(),
+                                                        preserve_index=False))
+        return par.union(reg).groupby(["insee", "salt"]).map_groups(
             finalize_group, batch_format="pandas")
 
     @step("filter", kind="dataset")

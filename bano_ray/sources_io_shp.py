@@ -18,7 +18,9 @@ repo's resumable-output rule; a minimal reader round-trips for tests.
 
 from __future__ import annotations
 
+import hashlib
 import os
+import re
 import struct
 
 import numpy as np
@@ -141,7 +143,13 @@ def write_shapefile_partitioned(ds, out_dir: str, partition_col: str = "ville",
         if len(df) == 0:
             return pd.DataFrame({"partition": pd.Series(dtype="string"),
                                  "n": pd.Series(dtype="int64")})
-        key = str(df[partition_col].iloc[0]).replace(" ", "_")
+        raw = str(df[partition_col].iloc[0])
+        # Path-safe partition name: restrict to a safe charset (a value
+        # containing '/' must not escape out_dir) and disambiguate values
+        # that collide after sanitization with a short hash of the raw key.
+        key = re.sub(r"[^A-Za-z0-9_.-]", "_", raw)
+        if key != raw:
+            key += "-" + hashlib.sha1(raw.encode()).hexdigest()[:8]
         tmp = os.path.join(out_dir, f".tmp-{key}")
         final = os.path.join(out_dir, key)
         write_point_shapefile(df, tmp, lon_col=lon_col, lat_col=lat_col)

@@ -21,6 +21,20 @@ def _normalize_rows(v: np.ndarray) -> np.ndarray:
     return v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
 
 
+_PLANES_CACHE: dict[tuple[int, int, int], np.ndarray] = {}
+
+
+def lsh_planes(dim: int, nbits: int, seed: int = 4242) -> np.ndarray:
+    """Deterministic LSH hyperplanes, derived once per (dim, nbits, seed)
+    per process instead of per batch (same fixed seed, so bucket
+    assignments are unchanged)."""
+    key = (dim, nbits, seed)
+    if key not in _PLANES_CACHE:
+        rng = np.random.default_rng(seed)
+        _PLANES_CACHE[key] = rng.standard_normal((dim, nbits))
+    return _PLANES_CACHE[key]
+
+
 class BatchTopK:
     """Actor-pool stage: query matrix loaded once per actor."""
 
@@ -90,9 +104,7 @@ def lsh_topk(ds, query_ids: list[int], k: int = 10, nbits: int = 8, nprobe: int 
 
         vid = batch.column("vec_id").to_numpy()
         mat = np.stack(batch.column("embedding").to_pylist()).astype(np.float64)
-        rng = np.random.default_rng(4242)
-        planes = rng.standard_normal((mat.shape[1], nbits))
-        proj = mat @ planes
+        proj = mat @ lsh_planes(mat.shape[1], nbits)
         base = ((proj > 0).astype(np.uint64)
                 << np.arange(nbits, dtype=np.uint64)).sum(axis=1).astype(np.int64)
         is_q = np.isin(vid, qarr)
@@ -186,10 +198,18 @@ def ivf_topk(ds, query_ids: list[int], k: int = 10, ncentroids: int = 16,
 
     qmax = max(query_ids) + 1
 
-    # 1. deterministic hash-sample for training (vec_id % mod == 0)
+    # 1. deterministic hash-sample for training.  The driver-side sample is
+    # COUNT-bounded, not rate-bounded: the modulus grows with the corpus so
+    # at most ~256 vectors per centroid ever leave the cluster (at 10^12
+    # rows a fixed mod would be a driver OOM).  Small corpora keep the
+    # caller's sample_mod, so fixture outputs are unchanged.
+    n_corpus = ds.count()
+    target = max(ncentroids * 256, 1)
+    mod = max(sample_mod, -(-n_corpus // target))  # ceil-div
+
     def _sample_filter(batch: pa.Table) -> pa.Table:
         vid = batch.column("vec_id").to_numpy()
-        return batch.filter(pa.array((vid % sample_mod == 0) & (vid >= qmax)))
+        return batch.filter(pa.array((vid % mod == 0) & (vid >= qmax)))
 
     sample = ds.map_batches(_sample_filter, batch_format="pyarrow").to_pandas()
     cent = _kmeans(np.stack(sample["embedding"].to_numpy()), ncentroids)
@@ -216,10 +236,14 @@ def ivf_topk(ds, query_ids: list[int], k: int = 10, ncentroids: int = 16,
             }))
         if is_q.any():
             qi = np.flatnonzero(is_q)
-            probes = np.argsort(-sims[qi], axis=1, kind="stable")[:, :nprobe]
-            take = np.repeat(qi, nprobe)
+            # clamp the probe fan-out: sims has only ncentroids columns, so
+            # nprobe > ncentroids must degrade gracefully (mirrors the LSH
+            # path's eff = min(nprobe, nbits))
+            eff = min(nprobe, sims.shape[1])
+            probes = np.argsort(-sims[qi], axis=1, kind="stable")[:, :eff]
+            take = np.repeat(qi, eff)
             parts.append(pa.table({
-                "vec_id": pa.array(np.repeat(vid[qi], nprobe)),
+                "vec_id": pa.array(np.repeat(vid[qi], eff)),
                 "bucket": pa.array(probes.ravel().astype(np.int64)),
                 "is_query": pa.array(np.ones(len(take), dtype=bool)),
                 "embedding": pc.take(batch.column("embedding"), pa.array(take)),

@@ -117,88 +117,87 @@ def minhash_candidate_pairs(ds, threshold: float = 0.7):
              .groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
              .groupby(["a", "b"]).count())
 
-    # Distributed verification: candidate texts never touch the driver.
-    # Only the candidate ID LIST (ints — tiny next to texts, and next to the
-    # corpus even at LSH false-positive volume) is collected to broadcast a
-    # semi-join filter; pairs then pick up each side's text through a
-    # co-group shuffle and the exact-Jaccard verify runs inside map_groups.
+    def verify_batch(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy().astype(np.int64)
+        b = batch.column("b").to_numpy().astype(np.int64)
+        ta = batch.column("text_a").to_pylist()
+        tb = batch.column("text_b").to_pylist()
+        js = np.asarray([jaccard(x, y) for x, y in zip(ta, tb)], dtype=np.float64)
+        keep = js >= threshold
+        return pa.table({"doc_a": pa.array(a[keep]),
+                         "doc_b": pa.array(b[keep]),
+                         "jaccard": pa.array(np.round(js[keep], 6))})
+
+    texts = ds.select_columns(["doc_id", "text"])
+    cpus = 8
+    try:
+        import ray
+
+        if ray.is_initialized():
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        pass
+    if cpus >= 8:
+        # Fully distributed verification: two hash joins attach each side's
+        # text to the candidate pairs (the candidate set never touches the
+        # driver), then the exact-Jaccard check runs rowwise per batch — no
+        # per-pair pandas groups.  The joins shuffle only (pair ids + the
+        # matched texts); the corpus side is hash-partitioned once per join.
+        nparts = max(2, min(32, cpus // 2))
+        # The sort-based groupby upstream emits ZERO-COLUMN empty pandas
+        # blocks for empty partitions; map_batches passes empty blocks
+        # through without calling the UDF, and ray 2.49's hash-join
+        # aggregator then fails with "No match ... FieldRef.Name(a)" when a
+        # partition holds only such blocks.  Repartition coalesces the tiny
+        # pair stream to O(cluster) schema-bearing blocks (the same
+        # partial-coalesce discipline as pipelines/cumul.py) and scrubs the
+        # degenerate empties before the join.
+        pairs = pairs.repartition(nparts)
+        ta = pairs.select_columns(["a", "b"]).join(
+            texts, join_type="inner", num_partitions=nparts,
+            on=("a",), right_on=("doc_id",), right_suffix="_a")
+        ta = ta.map_batches(
+            lambda t: t.rename_columns(
+                ["text_a" if c == "text" else c for c in t.column_names]),
+            batch_format="pyarrow")
+        tb = ta.join(texts, join_type="inner", num_partitions=nparts,
+                     on=("b",), right_on=("doc_id",), right_suffix="_b")
+        tb = tb.map_batches(
+            lambda t: t.rename_columns(
+                ["text_b" if c == "text" else c for c in t.column_names]),
+            batch_format="pyarrow")
+        return tb.map_batches(verify_batch, batch_format="pyarrow")
+
+    # Below ~8 CPU slots ray 2.49's hash-join aggregator actors starve the
+    # streaming executor (same gate as pipelines/flagship.flagship_with_bytes)
+    # — fall back to a broadcast semi-join: the candidate ID list (ints only)
+    # drives an is_in filter and the matched texts merge driver-side.  This
+    # path is for small fixtures; the join path above is the scale shape.
     import ray
     import pyarrow.compute as _pc
 
     EMPTY = pa.table({"doc_a": pa.array([], pa.int64()),
                       "doc_b": pa.array([], pa.int64()),
                       "jaccard": pa.array([], pa.float64())})
-
-    def pair_halves(batch: pa.Table) -> pa.Table:
-        a = batch.column("a").to_numpy().astype(np.int64)
-        b = batch.column("b").to_numpy().astype(np.int64)
-        return pa.table({
-            "key": pa.array(np.concatenate([a, b])),
-            "a": pa.array(np.concatenate([a, a])),
-            "b": pa.array(np.concatenate([b, b])),
-            "side": pa.array(["a"] * len(a) + ["b"] * len(b)),
-            "text": pa.array([""] * (2 * len(a)), type=pa.string()),
-        })
-
-    halves = pairs.map_batches(pair_halves, batch_format="pyarrow")
-
-    # distinct via groupby-count (Dataset.unique's Unique aggregate breaks
-    # combining partials at >8-way parallelism in ray 2.49)
-    ids = sorted(int(x) for x in
-                 halves.select_columns(["key"]).groupby("key").count()
-                 .to_pandas()["key"])
-    if not ids:
+    pdf = pairs.select_columns(["a", "b"]).to_pandas()
+    if len(pdf) == 0:
         return ray.data.from_arrow(EMPTY)
-    keys_ref = ray.put(pa.array(ids, type=pa.int64()))
+    ids = np.unique(np.concatenate([pdf["a"].to_numpy(), pdf["b"].to_numpy()]))
+    keys_ref = ray.put(pa.array(ids.astype(np.int64)))
 
     def text_rows(batch: pa.Table) -> pa.Table:
-        t = batch.filter(_pc.is_in(batch.column("doc_id"),
-                                   value_set=ray.get(keys_ref)))
-        n = t.num_rows
-        return pa.table({
-            "key": t.column("doc_id"),
-            "a": pa.array(np.full(n, -1, dtype=np.int64)),
-            "b": pa.array(np.full(n, -1, dtype=np.int64)),
-            "side": pa.array(["t"] * n),
-            "text": t.column("text"),
-        })
+        return batch.select(["doc_id", "text"]).filter(
+            _pc.is_in(batch.column("doc_id"), value_set=ray.get(keys_ref)))
 
-    cand_texts = ds.map_batches(text_rows, batch_format="pyarrow")
-
-    # empty OBJECT columns would convert to arrow null type and destabilize
-    # the downstream aggregate's schema — pin them to string
-    _EMPTY_ATTACH = pd.DataFrame({"a": pd.Series(dtype="int64"),
-                                  "b": pd.Series(dtype="int64"),
-                                  "side": pd.Series(dtype="string"),
-                                  "text": pd.Series(dtype="string")})
-    _EMPTY_VERIFY = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
-                                  "doc_b": pd.Series(dtype="int64"),
-                                  "jaccard": pd.Series(dtype="float64")})
-
-    def attach_text(df: pd.DataFrame) -> pd.DataFrame:
-        tr = df[df["side"] == "t"]
-        if len(tr) == 0:
-            return _EMPTY_ATTACH
-        text = tr["text"].iloc[0]
-        pr = df[df["side"] != "t"]
-        return pd.DataFrame({"a": pr["a"], "b": pr["b"], "side": pr["side"],
-                             "text": [text] * len(pr)})
-
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        ta = df[df["side"] == "a"]["text"]
-        tb = df[df["side"] == "b"]["text"]
-        if len(ta) == 0 or len(tb) == 0:
-            return _EMPTY_VERIFY
-        j = jaccard(ta.iloc[0], tb.iloc[0])
-        if j < threshold:
-            return _EMPTY_VERIFY
-        return pd.DataFrame({"doc_a": [int(df["a"].iloc[0])],
-                             "doc_b": [int(df["b"].iloc[0])],
-                             "jaccard": [round(j, 6)]})
-
-    return (halves.union(cand_texts)
-            .groupby("key").map_groups(attach_text, batch_format="pandas")
-            .groupby(["a", "b"]).map_groups(verify, batch_format="pandas"))
+    tdf = ds.map_batches(text_rows, batch_format="pyarrow").to_pandas()
+    tmap = dict(zip(tdf["doc_id"].astype(np.int64), tdf["text"]))
+    out = verify_batch(pa.table({
+        "a": pa.array(pdf["a"].astype(np.int64)),
+        "b": pa.array(pdf["b"].astype(np.int64)),
+        "text_a": pa.array([tmap.get(int(x), "") for x in pdf["a"]], pa.string()),
+        "text_b": pa.array([tmap.get(int(x), "") for x in pdf["b"]], pa.string()),
+    }))
+    return ray.data.from_arrow(out)
 
 
 def simhash64(text: str) -> int:
@@ -286,10 +285,10 @@ def embedding_neardup(ds, sim_threshold: float = 0.98, nbits: int = 12,
     from ray.data.aggregate import Max
 
     def project(batch: pa.Table) -> pa.Table:
+        from .ann import lsh_planes
+
         vec = np.stack(batch.column("embedding").to_pylist()).astype(np.float64)
-        rng = np.random.default_rng(42)
-        planes = rng.standard_normal((vec.shape[1], nbits * nbands))
-        signs = (vec @ planes) > 0
+        signs = (vec @ lsh_planes(vec.shape[1], nbits * nbands, seed=42)) > 0
         parts = []
         for band in range(nbands):
             seg = signs[:, band * nbits:(band + 1) * nbits]

@@ -137,6 +137,27 @@ def run_scaling() -> dict:
     med = {c: statistics.median(r["rows_per_s"] for r in runs[c]) for c in (8, 32)}
     best = {c: max(r["rows_per_s"] for r in runs[c]) for c in (8, 32)}
     eff = (med[32] / med[8]) / (32 / 8)
+
+    # Canary-conditioned statistic: the sandbox's dominant noise is
+    # co-tenant MEMORY-BANDWIDTH contention, visible as an inflated canary
+    # (normally ~0.05 s).  A run is "quiet" when the canary bracketing it
+    # (measured before AND after the flagship) stayed below the threshold —
+    # the quiet-median efficiency is the mechanical scaling claim; the raw
+    # median is reported alongside for honesty about conditions.
+    quiet_s = float(os.environ.get("GRAFT_CANARY_QUIET_S", "0.5"))
+
+    def _canary(r: dict) -> float:
+        return max(r.get("canary_pre_s", r.get("mem_bw_canary_s", 0.0)) or 0.0,
+                   r.get("canary_post_s", 0.0) or 0.0)
+
+    quiet = {c: [r for r in runs[c] if _canary(r) < quiet_s] for c in (8, 32)}
+    if quiet[8] and quiet[32]:
+        med_q = {c: statistics.median(r["rows_per_s"] for r in quiet[c])
+                 for c in (8, 32)}
+        eff_quiet = round((med_q[32] / med_q[8]) / 4.0, 3)
+    else:
+        med_q = {8: None, 32: None}
+        eff_quiet = None
     return {
         "metric": f"scaling efficiency N(8cpu) -> 4N(32cpu), median of {SCALE_RUNS}",
         "value": round(eff, 3),
@@ -150,6 +171,12 @@ def run_scaling() -> dict:
         "rows_per_s_8_all": [r["rows_per_s"] for r in runs[8]],
         "rows_per_s_32_all": [r["rows_per_s"] for r in runs[32]],
         "eff_best_of_n": round((best[32] / best[8]) / 4.0, 3),
+        "eff_quiet_median": eff_quiet,
+        "quiet_threshold_s": quiet_s,
+        "quiet_runs_8": len(quiet[8]),
+        "quiet_runs_32": len(quiet[32]),
+        "rows_per_s_8_quiet_median": med_q[8] and round(med_q[8], 1),
+        "rows_per_s_32_quiet_median": med_q[32] and round(med_q[32], 1),
         "rows": runs[32][0]["rows"],
         "sf": SF_DIR,
         "num_cpus": 32,
@@ -171,15 +198,18 @@ def run_single() -> dict:
     ensure_worker_importable()
 
     n_rows = datagen.images_dataset(SF_DIR, expand=EXPAND).count()
+    canary_pre = mem_bw_canary()
     t0 = time.time()
     out_rows = flagship(SF_DIR, expand=EXPAND,
                         assign_concurrency=max(4, NUM_CPUS // 4)).count()
     dt = time.time() - t0
+    canary_post = mem_bw_canary()
     return {"metric": "flagship wall time", "value": round(dt, 3), "unit": "sec",
             "queries": {"flagship_street_json": round(dt, 3)}, "sf": SF_DIR,
             "num_cpus": NUM_CPUS, "rows": int(n_rows), "out_rows": int(out_rows),
             "rows_per_s": round(n_rows / dt, 1),
-            "mem_bw_canary_s": mem_bw_canary()}
+            "mem_bw_canary_s": max(canary_pre, canary_post),
+            "canary_pre_s": canary_pre, "canary_post_s": canary_post}
 
 
 if __name__ == "__main__":

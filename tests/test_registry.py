@@ -55,6 +55,32 @@ steps:
     assert a.equals(b)
 
 
+def test_yaml_spec_merge_equals_cumul_dataset(ray_session, sf_dir):
+    """The spec-composed merge includes the FANTOIR registry union —
+    registry-matched voie rows and match flags equal cumul_dataset's."""
+    from bano_ray.pipelines.cumul import cumul_dataset
+    from bano_ray.registry import build_pipeline
+
+    yaml_spec = """
+source: {step: images, args: {sf_dir: $sf}}
+steps:
+  - {step: parse_caption}
+  - {step: encode_cells}
+  - {step: zone_assign}
+  - {step: suffix_decorate, args: {sf_dir: $sf}}
+  - {step: merge_cumul}
+"""
+    cols = ["rec_type", "insee", "street_key"]
+    a = (build_pipeline(yaml_spec, sf=sf_dir).to_pandas()
+         .sort_values(cols).reset_index(drop=True))
+    b = (cumul_dataset(sf_dir).to_pandas()
+         .sort_values(cols).reset_index(drop=True))
+    assert sorted(a.columns) == sorted(b.columns)
+    a = a[sorted(a.columns)]
+    b = b[sorted(b.columns)]
+    assert a.equals(b)
+
+
 def test_cli_list_steps_and_run_spec(ray_session, sf_dir, tmp_path, capsys):
     from bano_ray.cli import main
 
