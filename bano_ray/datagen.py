@@ -507,13 +507,32 @@ def images_dataset(sf_dir: str, with_bytes: bool = False, expand: int = 1,
     lance_path = f"{sf_dir}/documents.lance"
     import os as _os
     if _os.path.exists(lance_path):
-        try:  # Lance is the production input format (input_hint); the
-            # sandbox ships parquet only, so this is import-gated
-            return ray.data.read_lance(lance_path, columns=["doc_id"]) \
-                .map_batches(lambda b: synthesize_batch(b, with_bytes=with_bytes),
-                             batch_format="pyarrow")
-        except ImportError:
-            pass
+        # Lance is the production input format (input_hint); the read is the
+        # ONLY thing that differs — the pruned doc_id stream feeds the same
+        # prefilter/expand/synthesize pipeline below, so expand>1 and
+        # doc_residue behave identically for both inputs.
+        try:
+            ds = ray.data.read_lance(lance_path, columns=["doc_id"])
+        except ImportError as exc:
+            # No silent fallback: a user pointing the engine at its
+            # advertised input format must not unknowingly read a stale
+            # parquet sibling.  Fall back ONLY when the parquet twin exists,
+            # and say so; otherwise fail with the real cause.
+            if _os.path.exists(f"{sf_dir}/documents.parquet"):
+                import warnings
+
+                warnings.warn(
+                    f"{lance_path} exists but the lance reader is "
+                    f"unavailable ({exc}); falling back to "
+                    "documents.parquet", RuntimeWarning, stacklevel=2)
+            else:
+                raise RuntimeError(
+                    f"{lance_path} exists but the lance reader is "
+                    "unavailable and there is no documents.parquet to fall "
+                    "back to — install the 'pylance' package") from exc
+        else:
+            return _images_pipeline(ds, with_bytes=with_bytes, expand=expand,
+                                    doc_residue=doc_residue)
     # size read blocks so each downstream task sees ~150k expanded rows —
     # bigger blocks thrash the string stages, smaller ones drown in task
     # overhead (measured both ways)
@@ -538,6 +557,14 @@ def images_dataset(sf_dir: str, with_bytes: bool = False, expand: int = 1,
     nblocks = int(min(cap, max(16, min(8 * ncpu, by_rows) if by_rows > 0 else 16)))
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"],
                                override_num_blocks=nblocks)
+    return _images_pipeline(ds, with_bytes=with_bytes, expand=expand,
+                            doc_residue=doc_residue)
+
+
+def _images_pipeline(ds, with_bytes: bool, expand: int,
+                     doc_residue: tuple[int, int] | None):
+    """Shared synthesis pipeline over a pruned doc_id stream (parquet or
+    lance source — see images_dataset)."""
     if doc_residue is not None and expand == 1:
         m, r = doc_residue
 

@@ -103,50 +103,83 @@ def export_csv_zone(df: pd.DataFrame, min_cp: str, ville: str) -> pd.DataFrame:
     od = _slice(adr, "BAL", need_nonzero=True)
     c = _slice(adr, "BAN", need_nonzero=True)
 
-    rows = []
-    for r in u.itertuples(index=False):
-        key = (r.fantoir, r.num)
-        ro = o.loc[key] if key in o.index else None
-        rod = od.loc[key] if key in od.index else None
-        rc = c.loc[key] if key in c.index else None
-        numero = _first_nonempty(
-            ro["numero"] if ro is not None else "",
-            rod["numero"] if rod is not None else "",
-            rc["numero"] if rc is not None else "")
-        if numero == "":
-            continue  # no geometry source matched (reference: lat IS NULL filter)
-        numero_out = numero.upper().replace(" ", "")
-        voie = _first_nonempty(
-            (ro["voie_osm"].replace("’", "'") if ro is not None else ""),
-            (rod["voie_osm"].replace("’", "'") if rod is not None else ""),
-            (rc["voie_osm"].replace("’", "'") if rc is not None else ""),
-            rod["voie_autre"] if rod is not None else "",
-            rc["voie_autre"] if rc is not None else "")
-        voie = voie.replace('"', "'").replace(", ", " ").replace(",", " ")
-        geom_row = ro if ro is not None else (rod if rod is not None else rc)
-        lon, lat = float(geom_row["lon"]), float(geom_row["lat"])
-        postal_poly_cp = str(get_postal_index().assign_smallest(
-            np.array([lon]), np.array([lat]))[0])
-        code_post = _first_nonempty(
-            ro["code_postal"] if ro is not None else "",
-            rc["code_postal"] if rc is not None else "",
-            postal_poly_cp, min_cp)
-        if ro is not None:
-            source = "OSM"
-        elif rod is not None and _nn(rod["voie_osm"]) and rod["voie_osm"] != rod["voie_autre"]:
-            source = "O+O"
-        elif rod is not None:
-            source = "OD"
-        elif rc is not None and _nn(rc["voie_osm"]):
-            source = "C+O"
-        else:
-            source = "CAD"
-        if not _plausible(numero_out):
-            continue
-        rows.append({"id": f"{r.fantoir}-{r.num}", "numero": numero_out,
-                     "voie": voie, "code_post": code_post, "ville": ville,
-                     "source": source, "lat": lat, "lon": lon})
-    out = pd.DataFrame(rows, columns=EXPORT_CSV_COLS)
+    # Vectorized coalesce: align each source slice to the unique
+    # (fantoir, num) keys once (reindex), then the per-row priority picks,
+    # source classification and plausibility filter are column ops — no
+    # Python loop, and the postal polygon lookup runs ONCE per group (the
+    # per-row assign_smallest call was the old hot spot).
+    idx = pd.MultiIndex.from_arrays([u["fantoir"], u["num"]])
+    po = idx.isin(o.index)
+    pod = idx.isin(od.index)
+    pc_ = idx.isin(c.index)
+
+    def _col(s: pd.DataFrame, name: str) -> np.ndarray:
+        return s[name].reindex(idx).fillna("").to_numpy(dtype=object)
+
+    def _coalesce(*arrs: np.ndarray) -> np.ndarray:
+        out = arrs[-1]
+        for a in arrs[-2::-1]:
+            out = np.where(a != "", a, out)
+        return out
+
+    numero = _coalesce(_col(o, "numero"), _col(od, "numero"),
+                       _col(c, "numero"), np.full(len(u), "", dtype=object))
+    # '' numero ≡ no geometry source matched (reference: lat IS NULL filter)
+    numero_out = pd.Series(numero, dtype=object).str.upper() \
+        .str.replace(" ", "", regex=False).fillna("").to_numpy(dtype=object)
+
+    def _rep(a: np.ndarray) -> np.ndarray:
+        return pd.Series(a, dtype=object).str.replace("’", "'", regex=False) \
+            .fillna("").to_numpy(dtype=object)
+
+    vo_od_raw = _col(od, "voie_osm")
+    va_od = _col(od, "voie_autre")
+    vo_c_raw = _col(c, "voie_osm")
+    voie = _coalesce(_rep(_col(o, "voie_osm")), _rep(vo_od_raw),
+                     _rep(vo_c_raw), va_od, _col(c, "voie_autre"),
+                     np.full(len(u), "", dtype=object))
+    voie = (pd.Series(voie, dtype=object)
+            .str.replace('"', "'", regex=False)
+            .str.replace(", ", " ", regex=False)
+            .str.replace(",", " ", regex=False)
+            .fillna("").to_numpy(dtype=object))
+
+    def _fcol(s: pd.DataFrame, name: str) -> np.ndarray:
+        return s[name].reindex(idx).to_numpy(dtype=np.float64)
+
+    lon = np.where(po, _fcol(o, "lon"), np.where(pod, _fcol(od, "lon"),
+                                                 _fcol(c, "lon")))
+    lat = np.where(po, _fcol(o, "lat"), np.where(pod, _fcol(od, "lat"),
+                                                 _fcol(c, "lat")))
+
+    source = np.select(
+        [po,
+         pod & (vo_od_raw != "") & (vo_od_raw != va_od),
+         pod,
+         pc_ & (vo_c_raw != "")],
+        ["OSM", "O+O", "OD", "C+O"], default="CAD").astype(object)
+
+    num_s = pd.Series(numero_out, dtype=object)
+    plaus = (num_s.str.match(PLAUSIBLE_RE).fillna(False).to_numpy(dtype=bool)
+             & (numero_out != "99999")
+             & ~num_s.str.contains(IMPLAUSIBLE_RE, regex=True)
+             .fillna(False).to_numpy(dtype=bool))
+    keep = (numero != "") & plaus
+
+    fant = u["fantoir"].to_numpy(dtype=object)[keep]
+    nums = u["num"].to_numpy(dtype=object)[keep]
+    lon_k, lat_k = lon[keep], lat[keep]
+    poly_cp = pd.Series(get_postal_index().assign_smallest(lon_k, lat_k),
+                        dtype=object).fillna("").to_numpy(dtype=object)
+    code_post = _coalesce(_col(o, "code_postal")[keep],
+                          _col(c, "code_postal")[keep], poly_cp,
+                          np.full(keep.sum(), min_cp, dtype=object))
+
+    out = pd.DataFrame({
+        "id": pd.Series(fant, dtype=object) + "-" + pd.Series(nums, dtype=object),
+        "numero": numero_out[keep], "voie": voie[keep],
+        "code_post": code_post, "ville": ville, "source": source[keep],
+        "lat": lat_k, "lon": lon_k}, columns=EXPORT_CSV_COLS)
     if len(out) == 0:
         return _typed_empty(EXPORT_CSV_COLS, _CSV_DTYPES)
     out = out.sort_values(["id", "numero", "lat", "lon"], kind="stable")

@@ -122,3 +122,71 @@ def test_hamlet_population_clusters_inside_buffer():
     dx = lon[a][:, None] - lon[~a][None, :]
     dy = lat[a][:, None] - lat[~a][None, :]
     assert float(np.sqrt(dx ** 2 + dy ** 2).min()) > 3e-4
+
+
+def _lance_fixture_dir(tmp_path, with_parquet=True):
+    """An sf-dir whose documents table is 'lance' (a marker dir; the reader
+    is monkeypatched — the lance package is absent in this sandbox)."""
+    import shutil
+
+    d = tmp_path / "sf_lance"
+    d.mkdir()
+    (d / "documents.lance").mkdir()  # lance datasets are directories
+    if with_parquet:
+        shutil.copy("/root/testdata/sf0.001/documents.parquet",
+                    d / "documents.parquet")
+    return str(d)
+
+
+def test_images_dataset_takes_lance_branch(ray_session, tmp_path, monkeypatch):
+    """With documents.lance present, images_dataset reads through
+    ray.data.read_lance with column pruning, and the (prefilter, expand,
+    synthesize) pipeline produces output identical to the parquet path."""
+    import ray.data
+
+    import bano_ray.datagen as dg
+
+    sf = _lance_fixture_dir(tmp_path)
+    calls = []
+
+    def fake_read_lance(path, columns=None, **kw):
+        calls.append((path, tuple(columns or ())))
+        # stand-in for the lance scanner: same pruned doc_id stream
+        return ray.data.read_parquet(f"{sf}/documents.parquet", columns=list(columns))
+
+    monkeypatch.setattr(ray.data, "read_lance", fake_read_lance)
+
+    for kwargs in ({}, {"expand": 3}, {"doc_residue": (4, 1)}):
+        calls.clear()
+        via_lance = (dg.images_dataset(sf, **kwargs)
+                     .select_columns(["doc_id", "caption", "phash", "lon", "lat"])
+                     .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert calls and calls[0][0].endswith("documents.lance")
+        assert calls[0][1] == ("doc_id",), "lance read must be column-pruned"
+        via_parquet = (dg.images_dataset("/root/testdata/sf0.001", **kwargs)
+                       .select_columns(["doc_id", "caption", "phash", "lon", "lat"])
+                       .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert via_lance.equals(via_parquet), f"lance/parquet diverge for {kwargs}"
+
+
+def test_images_dataset_lance_unavailable_falls_back_loudly(ray_session, tmp_path):
+    """The real sandbox has no lance package: with a parquet twin present the
+    reader warns and falls back; without one it raises (never silent)."""
+    import warnings
+
+    import bano_ray.datagen as dg
+
+    sf = _lance_fixture_dir(tmp_path, with_parquet=True)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        n = dg.images_dataset(sf).count()
+    assert n > 0
+    assert any("lance reader is unavailable" in str(x.message) for x in w)
+
+    bare = tmp_path / "bare"
+    bare.mkdir()
+    sf_bare = _lance_fixture_dir(bare, with_parquet=False)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="lance reader is unavailable"):
+        dg.images_dataset(sf_bare)
