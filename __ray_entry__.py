@@ -34,6 +34,7 @@ _ORACLE_QUERIES = [
     "q_export_csv",          # K1/J1/A1-A3 priority coalesce export
     "q_street_json",         # A1/A4/A5 importance + packing export
     "q_registry_unmatched",  # J9 anti-join
+    "q_voies_sans_adresses", # J10 matched-without-addresses export
     "q_ban_pseudo",          # J11 pseudo-registry augmentation
     "q_min_cp",              # A6 min postal per zone
     "q_tile_zones",          # G9 expire tiles → impacted zones

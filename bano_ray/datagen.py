@@ -618,19 +618,104 @@ def zone_boxes_wkb() -> list[tuple[str, bytes]]:
 
 def registry_table() -> pa.Table:
     """FANTOIR-like registry: streets 0..K_REG-1 in every zone, official name
-    = spelling 0, fantoir10 = insee + zfill(sidx,4) + 'A'."""
+    = spelling 0, fantoir10 = insee + zfill(sidx,4) + 'A'.  Way-only streets
+    (WAYONLY_BASE..) are registered too — they model the reference's
+    "rapproché sans adresses" population (J10): matched to the registry via
+    the point_par_rue load, but never carrying an address row."""
     from .functions.normalize import normalize_registry_key
 
     insee, fantoir10, name, key = [], [], [], []
     for z in range(NZONES):
         zi = str(z + 1).zfill(5)
-        for s in range(K_REG):
+        for s in list(range(K_REG)) + [WAYONLY_BASE + i for i in range(NWAYONLY)]:
             insee.append(zi)
             fantoir10.append(f"{zi}{str(s).zfill(4)}A")
-            name.append(STREET_SPELLINGS[s][0])
-            key.append(normalize_registry_key(STREET_SPELLINGS[s][0]))
+            name.append(street_spelling0(s))
+            key.append(normalize_registry_key(street_spelling0(s)))
     return pa.table({"insee": insee, "fantoir10": fantoir10, "name": name,
                      "street_key": key})
+
+
+# --- G5 street ways (point_par_rue label-point source) ---------------------
+# The reference overrides the cumul_voies label point with an on-street
+# point computed from the street's OSM way geometry: ways named like the
+# street are collected per commune, merged, and the point on the merged
+# line closest to its vertex centroid becomes the label
+# (bano/sql/point_par_rue_insee_nocache.sql:1-51, applied
+# bano/core.py:237-252 + bano/models.py:150-156).  In the synthetic world:
+# WAY_SIDX streets (sidx % 8 == 5) carry ways in every zone; WAYONLY
+# streets (sidx 64..) exist ONLY as ways + registry rows — the reference's
+# point_par_rue registration path and the J10 voies-sans-adresses
+# population (no document ever maps to them).
+WAYONLY_SPELLINGS: list[list[str]] = [
+    ["Traverse des Vignes Hautes"],
+    ["Passage du Grand Canal"],
+]
+NWAYONLY = len(WAYONLY_SPELLINGS)   # 2
+WAYONLY_BASE = NSTREET_ALL          # 64; way-only streets are sidx 64..65
+WAY_SIDX = [s for s in range(NSTREET) if s % 8 == 5] \
+    + [WAYONLY_BASE + i for i in range(NWAYONLY)]
+
+
+def street_spelling0(sidx: int) -> str:
+    """Canonical (OSM/official) spelling for any street index, including
+    hamlet and way-only streets."""
+    if sidx >= WAYONLY_BASE:
+        return WAYONLY_SPELLINGS[sidx - WAYONLY_BASE][0]
+    if sidx >= NSTREET:
+        return HAMLET_SPELLINGS[sidx - NSTREET][0]
+    return STREET_SPELLINGS[sidx][0]
+
+
+def way_fragments(zone: int, sidx: int) -> list[np.ndarray]:
+    """The street's way as two L-shaped fragments sharing a vertex (so the
+    label computation exercises multi-fragment collect + snap).  Family V
+    (even sidx) has the long tail vertical, family H horizontal — the
+    vertex centroid is off both segments and the snap lands on the tail,
+    exercising both projection branches.  All vertices stay inside the
+    zone box so point-in-polygon assigns the constructing zone."""
+    zx, zy = zone // NZY, zone % NZY
+    w = LON_SPAN / NZX
+    h = LAT_SPAN / NZY
+    x0 = LON0 + w * (zx + 0.15 + 0.015 * (sidx % 13))
+    y0 = LAT0 + h * (zy + 0.15 + 0.011 * (sidx % 17))
+    d = w * 0.01
+    if sidx % 2 == 0:
+        p0, p1, p2 = (x0, y0), (x0 + d, y0), (x0 + d, y0 + 2 * d)
+    else:
+        p0, p1, p2 = (x0, y0), (x0, y0 + d), (x0 + 2 * d, y0 + d)
+    return [np.array([p0, p1], dtype=np.float64),
+            np.array([p1, p2], dtype=np.float64)]
+
+
+def street_ways_dataset(sf_dir: str | None = None):
+    """Way-fragment rows as a Ray Dataset — the input to the distributed
+    street-label pre-pass (stages/label.py).  Dim-sized here (zones ×
+    WAY_SIDX × 2 fragments); a real deployment reads way geometries from
+    the OSM import instead, same schema."""
+    import ray.data
+
+    rows: dict[str, list] = {k: [] for k in
+                             ("way_id", "frag_idx", "name", "ax", "ay", "bx", "by")}
+    for z in range(NZONES):
+        for s in WAY_SIDX:
+            for fi, fr in enumerate(way_fragments(z, s)):
+                rows["way_id"].append(z * 1000 + s)
+                rows["frag_idx"].append(fi)
+                rows["name"].append(street_spelling0(s))
+                rows["ax"].append(float(fr[0, 0]))
+                rows["ay"].append(float(fr[0, 1]))
+                rows["bx"].append(float(fr[1, 0]))
+                rows["by"].append(float(fr[1, 1]))
+    return ray.data.from_arrow(pa.table({
+        "way_id": pa.array(rows["way_id"], type=pa.int64()),
+        "frag_idx": pa.array(rows["frag_idx"], type=pa.int64()),
+        "name": pa.array(rows["name"], type=pa.string()),
+        "ax": pa.array(rows["ax"], type=pa.float64()),
+        "ay": pa.array(rows["ay"], type=pa.float64()),
+        "bx": pa.array(rows["bx"], type=pa.float64()),
+        "by": pa.array(rows["by"], type=pa.float64()),
+    }))
 
 
 def zone_dims_table() -> pa.Table:

@@ -311,6 +311,75 @@ sfx AS (
 _DECORATED = "EXISTS (SELECT 1 FROM sfx WHERE sfx.doc_id = pts2.doc_id)"
 
 
+# --- G5 street labels (point_par_rue) --------------------------------------
+# The label table is closed-form over datagen's way grid, so the oracle
+# carries it as a literal CTE.  The geometry below mirrors the engine's
+# street_label_point op-for-op in float64 (vertex-centroid via np.mean,
+# segment projection, argmin snap) so the embedded doubles are bit-identical
+# to the Ray side; repr() round-trips them exactly through DuckDB's parser.
+
+WAYONLY_NORMS = [normalize(g[0]) for g in dg.WAYONLY_SPELLINGS]
+WAYONLY_SPELL0 = [g[0] for g in dg.WAYONLY_SPELLINGS]
+# registry membership for any street index (datagen.registry_table)
+_REG_PRED = f"(sidx < {dg.K_REG} OR sidx >= {dg.NSTREET_ALL})"
+
+
+def _label_points() -> list[tuple[str, int, float, float]]:
+    import numpy as np
+
+    rows = []
+    for z in range(dg.NZONES):
+        zi = str(z + 1).zfill(5)
+        for s in dg.WAY_SIDX:
+            frs = dg.way_fragments(z, s)
+            pts = np.vstack(frs)
+            cx, cy = float(pts[:, 0].mean()), float(pts[:, 1].mean())
+            a = np.vstack([f[:-1] for f in frs])
+            b = np.vstack([f[1:] for f in frs])
+            d = b - a
+            len2 = (d ** 2).sum(axis=1)
+            len2 = np.where(len2 == 0, 1e-300, len2)
+            t = ((np.array([cx, cy]) - a) * d).sum(axis=1) / len2
+            t = np.clip(t, 0.0, 1.0)
+            proj = a + t[:, None] * d
+            dist2 = ((proj - np.array([cx, cy])) ** 2).sum(axis=1)
+            j = int(np.argmin(dist2))
+            rows.append((zi, s, float(proj[j, 0]), float(proj[j, 1])))
+    return rows
+
+
+def _lab_ctes() -> str:
+    """``lab``: one (commune, street) label row per OSM-bearing commune ×
+    way-bearing street — the engine's gated ``street_labels`` pre-pass."""
+    vals = ",\n    ".join(f"('{zi}', {s}, {v!r}, {w!r})"
+                          for zi, s, v, w in _label_points())
+    return f"""lab_all AS (
+  SELECT * FROM (VALUES
+    {vals}) AS t(insee, sidx, lx, ly)
+),
+lab_gate AS (SELECT DISTINCT insee FROM pts2 WHERE source = 'OSM'),
+lab AS (SELECT a.* FROM lab_all a JOIN lab_gate g USING (insee))"""
+
+
+# street_key / canonical spelling for ANY street index incl. way-only ones
+_KEY_ANY = (f"(CASE WHEN sidx >= {dg.NSTREET_ALL}"
+            f" THEN list_extract({{wn}}, sidx - {dg.NSTREET_ALL - 1})"
+            f" ELSE list_extract({{nn}}, sidx + 1) END)")
+_SPELL0_ANY = (f"(CASE WHEN sidx >= {dg.NSTREET_ALL}"
+               f" THEN list_extract({{ws}}, sidx - {dg.NSTREET_ALL - 1})"
+               f" ELSE list_extract({{fs}}, sidx * 4 + 1) END)")
+
+
+def _key_any(prefix: str = "") -> str:
+    e = _KEY_ANY.format(wn=_slist(WAYONLY_NORMS), nn=_slist(NORMS))
+    return e.replace("sidx", f"{prefix}sidx") if prefix else e
+
+
+def _spell0_any(prefix: str = "") -> str:
+    e = _SPELL0_ANY.format(ws=_slist(WAYONLY_SPELL0), fs=_slist(FLAT_SPELLINGS))
+    return e.replace("sidx", f"{prefix}sidx") if prefix else e
+
+
 def _cumul_ctes() -> str:
     # ``side`` splits a hamlet street group (sidx >= NSTREET) into the
     # decorated/canonical key group (side 0: BAN/BAL/CADASTRE rows plus OSM
@@ -334,6 +403,7 @@ def _cumul_ctes() -> str:
            f" ELSE {_KEY.replace('sidx', 'n.sidx')} END)")
     return f"""{base_pts_cte()},
 {_suffix_ctes()},
+{_lab_ctes()},
 pts3 AS (
   SELECT pts2.*,
          (CASE WHEN sidx >= {dg.NSTREET} AND source = 'OSM'
@@ -397,6 +467,7 @@ cumul AS (
                THEN {_CODE.replace('insee', 'n.insee').replace('sidx', 'n.sidx')}
                ELSE '' END) AS fantoir,
          (CASE WHEN n.source = 'OSM' OR COALESCE(h.n_hw, 0) > 0
+                    OR lb.sidx IS NOT NULL
                THEN {_SPELL0.replace('sidx', 'n.sidx')} ELSE '' END) AS voie_osm,
          (CASE WHEN n.sidx < {dg.K_REG}
                THEN {_SPELL0.replace('sidx', 'n.sidx')} ELSE '' END) AS voie_fantoir,
@@ -414,6 +485,7 @@ cumul AS (
   LEFT JOIN hw h ON h.insee = n.insee AND h.sidx = n.sidx AND h.side = n.side
   LEFT JOIN osm_addr_fant oaf ON oaf.insee = n.insee AND oaf.sidx = n.sidx
                              AND oaf.side = n.side
+  LEFT JOIN lab lb ON lb.insee = n.insee AND lb.sidx = n.sidx AND n.side = 0
 ),
 first_seen AS (
   SELECT insee, sidx, side, numero, MIN(doc_id * 100 + part_idx) AS fs
@@ -426,11 +498,42 @@ label_sel AS (
   WHERE rn = 1
 ),
 cumul_voies AS (
-  SELECT c.*, COALESCE(h.highway_index, 0) AS highway_index
+  SELECT c.insee, c.dept, c.source, c.street_key, c.numero,
+         COALESCE(lb.lx, c.lon) AS lon, COALESCE(lb.ly, c.lat) AS lat,
+         c.code_postal, c.fantoir, c.voie_osm, c.voie_fantoir, c.voie_bal,
+         c.voie_cadastre, c.voie_autre, c.sidx, c.side,
+         COALESCE(h.highway_index, 0) AS highway_index
   FROM label_sel l
   JOIN cumul c ON c.source = 'OSM' AND c.insee = l.insee AND c.sidx = l.sidx
               AND c.side = l.side AND c.numero = l.numero
   LEFT JOIN hw h ON h.insee = l.insee AND h.sidx = l.sidx AND h.side = l.side
+  LEFT JOIN lab lb ON lb.insee = l.insee AND lb.sidx = l.sidx AND l.side = 0
+  UNION ALL
+  -- label-only voie rows (way streets without OSM numeros in the group,
+  -- incl. the way-only J10 population): the point_par_rue load registers
+  -- the street after the FANTOIR attach, so voie_fantoir is set only when
+  -- addresses/highways had registered it, and the fantoir comes from the
+  -- highway tag, the registry fill, or stays ''
+  SELECT lb.insee, substr(lb.insee, 1, 2) AS dept, 'OSM' AS source,
+         {_key_any('lb.')} AS street_key, '' AS numero,
+         lb.lx AS lon, lb.ly AS lat, '' AS code_postal,
+         (CASE WHEN COALESCE(h.hw_has_fant, false) OR {_REG_PRED.replace('sidx', 'lb.sidx')}
+               THEN {_CODE.replace('insee', 'lb.insee').replace('sidx', 'lb.sidx')}
+               ELSE '' END) AS fantoir,
+         {_spell0_any('lb.')} AS voie_osm,
+         (CASE WHEN lb.sidx < {dg.K_REG}
+                    AND EXISTS (SELECT 1 FROM pts3 p WHERE p.source = 'OSM'
+                                AND p.insee = lb.insee AND p.sidx = lb.sidx
+                                AND p.side = 0)
+               THEN list_extract({_slist(FLAT_SPELLINGS)}, lb.sidx * 4 + 1)
+               ELSE '' END) AS voie_fantoir,
+         '' AS voie_bal, '' AS voie_cadastre, '' AS voie_autre,
+         lb.sidx, 0 AS side,
+         COALESCE(h.highway_index, 0) AS highway_index
+  FROM lab lb
+  LEFT JOIN hw h ON h.insee = lb.insee AND h.sidx = lb.sidx AND h.side = 0
+  WHERE NOT EXISTS (SELECT 1 FROM osm_num o WHERE o.insee = lb.insee
+                    AND o.sidx = lb.sidx AND o.side = 0)
 )"""
 
 
@@ -615,13 +718,52 @@ def q_registry_unmatched() -> str:
 reg AS (
   SELECT lpad(CAST(z.range + 1 AS VARCHAR), 5, '0') AS insee,
          lpad(CAST(z.range + 1 AS VARCHAR), 5, '0')
-           || lpad(CAST(s.range AS VARCHAR), 4, '0') || 'A' AS fantoir
-  FROM range({dg.NZONES}) z, range({dg.K_REG}) s
+           || lpad(CAST(s.sidx AS VARCHAR), 4, '0') || 'A' AS fantoir
+  FROM range({dg.NZONES}) z,
+       (SELECT range AS sidx FROM range({dg.K_REG})
+        UNION ALL
+        SELECT range AS sidx
+        FROM range({dg.NSTREET_ALL}, {dg.NSTREET_ALL + dg.NWAYONLY})) s
 ),
-matched AS (SELECT DISTINCT fantoir FROM cumul WHERE fantoir <> '')
+matched AS (SELECT DISTINCT fantoir FROM cumul_voies WHERE fantoir <> '')
 SELECT insee, fantoir FROM reg
 WHERE fantoir NOT IN (SELECT fantoir FROM matched)
 ORDER BY fantoir"""
+
+
+def q_voies_sans_adresses() -> str:
+    """J10 mirror (reference
+    ``export_json_dept_voies_rapprochees_sans_adresses.sql``): cumul_voies
+    fantoirs absent from cumul_adresses, enriched with the G8 postal fill,
+    the closed-form COG dims and the single-street importance
+    (``count(p.*) = 1`` → the ``log(2)`` term)."""
+    pop = "(1000 + ((CAST(s.insee AS BIGINT) - 1) * 7919) % 100000)"
+    aw = "(1 + (CAST(s.insee AS BIGINT) - 1) % 6)"
+    tw = ("(CASE WHEN s.voie_osm LIKE 'Boulevard%' THEN 4"
+          " WHEN s.voie_osm LIKE 'Place%' THEN 4"
+          " WHEN s.voie_osm LIKE 'Espl%' THEN 4"
+          " WHEN s.voie_osm LIKE 'Av%' THEN 3"
+          " WHEN s.voie_osm LIKE 'Rue %' THEN 2 ELSE 1 END)")
+    return f"""WITH {_cumul_ctes()},
+sans AS (
+  SELECT * FROM cumul_voies
+  WHERE fantoir <> ''
+    AND fantoir NOT IN (SELECT fantoir FROM cumul WHERE fantoir <> '')
+)
+SELECT s.fantoir,
+       s.insee AS citycode,
+       'street' AS type,
+       replace(replace(replace(s.voie_osm, chr(9), ' '), '"', chr(39)), '’', chr(39)) AS name,
+       {_postal_cp('s.lon', 's.lat')} AS postcode,
+       round(s.lat, 6) AS lat,
+       round(s.lon, 6) AS lon,
+       'Zone ' || s.insee AS city,
+       'Dept ' || substr(s.insee, 1, 2) AS departement,
+       'Region ' || substr(s.insee, 1, 2) AS region,
+       round(log({aw} + log({pop} + 1) / 3.0)
+             * log(1.0 + log(2) + log({tw})), 4) AS importance
+FROM sans s
+ORDER BY s.fantoir"""
 
 
 def q_ban_pseudo() -> str:

@@ -60,6 +60,29 @@ def _tag_points(batch: pa.Table) -> pa.Table:
     return batch.select(POINT_COLS)
 
 
+def _labels_as_points_batch(batch: pa.Table) -> pa.Table:
+    """Label rows (stages/label.py) in POINT_COLS form (rec_type='label')."""
+    n = batch.num_rows
+    return pa.table({
+        "rec_type": pa.array(["label"] * n),
+        "insee": batch.column("insee"),
+        "salt": pa.array(street_salt(batch.column("street_key"))),
+        "doc_id": pa.array(np.full(n, -1, dtype=np.int64)),
+        "source": pa.array([""] * n),
+        "street": batch.column("street"),
+        "street_key": batch.column("street_key"),
+        "hn": pa.array([""] * n),
+        "lon": batch.column("lon"),
+        "lat": batch.column("lat"),
+        "fantoir_raw": pa.array([""] * n),
+        "postcode": pa.array([""] * n),
+        "pseudo_adresse": pa.array([""] * n),
+        "highway_type": pa.array([""] * n),
+        "fant_valid": pa.array(np.zeros(n, dtype=bool)),
+        "hn_len": pa.array(np.zeros(n, dtype=np.int32)),
+    }).select(POINT_COLS)
+
+
 def _registry_as_points() -> pa.Table:
     reg = datagen.registry_table()
     n = reg.num_rows
@@ -142,13 +165,19 @@ def partial_dataset(sf_dir: str, expand: int = 1, assign_concurrency: int = 4):
     import ray
     import pyarrow as _pa
 
-    from ..stages.merge_partial import partial_from_points_arrow, registry_partials
+    from ..stages.label import street_labels
+    from ..stages.merge_partial import (label_partial_arrow,
+                                        partial_from_points_arrow,
+                                        registry_partials)
 
     ensure_worker_importable()
     pts = decorated_points_dataset(sf_dir, expand=expand,
                                    assign_concurrency=assign_concurrency) \
         .map_batches(_tag_points, batch_format="pyarrow", batch_size=None)
     par = pts.map_batches(partial_from_points_arrow, batch_format="pandas", batch_size=None)
+    lab = street_labels(sf_dir, expand=expand) \
+        .map_batches(label_partial_arrow, batch_format="pandas", batch_size=None)
+    par = par.union(lab)
     reg = ray.data.from_arrow(_pa.Table.from_pandas(registry_partials(),
                                                     preserve_index=False))
     # The combined partial stream is O(distinct keys) — tiny next to the
@@ -191,7 +220,11 @@ def cumul_dataset_rows(sf_dir: str, expand: int = 1, assign_concurrency: int = 4
                                    assign_concurrency=assign_concurrency) \
         .map_batches(_tag_points, batch_format="pyarrow", batch_size=None)
     reg = ray.data.from_arrow(_registry_as_points())
-    both = pts.union(reg)
+    from ..stages.label import street_labels
+
+    labels = street_labels(sf_dir, expand=expand) \
+        .map_batches(_labels_as_points_batch, batch_format="pyarrow", batch_size=None)
+    both = pts.union(reg).union(labels)
     return both.groupby(["insee", "salt"]).map_groups(merge_zone, batch_format="pandas")
 
 

@@ -163,19 +163,22 @@ def q_street_json(sf_dir: str):
 
 
 def q_registry_unmatched(sf_dir: str):
-    """J9 anti-join: registry streets with no merged address rows
-    (reference bano/sql/export_json_dept_voies_non_rapprochees.sql:13-21),
+    """J9 anti-join: registry streets not matched by any cumul_voies row
+    (reference bano/sql/export_json_dept_voies_non_rapprochees.sql:13-21:
+    ``fantoir_voie EXCEPT SELECT insee_com, fantoir FROM cumul_voies``),
     expressed as union + groupby(fantoir) keep-unmatched — shuffle-based,
-    no driver-side set."""
+    no driver-side set.  Streets matched only via the point_par_rue label
+    load (way-only streets) count as matched — they belong to the J10
+    "rapprochées sans adresses" export instead."""
     import ray
-    from .cumul import cumul_adresses
+    from .cumul import cumul_voies
 
     reg = ray.data.from_arrow(datagen.registry_table()).map_batches(
         lambda b: pa.table({"fantoir": b.column("fantoir10"),
                             "insee": b.column("insee"),
                             "side": pa.array(["r"] * b.num_rows)}),
         batch_format="pyarrow")
-    matched = cumul_adresses(sf_dir).map_batches(
+    matched = cumul_voies(sf_dir).map_batches(
         lambda b: pa.table({"fantoir": b.column("fantoir"),
                             "insee": b.column("insee"),
                             "side": pa.array(["m"] * b.num_rows)}),
@@ -189,6 +192,65 @@ def q_registry_unmatched(sf_dir: str):
 
     return (reg.union(matched).groupby("fantoir")
             .map_groups(keep_unmatched, batch_format="pandas"))
+
+
+VSA_COLS = ["fantoir", "citycode", "type", "name", "postcode", "lat", "lon",
+            "city", "departement", "region", "importance"]
+
+
+def q_voies_sans_adresses(sf_dir: str):
+    """J10 export: registry-matched streets carrying no addresses
+    (reference ``export_json_dept_voies_rapprochees_sans_adresses.sql``:
+    ``fantoir FROM cumul_voies EXCEPT fantoir FROM cumul_adresses``, then
+    postal-polygon + COG enrichment).  The population is exactly the
+    point_par_rue-matched way-only streets plus any labeled street whose
+    addresses all lack the fantoir.  One groupby(fantoir) co-groups voie
+    and adresse rows; enrichment dims are closed-form, the postal index is
+    the broadcast G8 lookup."""
+    from ..stages.export import _type_weight, get_postal_index, sql_round
+    from .cumul import cumul_dataset
+    from .exports import _dims_for
+
+    ds = cumul_dataset(sf_dir).filter(expr="fantoir != ''")
+    _dt = {"lat": "float64", "lon": "float64", "importance": "float64"}
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame({c: pd.Series(dtype=_dt.get(c, "object"))
+                             for c in VSA_COLS})
+
+    def per_fantoir(df: pd.DataFrame) -> pd.DataFrame:
+        if (df["rec_type"] == "adresse").any():
+            return _empty()
+        v = df[df["rec_type"] == "voie"]
+        if len(v) == 0:
+            return _empty()
+        dims = [_dims_for(i) for i in v["insee"]]
+        cp = pd.Series(get_postal_index().assign_smallest(
+            v["lon"].to_numpy(), v["lat"].to_numpy()),
+            dtype=object).fillna("").to_numpy(dtype=object)
+        name = [s.replace("\t", " ").replace('"', "'").replace("’", "'")
+                for s in v["voie_osm"]]
+        aw = np.array([d["adm_weight"] for d in dims], dtype=np.float64)
+        pop = np.array([d["population"] for d in dims], dtype=np.float64)
+        tw = np.array([_type_weight(s) for s in v["voie_osm"]], dtype=np.float64)
+        # reference importance with count(p.*) = 1 → log10(1 + 1) term
+        imp = (np.log10(aw + np.log10(pop + 1.0) / 3.0)
+               * np.log10(1.0 + np.log10(2.0) + np.log10(tw)))
+        return pd.DataFrame({
+            "fantoir": v["fantoir"].to_numpy(dtype=object),
+            "citycode": v["insee"].to_numpy(dtype=object),
+            "type": "street",
+            "name": pd.Series(name, dtype=object).to_numpy(dtype=object),
+            "postcode": cp,
+            "lat": [sql_round(float(x), 6) for x in v["lat"]],
+            "lon": [sql_round(float(x), 6) for x in v["lon"]],
+            "city": [d["name"] for d in dims],
+            "departement": [d["dept_name"] for d in dims],
+            "region": [d["region_name"] for d in dims],
+            "importance": [sql_round(float(x), 4) for x in imp],
+        }, columns=VSA_COLS)
+
+    return ds.groupby("fantoir").map_groups(per_fantoir, batch_format="pandas")
 
 
 def q_ban_pseudo(sf_dir: str):

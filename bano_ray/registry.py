@@ -161,18 +161,28 @@ def _ensure_builtins() -> None:
                               batch_format="pyarrow", batch_size=None)
 
     @step("merge_cumul", kind="dataset", schema=["rec_type", "insee", "street_key"])
-    def _merge(ds):
+    def _merge(ds, sf_dir: str = "", expand: int = 1):
         import pyarrow as _pa
         import ray
 
         from .pipelines.cumul import _tag_points
         from .stages.merge_partial import (finalize_group,
+                                           label_partial_arrow,
                                            partial_from_points_arrow,
                                            registry_partials)
 
         tagged = ds.map_batches(_tag_points, batch_format="pyarrow", batch_size=None)
         par = tagged.map_batches(partial_from_points_arrow,
                                  batch_format="pandas", batch_size=None)
+        # Union the street-label pre-pass (point_par_rue, G5) when the spec
+        # names its corpus — exactly as pipelines/cumul.partial_dataset does
+        if sf_dir:
+            from .stages.label import street_labels
+
+            lab = street_labels(sf_dir, expand=expand) \
+                .map_batches(label_partial_arrow, batch_format="pandas",
+                             batch_size=None)
+            par = par.union(lab)
         # Union the FANTOIR registry partials exactly as
         # pipelines/cumul.partial_dataset does — without them the merged
         # rows lack registry matching (fantoir ids, match flags,

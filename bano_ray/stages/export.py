@@ -232,7 +232,9 @@ def street_json_zone(df: pd.DataFrame, dims: dict) -> pd.DataFrame:
     poly_cp = get_postal_index().assign_smallest(adr["lon"].to_numpy(),
                                                  adr["lat"].to_numpy())
     adr["cp_eff"] = np.where(adr["code_postal"] != "", adr["code_postal"], poly_cp)
-    adr = adr[[_plausible(n) for n in adr["numero2"]]]
+    # explicit bool array: a bare empty list would select columns, not rows
+    adr = adr[np.fromiter((_plausible(n) for n in adr["numero2"]),
+                          dtype=bool, count=len(adr))]
 
     rows = []
     for (fant, cp), g in adr.groupby(["fantoir", "cp_eff"], sort=True):

@@ -1,0 +1,114 @@
+"""G5 street-label pre-pass: way fragments → per-(commune, street) label
+points (the reference's ``point_par_rue`` table).
+
+Reference semantics (``bano/sql/point_par_rue_insee_nocache.sql:1-51``):
+per (street name, commune), collect the ways named like the street that
+intersect the commune polygon, merge them, and take the point on the merged
+line closest to the collection's centroid.  The load
+(``bano/core.py:237-252``) registers the street, fills the OSM name/fantoir
+facets when absent, and stores the point; the save
+(``bano/models.py:150-156``) overrides the OSM cumul_voies label point with
+it.  The per-commune loads are gated on the commune having any address data
+for the pass (``bano/core.py:314``) — modeled here as a commune-level
+semi-join against the zones that carry OSM rows, applied to the label
+stream BEFORE the merge (the gate is commune-granular, so it cannot live
+inside the salt-sharded merge groups).
+
+Ray shape: ways Dataset → PIP zone-assign (broadcast polygon index, first
+vertex of each fragment — fragments are commune-local) → groupby
+(insee, street) → ``map_groups`` computing
+:func:`bano_ray.geo.geomops.street_label_point` per street → tiny label
+rows, unioned into the ONE merge shuffle as partial-state rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def label_rows_dataset(sf_dir: str, osm_insee_ref=None):
+    """Dataset of (insee, street_key, street, lon, lat) label rows.
+
+    ``osm_insee_ref``: optional ``ray.put`` handle of the set of insee codes
+    carrying OSM rows (the reference's per-commune gate).  None disables the
+    gate (used by unit tests)."""
+    import ray
+
+    from .. import datagen
+    from ..functions.normalize import normalize_array
+    from ..geo.geomops import street_label_point
+    from .parse import make_zone_assigner
+
+    ways = datagen.street_ways_dataset(sf_dir)
+    zones_ref = ray.put(datagen.zone_boxes_wkb())
+    assigner = make_zone_assigner(zones_ref)
+
+    def assign_zone(batch: pa.Table) -> pa.Table:
+        # PIP on the first vertex; fragments are commune-local by
+        # construction (reference: ST_Intersects(line, commune polygon))
+        probe = pa.table({"lon": batch.column("ax"), "lat": batch.column("ay")})
+        assigned = assigner(probe)
+        out = batch.append_column("insee", assigned.column("insee"))
+        if osm_insee_ref is not None:
+            import pyarrow.compute as pc
+
+            out = out.filter(pc.is_in(out.column("insee"),
+                                      value_set=ray.get(osm_insee_ref)))
+        key = normalize_array(out.column("name").to_numpy(zero_copy_only=False))
+        return out.append_column("street_key", pa.array(key, type=pa.string()))
+
+    frags = ways.map_batches(assign_zone, batch_format="pyarrow", batch_size=None)
+
+    def label_group(df: pd.DataFrame) -> pd.DataFrame:
+        # deterministic fragment order — the vertex-centroid sum order (and
+        # thus the label's last ulp) must not depend on shuffle arrival
+        df = df.sort_values(["way_id", "frag_idx"], kind="stable")
+        coords = [np.array([[ax, ay], [bx, by]], dtype=np.float64)
+                  for ax, ay, bx, by in
+                  zip(df["ax"], df["ay"], df["bx"], df["by"])]
+        lon, lat = street_label_point(coords)
+        return pd.DataFrame({
+            "insee": [df["insee"].iloc[0]],
+            "street_key": [df["street_key"].iloc[0]],
+            "street": [df["name"].iloc[0]],
+            "lon": [lon], "lat": [lat],
+        })
+
+    return frags.groupby(["insee", "street_key"]).map_groups(
+        label_group, batch_format="pandas")
+
+
+# per-(sf_dir, expand) cache of the gated, materialized label stream,
+# mirroring pipelines.cumul's suffix-centers cache.  Materialized (blocks
+# stay in the object store) so several queries in one session reuse the
+# pre-pass WITHOUT ever collecting label rows to the driver — at real scale
+# this is O(communes × way streets) rows, a dataset, not a dim.
+_LABEL_CACHE: dict = {}
+
+
+def street_labels(sf_dir: str, expand: int = 1):
+    """Gated label rows as a materialized Dataset (one row per street with
+    a way, per OSM-bearing commune)."""
+    import ray
+
+    from .. import datagen
+    from ..stages.parse import make_zone_assigner
+
+    key = (sf_dir, expand)
+    if key not in _LABEL_CACHE:
+        # commune gate: zones with ≥1 OSM row (reference core.py:314
+        # ``len(adresses.a) != 0``).  Slim pass: only OSM docs synthesized,
+        # and no caption parsing — the gate needs only lon/lat → zone; the
+        # distinct-insee result is O(communes) — broadcastable.
+        ds = datagen.images_dataset(sf_dir, expand=expand, doc_residue=(4, 0))
+        zones_ref = ray.put(datagen.zone_boxes_wkb())
+        ds = ds.map_batches(make_zone_assigner(zones_ref),
+                            batch_format="pyarrow", batch_size=None)
+        osm_insee = sorted(ds.select_columns(["insee"]).groupby("insee")
+                           .count().to_pandas()["insee"])
+        ref = ray.put(pa.array(osm_insee, type=pa.string()))
+        _LABEL_CACHE[key] = label_rows_dataset(sf_dir, osm_insee_ref=ref) \
+            .materialize()
+    return _LABEL_CACHE[key]

@@ -22,11 +22,13 @@ group function replays the reference's per-source accumulation exactly:
 - OSM-name-by-fantoir fallback for the voie_osm facet
   (``bano/models.py:127``, mapping built at ``bano/core.py:197-199``)
 - cumul_voies label point = the reference's quirky "last first-inserted
-  numero's last-written coords" (``bano/models.py:143-153``).  The
-  point_par_rue label-point OVERRIDE and its street-level OSM name/fantoir
-  injection (``bano/core.py:237-264``, ``bano/models.py:151-153``) are
-  intentionally outside the modeled world: the synthetic input has no
-  point_par_rue source, so only the no-override fallback path is replicated
+  numero's last-written coords" (``bano/models.py:143-153``), OVERRIDDEN by
+  the point_par_rue way-derived label when the street has one
+  (``bano/core.py:237-264``, ``bano/models.py:151-153``): label rows from
+  the distributed pre-pass (``stages/label.py``) ride the same shuffle as
+  ``rec_type='label'``, register the street after the FANTOIR attach, fill
+  the OSM name/fantoir facets when absent, and alone suffice to emit the
+  voie row (way-only streets — the J10 population)
 - highway-type bitmask OR-accumulation (``bano/core.py:273-279``)
 
 Output is a union block: ``rec_type`` ∈ {adresse, voie} (one shuffle, one
@@ -94,6 +96,7 @@ def merge_zone(df: pd.DataFrame, registry: dict[str, dict[str, str]] | None = No
 
     pts = df[df["rec_type"] == "point"].sort_values("doc_id", kind="stable")
     highways = pts[(pts["source"] == "OSM") & (pts["hn"] == "")]
+    labels = df[df["rec_type"] == "label"]
 
     out_rows: list[dict] = []
     voie_rows: list[dict] = []
@@ -102,7 +105,7 @@ def merge_zone(df: pd.DataFrame, registry: dict[str, dict[str, str]] | None = No
         rows = pts[pts["source"] == source]
         if source == "CADASTRE":
             rows = rows[rows["pseudo_adresse"] != "true"]
-        if len(rows) == 0 and len(highways) == 0:
+        if len(rows) == 0 and len(highways) == 0 and len(labels) == 0:
             continue
 
         # street accumulator: key → facets (reference Adresses, models.py:22-42)
@@ -143,8 +146,14 @@ def merge_zone(df: pd.DataFrame, registry: dict[str, dict[str, str]] | None = No
                     st["voies"][source] = r.street
                     st["numeros"][hn_raw] = (r.lon, r.lat, "")
 
-        if not streets:
-            continue  # reference: highways only load when addresses exist
+        if not streets and not (source == "OSM" and len(labels)):
+            # reference: highways only load when addresses exist — the
+            # commune-level gate (core.py:314).  Labels arrive pre-gated to
+            # OSM-bearing communes (stages/label.py), so an OSM pass with
+            # labels proceeds to the load steps even when this salt shard
+            # holds no OSM point rows (the reference gate is per commune,
+            # not per shard).
+            continue
 
         # 2) OSM highways (street-only rows), every source run
         for r in highways.itertuples(index=False):
@@ -180,6 +189,18 @@ def merge_zone(df: pd.DataFrame, registry: dict[str, dict[str, str]] | None = No
             elif st["fantoirs"].get("OSM") in f10_to_name:
                 st["voies"]["FANTOIR"] = f10_to_name[st["fantoirs"]["OSM"]]
 
+        # 3b) point_par_rue load (bano/core.py:237-252) — AFTER the registry
+        # attach, so a street registered only here carries no FANTOIR
+        # facets; fills the OSM name/fantoir when absent and stores the
+        # way-derived label point (applied at save for the OSM pass only).
+        for r in labels.itertuples(index=False):
+            st = register(r.street_key)
+            if "OSM" not in st["voies"]:
+                st["voies"]["OSM"] = r.street
+            if "OSM" not in st["fantoirs"] and r.street_key in key_to_f10:
+                st["fantoirs"]["OSM"] = key_to_f10[r.street_key]
+            st["label_pt"] = (r.lon, r.lat)
+
         # 4) save (bano/models.py:116-165)
         for key, st in streets.items():
             best = st["fantoirs"].get("OSM") or st["fantoirs"].get("FANTOIR") or ""
@@ -201,6 +222,11 @@ def merge_zone(df: pd.DataFrame, registry: dict[str, dict[str, str]] | None = No
                 })
                 if source == "OSM":
                     label = (nlon, nlat)
+            # point_par_rue override (bano/models.py:150-153): the
+            # way-derived point beats the quirky last-numero fallback, and
+            # alone suffices to emit the voie row (way-only streets)
+            if source == "OSM" and "label_pt" in st:
+                label = st["label_pt"]
             if source == "OSM" and label is not None:
                 voie_rows.append({
                     "rec_type": "voie", "insee": insee, "dept": dept,

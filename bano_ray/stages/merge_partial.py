@@ -178,6 +178,28 @@ def partial_from_points(df: pd.DataFrame) -> pd.DataFrame:
                     "brep_ord": bo.to_numpy(dtype=np.int64),
                 }))
 
+    # "seen" rows: the reference registers a street on EVERY row of the
+    # pass (models.py register happens before housenumber validation), and
+    # the FANTOIR attach covers all registered streets — so a street whose
+    # rows were all rejected still gets voie_fantoir when a label later
+    # emits its voie row.  O(distinct source×street) rows.
+    seen_frames = []
+    for source in SOURCES_ORDER:
+        rows = df[df["source"] == source]
+        if source == "CADASTRE":
+            rows = rows[rows["pseudo_adresse"] != "true"]
+        if len(rows) == 0:
+            continue
+        sk = rows.drop_duplicates(["insee", "salt", "street_key"])
+        seen_frames.append(_frame({
+            "ptype": np.full(len(sk), "seen", dtype=object),
+            "insee": sk["insee"].to_numpy(),
+            "salt": sk["salt"].to_numpy(dtype=np.int64),
+            "source": np.full(len(sk), source, dtype=object),
+            "street_key": sk["street_key"].to_numpy(),
+        }))
+    frames.extend(seen_frames)
+
     hw = df[(df["source"] == "OSM") & (df["hn"] == "")]
     if len(hw):
         hw = hw.copy()
@@ -235,6 +257,32 @@ def registry_partials() -> pd.DataFrame:
     })
 
 
+def label_partial_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """Street-label rows (stages/label.py) in partial-state form (ptype
+    'label'; reuses the last_* slots for the label name and point)."""
+    import pyarrow as pa
+
+    from ..pipelines.cumul import street_salt
+
+    if len(df) == 0:
+        return _empty_partial()
+    return _frame({
+        "ptype": np.full(len(df), "label", dtype=object),
+        "insee": df["insee"].to_numpy(dtype=object),
+        "salt": street_salt(pa.array(df["street_key"].astype(str))),
+        "street_key": df["street_key"].to_numpy(dtype=object),
+        "last_street": df["street"].to_numpy(dtype=object),
+        "last_lon": df["lon"].to_numpy(dtype=np.float64),
+        "last_lat": df["lat"].to_numpy(dtype=np.float64),
+    })
+
+
+def label_partial_arrow(df: pd.DataFrame):
+    import pyarrow as pa
+
+    return pa.Table.from_pandas(label_partial_batch(df), preserve_index=False)
+
+
 def _combine(df: pd.DataFrame) -> dict[str, pd.DataFrame]:
     """Re-apply the associative rules across map-side partials."""
     out: dict[str, pd.DataFrame] = {}
@@ -276,6 +324,12 @@ def _combine(df: pd.DataFrame) -> dict[str, pd.DataFrame]:
     rg = df[df["ptype"] == "registry"]
     if len(rg):
         out["registry"] = rg.drop_duplicates("street_key")
+    lb = df[df["ptype"] == "label"]
+    if len(lb):
+        out["label"] = lb.drop_duplicates("street_key")
+    sn = df[df["ptype"] == "seen"]
+    if len(sn):
+        out["seen"] = sn.drop_duplicates(["source", "street_key"])
     return out
 
 
@@ -294,8 +348,21 @@ def finalize_group(df: pd.DataFrame) -> pd.DataFrame:
     f9_to_f10 = {f[0:9]: f for f in key_to_f10.values()}
 
     pn = parts.get("pnum")
+    lb = parts.get("label")
+    if lb is not None and len(lb):
+        lb = lb.drop_duplicates("street_key").set_index("street_key")
+    else:
+        lb = None
     if pn is None or len(pn) == 0:
-        return _empty_out()
+        if lb is None:
+            return _empty_out()
+        pn = pd.DataFrame({c: pd.Series(dtype=t) for c, t in
+                           (("source", "object"), ("street_key", "object"),
+                            ("numero", "object"), ("first_ord", "int64"),
+                            ("last_ord", "int64"), ("last_lon", "float64"),
+                            ("last_lat", "float64"), ("last_cp", "object"),
+                            ("last_street", "object"), ("vf_ord", "int64"),
+                            ("vf_fant", "object"))})
     hw = parts.get("hw", pd.DataFrame())
     br = parts.get("brep", pd.DataFrame())
     if len(br):
@@ -315,12 +382,30 @@ def finalize_group(df: pd.DataFrame) -> pd.DataFrame:
     out_frames = []
     for source in SOURCES_ORDER:
         nf = pn[pn["source"] == source]
-        if len(nf) == 0:
+        # the point_par_rue load (labels) emits voie rows in the OSM pass
+        # even for streets with no address rows (way-only streets)
+        if len(nf) == 0 and not (source == "OSM" and lb is not None):
             continue
         keys = pd.Index(nf["street_key"].unique())
-        addr_last = nf.loc[nf.groupby("street_key")["last_ord"].idxmax()] \
-            .set_index("street_key")
+        if source == "OSM" and lb is not None:
+            keys = keys.union(lb.index)
+        if len(nf):
+            addr_last = nf.loc[nf.groupby("street_key")["last_ord"].idxmax()] \
+                .set_index("street_key")
+        else:
+            addr_last = nf.set_index("street_key")
         fac = pd.DataFrame(index=keys)
+        fac["has_pnum"] = keys.isin(nf["street_key"])
+        if lb is not None:
+            fac["has_label"] = keys.isin(lb.index)
+            fac["label_street"] = lb["last_street"].reindex(keys)
+            fac["label_lon"] = lb["last_lon"].reindex(keys)
+            fac["label_lat"] = lb["last_lat"].reindex(keys)
+        else:
+            fac["has_label"] = False
+            fac["label_street"] = None
+            fac["label_lon"] = np.nan
+            fac["label_lat"] = np.nan
         if len(hw):
             fac["has_hw"] = keys.isin(hw.index)
             fac["hw_has_valid"] = keys.isin(hw.index[hw["hw_fv_ord"] >= 0])
@@ -351,26 +436,52 @@ def finalize_group(df: pd.DataFrame) -> pd.DataFrame:
             fac["fant_F"] = reg_f.where(reg_f.notna(), rep)
         else:
             fac["fant_F"] = reg_f
+        # pre-label OSM fantoir (addresses/highways — what the registry
+        # attach saw); the point_par_rue load then fills fantoirs['OSM']
+        # from the registry mapping when still absent (core.py:247-249)
         if source == "OSM":
             afk = fac["addr_fant"]
-            fac["fant_osm"] = afk.where(afk.notna(), fac["hw_fant"])
+            fac["fant_osm_pre"] = afk.where(afk.notna(), fac["hw_fant"])
         else:
-            fac["fant_osm"] = fac["hw_fant"]
+            fac["fant_osm_pre"] = fac["hw_fant"]
+        lab_code = reg_f.where(fac["has_label"], None)
+        fac["fant_osm"] = fac["fant_osm_pre"].where(
+            fac["fant_osm_pre"].notna(), lab_code)
         b1 = fac["fant_osm"].where(fac["fant_osm"].notna(), fac["fant_F"])
         fac["best"] = b1.where(b1.notna(), "")
         if source == "OSM":
-            fac["voie_osm"] = np.where(fac["addr_fant"].notna(), fac["addr_street"],
-                                       np.where(fac["has_hw"], fac["hw_street"],
-                                                fac["addr_street"]))
+            # voies['OSM'] priority: accepted-address name (kept when the
+            # address set a valid fantoir, which makes highways skip), else
+            # highway name, else address name, else the label name (3b
+            # fills only when absent)
+            fac["voie_osm"] = np.where(
+                fac["addr_fant"].notna(), fac["addr_street"],
+                np.where(fac["has_hw"], fac["hw_street"],
+                         np.where(fac["has_pnum"], fac["addr_street"],
+                                  fac["label_street"])))
         else:
             mapped = fac["best"].map(code_to_name)
-            fac["voie_osm"] = np.where(fac["has_hw"], fac["hw_street"],
-                                       mapped.where(mapped.notna(), ""))
+            fac["voie_osm"] = np.where(
+                fac["has_hw"], fac["hw_street"],
+                np.where(fac["has_label"], fac["label_street"],
+                         mapped.where(mapped.notna(), "")))
+        # registry attach (step 3) runs BEFORE the label load (step 3b): a
+        # street registered only by its label carries no FANTOIR facets, and
+        # the attach's code path sees the PRE-label OSM fantoir.  A street
+        # is registered (attach-eligible) when the pass saw ANY of its rows
+        # — including rejected housenumbers ("seen" partials) — or a highway
+        sn = parts.get("seen")
+        if sn is not None:
+            seen_keys = sn.loc[sn["source"] == source, "street_key"]
+            attached = fac["has_pnum"] | fac["has_hw"] | keys.isin(seen_keys)
+        else:
+            attached = fac["has_pnum"] | fac["has_hw"]
         vf_n = pd.Series(keys.map(lambda k: f10_to_name.get(key_to_f10.get(k, ""), "")),
                          index=keys)
-        via_code = fac["fant_osm"].map(f10_to_name)
-        fac["voie_fantoir"] = np.where(vf_n != "", vf_n,
-                                       via_code.where(via_code.notna(), ""))
+        via_code = fac["fant_osm_pre"].map(f10_to_name)
+        fac["voie_fantoir"] = np.where(
+            attached & (vf_n != ""), vf_n,
+            np.where(attached, via_code.where(via_code.notna(), ""), ""))
         fac["voie_bal"] = fac["addr_street"] if source == "BAL" else ""
         fac["voie_cadastre"] = fac["addr_street"] if source == "CADASTRE" else ""
         fac["voie_autre"] = fac["addr_street"] if source in ("BAN", "BAL", "CADASTRE") else ""
@@ -394,23 +505,36 @@ def finalize_group(df: pd.DataFrame) -> pd.DataFrame:
         }))
 
         if source == "OSM":
-            lab = nf.loc[nf.groupby("street_key")["first_ord"].idxmax()]
-            lab = lab.merge(fac, left_on="street_key", right_index=True, how="left")
+            # fallback label point: last first-inserted numero's last write
+            # (models.py:143-153); the point_par_rue label overrides it and
+            # alone suffices to emit the voie row (way-only streets)
+            if len(nf):
+                fb = nf.loc[nf.groupby("street_key")["first_ord"].idxmax()] \
+                    .set_index("street_key")[["last_lon", "last_lat"]]
+            else:
+                fb = pd.DataFrame({"last_lon": pd.Series(dtype="float64"),
+                                   "last_lat": pd.Series(dtype="float64")})
+            vfac = fac[fac["has_pnum"] | fac["has_label"]]
+            vkeys = vfac.index
+            lon = np.where(vfac["has_label"], vfac["label_lon"],
+                           fb["last_lon"].reindex(vkeys))
+            lat = np.where(vfac["has_label"], vfac["label_lat"],
+                           fb["last_lat"].reindex(vkeys))
             if len(hw):
-                hwi = lab["street_key"].map(hw["hw_mask"])
+                hwi = pd.Series(vkeys.map(hw["hw_mask"]), index=vkeys)
                 hwi = hwi.where(hwi.notna(), 0)
             else:
-                hwi = pd.Series(0, index=lab.index)
+                hwi = pd.Series(0, index=vkeys)
             out_frames.append(pd.DataFrame({
                 "rec_type": "voie", "insee": insee, "dept": dept, "source": source,
-                "street_key": lab["street_key"].to_numpy(), "numero": "",
-                "lon": lab["last_lon"].to_numpy(), "lat": lab["last_lat"].to_numpy(),
-                "code_postal": "", "fantoir": lab["best"].to_numpy(),
-                "voie_osm": lab["voie_osm"].to_numpy(),
-                "voie_fantoir": lab["voie_fantoir"].to_numpy(),
-                "voie_bal": lab["voie_bal"].to_numpy(),
-                "voie_cadastre": lab["voie_cadastre"].to_numpy(),
-                "voie_autre": lab["voie_autre"].to_numpy(),
+                "street_key": np.asarray(vkeys, dtype=object), "numero": "",
+                "lon": lon, "lat": lat,
+                "code_postal": "", "fantoir": vfac["best"].to_numpy(),
+                "voie_osm": vfac["voie_osm"].to_numpy(),
+                "voie_fantoir": vfac["voie_fantoir"].to_numpy(),
+                "voie_bal": vfac["voie_bal"].to_numpy(),
+                "voie_cadastre": vfac["voie_cadastre"].to_numpy(),
+                "voie_autre": vfac["voie_autre"].to_numpy(),
                 "highway_index": hwi.to_numpy(dtype=np.int64),
             }))
 
@@ -496,6 +620,15 @@ def recombine(df: pd.DataFrame) -> pd.DataFrame:
     rg = df[df["ptype"] == "registry"]
     if len(rg):
         frames.append(rg.drop_duplicates(["insee", "street_key"])[list(PARTIAL_COLS)])
+    lb = df[df["ptype"] == "label"]
+    if len(lb):
+        # one label per (commune, street) by construction — duplicates
+        # across coalesced batches are identical rows
+        frames.append(lb.drop_duplicates(["insee", "street_key"])[list(PARTIAL_COLS)])
+    sn = df[df["ptype"] == "seen"]
+    if len(sn):
+        frames.append(sn.drop_duplicates(
+            ["insee", "salt", "source", "street_key"])[list(PARTIAL_COLS)])
     if not frames:
         return _empty_partial()
     return pd.concat(frames, ignore_index=True)

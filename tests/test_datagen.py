@@ -75,7 +75,8 @@ def test_bytes_roundtrip_through_codecs():
 
 def test_registry_and_dims_shapes():
     reg = dg.registry_table()
-    assert reg.num_rows == dg.NZONES * dg.K_REG
+    # K_REG document streets + the way-only (J10) registry entries per zone
+    assert reg.num_rows == dg.NZONES * (dg.K_REG + dg.NWAYONLY)
     dims = dg.zone_dims_table()
     assert dims.num_rows == dg.NZONES
 

@@ -23,16 +23,46 @@ def _points(ids):
     return _tag_points(b).to_pandas()
 
 
-def _seq(pts):
+def _labels(pts):
+    """Gated street-label rows (what stages/label.py produces), built
+    locally from the datagen way grid."""
+    from bano_ray.functions.normalize import normalize
+    from bano_ray.geo.geomops import street_label_point
+
+    osm_insee = set(pts.loc[pts["source"] == "OSM", "insee"])
+    rows = []
+    for z in range(dg.NZONES):
+        zi = str(z + 1).zfill(5)
+        if zi not in osm_insee:
+            continue
+        for s in dg.WAY_SIDX:
+            lon, lat = street_label_point(dg.way_fragments(z, s))
+            name = dg.street_spelling0(s)
+            rows.append({"insee": zi, "street_key": normalize(name),
+                         "street": name, "lon": lon, "lat": lat})
+    return pd.DataFrame(rows)
+
+
+def _seq(pts, lab):
+    from bano_ray.pipelines.cumul import _labels_as_points_batch
+
     reg = _registry_as_points().to_pandas()
-    allr = pd.concat([pts, reg], ignore_index=True)
+    frames = [pts, reg]
+    if len(lab):
+        frames.append(_labels_as_points_batch(
+            pa.Table.from_pandas(lab, preserve_index=False)).to_pandas())
+    allr = pd.concat(frames, ignore_index=True)
     return pd.concat([merge_zone(g) for _, g in allr.groupby(["insee", "salt"])],
                      ignore_index=True)
 
 
-def _par(pts, nbatches, tree=False):
+def _par(pts, lab, nbatches, tree=False):
+    from bano_ray.stages.merge_partial import label_partial_batch
+
     chunks = np.array_split(np.arange(len(pts)), nbatches)
     parts = [partial_from_points(pts.iloc[c]) for c in chunks if len(c)]
+    if len(lab):
+        parts.append(label_partial_batch(lab))
     if tree:  # optional tree-combine stage is itself associative
         half = len(parts) // 2 or 1
         parts = [recombine(pd.concat(parts[:half], ignore_index=True)),
@@ -53,9 +83,46 @@ def test_partial_equals_replay(seed, n, nb, tree):
     rng = np.random.default_rng(seed)
     ids = np.sort(rng.choice(np.arange(300000, dtype=np.int64), size=n, replace=False))
     pts = _points(ids)
-    a = _seq(pts)
-    b = _par(pts, nb, tree=tree)
+    lab = _labels(pts)
+    a = _seq(pts, lab)
+    b = _par(pts, lab, nb, tree=tree)
     cols = list(a.columns)
     aa = a.sort_values(cols, kind="stable").reset_index(drop=True)
     bb = b[cols].sort_values(cols, kind="stable").reset_index(drop=True)
     pd.testing.assert_frame_equal(aa, bb, check_dtype=False)
+
+
+def test_label_voie_rows_semantics():
+    """Way-only streets (J10 population): registry fantoir attaches via the
+    point_par_rue fill, but voie_fantoir stays '' (the FANTOIR attach ran
+    before the label load); street 45 has a label but no registry entry, so
+    a label-only group for it carries fantoir '' unless a highway tagged
+    one."""
+    rng = np.random.default_rng(7)
+    ids = np.sort(rng.choice(np.arange(300000, dtype=np.int64), size=4000,
+                             replace=False))
+    pts = _points(ids)
+    lab = _labels(pts)
+    out = _par(pts, lab, 3)
+    voies = out[out["rec_type"] == "voie"]
+    wayonly = voies[voies["street_key"].isin(
+        {k for k in lab["street_key"]
+         if k not in set(pts["street_key"])})]
+    wo = voies.merge(lab[["insee", "street_key"]], on=["insee", "street_key"])
+    assert len(wo) > 0
+    # way-only sidx 64/65 rows: fantoir = registry code, voie_fantoir empty
+    from bano_ray.functions.normalize import normalize
+    wayonly_keys = {normalize(g[0]) for g in dg.WAYONLY_SPELLINGS}
+    w2 = voies[voies["street_key"].isin(wayonly_keys)]
+    assert len(w2) > 0
+    assert (w2["fantoir"].str.len() == 10).all()
+    assert (w2["voie_fantoir"] == "").all()
+    # label points override the fallback: every labeled street's voie point
+    # equals the way-derived label
+    from bano_ray.geo.geomops import street_label_point
+    lab_pts = {(r.insee, r.street_key): (r.lon, r.lat)
+               for r in lab.itertuples(index=False)}
+    merged = voies.merge(lab, on=["insee", "street_key"], suffixes=("", "_lab"))
+    assert len(merged) > 0
+    assert (merged["lon"] == merged["lon_lab"]).all()
+    assert (merged["lat"] == merged["lat_lab"]).all()

@@ -68,7 +68,7 @@ steps:
   - {step: encode_cells}
   - {step: zone_assign}
   - {step: suffix_decorate, args: {sf_dir: $sf}}
-  - {step: merge_cumul}
+  - {step: merge_cumul, args: {sf_dir: $sf}}
 """
     cols = ["rec_type", "insee", "street_key"]
     a = (build_pipeline(yaml_spec, sf=sf_dir).to_pandas()
