@@ -327,37 +327,91 @@ def pixels_of_batch(doc_ids: np.ndarray, ws: np.ndarray, hs: np.ndarray) -> list
     worst case for any transform coder and was never representative).
     One hash-stream evaluation covers the whole batch of ragged images.
     """
+    from .runtime import tune_malloc
+
+    tune_malloc()
     d = np.asarray(doc_ids, dtype=np.int64)
     ws = np.asarray(ws, dtype=np.int64)
     hs = np.asarray(hs, dtype=np.int64)
+    n = len(d)
     sizes = ws * hs * 3
     offsets = np.concatenate([[0], np.cumsum(sizes)])
     total = int(offsets[-1])
-    k = np.arange(total, dtype=np.int64) - np.repeat(offsets[:-1], sizes)
-    # pixel coordinates + channel from the flat index (row-major h,w,3)
-    ch = k % 3
-    pix = k // 3
-    wrep = np.repeat(ws, sizes)
-    x = (pix % wrep).astype(np.float64) / np.maximum(wrep - 1, 1)
-    y = (pix // wrep).astype(np.float64) / np.maximum(np.repeat(hs, sizes) - 1, 1)
-    dd = np.repeat(d, sizes)
-    # per-(doc, channel) parameters from hash streams
-    def h_of(salt):
-        return (((dd * 3 + ch) * PX_STEP + salt) * MULT) % MOD
+    # Working-set discipline: the naive form materialized ~30 full-size
+    # int64/float64 temporaries (~120 B per pixel-channel) — the cost is
+    # not FLOPs but MEMORY: freshly-mapped pages page-fault on first touch
+    # and the kernel's zeroing path serializes under concurrent workers
+    # (measured: 8000 images take ~5 s/process warm-heap vs ~184 s when 16
+    # processes first-fault together).  So: (a) the six per-(doc, channel)
+    # hash parameters are computed on the small (n, 3) grid and gathered,
+    # (b) everything per-element runs CHUNKED, so the only full-size
+    # arrays are the uint8 output and one int64 doc index — chunk
+    # temporaries recycle the same retained heap pages (tune_malloc).
+    # All arithmetic keeps the exact op order of the original expression —
+    # output is bit-identical (test_datagen pixel goldens).
+    dch = d[:, None] * 3 + np.arange(3, dtype=np.int64)[None, :]
 
-    base = 64.0 + (h_of(11) % 128).astype(np.float64)
-    gx = (h_of(12) % 129).astype(np.float64) - 64.0
-    gy = (h_of(13) % 129).astype(np.float64) - 64.0
-    amp = 16.0 + (h_of(14) % 33).astype(np.float64)
-    fx = 1.0 + (h_of(15) % 2).astype(np.float64)
-    fy = 1.0 + (h_of(16) % 2).astype(np.float64)
-    noise = (((dd * PX_STEP + k + PX_SALT) * MULT) % MOD % (2 * PX_NOISE + 1)
-             ).astype(np.float64) - PX_NOISE
-    v = base + gx * x + gy * y \
-        + amp * np.cos(2.0 * np.pi * (fx * x + fy * y)) + noise
-    flat = np.clip(np.round(v), 0, 255).astype(np.uint8)
+    def h_of(salt):
+        return ((dch * PX_STEP + salt) * MULT) % MOD
+
+    base_g = (64.0 + (h_of(11) % 128).astype(np.float64)).ravel()
+    gx_g = ((h_of(12) % 129).astype(np.float64) - 64.0).ravel()
+    gy_g = ((h_of(13) % 129).astype(np.float64) - 64.0).ravel()
+    amp_g = (16.0 + (h_of(14) % 33).astype(np.float64)).ravel()
+    fx_g = (1.0 + (h_of(15) % 2).astype(np.float64)).ravel()
+    fy_g = (1.0 + (h_of(16) % 2).astype(np.float64)).ravel()
+
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), sizes)
+    starts = offsets[:-1]
+    flat = np.empty(total, dtype=np.uint8)
+    CH = 1 << 20
+    for s0 in range(0, total, CH):
+        s1 = min(total, s0 + CH)
+        di = doc_idx[s0:s1]
+        k = np.arange(s0, s1, dtype=np.int64)
+        k -= starts[di]
+        # pixel coordinates + channel from the flat index (row-major h,w,3)
+        pix = k // 3
+        ch = k - pix * 3
+        wrep = ws[di]
+        x = (pix % wrep).astype(np.float64)
+        x /= np.maximum(wrep - 1, 1)
+        y = (pix // wrep).astype(np.float64)
+        y /= np.maximum(hs[di] - 1, 1)
+        gi = di * 3 + ch
+        base = base_g.take(gi)
+        gx = gx_g.take(gi)
+        gy = gy_g.take(gi)
+        amp = amp_g.take(gi)
+        fx = fx_g.take(gi)
+        fy = fy_g.take(gi)
+        noise = d[di]
+        noise *= PX_STEP   # the gather made a fresh array — safe in place
+        noise += k
+        noise += PX_SALT
+        noise *= MULT
+        noise %= MOD
+        noise %= 2 * PX_NOISE + 1
+        nf = noise.astype(np.float64)
+        nf -= PX_NOISE
+        # v = base + gx*x + gy*y + amp*cos(2π(fx*x + fy*y)) + noise, with
+        # the same left-to-right association as the naive expression
+        arg = fx * x
+        arg += fy * y
+        arg *= 2.0 * np.pi
+        np.cos(arg, out=arg)
+        arg *= amp
+        v = gx
+        v *= x
+        v += base
+        v += gy * y
+        v += arg
+        v += nf
+        np.round(v, out=v)
+        np.clip(v, 0, 255, out=v)
+        flat[s0:s1] = v
     return [flat[offsets[i]:offsets[i + 1]].reshape(int(hs[i]), int(ws[i]), 3)
-            for i in range(len(d))]
+            for i in range(n)]
 
 
 def pixels_of(doc_id: int, w: int, h: int) -> np.ndarray:
@@ -415,6 +469,10 @@ def synthesize_batch(batch: pa.Table, with_bytes: bool = False) -> pa.Table:
     """doc_id batch → image+caption rows.  Pure function of doc_id; all
     string columns come from precomputed low-cardinality lookup tables."""
     import pyarrow.compute as pc
+
+    from .runtime import tune_malloc
+
+    tune_malloc()
 
     T = _tables()
     doc_id = batch.column("doc_id").to_numpy()

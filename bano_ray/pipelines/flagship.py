@@ -38,7 +38,10 @@ class ImageRoundtrip:
     """
 
     def __init__(self):
-        pass  # heavy codec/model init would live here, once per actor
+        # heavy codec/model init would live here, once per actor
+        from ..runtime import tune_malloc
+
+        tune_malloc()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         fmts = batch.column("fmt").to_pylist()
@@ -55,11 +58,15 @@ class ImageRoundtrip:
         srcs = datagen.pixels_of_batch(doc_ids, ws, hs)
         # one flat pass for the per-image reductions instead of n tiny ones
         sizes = ws * hs * 3
-        offsets = np.concatenate([[0], np.cumsum(sizes)])
-        flat_px = np.concatenate([p.ravel() for p in decoded]).astype(np.int64)
-        flat_src = np.concatenate([s.ravel() for s in srcs]).astype(np.int64)
-        sq = (flat_px - flat_src) ** 2
-        grp = np.repeat(np.arange(n), sizes)
+        # int32 intermediates: the squared diffs fit (≤255²) and the sums
+        # run in float64 inside bincount either way — exact, half the
+        # memory traffic of the former int64 flats (the stage is
+        # bandwidth-bound, not FLOP-bound)
+        flat_px = np.concatenate([p.ravel() for p in decoded]).astype(np.int32)
+        flat_src = np.concatenate([s.ravel() for s in srcs]).astype(np.int32)
+        sq = flat_px - flat_src
+        sq *= sq
+        grp = np.repeat(np.arange(n, dtype=np.int32), sizes)
         sse = np.bincount(grp, weights=sq, minlength=n)
         lum_sum = np.bincount(grp, weights=flat_px, minlength=n)
         mse = sse / sizes

@@ -15,6 +15,35 @@ from __future__ import annotations
 import sys
 
 _registered: set[str] = set()
+_malloc_tuned = False
+
+
+def tune_malloc() -> None:
+    """Keep numpy's large buffers on the retained glibc heap instead of
+    per-allocation mmap/munmap.
+
+    glibc serves allocations above M_MMAP_THRESHOLD (128 KB default) with a
+    fresh mmap and returns them with munmap — so every large numpy
+    temporary page-faults on first touch, and the kernel's zero-page fault
+    path serializes under many concurrent workers.  Measured on this box:
+    the same 8000-image pixel synthesis takes ~5 s per process with a warm
+    retained heap versus ~184 s when 16 processes fault fresh pages
+    concurrently.  Raising the threshold keeps big buffers in the arena,
+    where freed memory is reused without new faults.  Per-process,
+    idempotent; call at the top of numpy-heavy worker stages."""
+    global _malloc_tuned
+    if _malloc_tuned:
+        return
+    _malloc_tuned = True
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL(None)
+        M_TRIM_THRESHOLD, M_MMAP_THRESHOLD = -1, -3
+        libc.mallopt(M_MMAP_THRESHOLD, 1 << 30)
+        libc.mallopt(M_TRIM_THRESHOLD, 1 << 28)
+    except Exception:  # non-glibc platforms: nothing to tune
+        pass
 
 
 def ensure_worker_importable() -> None:

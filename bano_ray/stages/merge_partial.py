@@ -86,6 +86,9 @@ def partial_from_points_arrow(df: pd.DataFrame):
 
 def partial_from_points(df: pd.DataFrame) -> pd.DataFrame:
     """One batch of parsed+assigned point rows → partial-state rows."""
+    from ..runtime import tune_malloc
+
+    tune_malloc()
     if len(df) == 0:
         return _empty_partial()
     df = df.sort_values("doc_id", kind="stable").reset_index(drop=True)

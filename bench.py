@@ -20,6 +20,13 @@ import subprocess
 import sys
 import time
 
+# Set before ray.init so the raylet-forked workers inherit them: keep
+# numpy's large buffers on the retained glibc heap (see
+# bano_ray.runtime.tune_malloc — the worker-side mallopt twin — for the
+# measured fault-storm numbers that motivate this).
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 30))
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 28))
+
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 EXPAND = int(os.environ.get("GRAFT_BENCH_EXPAND", "1920"))   # images per doc
