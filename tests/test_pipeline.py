@@ -60,7 +60,8 @@ def test_minhash_pairs_find_planted_dups(ray_session, sf):
         assert (t["doc_a"] < t["doc_b"]).all()
 
 
-ORACLE_SUBSET = ["q_zone_counts", "q_cumul_adresses", "q_street_json",
+ORACLE_SUBSET = ["q_zone_counts", "q_cumul_adresses", "q_cumul_voies",
+                 "q_voies_sans_adresses", "q_street_json",
                  "q_knn_match", "q_places", "q_token_count"]
 
 
