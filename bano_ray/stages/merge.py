@@ -275,7 +275,13 @@ def _explode_osm(rows: pd.DataFrame) -> pd.DataFrame:
 
 def merge_zone_vec(df: pd.DataFrame) -> pd.DataFrame:
     """Vectorized replay of the reference per-commune merge (see
-    :func:`merge_zone` for the semantics inventory and citations)."""
+    :func:`merge_zone` for the semantics inventory and citations).
+
+    Differential reference for the POINT-ONLY merge: ``rec_type='label'``
+    rows are ignored here — the live pipelines run the partial-aggregation
+    path (``merge_partial.finalize_group``), and label semantics are
+    differentially covered by merge_zone vs finalize_group
+    (tests/test_merge_partial.py)."""
     if len(df) == 0:
         return _empty_out()
     insee = str(df["insee"].iloc[0])
