@@ -606,10 +606,15 @@ def images_dataset(sf_dir: str, with_bytes: bool = False, expand: int = 1,
     except Exception:
         ncpu = 32
     # metadata rows target ~150k rows/block; byte-payload rows are ~1.3 KB
-    # each, so the bytes path uses ~6k-row blocks — the expansion happens
-    # inside the task, and oversized per-task outputs (30 MB+) trip the
-    # streaming executor's memory budgeting into capping actor concurrency
-    row_target = 6000 if with_bytes else 150000
+    # each, so the bytes path uses small blocks — (a) oversized per-task
+    # outputs (30 MB+) trip the streaming executor's memory budgeting into
+    # capping actor concurrency, and (b) a worker's FIRST synthesis call
+    # pays the page-fault cost of its peak temporaries, so many small
+    # blocks per worker amortize one small cold start instead of paying a
+    # big one per task (measured: 6k-row blocks → 30 s cold per task at 32
+    # concurrent workers; 1.5k-row blocks cut the peak 4× and give each
+    # worker ~8 warm tasks)
+    row_target = 1500 if with_bytes else 150000
     by_rows = (n_docs * expand) // row_target
     cap = 512 if with_bytes else 1024
     nblocks = int(min(cap, max(16, min(8 * ncpu, by_rows) if by_rows > 0 else 16)))

@@ -205,6 +205,10 @@ def run_single() -> dict:
     ensure_worker_importable()
 
     n_rows = datagen.images_dataset(SF_DIR, expand=EXPAND).count()
+    # the first canary in a process pays its own buffers' first-touch cost
+    # (~80 MB of fresh pages) — warm it so canary_pre measures AMBIENT
+    # contention, not our own startup
+    mem_bw_canary()
     canary_pre = mem_bw_canary()
     t0 = time.time()
     out_rows = flagship(SF_DIR, expand=EXPAND,
