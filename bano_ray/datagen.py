@@ -614,8 +614,13 @@ def images_dataset(sf_dir: str, with_bytes: bool = False, expand: int = 1,
     # big one per task (measured: 6k-row blocks → 30 s cold per task at 32
     # concurrent workers; 1.5k-row blocks cut the peak 4× and give each
     # worker ~8 warm tasks)
-    row_target = 1500 if with_bytes else 150000
-    by_rows = (n_docs * expand) // row_target
+    row_target = 1500 if with_bytes else \
+        int(_os.environ.get("GRAFT_META_BLOCK_ROWS", "150000"))
+    # a doc_residue pre-filter drops (m-1)/m of the rows BEFORE synthesis —
+    # size blocks by the rows a task actually processes, not the raw id
+    # range, so pre-pass scans get full tasks instead of m× tiny ones
+    eff_rows = (n_docs * expand) // (doc_residue[0] if doc_residue else 1)
+    by_rows = eff_rows // row_target
     cap = 512 if with_bytes else 1024
     nblocks = int(min(cap, max(16, min(8 * ncpu, by_rows) if by_rows > 0 else 16)))
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"],
