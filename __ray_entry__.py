@@ -54,14 +54,14 @@ _ORACLE_QUERIES = [
     "q_communes_json",       # communes JSON export (importance variant)
     "q_pbf_nodes",           # S5 OSM PBF import (write + distributed read)
     "q_zone_raster",         # raster<->vector: polygon rasterization census
+    "q_minhash_pairs",       # dedup: MinHash+LSH near-dup pairs (md5 shingles)
+    "q_simhash",             # dedup: SimHash signatures (md5 token hashes)
+    "q_simhash_neardup",     # dedup: SimHash Hamming-<=3 banding pairs
+    "q_embedding_neardup",   # dedup: embedding-cosine near-dups (banded LSH)
 ]
 
-# rows-only queries (hashing/approx algorithms with no SQL equivalent)
+# rows-only queries (approx algorithms with no exact SQL equivalent)
 _ROWSONLY_QUERIES = [
-    "q_minhash_pairs",       # dedup: MinHash+LSH near-dup pairs
-    "q_simhash",             # dedup: SimHash signatures
-    "q_simhash_neardup",     # dedup: SimHash Hamming-<=3 banding pairs
-    "q_embedding_neardup",   # dedup: embedding-cosine near-dups (LSH)
     "q_ann_lsh",             # similarity search: LSH-bucketed ANN
     "q_ann_ivf",             # similarity search: IVF (k-means lists) ANN
     "q_image_roundtrip",     # image payload decode/validate stage

@@ -1139,3 +1139,179 @@ def q_zone_raster() -> str:
      * (CAST(floor({by} - 0.5) AS BIGINT) - CAST(ceil({ay} - 0.5) AS BIGINT) + 1)
        AS n_cells
 FROM range({dg.NZONES}) r ORDER BY insee"""
+
+
+# ---------------------------------------------------------------------------
+# Hash-dedup family (minhash / simhash / embedding LSH) — SQL replicas.
+# The engine's shingle hash is the upper md5 half little-endian, i.e.
+# exactly DuckDB's md5_number_lower(), so signatures (and therefore the
+# banded-bucket candidate generation and the exact verify) are
+# value-replicable in SQL (stages/dedup.py _token_hashes).
+# ---------------------------------------------------------------------------
+
+# Python text.split() semantics over datagen's single-space documents ==
+# string_split(text, ' ') (no leading/trailing/double whitespace in the
+# corpus; pinned by scripts/parity_check and the datagen generators).
+_SIMHASH_SIG = """sh_tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+sh_h AS (SELECT doc_id, md5_number_lower(tok) AS hv FROM sh_tok),
+sh_bits AS (
+  SELECT doc_id, r.range AS bit,
+         SUM(CASE WHEN (hv >> r.range) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM sh_h CROSS JOIN range(64) r GROUP BY 1, 2
+),
+sh_sig AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN v > 0 THEN
+                    CASE WHEN bit = 63 THEN -9223372036854775808
+                         ELSE (CAST(1 AS BIGINT) << bit) END
+                  ELSE 0 END) AS BIGINT) AS simhash
+  FROM sh_bits GROUP BY 1
+)"""
+
+
+def q_simhash() -> str:
+    return f"""WITH {_SIMHASH_SIG}
+SELECT doc_id, simhash FROM sh_sig ORDER BY doc_id"""
+
+
+def q_simhash_neardup() -> str:
+    # pigeonhole 4x16-bit block banding, bucket-size guard [2, 200],
+    # Hamming via popcount of the two's-complement xor (== uint64 view)
+    return f"""WITH {_SIMHASH_SIG},
+sh_u AS (
+  SELECT doc_id, simhash,
+         CASE WHEN simhash < 0
+              THEN CAST(simhash AS HUGEINT) + 18446744073709551616
+              ELSE CAST(simhash AS HUGEINT) END AS uh
+  FROM sh_sig
+),
+sh_blocks AS (
+  SELECT doc_id, simhash, d.blk, CAST((uh // d.dv) % 65536 AS BIGINT) AS bv
+  FROM sh_u CROSS JOIN (VALUES (0, CAST(1 AS HUGEINT)),
+                               (1, CAST(65536 AS HUGEINT)),
+                               (2, CAST(4294967296 AS HUGEINT)),
+                               (3, CAST(281474976710656 AS HUGEINT))) d(blk, dv)
+),
+sh_ok AS (
+  SELECT blk, bv FROM sh_blocks GROUP BY 1, 2
+  HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 200
+),
+sh_pairs AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+  FROM sh_blocks x
+  JOIN sh_blocks y ON y.blk = x.blk AND y.bv = x.bv AND y.doc_id > x.doc_id
+  JOIN sh_ok o ON o.blk = x.blk AND o.bv = x.bv
+)
+SELECT a, b, hamming FROM sh_pairs WHERE hamming <= 3 ORDER BY a, b"""
+
+
+def q_minhash_pairs() -> str:
+    from .stages.dedup import _A, _B, MINHASH_PERMS
+
+    perms = ", ".join(f"({p}, {int(_A[p])}, {int(_B[p])})"
+                      for p in range(MINHASH_PERMS))
+    return f"""WITH mh_w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+mh_sh AS (
+  SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+    THEN list_transform(range(1, len(w) - 1),
+                        i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])
+    ELSE [array_to_string(w, ' ')] END) AS s
+  FROM mh_w
+),
+mh_h AS (SELECT doc_id, md5_number_lower(s) AS h FROM mh_sh),
+mh_perms(p, a, b) AS (VALUES {perms}),
+-- numpy uint64 wrap (mod 2^64) before the Mersenne mod, exactly
+mh_sig AS (
+  SELECT doc_id, p,
+         MIN(((CAST(h AS HUGEINT) * a + b) % 18446744073709551616)
+             % 2305843009213693951) AS s
+  FROM mh_h CROSS JOIN mh_perms GROUP BY 1, 2
+),
+mh_seg AS (
+  SELECT doc_id, p // 4 AS band, string_agg(s, ',' ORDER BY p) AS seg
+  FROM mh_sig GROUP BY 1, 2
+),
+mh_ok AS (
+  SELECT band, seg FROM mh_seg GROUP BY 1, 2
+  HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 200
+),
+mh_cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM mh_seg x
+  JOIN mh_seg y ON y.band = x.band AND y.seg = x.seg AND y.doc_id > x.doc_id
+  JOIN mh_ok o ON o.band = x.band AND o.seg = x.seg
+),
+mh_dh AS (SELECT DISTINCT doc_id, h FROM mh_h),
+mh_cnt AS (SELECT doc_id, COUNT(*) AS n FROM mh_dh GROUP BY 1),
+mh_inter AS (
+  SELECT c.a, c.b, COUNT(*) AS i
+  FROM mh_cand c
+  JOIN mh_dh x ON x.doc_id = c.a
+  JOIN mh_dh y ON y.doc_id = c.b AND y.h = x.h
+  GROUP BY 1, 2
+),
+mh_j AS (
+  SELECT c.a AS doc_a, c.b AS doc_b,
+         CAST(COALESCE(i.i, 0) AS DOUBLE) / (na.n + nb.n - COALESCE(i.i, 0)) AS jac
+  FROM mh_cand c
+  JOIN mh_cnt na ON na.doc_id = c.a
+  JOIN mh_cnt nb ON nb.doc_id = c.b
+  LEFT JOIN mh_inter i ON i.a = c.a AND i.b = c.b
+)
+SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM mh_j
+WHERE jac >= 0.5 ORDER BY doc_a, doc_b"""
+
+
+def q_embedding_neardup() -> str:
+    """Banded-LSH embedding near-dup: the engine's planted twins, sign
+    projections, bucket co-grouping and exact-cosine verify, replicated in
+    closed form (stages/dedup.py embedding_neardup, datagen.plant_neardup_batch)."""
+    from . import datagen as _dg
+    from .stages.ann import lsh_planes
+    from .stages.dedup import embedding_neardup  # noqa: F401  (semantics source)
+
+    nbits, nbands, dim = 12, 2, 64
+    planes = lsh_planes(dim, nbits * nbands, seed=42)   # (dim, 24)
+
+    def plane_lit(j: int) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in planes[:, j]) + "]"
+
+    def band_expr(band: int) -> str:
+        terms = [f"(CASE WHEN list_inner_product(e, {plane_lit(band * nbits + i)}) > 0"
+                 f" THEN {1 << i} ELSE 0 END)" for i in range(nbits)]
+        return "(" + " + ".join(terms) + f" + {band << (nbits + 1)})"
+
+    step14 = _dg.STREAM_STEP * 14
+    noise = (f"CAST(((((vec_id * 131 + (i - 1)) + {step14}) * {_dg.MULT})"
+             f" % {_dg.MOD} % 2001 - 1000) / 1000.0 * {_dg.NEARDUP_EPS} AS FLOAT)")
+    return f"""WITH en_base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+-- planted twins: float32 perturbation of every {_dg.NEARDUP_MOD}-th base vector
+-- (double add of two exact-float32 values + cast == float32 add)
+en_twins AS (
+  SELECT vec_id + {_dg.NEARDUP_OFFSET} AS vec_id,
+         list_transform(range(1, {dim + 1}),
+                        i -> CAST(CAST(e[i] + {noise} AS FLOAT) AS DOUBLE)) AS e
+  FROM en_base WHERE vec_id % {_dg.NEARDUP_MOD} = 0
+),
+en_all AS (SELECT * FROM en_base UNION ALL SELECT * FROM en_twins),
+en_bk AS (
+  SELECT vec_id, e, {band_expr(0)} AS bucket FROM en_all
+  UNION ALL
+  SELECT vec_id, e, {band_expr(1)} AS bucket FROM en_all
+),
+en_pr AS (
+  SELECT x.vec_id AS a, y.vec_id AS b,
+         list_inner_product(x.e, y.e)
+           / (sqrt(list_inner_product(x.e, x.e))
+              * sqrt(list_inner_product(y.e, y.e))) AS c
+  FROM en_bk x JOIN en_bk y ON y.bucket = x.bucket AND y.vec_id > x.vec_id
+)
+SELECT DISTINCT a, b, round(c, 6) AS cos FROM en_pr
+WHERE c >= 0.9 ORDER BY a, b"""

@@ -353,15 +353,16 @@ def q_dedup_exact_docs(sf_dir: str):
 
 
 def q_minhash_pairs(sf_dir: str):
-    """MinHash+LSH near-dup candidate pairs, Jaccard-verified (rows-only
-    check: blake2b shingle hashing is not SQL-expressible)."""
+    """MinHash+LSH near-dup candidate pairs, Jaccard-verified — fully
+    oracle-gated: md5 shingle hashes make signatures SQL-replicable
+    (oracle.q_minhash_pairs)."""
     from ..stages.dedup import minhash_candidate_pairs
 
     return minhash_candidate_pairs(_docs(sf_dir), threshold=0.5)
 
 
 def q_simhash(sf_dir: str):
-    """SimHash per document (rows-only check)."""
+    """SimHash per document (oracle-gated: oracle.q_simhash)."""
     from ..stages.dedup import simhash_batch
 
     return _docs(sf_dir).map_batches(simhash_batch, batch_format="pyarrow")
@@ -369,18 +370,19 @@ def q_simhash(sf_dir: str):
 
 def q_simhash_neardup(sf_dir: str):
     """SimHash Hamming-≤3 near-dup pairs via pigeonhole block banding
-    (rows-only check; exact-recall property asserted vs a brute-force
-    reference in tests/test_pipeline.py)."""
+    (oracle-gated: oracle.q_simhash_neardup; exact-recall property also
+    asserted vs a brute-force reference in tests/test_pipeline.py)."""
     from ..stages.dedup import simhash_neardup
 
     return simhash_neardup(_docs(sf_dir), k=3).sort(["a", "b"])
 
 
 def q_embedding_neardup(sf_dir: str):
-    """Embedding-cosine near-dup pairs via banded LSH buckets (rows-only
-    check).  Runs over the corpus with planted perturbed twins
-    (datagen.embeddings_dataset); recall on the planted pairs is asserted
-    by tests/test_pipeline.py against a brute-force reference."""
+    """Embedding-cosine near-dup pairs via banded LSH buckets
+    (oracle-gated: oracle.q_embedding_neardup).  Runs over the corpus with
+    planted perturbed twins (datagen.embeddings_dataset); recall on the
+    planted pairs is also asserted by tests/test_pipeline.py against a
+    brute-force reference."""
     from ..stages.dedup import embedding_neardup
 
     return embedding_neardup(datagen.embeddings_dataset(sf_dir),

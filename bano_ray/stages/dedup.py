@@ -30,7 +30,12 @@ _MERS = (1 << 61) - 1
 
 
 def _token_hashes(text: str, n: int = 3) -> np.ndarray:
-    """Hashes of word n-gram shingles (stable across processes)."""
+    """Hashes of word n-gram shingles (stable across processes).
+
+    Uses the upper md5 half little-endian — exactly DuckDB's
+    ``md5_number_lower(s)`` — so the whole minhash/simhash family is
+    SQL-replicable and the driver can value-gate it (oracle.py
+    q_minhash_pairs / q_simhash / q_simhash_neardup)."""
     toks = text.split()
     if len(toks) < n:
         shingles = [" ".join(toks)] if toks else []
@@ -38,7 +43,7 @@ def _token_hashes(text: str, n: int = 3) -> np.ndarray:
         shingles = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
     out = np.empty(len(shingles), dtype=np.uint64)
     for i, s in enumerate(shingles):
-        out[i] = int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
+        out[i] = int.from_bytes(hashlib.md5(s.encode()).digest()[8:], "little")
     return out
 
 
