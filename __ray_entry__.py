@@ -58,11 +58,11 @@ _ORACLE_QUERIES = [
     "q_simhash",             # dedup: SimHash signatures (md5 token hashes)
     "q_simhash_neardup",     # dedup: SimHash Hamming-<=3 banding pairs
     "q_embedding_neardup",   # dedup: embedding-cosine near-dups (banded LSH)
+    "q_ann_lsh",             # similarity search: LSH-bucketed ANN
 ]
 
 # rows-only queries (approx algorithms with no exact SQL equivalent)
 _ROWSONLY_QUERIES = [
-    "q_ann_lsh",             # similarity search: LSH-bucketed ANN
     "q_ann_ivf",             # similarity search: IVF (k-means lists) ANN
     "q_image_roundtrip",     # image payload decode/validate stage
 ]

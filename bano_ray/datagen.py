@@ -597,14 +597,8 @@ def images_dataset(sf_dir: str, with_bytes: bool = False, expand: int = 1,
     import pyarrow.parquet as _pq
 
     n_docs = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
-    # blocks ≈ 8 waves per core, bounded by ~150k-row batches: enough tasks
-    # to pipeline and balance, big enough batches to amortize kernel setup
-    try:
-        import ray
+    import ray
 
-        ncpu = int(ray.cluster_resources().get("CPU", 32)) if ray.is_initialized() else 32
-    except Exception:
-        ncpu = 32
     # metadata rows target ~150k rows/block; byte-payload rows are ~1.3 KB
     # each, so the bytes path uses small blocks — (a) oversized per-task
     # outputs (30 MB+) trip the streaming executor's memory budgeting into
@@ -622,7 +616,15 @@ def images_dataset(sf_dir: str, with_bytes: bool = False, expand: int = 1,
     eff_rows = (n_docs * expand) // (doc_residue[0] if doc_residue else 1)
     by_rows = eff_rows // row_target
     cap = 512 if with_bytes else 1024
-    nblocks = int(min(cap, max(16, min(8 * ncpu, by_rows) if by_rows > 0 else 16)))
+    # Block count is DATA-determined (rows/block constant), never
+    # cluster-size-determined: the former 8*ncpu bound made an 8-CPU
+    # session process 600k-row blocks while a 32-CPU one processed
+    # 150k-row blocks of the same corpus — different per-row cost profiles
+    # that silently distort any N-vs-4N scaling comparison.  150k rows is
+    # the measured sweet spot at high concurrency (300k-row blocks cost
+    # 34 s → 55-81 s on the 38.4M-row flagship at 32 CPUs: bigger
+    # per-task temporaries thrash the box's page-fault/zeroing bandwidth).
+    nblocks = int(min(cap, max(16, by_rows)))
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"],
                                override_num_blocks=nblocks)
     return _images_pipeline(ds, with_bytes=with_bytes, expand=expand,

@@ -1315,3 +1315,58 @@ en_pr AS (
 )
 SELECT DISTINCT a, b, round(c, 6) AS cos FROM en_pr
 WHERE c >= 0.9 ORDER BY a, b"""
+
+
+def q_ann_lsh() -> str:
+    """LSH-bucketed ANN replica (stages/ann.py lsh_topk with nbits=5,
+    nprobe=8): with nprobe >= nbits every query probes its base bucket plus
+    ALL single-bit flips, so the probe set is closed-form; per-(query,
+    bucket) top-k, global max-dedup and the rounded-sim/vec_id final
+    ordering mirror the engine's reduce exactly."""
+    from .pipelines.queries import ANN_K, ANN_QUERY_IDS
+    from .stages.ann import lsh_planes
+
+    nbits, dim = 5, 64
+    planes = lsh_planes(dim, nbits)
+    mx = max(ANN_QUERY_IDS) + 1
+
+    def plane_lit(j: int) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in planes[:, j]) + "]"
+
+    bexpr = "(" + " + ".join(
+        f"(CASE WHEN list_inner_product(e, {plane_lit(i)}) > 0"
+        f" THEN {1 << i} ELSE 0 END)" for i in range(nbits)) + ")"
+    flips = ", ".join(["(0)"] + [f"({1 << i})" for i in range(nbits)])
+    cos = ("list_inner_product(qp.e, cb.e)"
+           " / (sqrt(list_inner_product(qp.e, qp.e))"
+           " * sqrt(list_inner_product(cb.e, cb.e)))")
+    return f"""WITH q AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < {mx}
+),
+c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id >= {mx}
+),
+cb AS (SELECT vec_id, e, {bexpr} AS bucket FROM c),
+qb AS (SELECT vec_id, e, {bexpr} AS base FROM q),
+qprobe AS (
+  SELECT DISTINCT vec_id, e, xor(base, f.flip) AS bucket
+  FROM qb CROSS JOIN (VALUES {flips}) f(flip)
+),
+cand AS (
+  SELECT qp.vec_id AS query_id, cb.vec_id AS vid, {cos} AS sim,
+         row_number() OVER (PARTITION BY qp.vec_id, cb.bucket
+                            ORDER BY {cos} DESC) AS rb
+  FROM qprobe qp JOIN cb ON cb.bucket = qp.bucket
+),
+dedup AS (
+  SELECT query_id, vid AS vec_id, MAX(sim) AS sim
+  FROM cand WHERE rb <= {ANN_K} GROUP BY 1, 2
+),
+fin AS (
+  SELECT query_id, vec_id, round(sim, 6) AS sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(sim, 6) DESC, vec_id) AS rank
+  FROM dedup
+)
+SELECT query_id, vec_id, sim, rank FROM fin WHERE rank <= {ANN_K}
+ORDER BY query_id, rank"""

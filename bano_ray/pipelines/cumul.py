@@ -187,15 +187,15 @@ def partial_dataset(sf_dir: str, expand: int = 1, assign_concurrency: int = 4):
     # 84s job wall for ~13s of remote work at 32 cpus).  Coalesce the
     # partials to O(cluster) blocks first; at multi-node scale this is the
     # "pre-aggregate, then shuffle few fat partitions" discipline.
+    # (The former <16-slot gate skipped this coalesce on small clusters;
+    # its starvation rationale was an artifact of ray's operator resource
+    # reservation, which runtime._configure_data_context now disables.
+    # Without the coalesce, an 8-CPU run over 1024 input blocks ground
+    # >7 GB of driver block metadata through the sort — strictly worse.)
     try:
         ncpu = int(ray.cluster_resources().get("CPU", 32)) if ray.is_initialized() else 32
     except Exception:
         ncpu = 32
-    if ncpu < 16:
-        # below ~16 slots the extra AllToAll starves the streaming executor
-        # (measured: map concurrency collapses to ~1 at 8 cpus), and the
-        # input block count is small enough that the shuffle is cheap anyway
-        return par.union(reg)
     npart = max(8, min(64, 2 * ncpu))
     return par.union(reg).repartition(npart)
 

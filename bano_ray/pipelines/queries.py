@@ -406,7 +406,9 @@ def q_ann_topk(sf_dir: str):
 
 
 def q_ann_lsh(sf_dir: str):
-    """LSH-bucketed ANN variant (rows-only; recall vs brute checked in tests)."""
+    """LSH-bucketed ANN variant (oracle-gated: with nprobe >= nbits the
+    probe set is closed-form, so oracle.q_ann_lsh replicates it exactly;
+    recall vs brute also checked in tests)."""
     import ray
     from ..stages.ann import lsh_topk
 

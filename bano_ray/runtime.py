@@ -62,20 +62,26 @@ def ensure_worker_importable() -> None:
 
 
 def _configure_data_context() -> None:
-    """Small-cluster streaming-executor fix: at < 16 CPU slots, ray 2.49's
-    operator resource reservation (a fraction held back for downstream /
-    all-to-all operators) starves the fused map chain to ~1 concurrent task
-    — measured 315 s of remote map work spread over 327 s of wall at 8
-    CPUs, and disabling the reservation cut the 9.6M-row flagship from
-    77 s to 34 s.  At ≥ 16 slots the reservation behaves (and helps the
-    big-shuffle jobs); leave it on there."""
+    """Streaming-executor fix: ray 2.49's operator resource reservation (a
+    fraction of slots held back for downstream / all-to-all operators)
+    starves long fused map chains at EVERY cluster size for this engine's
+    workloads — measured 315 s of remote map work spread over 327 s of wall
+    at 8 CPUs (~1 concurrent task), and effective parallelism ~12 of 32
+    slots on the 38.4M-row flagship chain (502 s of remote wall spread over
+    40.7 s; disabling cut the job 55 s → 37 s at 32 CPUs, quiet canaries
+    both).  Our all-to-alls are tiny (pre-aggregated partials), so the
+    reservation protects nothing here.  ``GRAFT_OP_RESERVATION=1`` restores
+    the ray default for A/B measurement."""
+    import os
+
+    if os.environ.get("GRAFT_OP_RESERVATION") == "1":
+        return
     try:
         import ray
         import ray.data
 
         if not ray.is_initialized():
             return
-        if int(ray.cluster_resources().get("CPU", 32)) < 16:
-            ray.data.DataContext.get_current().op_resource_reservation_enabled = False
+        ray.data.DataContext.get_current().op_resource_reservation_enabled = False
     except Exception:
         pass

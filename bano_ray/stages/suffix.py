@@ -186,17 +186,17 @@ def suffix_centers(pts_ds) -> pd.DataFrame:
     is dim-sized (selected hamlets only) and safe to collect/broadcast."""
     par = pts_ds.map_batches(suffix_partials, batch_format="pyarrow")
     # same wide-cluster discipline as the merge: the partial stream is tiny
-    # but block-count-wide; coalesce before the groupby's all-to-all (blocks²
-    # shuffle objects) — skip below 16 slots where the extra AllToAll
-    # starves the streaming executor
+    # but block-count-wide; coalesce before the groupby's all-to-all
+    # (blocks² shuffle objects) at EVERY cluster size — the former <16-slot
+    # skip was an artifact of ray's operator resource reservation, which
+    # runtime._configure_data_context now disables
     try:
         import ray
 
         ncpu = int(ray.cluster_resources().get("CPU", 32)) if ray.is_initialized() else 32
     except Exception:
         ncpu = 32
-    if ncpu >= 16:
-        par = par.repartition(max(8, min(64, 2 * ncpu)))
+    par = par.repartition(max(8, min(64, 2 * ncpu)))
     ds = par.groupby("insee").map_groups(build_centers, batch_format="pandas")
     return ds.to_pandas()
 

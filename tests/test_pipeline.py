@@ -62,7 +62,11 @@ def test_minhash_pairs_find_planted_dups(ray_session, sf):
 
 ORACLE_SUBSET = ["q_zone_counts", "q_cumul_adresses", "q_cumul_voies",
                  "q_voies_sans_adresses", "q_street_json",
-                 "q_knn_match", "q_places", "q_token_count"]
+                 "q_knn_match", "q_places", "q_token_count",
+                 # hash-dedup/ANN family (md5 shingles + closed-form LSH
+                 # literals make these value-replicable in DuckDB)
+                 "q_minhash_pairs", "q_simhash_neardup",
+                 "q_embedding_neardup", "q_ann_lsh"]
 
 
 def test_oracle_parity_subset(ray_session, sf):
@@ -73,7 +77,8 @@ def test_oracle_parity_subset(ray_session, sf):
     for t in ["documents", "events", "lineitem", "embeddings"]:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
     for name in ORACLE_SUBSET:
-        df_r = qs[name](sf).to_pandas()
+        res = qs[name](sf)
+        df_r = res if isinstance(res, pd.DataFrame) else res.to_pandas()
         df_o = con.sql(osql[name]).df()
         cols = sorted(df_o.columns)
         a = df_r[cols].sort_values(cols).reset_index(drop=True)
