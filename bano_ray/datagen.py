@@ -625,8 +625,17 @@ def images_dataset(sf_dir: str, with_bytes: bool = False, expand: int = 1,
     # 34 s → 55-81 s on the 38.4M-row flagship at 32 CPUs: bigger
     # per-task temporaries thrash the box's page-fault/zeroing bandwidth).
     nblocks = int(min(cap, max(16, by_rows)))
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"],
-                               override_num_blocks=nblocks)
+    # Explicit repartition of the tiny id stream instead of
+    # override_num_blocks: the documents file is a single fragment, so
+    # override made ONE read task stream nblocks splits through its
+    # generator buffer at ~16 blocks/s — at 1024 blocks that generator was
+    # the whole pipeline's feed bottleneck (the 153.6M-row chain idled at
+    # ~16 of 32 cores behind it).  The repartition materializes nblocks
+    # independent blocks up front (an all-to-all over just the pruned
+    # doc_id column — trivially small) so synthesis tasks launch in
+    # parallel immediately.
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"]).repartition(nblocks)
     return _images_pipeline(ds, with_bytes=with_bytes, expand=expand,
                             doc_residue=doc_residue)
 

@@ -168,12 +168,12 @@ def _ensure_builtins() -> None:
         from .pipelines.cumul import _tag_points
         from .stages.merge_partial import (finalize_group,
                                            label_partial_arrow,
-                                           partial_from_points_arrow,
+                                           partial_from_points_fast,
                                            registry_partials)
 
         tagged = ds.map_batches(_tag_points, batch_format="pyarrow", batch_size=None)
-        par = tagged.map_batches(partial_from_points_arrow,
-                                 batch_format="pandas", batch_size=None)
+        par = tagged.map_batches(partial_from_points_fast,
+                                 batch_format="pyarrow", batch_size=None)
         # Union the street-label pre-pass (point_par_rue, G5) when the spec
         # names its corpus — exactly as pipelines/cumul.partial_dataset does
         if sf_dir:

@@ -641,3 +641,253 @@ def recombine_arrow(df: pd.DataFrame):
     import pyarrow as pa
 
     return pa.Table.from_pandas(recombine(df), preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# Fast combiner: the same partial-state reduction as partial_from_points,
+# re-expressed as integer-coded lexsort group reductions over Arrow-native
+# arrays.  partial_from_points's pandas object-key groupbys measured
+# 4.15 us/row single-threaded (~47% of the whole synthesis->partial chain)
+# and their hash tables / object allocations are exactly the memory traffic
+# that inflates per-row CPU at high task concurrency.  Differentially
+# pinned equal to partial_from_points (tests/test_merge_partial.py) and
+# covered end-to-end by the merge oracles.
+# ---------------------------------------------------------------------------
+
+
+def _runs(key: np.ndarray, order_vals: np.ndarray | None = None):
+    """Sort rows by (key[, order_vals]) and return (perm, starts, ends) of
+    the equal-key runs.  perm[starts] indexes each group's minimum
+    order_vals row, perm[ends-1] its maximum."""
+    if order_vals is None:
+        perm = np.argsort(key, kind="stable")
+    else:
+        perm = np.lexsort((order_vals, key))
+    k = key[perm]
+    starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+    ends = np.r_[starts[1:], np.int64(len(k))]
+    return perm, starts, ends
+
+
+def _str_lens(a: np.ndarray) -> np.ndarray:
+    return np.fromiter((len(x) for x in a), dtype=np.int64, count=len(a))
+
+
+def partial_from_points_fast(t) -> "pa.Table":
+    """Arrow-in/arrow-out twin of :func:`partial_from_points` (see module
+    docstring for the reduction inventory).  Semantics notes mirrored from
+    the pandas combiner:
+
+    - ord = doc_id * ORD_SCALE + part_idx is unique per exploded row
+      (doc_id unique per batch), so every argmin/argmax is unambiguous and
+      group-output row order is irrelevant downstream.
+    - the CADASTRE pseudo_adresse filter applies to BOTH the pnum and the
+      'seen' sections; 'seen' registers streets BEFORE housenumber
+      validity (reference models.py registers on every row).
+    """
+    import pyarrow as pa
+
+    from ..functions.housenumber import split_multi
+    from ..runtime import tune_malloc
+
+    tune_malloc()
+    if t.num_rows == 0:
+        return pa.Table.from_pandas(_empty_partial(), preserve_index=False)
+
+    def col(c):
+        return t.column(c).to_numpy(zero_copy_only=False)
+
+    src = col("source")
+    insee = col("insee")
+    salt = col("salt").astype(np.int64)
+    sk = col("street_key")
+    hn = col("hn")
+    doc = col("doc_id").astype(np.int64)
+    lon = col("lon")
+    lat = col("lat")
+    postcode = col("postcode")
+    street = col("street")
+    fant = col("fantoir_raw")
+    pseudo = col("pseudo_adresse")
+    hwt = col("highway_type")
+    fvalid = col("fant_valid").astype(bool)
+    hl = col("hn_len").astype(np.int64)
+
+    ci, u_insee = pd.factorize(insee)
+    ck, u_sk = pd.factorize(sk)
+    sdim = int(salt.max()) + 1
+    base_key = (ci.astype(np.int64) * sdim + salt) * len(u_sk) + ck
+
+    frames: list[pd.DataFrame] = []
+
+    for source in SOURCES_ORDER:
+        m = src == source
+        if source == "CADASTRE":
+            m &= pseudo != "true"
+        if not m.any():
+            continue
+
+        if source == "OSM":
+            ridx = np.flatnonzero(m & (hl > 0))
+            if len(ridx):
+                # explode multi-number captions (split memoized per unique
+                # hn, same as merge._explode_osm)
+                uh, ih = np.unique(hn[ridx].astype("U"), return_inverse=True)
+                splits = [split_multi(u) for u in uh]
+                lens = np.array([len(s) for s in splits], dtype=np.int64)
+                reps = lens[ih]
+                eidx = np.repeat(ridx, reps)
+                nums = np.concatenate(
+                    [np.asarray(splits[i], dtype=object) for i in ih]) \
+                    if reps.sum() else np.empty(0, dtype=object)
+                tot = int(reps.sum())
+                part = (np.arange(tot, dtype=np.int64)
+                        - np.repeat(np.cumsum(reps) - reps, reps))
+                nl = _str_lens(nums)
+                keep = (nl > 0) & (nl <= 11)
+                eidx, nums, part = eidx[keep], nums[keep], part[keep]
+            else:
+                eidx = np.empty(0, dtype=np.int64)
+                nums = np.empty(0, dtype=object)
+                part = np.empty(0, dtype=np.int64)
+            if len(eidx):
+                if int(part.max()) >= ORD_SCALE:
+                    raise ValueError(
+                        f"caption split into {int(part.max()) + 1} parts; "
+                        f"ORD_SCALE={ORD_SCALE} would collapse ordering")
+            ord_ = doc[eidx] * ORD_SCALE + part
+            cp = postcode[eidx]
+        else:
+            eidx = np.flatnonzero(m & (hl > 0) & (hl <= 11))
+            nums = hn[eidx]
+            ord_ = doc[eidx] * ORD_SCALE
+            cp = postcode[eidx] if source == "BAN" \
+                else np.full(len(eidx), "", dtype=object)
+
+        if len(eidx):
+            cn, _u_num = pd.factorize(nums)
+            key = base_key[eidx] * len(_u_num) + cn
+            perm, st, en = _runs(key, ord_)
+            firsts, lasts = perm[st], perm[en - 1]
+            fr_ = _frame({
+                "ptype": np.full(len(st), "pnum", dtype=object),
+                "insee": insee[eidx[firsts]],
+                "salt": salt[eidx[firsts]],
+                "source": np.full(len(st), source, dtype=object),
+                "street_key": sk[eidx[firsts]],
+                "numero": nums[firsts],
+                "first_ord": ord_[firsts],
+                "last_ord": ord_[lasts],
+                "last_lon": lon[eidx[lasts]].astype(np.float64),
+                "last_lat": lat[eidx[lasts]].astype(np.float64),
+                "last_cp": cp[lasts],
+                "last_street": street[eidx[lasts]],
+            })
+            if source == "OSM":
+                vsel = fvalid[eidx]
+                if vsel.any():
+                    vperm, vst, ven = _runs(key[vsel], ord_[vsel])
+                    vlast = vperm[ven - 1]
+                    vkeys = key[vsel][vlast]
+                    gkeys = key[firsts]  # ascending (runs are key-sorted)
+                    pos = np.searchsorted(vkeys, gkeys)
+                    hit = (pos < len(vkeys))
+                    pos_c = np.minimum(pos, len(vkeys) - 1)
+                    hit &= vkeys[pos_c] == gkeys
+                    vf_ord = np.where(hit, ord_[vsel][vlast][pos_c], -1)
+                    vf_fant = np.where(
+                        hit, fant[eidx[vsel]][vlast][pos_c], "").astype(object)
+                    fr_["vf_ord"] = vf_ord.astype(np.int64)
+                    fr_["vf_fant"] = vf_fant
+            frames.append(fr_)
+
+        if source == "BAN":
+            bidx = np.flatnonzero(m)
+            bidx = bidx[_str_lens(fant[bidx]) == 10]
+            if len(bidx):
+                cf, _u_f = pd.factorize(fant[bidx])
+                key = base_key[bidx] * len(_u_f) + cf
+                ord_b = doc[bidx] * ORD_SCALE
+                perm, st, en = _runs(key, ord_b)
+                lasts = perm[en - 1]
+                frames.append(_frame({
+                    "ptype": np.full(len(st), "brep", dtype=object),
+                    "insee": insee[bidx[lasts]],
+                    "salt": salt[bidx[lasts]],
+                    "street_key": sk[bidx[lasts]],
+                    "raw": fant[bidx[lasts]],
+                    "brep_ord": ord_b[lasts],
+                }))
+
+    # 'seen' rows: distinct (insee, salt, street_key) per source
+    for source in SOURCES_ORDER:
+        m = src == source
+        if source == "CADASTRE":
+            m &= pseudo != "true"
+        midx = np.flatnonzero(m)
+        if len(midx) == 0:
+            continue
+        perm, st, _en = _runs(base_key[midx])
+        firsts = midx[perm[st]]
+        frames.append(_frame({
+            "ptype": np.full(len(st), "seen", dtype=object),
+            "insee": insee[firsts],
+            "salt": salt[firsts],
+            "source": np.full(len(st), source, dtype=object),
+            "street_key": sk[firsts],
+        }))
+
+    # highway rows: OSM rows with no housenumber
+    hidx = np.flatnonzero((src == "OSM") & (hl == 0))
+    if len(hidx):
+        key = base_key[hidx]
+        ord_h = doc[hidx] * ORD_SCALE
+        perm, st, en = _runs(key, ord_h)
+        lasts = perm[en - 1]
+        gkeys = key[perm[st]]
+        fr_ = _frame({
+            "ptype": np.full(len(st), "hw", dtype=object),
+            "insee": insee[hidx[lasts]],
+            "salt": salt[hidx[lasts]],
+            "street_key": sk[hidx[lasts]],
+            "hw_last_ord": ord_h[lasts],
+            "hw_last_street": street[hidx[lasts]],
+        })
+        # distinct-highway-type bitmask per street
+        p_map = pd.Series(hwt[hidx]).map(HIGHWAY_TYPES_INDEX)
+        psel = p_map.notna().to_numpy()
+        mask_out = np.zeros(len(st), dtype=np.int64)
+        if psel.any():
+            pv = p_map.to_numpy()[psel].astype(np.int64)
+            comp = key[psel] * np.int64(len(HIGHWAY_TYPES_INDEX) * 2) + \
+                np.log2(pv).astype(np.int64)
+            ucomp, uf = np.unique(comp, return_index=True)
+            k2 = key[psel][uf]
+            p2 = pv[uf]
+            p_perm, p_st, p_en = _runs(k2)
+            sums = np.add.reduceat(p2[p_perm], p_st)
+            pos = np.searchsorted(gkeys, k2[p_perm[p_st]])
+            mask_out[pos] = sums
+        fr_["hw_mask"] = mask_out
+        # first-valid-fantoir facet
+        hsel = fvalid[hidx]
+        if hsel.any():
+            vperm, vst, ven = _runs(key[hsel], ord_h[hsel])
+            vfirst = vperm[vst]
+            vkeys = key[hsel][vfirst]
+            pos = np.searchsorted(vkeys, gkeys)
+            hit = pos < len(vkeys)
+            pos_c = np.minimum(pos, len(vkeys) - 1)
+            hit &= vkeys[pos_c] == gkeys
+            fr_["hw_fv_ord"] = np.where(
+                hit, ord_h[hsel][vfirst][pos_c], -1).astype(np.int64)
+            fr_["hw_fv_fant"] = np.where(
+                hit, fant[hidx[hsel]][vfirst][pos_c], "").astype(object)
+            fr_["hw_fv_street"] = np.where(
+                hit, street[hidx[hsel]][vfirst][pos_c], "").astype(object)
+        frames.append(fr_)
+
+    if not frames:
+        return pa.Table.from_pandas(_empty_partial(), preserve_index=False)
+    return pa.Table.from_pandas(pd.concat(frames, ignore_index=True),
+                                preserve_index=False)

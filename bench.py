@@ -225,7 +225,12 @@ def run_single() -> dict:
     from bano_ray.runtime import ensure_worker_importable
     ensure_worker_importable()
 
-    n_rows = datagen.images_dataset(SF_DIR, expand=EXPAND).count()
+    # corpus size from parquet metadata (rows = docs x expand by
+    # construction) — a .count() here would synthesize the whole corpus a
+    # second time outside the measured window (56 s of wall at 153.6M rows)
+    import pyarrow.parquet as pq
+
+    n_rows = pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows * EXPAND
     # the first canary in a process pays its own buffers' first-touch cost
     # (~80 MB of fresh pages) — warm it so canary_pre measures AMBIENT
     # contention, not our own startup

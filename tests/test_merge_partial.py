@@ -126,3 +126,34 @@ def test_label_voie_rows_semantics():
     assert len(merged) > 0
     assert (merged["lon"] == merged["lon_lab"]).all()
     assert (merged["lat"] == merged["lat_lab"]).all()
+
+
+@pytest.mark.parametrize("seed,n", [(11, 400), (12, 1200), (13, 3000)])
+def test_partial_fast_equals_pandas(seed, n):
+    """The integer-coded lexsort combiner (partial_from_points_fast) emits
+    exactly the same partial-state rows as the pandas reference combiner,
+    modulo row order."""
+    from bano_ray.stages.merge_partial import (PARTIAL_COLS,
+                                               partial_from_points_fast)
+
+    rng = np.random.default_rng(seed)
+    ids = rng.choice(200000, size=n, replace=False).astype(np.int64)
+    pts = _points(ids)
+    slow = partial_from_points(pts)
+    fast = partial_from_points_fast(
+        pa.Table.from_pandas(pts, preserve_index=False)).to_pandas()
+    cols = list(PARTIAL_COLS)
+    assert sorted(fast.columns) == sorted(slow.columns)
+    a = slow[cols].sort_values(cols).reset_index(drop=True)
+    b = fast[cols].sort_values(cols).reset_index(drop=True)
+    assert len(a) == len(b)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_partial_fast_empty():
+    from bano_ray.stages.merge_partial import partial_from_points_fast
+
+    pts = _points(np.array([3], dtype=np.int64)).iloc[:0]
+    out = partial_from_points_fast(
+        pa.Table.from_pandas(pts, preserve_index=False)).to_pandas()
+    assert len(out) == 0
