@@ -666,9 +666,11 @@ def _images_pipeline(ds, with_bytes: bool, expand: int,
 
         ds = ds.map_batches(blow_up, batch_format="pyarrow", batch_size=None)
     # metadata-only synthesis runs whole-block (micro-batching multiplies
-    # per-batch fixed costs ~12x on the combiner stages); byte payloads keep
-    # the default batch size so batch x concurrency stays in worker heaps
-    bs = None if not with_bytes else "default"
+    # per-batch fixed costs ~12x on the combiner stages); byte payloads use
+    # bounded batches so batch x concurrency stays in worker heaps (1024 ==
+    # ray's default batch size, stated explicitly — the "default" sentinel
+    # is deprecated)
+    bs = None if not with_bytes else 1024
     return ds.map_batches(lambda b: synthesize_batch(b, with_bytes=with_bytes),
                           batch_format="pyarrow", batch_size=bs)
 

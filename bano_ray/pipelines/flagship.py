@@ -112,7 +112,25 @@ def image_roundtrip(sf_dir: str, concurrency=None, expand: int = 1):
     if concurrency is None:
         cpus = _cluster_cpus()
         concurrency = (min(2, max(1, cpus - 2)), max(2, cpus - 2))
-    ds = datagen.images_dataset(sf_dir, with_bytes=True, expand=expand)
+    # Byte-payload rows are ~1.3 KB: bound OUTPUT block size so the
+    # synthesis tasks emit ~1.5k-row blocks for the actor pool regardless
+    # of how the executor bundles their (tiny) id-stream inputs.  Without
+    # this, input-side bundling let one synthesis task emit an 84 MB /
+    # 80k-row block and the whole 400k-image corpus arrived as 5 fat
+    # tasks — a 2-actor pool and a 4x wall regression.  2 MiB is the
+    # per-block target the r2 sizing note derived (1.5k rows x ~1.3 KB).
+    import ray.data
+
+    ctx = ray.data.DataContext.get_current()
+    prev_tmbs = ctx.target_max_block_size
+    ctx.target_max_block_size = 2 * 1024 * 1024
+    try:
+        # the Dataset snapshots the context at creation; restore the
+        # global afterwards so metadata pipelines built later in the same
+        # session keep their fat blocks
+        ds = datagen.images_dataset(sf_dir, with_bytes=True, expand=expand)
+    finally:
+        ctx.target_max_block_size = prev_tmbs
     # 512-row batches amortize the batched JPEG decode (one dequant/IDCT
     # pass per batch) while batch × concurrency stays well inside heaps
     # (~1 KB payload rows)
