@@ -134,16 +134,33 @@ def run_scaling() -> dict:
         if os.environ.get("GRAFT_SCALE_FORCE") != "1":
             raise SystemExit(2)
 
+    def _one(cpus: int, expand: int, pipeline: str = "flagship") -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=SF_DIR,
+                   GRAFT_BENCH_EXPAND=str(expand),
+                   GRAFT_BENCH_PIPELINE=pipeline)
+        out = subprocess.run([sys.executable, os.path.abspath(__file__), "--single"],
+                             capture_output=True, text=True, env=env,
+                             cwd=os.path.dirname(os.path.abspath(__file__)))
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        return json.loads(line)
+
     runs: dict[int, list[dict]] = {8: [], 32: []}
     for _ in range(SCALE_RUNS):
         for cpus in (8, 32):
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=SF_DIR,
-                       GRAFT_BENCH_EXPAND=str(SCALE_EXPAND))
-            out = subprocess.run([sys.executable, os.path.abspath(__file__), "--single"],
-                                 capture_output=True, text=True, env=env,
-                                 cwd=os.path.dirname(os.path.abspath(__file__)))
-            line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-            runs[cpus].append(json.loads(line))
+            runs[cpus].append(_one(cpus, SCALE_EXPAND))
+
+    # Companion pairs (one run per size):
+    # - 2 -> 8 CPUs on the 38.4M-row corpus: the UNSATURATED-DRAM regime.
+    #   On a single box, 32-way concurrency contends on one socket's
+    #   memory bandwidth (per-row CPU inflates ~1.35x vs 8-way — see
+    #   avg_host_cores accounting), which a real N -> 4N NODE scale-out
+    #   does not do (each node brings its own DRAM).  The low-concurrency
+    #   pair shows the engine's orchestration overhead-free scaling.
+    # - image decode/validate at 8 -> 32: the arithmetic-dense payload
+    #   stage (DCT/Huffman per byte), much less DRAM-bound per core.
+    small_expand = int(os.environ.get("GRAFT_SCALE_SMALL_EXPAND", "7680"))
+    pair_2 = {c: _one(c, small_expand) for c in (2, 8)}
+    pair_img = {c: _one(c, 80, pipeline="image") for c in (8, 32)}
 
     med = {c: statistics.median(r["rows_per_s"] for r in runs[c]) for c in (8, 32)}
     best = {c: max(r["rows_per_s"] for r in runs[c]) for c in (8, 32)}
@@ -196,6 +213,13 @@ def run_scaling() -> dict:
         # the 8-CPU side stayed near 8 and how contended the box was
         "avg_host_cores_8": [r.get("avg_host_cores") for r in runs[8]],
         "avg_host_cores_32": [r.get("avg_host_cores") for r in runs[32]],
+        # companion pairs (see run_scaling comments): low-concurrency
+        # flagship (unsaturated DRAM) and the arithmetic-dense image stage
+        "eff_2_to_8": round((pair_2[8]["rows_per_s"] / pair_2[2]["rows_per_s"]) / 4.0, 3),
+        "pair_2_to_8": {str(c): pair_2[c] for c in pair_2},
+        "eff_image_8_to_32": round(
+            (pair_img[32]["rows_per_s"] / pair_img[8]["rows_per_s"]) / 4.0, 3),
+        "pair_image": {str(c): pair_img[c] for c in pair_img},
     }
 
 
@@ -230,6 +254,7 @@ def run_single() -> dict:
     # second time outside the measured window (56 s of wall at 153.6M rows)
     import pyarrow.parquet as pq
 
+    pipeline = os.environ.get("GRAFT_BENCH_PIPELINE", "flagship")
     n_rows = pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows * EXPAND
     # the first canary in a process pays its own buffers' first-touch cost
     # (~80 MB of fresh pages) — warm it so canary_pre measures AMBIENT
@@ -238,13 +263,19 @@ def run_single() -> dict:
     canary_pre = mem_bw_canary()
     b0 = host_busy_cpu_s()
     t0 = time.time()
-    out_rows = flagship(SF_DIR, expand=EXPAND,
-                        assign_concurrency=max(4, NUM_CPUS // 4)).count()
+    if pipeline == "image":
+        from bano_ray.pipelines.flagship import image_roundtrip
+
+        out_rows = image_roundtrip(SF_DIR, expand=EXPAND).count()
+        n_rows = out_rows
+    else:
+        out_rows = flagship(SF_DIR, expand=EXPAND,
+                            assign_concurrency=max(4, NUM_CPUS // 4)).count()
     dt = time.time() - t0
     busy = host_busy_cpu_s() - b0
     canary_post = mem_bw_canary()
-    return {"metric": "flagship wall time", "value": round(dt, 3), "unit": "sec",
-            "queries": {"flagship_street_json": round(dt, 3)}, "sf": SF_DIR,
+    return {"metric": f"{pipeline} wall time", "value": round(dt, 3), "unit": "sec",
+            "queries": {pipeline: round(dt, 3)}, "sf": SF_DIR,
             "num_cpus": NUM_CPUS, "rows": int(n_rows), "out_rows": int(out_rows),
             "rows_per_s": round(n_rows / dt, 1),
             "mem_bw_canary_s": max(canary_pre, canary_post),
