@@ -102,7 +102,7 @@ def image_roundtrip(sf_dir: str, concurrency=None, expand: int = 1):
     """Decode-validate every payload (actor pool, small batches — binary
     rows are wide; batch_size keeps batch × concurrency in worker heap).
 
-    The pool autoscales with the cluster: ``concurrency=(2, cpus - 2)``
+    The pool autoscales with the cluster: ``concurrency=(cpus//4, cpus-2)``
     leaves slots for the upstream synthesis/read tasks while letting the
     heaviest CPU stage claim the rest of the node.  Per-task ``memory`` is
     declared (see IMAGE_STAGE_MEMORY) so the executor can budget the stage
@@ -111,7 +111,12 @@ def image_roundtrip(sf_dir: str, concurrency=None, expand: int = 1):
     ensure_worker_importable()
     if concurrency is None:
         cpus = _cluster_cpus()
-        concurrency = (min(2, max(1, cpus - 2)), max(2, cpus - 2))
+        # floor the pool at ~cpus/4 (not 2): the ray 2.49 autoscaler adds
+        # actors only as the input queue builds, and with the synthesis
+        # tasks saturating the other slots the ramp from 2 actors costs
+        # ~15% of the stage wall at 32 cpus
+        hi = max(2, cpus - 2)
+        concurrency = (min(max(2, cpus // 4), hi), hi)
     # Byte-payload rows are ~1.3 KB: bound OUTPUT block size so the
     # synthesis tasks emit ~1.5k-row blocks for the actor pool regardless
     # of how the executor bundles their (tiny) id-stream inputs.  Without
