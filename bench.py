@@ -68,7 +68,13 @@ def run_benchmarks() -> dict:
     ensure_worker_importable()
 
     timings: dict[str, float] = {}
-    n_rows = datagen.images_dataset(SF_DIR, expand=EXPAND).count()
+    import pyarrow.parquet as pq
+
+    n_rows = pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows * EXPAND
+    mem_bw_canary()  # warm the canary buffers (first call pays first-touch)
+    canary_pre = mem_bw_canary()
+    busy0 = host_busy_cpu_s()
+    wall0 = time.time()
 
     # headline: full spatial-join + merge + street aggregation at bench scale
     from bano_ray.pipelines.flagship import flagship
@@ -110,7 +116,10 @@ def run_benchmarks() -> dict:
         "out_rows": int(out_rows),
         "img_rows": int(img_n),
         "rows_per_s": round(n_rows / flagship_s, 1),
+        "canary_pre_s": canary_pre,
         "mem_bw_canary_s": mem_bw_canary(),
+        "avg_host_cores": round((host_busy_cpu_s() - busy0)
+                                / max(time.time() - wall0, 1e-9), 1),
     }
 
 
