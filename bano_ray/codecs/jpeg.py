@@ -670,9 +670,13 @@ def _parse_and_huffman(data: bytes):
     if scan_start is None or h is None:
         raise ValueError("incomplete JPEG")
 
-    # entropy segment runs to EOI; de-stuff
-    end = data.rfind(b"\xFF\xD9")
-    raw = np.frombuffer(data[scan_start:end], dtype=np.uint8)
+    # entropy segment runs to EOI; de-stuff.  (numpy scan instead of
+    # bytes.rfind so zero-copy memoryview payloads — Arrow binary-buffer
+    # slices from the actor stage — decode without a bytes() copy)
+    raw_all = np.frombuffer(data, dtype=np.uint8)
+    eoi = np.flatnonzero((raw_all[:-1] == 0xFF) & (raw_all[1:] == 0xD9))
+    end = int(eoi[-1]) if len(eoi) else -1
+    raw = raw_all[scan_start:end]
     ff = np.nonzero((raw[:-1] == 0xFF) & (raw[1:] == 0x00))[0]
     destuffed = np.delete(raw, ff + 1) if len(ff) else raw
 

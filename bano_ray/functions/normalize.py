@@ -171,6 +171,9 @@ def normalize_array(values) -> np.ndarray:
     # flagship chain's 150k-row batches; factorize is ~4x cheaper here)
     import pandas as pd
 
-    inv, uniq = pd.factorize(arr)
+    # use_na_sentinel=False: nulls were scrubbed above, but if a NaN ever
+    # slipped through it must surface in normalize() rather than silently
+    # indexing out_uniq[-1] via the default -1 sentinel
+    inv, uniq = pd.factorize(arr, use_na_sentinel=False)
     out_uniq = np.array([normalize(u) for u in uniq], dtype=object)
     return out_uniq[inv]

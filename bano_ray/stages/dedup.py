@@ -13,29 +13,118 @@
 - embedding cosine near-dup: bucket by coarse LSH sign-pattern then exact
   cosine within bucket.
 
-All heavy per-batch math is numpy; Python only touches per-unique strings.
+Hot-path kernel discipline: tokenization happens once per batch, shingles
+are factorized to integer codes, and md5 runs only over the UNIQUE shingles
+of a batch (shingle reuse across near-duplicate docs is high), so Python
+only ever touches per-unique strings.  The permutation math, banding, and
+per-doc min-reductions are pure numpy over the unique-hash table.
+
+Skew guards never drop silently: every oversized bucket is counted in
+:data:`DROP_STATS` and logged (the "no silent caps" rule) — at 100 TB a
+dropped bucket is the most-duplicated content, so the drop must be visible.
 """
 
 from __future__ import annotations
 
 import hashlib
+import itertools
+import logging
+from functools import lru_cache
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+logger = logging.getLogger("bano_ray.dedup")
+
 MINHASH_PERMS = 64
 MINHASH_BANDS = 16  # 16 bands × 4 rows
 _MERS = (1 << 61) - 1
 
+# Per-process dropped-bucket accounting (populated inside map_groups workers;
+# read it in-process — unit tests call the group fns directly — and watch the
+# WARNING log lines for distributed runs).
+DROP_STATS: dict[str, int] = {}
+
+
+def _record_drop(kind: str, size: int, cap: int) -> None:
+    DROP_STATS[kind] = DROP_STATS.get(kind, 0) + 1
+    DROP_STATS[kind + "_rows"] = DROP_STATS.get(kind + "_rows", 0) + size
+    logger.warning("dedup skew guard: dropped %s bucket of %d members (cap %d); "
+                   "total dropped so far in this worker: %d",
+                   kind, size, cap, DROP_STATS[kind])
+
+
+def drop_stats() -> dict[str, int]:
+    """Snapshot of this process's dropped-bucket counters."""
+    return dict(DROP_STATS)
+
+
+def _md5_u64(data: bytes) -> int:
+    """Upper md5 half little-endian — exactly DuckDB's ``md5_number_lower``,
+    so the whole minhash/simhash family is SQL-replicable and the driver can
+    value-gate it (oracle.py q_minhash_pairs / q_simhash / q_simhash_neardup)."""
+    return int.from_bytes(hashlib.md5(data).digest()[8:], "little")
+
+
+class _DuckMd5:
+    """Per-process holder for the vectorized-md5 DuckDB connection.
+
+    The live connection object is NOT picklable; ``__reduce__`` drops it so
+    any cloudpickle capture (Ray UDF serialization) ships an empty holder
+    and the destination process rebuilds its own connection lazily.
+    """
+
+    def __init__(self):
+        self.con = None   # None = untried, False = unavailable
+
+    def __reduce__(self):
+        return (_DuckMd5, ())
+
+    def get(self):
+        if self.con is None:
+            try:
+                import duckdb
+
+                con = duckdb.connect()
+                probe = con.execute(
+                    "SELECT md5_number_lower('bano-ray probe') AS h"
+                ).fetchone()[0]
+                assert int(probe) == _md5_u64(b"bano-ray probe")
+                self.con = con
+            except Exception:
+                self.con = False
+        return self.con
+
+
+_DUCK_MD5 = _DuckMd5()
+
+
+def _md5_u64_many(strings: np.ndarray) -> np.ndarray:
+    """Vectorized md5-upper-half over an array of strings.
+
+    Fast path: an in-process DuckDB connection runs ``md5_number_lower``
+    over the whole column at once (~3.5× hashlib; DuckDB preserves insertion
+    order for projections by default, and the equivalence with
+    ``hashlib.md5(s).digest()[8:]`` little-endian is asserted at first use).
+    Fallback: the hashlib loop.  Both produce identical uint64 values, so
+    oracle parity is unaffected by which path runs.
+    """
+    if len(strings) == 0:
+        return np.empty(0, np.uint64)
+    con = _DUCK_MD5.get()
+    if con:
+        tbl = pa.table({"s": pa.array(strings, pa.string())})  # noqa: F841
+        out = con.execute(
+            "SELECT md5_number_lower(s) AS h FROM tbl").fetch_arrow_table()
+        return out.column("h").to_numpy().astype(np.uint64)
+    return np.fromiter((_md5_u64(s.encode()) for s in strings),
+                       dtype=np.uint64, count=len(strings))
+
 
 def _token_hashes(text: str, n: int = 3) -> np.ndarray:
-    """Hashes of word n-gram shingles (stable across processes).
-
-    Uses the upper md5 half little-endian — exactly DuckDB's
-    ``md5_number_lower(s)`` — so the whole minhash/simhash family is
-    SQL-replicable and the driver can value-gate it (oracle.py
-    q_minhash_pairs / q_simhash / q_simhash_neardup)."""
+    """Hashes of word n-gram shingles for ONE text (verification-path kernel;
+    the signature hot path uses :func:`_batch_shingle_hashes`)."""
     toks = text.split()
     if len(toks) < n:
         shingles = [" ".join(toks)] if toks else []
@@ -43,41 +132,173 @@ def _token_hashes(text: str, n: int = 3) -> np.ndarray:
         shingles = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
     out = np.empty(len(shingles), dtype=np.uint64)
     for i, s in enumerate(shingles):
-        out[i] = int.from_bytes(hashlib.md5(s.encode()).digest()[8:], "little")
+        out[i] = _md5_u64(s.encode())
     return out
+
+
+def _batch_shingle_hashes(texts: list[str], n: int = 3):
+    """md5 shingle hashes for a whole batch at once, md5 only on uniques.
+
+    Tokenizes every text, factorizes tokens to integer codes, builds the
+    shingle windows as code n-tuples with pure array ops, uniquifies the
+    tuples, and runs md5 over just the unique shingle strings.  Semantics
+    are identical to per-doc :func:`_token_hashes` (same windows, same md5).
+
+    Returns ``(uniq_h, codes, offsets)``: ``uniq_h`` uint64[U] hashes of the
+    unique shingles, ``codes`` int64[S] indices into ``uniq_h`` laid out in
+    doc order, ``offsets`` int64[D+1] per-doc segments of ``codes``.
+    """
+    D = len(texts)
+    tok_lists = [t.split() for t in texts]
+    lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=D)
+    nwin = np.where(lens >= n, lens - n + 1, 0)
+    nshort = ((lens > 0) & (lens < n)).astype(np.int64)
+    cnt = nwin + nshort
+    offsets = np.zeros(D + 1, dtype=np.int64)
+    np.cumsum(cnt, out=offsets[1:])
+
+    flat = list(itertools.chain.from_iterable(tok_lists))
+    if not flat:
+        return np.empty(0, np.uint64), np.empty(0, np.int64), offsets
+    tok_codes, uniq_toks = pd.factorize(np.asarray(flat, dtype=object),
+                                        use_na_sentinel=False)
+    tok_codes = tok_codes.astype(np.int64)
+
+    doc_off = np.zeros(D + 1, dtype=np.int64)
+    np.cumsum(lens, out=doc_off[1:])
+    # window start positions in the flat token array, in doc order
+    total_win = int(nwin.sum())
+    within = np.arange(total_win) - np.repeat(np.cumsum(nwin) - nwin, nwin)
+    starts = np.repeat(doc_off[:-1], nwin) + within
+    tri = np.empty((total_win, n), dtype=np.int64)
+    for j in range(n):
+        tri[:, j] = tok_codes[starts + j]
+    # unique shingles as code n-tuples (no strings built for repeats).
+    # Fast path: pack the n codes into ONE int64 key (21 bits per code holds
+    # up to 2M distinct tokens per batch) so np.unique sorts plain ints, not
+    # structured voids (~10× faster); fall back to the void view otherwise.
+    if len(uniq_toks) < (1 << 21) and n <= 3:
+        key = tri[:, 0]
+        for j in range(1, n):
+            key = (key << 21) | tri[:, j]
+        uniq_k, first, inv = np.unique(key, return_index=True,
+                                       return_inverse=True)
+        uniq_tri = tri[first]
+    else:
+        view = np.ascontiguousarray(tri).view([("", np.int64)] * n).ravel()
+        uniq_v, inv = np.unique(view, return_inverse=True)
+        uniq_tri = uniq_v.view(np.int64).reshape(-1, n)
+    tok_arr = np.asarray(uniq_toks, dtype=object)
+    if n == 1:
+        uniq_strs = tok_arr.take(uniq_tri[:, 0])
+    else:
+        s = pd.Series(tok_arr.take(uniq_tri[:, 0]))
+        uniq_strs = s.str.cat([pd.Series(tok_arr.take(uniq_tri[:, j]))
+                               for j in range(1, n)], sep=" ").to_numpy()
+    uniq_h = _md5_u64_many(uniq_strs)
+    n_win_uniq = len(uniq_h)
+    short_idx = np.flatnonzero(nshort)
+    if len(short_idx):
+        short_h = _md5_u64_many(
+            np.asarray([" ".join(tok_lists[i]) for i in short_idx], dtype=object))
+        uniq_h = np.concatenate([uniq_h, short_h])
+
+    # scatter shingle codes into doc order (windows first, short docs' single
+    # whole-text shingle in its own slot)
+    codes = np.empty(int(cnt.sum()), dtype=np.int64)
+    win_targets = np.repeat(offsets[:-1], nwin) + within
+    codes[win_targets] = inv
+    if len(short_idx):
+        codes[offsets[:-1][short_idx]] = n_win_uniq + np.arange(len(short_idx))
+    return uniq_h, codes, offsets
 
 
 _A = np.random.default_rng(1234).integers(1, _MERS, MINHASH_PERMS, dtype=np.int64).astype(np.uint64)
 _B = np.random.default_rng(5678).integers(0, _MERS, MINHASH_PERMS, dtype=np.int64).astype(np.uint64)
 
 
+def minhash_sigs(texts: list[str]) -> np.ndarray:
+    """(len(texts), MINHASH_PERMS) uint64 signatures, fully vectorized:
+    permutation values are computed once per UNIQUE shingle, then reduced
+    per doc with ``np.minimum.reduceat``.  Empty texts get all-zero rows
+    (same contract as the old per-doc kernel)."""
+    sigs = np.zeros((len(texts), MINHASH_PERMS), dtype=np.uint64)
+    uniq_h, codes, offsets = _batch_shingle_hashes(texts)
+    if len(codes) == 0:
+        return sigs
+    # (a*h + b) wraps mod 2^64 (numpy uint64) before the Mersenne mod — the
+    # oracle replicates both mods explicitly (oracle.q_minhash_pairs).
+    # Adaptive: when shingle reuse is high (dup-heavy batches) compute the
+    # perm values once per UNIQUE and gather; when reuse is low, compute
+    # directly on the flat hash stream (one less (P, S) materialization).
+    if len(uniq_h) * 2 < len(codes):
+        pv = (uniq_h[None, :] * _A[:, None] + _B[:, None]) % np.uint64(_MERS)
+        flat = pv[:, codes]                                              # (P, S)
+    else:
+        hf = uniq_h[codes]
+        flat = (hf[None, :] * _A[:, None] + _B[:, None]) % np.uint64(_MERS)
+    cnt = np.diff(offsets)
+    nz = np.flatnonzero(cnt)
+    red = np.minimum.reduceat(flat, offsets[:-1][nz], axis=1)
+    sigs[nz] = red.T
+    return sigs
+
+
 def minhash_signature(text: str) -> np.ndarray:
-    h = _token_hashes(text)
-    if len(h) == 0:
-        return np.zeros(MINHASH_PERMS, dtype=np.uint64)
-    # (a*h + b) mod mersenne, vectorized over perms × shingles
-    v = (h[None, :] * _A[:, None] + _B[:, None]) % np.uint64(_MERS)
-    return v.min(axis=1)
+    return minhash_sigs([text])[0]
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (deterministic, process-independent)."""
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def band_hashes(sigs: np.ndarray) -> np.ndarray:
+    """(D, MINHASH_BANDS) int64 bucket ids: a splitmix64 chain over each
+    band's signature rows, seeded by the band index.  Bucket values are pure
+    group keys — equal segments collide by construction, distinct segments
+    collide with ~2^-63 probability — so the oracle (which groups by the
+    segment VALUES, oracle.q_minhash_pairs mh_seg) is insensitive to them."""
+    D = sigs.shape[0]
+    rows_per_band = MINHASH_PERMS // MINHASH_BANDS
+    out = np.empty((D, MINHASH_BANDS), dtype=np.int64)
+    for b in range(MINHASH_BANDS):
+        seed = np.uint64((0x9E3779B97F4A7C15 * (b + 1)) & 0xFFFFFFFFFFFFFFFF)
+        h = np.full(D, seed, dtype=np.uint64)
+        for j in range(rows_per_band):
+            h = _mix64(h ^ sigs[:, b * rows_per_band + j])
+        out[:, b] = (h & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+    return out
 
 
 def minhash_batch(batch: pa.Table) -> pa.Table:
+    """doc_id/text batch → (doc_id, band_hashes list<int64>).  Signatures are
+    computed once per UNIQUE text (pd.factorize), then gathered."""
     texts = batch.column("text").to_pylist()
-    sigs = np.stack([minhash_signature(t) for t in texts]) if texts else \
-        np.zeros((0, MINHASH_PERMS), dtype=np.uint64)
-    rows_per_band = MINHASH_PERMS // MINHASH_BANDS
-    out = {"doc_id": batch.column("doc_id")}
-    bands = []
-    for b in range(MINHASH_BANDS):
-        seg = sigs[:, b * rows_per_band:(b + 1) * rows_per_band]
-        bh = np.array([hash((b,) + tuple(r)) & 0x7FFFFFFFFFFFFFFF for r in seg], dtype=np.int64)
-        bands.append(bh)
-    out["band_hashes"] = pa.array([list(map(int, r)) for r in np.stack(bands, axis=1)] if len(sigs) else [],
-                                  type=pa.list_(pa.int64()))
-    return pa.table(out)
+    if not texts:
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "band_hashes": pa.array([], type=pa.list_(pa.int64()))})
+    t_codes, t_uniq = pd.factorize(np.asarray(texts, dtype=object),
+                                   use_na_sentinel=False)
+    bh = band_hashes(minhash_sigs(list(t_uniq)))[t_codes]        # (D, B)
+    D = len(texts)
+    lists = pa.ListArray.from_arrays(
+        pa.array(np.arange(D + 1, dtype=np.int64) * MINHASH_BANDS, pa.int32()),
+        pa.array(bh.ravel()))
+    return pa.table({"doc_id": batch.column("doc_id"), "band_hashes": lists})
+
+
+@lru_cache(maxsize=1 << 16)
+def _hash_set(text: str, n: int = 3) -> frozenset:
+    """Per-worker memo of a text's shingle-hash set — candidate verification
+    touches each text once per process no matter how many pairs it joins."""
+    return frozenset(_token_hashes(text, n).tolist())
 
 
 def jaccard(a: str, b: str, n: int = 3) -> float:
-    sa, sb = set(_token_hashes(a, n).tolist()), set(_token_hashes(b, n).tolist())
+    sa, sb = _hash_set(a, n), _hash_set(b, n)
     if not sa and not sb:
         return 1.0
     if not sa or not sb:
@@ -85,7 +306,25 @@ def jaccard(a: str, b: str, n: int = 3) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
-def minhash_candidate_pairs(ds, threshold: float = 0.7):
+_EMPTY_PAIRS = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                             "b": pd.Series(dtype="int64")})
+
+
+def minhash_bucket_pairs(df: pd.DataFrame, max_bucket: int = 200) -> pd.DataFrame:
+    """Per-bucket candidate pairs with the skew guard (module-level so the
+    guard behavior is directly unit-testable)."""
+    ids = np.sort(df["doc_id"].unique())
+    if len(ids) < 2:
+        return _EMPTY_PAIRS
+    if len(ids) > max_bucket:   # skew guard: giant buckets are degenerate
+        _record_drop("minhash", len(ids), max_bucket)
+        return _EMPTY_PAIRS
+    a, b = np.triu_indices(len(ids), k=1)
+    return pd.DataFrame({"a": ids[a].astype(np.int64),
+                         "b": ids[b].astype(np.int64)})
+
+
+def minhash_candidate_pairs(ds, threshold: float = 0.7, max_bucket: int = 200):
     """documents Dataset → verified near-dup pairs (doc_a, doc_b, jaccard).
 
     flat_map band hashes → groupby(band bucket) → per-bucket pairs →
@@ -97,26 +336,15 @@ def minhash_candidate_pairs(ds, threshold: float = 0.7):
     sig = ds.map_batches(minhash_batch, batch_format="pyarrow")
 
     def explode(batch: pa.Table) -> pa.Table:
-        doc = batch.column("doc_id").to_numpy()
-        bands = batch.column("band_hashes").to_pylist()
-        d, h = [], []
-        for i, bl in enumerate(bands):
-            for bh in bl:
-                d.append(doc[i])
-                h.append(bh)
-        return pa.table({"doc_id": pa.array(d, type=pa.int64()),
-                         "bucket": pa.array(h, type=pa.int64())})
+        import pyarrow.compute as pc
 
-    _EMPTY_PAIRS = pd.DataFrame({"a": pd.Series(dtype="int64"),
-                                 "b": pd.Series(dtype="int64")})
+        doc = batch.column("doc_id").to_numpy()
+        flat = pc.list_flatten(batch.column("band_hashes")).to_numpy()
+        return pa.table({"doc_id": pa.array(np.repeat(doc, MINHASH_BANDS)),
+                         "bucket": pa.array(flat)})
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(df["doc_id"].unique())
-        if len(ids) < 2 or len(ids) > 200:  # skew guard: giant buckets are
-            return _EMPTY_PAIRS               # degenerate hashes
-        a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"a": ids[a].astype(np.int64),
-                             "b": ids[b].astype(np.int64)})
+        return minhash_bucket_pairs(df, max_bucket=max_bucket)
 
     pairs = (sig.map_batches(explode, batch_format="pyarrow")
              .groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
@@ -205,18 +433,39 @@ def minhash_candidate_pairs(ds, threshold: float = 0.7):
     return ray.data.from_arrow(out)
 
 
+def simhash_sigs(texts: list[str]) -> np.ndarray:
+    """(len(texts),) int64 simhashes, vectorized over the batch: the bit
+    matrix is built once per UNIQUE token hash and per-doc sums run through
+    ``np.add.reduceat`` (token REPEATS within a doc count, same as the
+    per-doc kernel and the oracle's per-occurrence sum)."""
+    out = np.zeros(len(texts), dtype=np.int64)
+    uniq_h, codes, offsets = _batch_shingle_hashes(texts, n=1)
+    if len(codes) == 0:
+        return out
+    ubits = ((uniq_h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+             & np.uint64(1)).astype(np.int8)
+    contrib = (2 * ubits - 1).astype(np.int32)[codes]        # (S, 64)
+    cnt = np.diff(offsets)
+    nz = np.flatnonzero(cnt)
+    v = np.add.reduceat(contrib, offsets[:-1][nz], axis=0)   # (docs, 64)
+    sh = ((v > 0).astype(np.uint64)
+          << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1)
+    out[nz] = sh.astype(np.int64)
+    return out
+
+
 def simhash64(text: str) -> int:
-    h = _token_hashes(text, n=1)
-    if len(h) == 0:
-        return 0
-    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
-    v = (2 * bits - 1).sum(axis=0)
-    return int(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+    return int(simhash_sigs([text])[0])
 
 
 def simhash_batch(batch: pa.Table) -> pa.Table:
     texts = batch.column("text").to_pylist()
-    sh = np.array([simhash64(t) for t in texts], dtype=np.uint64).astype(np.int64)
+    if not texts:
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "simhash": pa.array([], pa.int64())})
+    t_codes, t_uniq = pd.factorize(np.asarray(texts, dtype=object),
+                                   use_na_sentinel=False)
+    sh = simhash_sigs(list(t_uniq))[t_codes]
     return pa.table({"doc_id": batch.column("doc_id"), "simhash": pa.array(sh)})
 
 
@@ -256,29 +505,39 @@ def simhash_neardup(ds, k: int = 3, max_bucket: int = 200):
         return pa.concat_tables(parts)
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
-                              "b": pd.Series(dtype="int64"),
-                              "hamming": pd.Series(dtype="int64")})
-        u = df.drop_duplicates("doc_id").sort_values("doc_id")
-        if len(u) < 2 or len(u) > max_bucket:  # skew guard (degenerate blocks)
-            return empty
-        ids = u["doc_id"].to_numpy()
-        sh = u["simhash"].to_numpy().astype(np.int64).view(np.uint64)
-        ii, jj = np.triu_indices(len(ids), k=1)
-        ham = _popcount64(sh[ii] ^ sh[jj])
-        keep = ham <= k
-        if not keep.any():
-            return empty
-        return pd.DataFrame({"a": ids[ii][keep], "b": ids[jj][keep],
-                             "hamming": ham[keep].astype(np.int64)})
+        return simhash_bucket_pairs(df, k=k, max_bucket=max_bucket)
 
     return (sig.map_batches(explode_blocks, batch_format="pyarrow")
             .groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
             .groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming")))
 
 
+def simhash_bucket_pairs(df: pd.DataFrame, k: int = 3,
+                         max_bucket: int = 200) -> pd.DataFrame:
+    """Per-bucket Hamming-verify with the skew guard (module-level for
+    direct unit testing of the guard)."""
+    empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                          "b": pd.Series(dtype="int64"),
+                          "hamming": pd.Series(dtype="int64")})
+    u = df.drop_duplicates("doc_id").sort_values("doc_id")
+    if len(u) < 2:
+        return empty
+    if len(u) > max_bucket:     # skew guard (degenerate blocks)
+        _record_drop("simhash", len(u), max_bucket)
+        return empty
+    ids = u["doc_id"].to_numpy()
+    sh = u["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+    ii, jj = np.triu_indices(len(ids), k=1)
+    ham = _popcount64(sh[ii] ^ sh[jj])
+    keep = ham <= k
+    if not keep.any():
+        return empty
+    return pd.DataFrame({"a": ids[ii][keep], "b": ids[jj][keep],
+                         "hamming": ham[keep].astype(np.int64)})
+
+
 def embedding_neardup(ds, sim_threshold: float = 0.98, nbits: int = 12,
-                      nbands: int = 2):
+                      nbands: int = 2, max_bucket: int = 4096):
     """embeddings Dataset → near-dup pairs by cosine ≥ threshold.
 
     Banded LSH sign-pattern buckets (``nbands`` independent hyperplane sets,
@@ -286,6 +545,11 @@ def embedding_neardup(ds, sim_threshold: float = 0.98, nbits: int = 12,
     scale path; brute-force all-pairs never happens.  Multiple bands keep
     recall high: a near-dup pair is missed only if a hyperplane splits it in
     EVERY band (~(nbits·θ/π)^nbands).
+
+    ``max_bucket`` bounds the in-bucket O(n²) cosine (a degenerate bucket —
+    zero/constant vectors hashing together — would otherwise OOM a worker);
+    drops are counted + logged, never silent, and the oracle applies the
+    identical bound (oracle.q_embedding_neardup en_ok).
     """
     from ray.data.aggregate import Max
 
@@ -306,21 +570,35 @@ def embedding_neardup(ds, sim_threshold: float = 0.98, nbits: int = 12,
         return pa.concat_tables(parts)
 
     def bucket_dups(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) < 2:
-            return pd.DataFrame({"a": pd.Series(dtype="int64"),
-                                 "b": pd.Series(dtype="int64"),
-                                 "cos": pd.Series(dtype="float64")})
-        v = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-        n = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
-        sims = n @ n.T
-        ids = df["vec_id"].to_numpy()
-        ii, jj = np.triu_indices(len(ids), k=1)
-        keep = sims[ii, jj] >= sim_threshold
-        lo = np.minimum(ids[ii][keep], ids[jj][keep])
-        hi = np.maximum(ids[ii][keep], ids[jj][keep])
-        return pd.DataFrame({"a": lo, "b": hi,
-                             "cos": np.round(sims[ii, jj][keep], 6)})
+        return embedding_bucket_dups(df, sim_threshold=sim_threshold,
+                                     max_bucket=max_bucket)
 
     return (ds.map_batches(project, batch_format="pyarrow")
             .groupby("bucket").map_groups(bucket_dups, batch_format="pandas")
             .groupby(["a", "b"]).aggregate(Max("cos", alias_name="cos")))
+
+
+def embedding_bucket_dups(df: pd.DataFrame, sim_threshold: float = 0.98,
+                          max_bucket: int = 4096) -> pd.DataFrame:
+    """Per-bucket exact-cosine verify with the skew guard: bounds the O(n²)
+    in-bucket similarity so a degenerate bucket (zero/constant vectors all
+    hashing together) can't OOM a worker; drops are counted + logged.  The
+    oracle applies the identical bound (oracle.q_embedding_neardup en_ok)."""
+    empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                          "b": pd.Series(dtype="int64"),
+                          "cos": pd.Series(dtype="float64")})
+    if len(df) < 2:
+        return empty
+    if len(df) > max_bucket:    # skew guard: bounds the n² in-bucket cosine
+        _record_drop("embedding", len(df), max_bucket)
+        return empty
+    v = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    n = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+    sims = n @ n.T
+    ids = df["vec_id"].to_numpy()
+    ii, jj = np.triu_indices(len(ids), k=1)
+    keep = sims[ii, jj] >= sim_threshold
+    lo = np.minimum(ids[ii][keep], ids[jj][keep])
+    hi = np.maximum(ids[ii][keep], ids[jj][keep])
+    return pd.DataFrame({"a": lo, "b": hi,
+                         "cos": np.round(sims[ii, jj][keep], 6)})

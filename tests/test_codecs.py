@@ -106,3 +106,38 @@ def test_jpeg_worst_case_noise_quality():
     px = rng.integers(0, 256, (20, 20, 3), dtype=np.uint8)
     out = decode_jpeg(encode_jpeg(px, JPEG_QUALITY))
     assert psnr(px, out) >= 40.0
+
+
+def test_zero_copy_binary_views_decode():
+    """ImageRoundtrip's zero-copy Arrow-buffer views must decode identically
+    to bytes payloads across chunked / sliced / large_binary / null layouts
+    (VERDICT r3 #5)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from bano_ray.codecs import decode_image_batch, encode_image, psnr
+    from bano_ray.pipelines.flagship import _binary_column_views
+
+    rng = np.random.default_rng(13)
+    pix = [rng.integers(0, 256, (9, 11, 3)).astype(np.uint8) for _ in range(6)]
+    fmts = ["png", "jpeg", "png", "jpeg", "jpeg", "png"]
+    blobs = [encode_image(p, f) for p, f in zip(pix, fmts)]
+
+    chunked = pa.chunked_array([pa.array(blobs[:3], pa.binary()),
+                                pa.array(blobs[3:], pa.binary())])
+    views = _binary_column_views(chunked)
+    assert all(isinstance(v, memoryview) for v in views)
+    assert [bytes(v) for v in views] == blobs
+    for p, d, f in zip(pix, decode_image_batch(views, fmts), fmts):
+        if f == "png":
+            assert np.array_equal(p, d)
+        else:
+            assert psnr(p, d) >= 40.0
+
+    sliced = pa.array(blobs, pa.binary()).slice(2, 3)
+    assert [bytes(v) for v in _binary_column_views(sliced)] == blobs[2:5]
+    large = pa.array(blobs, pa.large_binary())
+    assert [bytes(v) for v in _binary_column_views(large)] == blobs
+    withnull = pa.array([blobs[0], None, blobs[1]], pa.binary())
+    vs = _binary_column_views(withnull)
+    assert bytes(vs[0]) == blobs[0] and vs[1] == b"" and bytes(vs[2]) == blobs[1]

@@ -104,6 +104,87 @@ class TestDedup:
 
         assert simhash64("stable input text") == simhash64("stable input text")
 
+    def test_vectorized_kernels_match_per_doc(self):
+        """The batched shingle/minhash/simhash kernels must be bit-identical
+        to the single-doc reference path (incl. short/empty/dup texts)."""
+        import numpy as np
+
+        from bano_ray.stages.dedup import (_MERS, _A, _B, _token_hashes,
+                                           minhash_sigs, simhash_sigs)
+
+        rng = np.random.default_rng(7)
+        words = [f"w{i}" for i in range(200)]
+        texts = [" ".join(rng.choice(words, int(rng.integers(0, 30))))
+                 for _ in range(60)]
+        texts += ["", "solo", "two words", "three word text", texts[3], texts[3]]
+        sigs = minhash_sigs(texts)
+        shs = simhash_sigs(texts)
+        for i, t in enumerate(texts):
+            h = _token_hashes(t)
+            if len(h) == 0:
+                assert not sigs[i].any() and shs[i] == 0
+                continue
+            ref = ((h[None, :] * _A[:, None] + _B[:, None])
+                   % np.uint64(_MERS)).min(axis=1)
+            assert np.array_equal(sigs[i], ref), t
+            h1 = _token_hashes(t, n=1)
+            bits = ((h1[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                    & np.uint64(1)).astype(np.int64)
+            v = (2 * bits - 1).sum(axis=0)
+            ref_sh = int(((v > 0).astype(np.uint64)
+                          << np.arange(64, dtype=np.uint64)).sum())
+            assert int(shs[i]) & ((1 << 64) - 1) == ref_sh, t
+
+    def test_md5_many_matches_hashlib(self):
+        import hashlib
+
+        import numpy as np
+
+        from bano_ray.stages.dedup import _md5_u64_many
+
+        strs = np.asarray(["", "a", "hello world", "ué † unicode"], dtype=object)
+        got = _md5_u64_many(strs)
+        ref = [int.from_bytes(hashlib.md5(s.encode()).digest()[8:], "little")
+               for s in strs]
+        assert got.tolist() == ref
+
+    def test_dropped_buckets_are_surfaced(self, caplog):
+        """Planting a degenerate (oversized) bucket must log + count the
+        drop in all three guard kernels, never silently return empty
+        (VERDICT r3 #3)."""
+        import logging
+
+        import numpy as np
+        import pandas as pd
+
+        from bano_ray.stages import dedup
+        from bano_ray.stages.dedup import (embedding_bucket_dups,
+                                           minhash_bucket_pairs,
+                                           simhash_bucket_pairs)
+
+        dedup.DROP_STATS.clear()
+        with caplog.at_level(logging.WARNING, logger="bano_ray.dedup"):
+            mh = minhash_bucket_pairs(
+                pd.DataFrame({"doc_id": np.arange(500)}), max_bucket=200)
+            sh = simhash_bucket_pairs(
+                pd.DataFrame({"doc_id": np.arange(300),
+                              "simhash": np.zeros(300, dtype=np.int64)}),
+                max_bucket=200)
+            em = embedding_bucket_dups(
+                pd.DataFrame({"vec_id": np.arange(250),
+                              "embedding": [np.ones(4)] * 250}),
+                max_bucket=100)
+        assert mh.empty and sh.empty and em.empty
+        stats = dedup.drop_stats()
+        assert stats.get("minhash") == 1 and stats.get("minhash_rows") == 500
+        assert stats.get("simhash") == 1 and stats.get("embedding") == 1
+        assert sum("skew guard" in r.message for r in caplog.records) == 3
+        # under the cap: no drop recorded, pairs produced
+        dedup.DROP_STATS.clear()
+        ok = minhash_bucket_pairs(pd.DataFrame({"doc_id": np.arange(5)}),
+                                  max_bucket=200)
+        assert len(ok) == 10 and not dedup.drop_stats()
+
 
 class TestSinks:
     def test_ttl_render_and_publish(self, tmp_path):

@@ -187,3 +187,39 @@ def test_pbf_roundtrip_and_distributed_read(ray_session, tmp_path):
     assert np.abs(df["lat"].to_numpy() - lat).max() < 1e-7
     assert df["addr_housenumber"].tolist() == [t[0][1] for t in tags]
     assert df["addr_street"].tolist() == [t[1][1] for t in tags]
+
+
+def test_pbf_distributed_write_matches_single_writer(ray_session, tmp_path):
+    """K-side of S5: write_pbf_dataset (per-batch part blobs + driver
+    framing concat) must decode to exactly the single-writer file's rows
+    (VERDICT r3 #7 — no full-stream driver materialization)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from bano_ray.sources_pbf import read_pbf, write_pbf, write_pbf_dataset
+
+    rng = np.random.default_rng(4)
+    n = 9000
+    ids = np.sort(rng.choice(10**8, n, replace=False)).astype(np.int64)
+    lon = rng.uniform(-5, 9, n)
+    lat = rng.uniform(41, 51, n)
+    df = pd.DataFrame({"doc_id": ids, "lon": lon, "lat": lat,
+                       "name": [f"N{i % 7}" for i in range(n)]})
+
+    p1 = str(tmp_path / "single.osm.pbf")
+    write_pbf(p1, ids, lon, lat, [[("name", s)] for s in df["name"]])
+
+    def tag_fn(d):
+        return [[("name", s)] for s in d["name"]]
+
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(6)
+    p2 = str(tmp_path / "dist.osm.pbf")
+    write_pbf_dataset(ds.sort("doc_id"), p2, tag_fn=tag_fn)
+
+    a = read_pbf(p1, tag_keys=("name",)).to_pandas() \
+        .sort_values("node_id").reset_index(drop=True)
+    b = read_pbf(p2, tag_keys=("name",)).to_pandas() \
+        .sort_values("node_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
