@@ -33,11 +33,14 @@ _ORACLE_QUERIES = [
     "q_cumul_voies",         # §3.1 the per-zone merge (streets)
     "q_export_csv",          # K1/J1/A1-A3 priority coalesce export
     "q_street_json",         # A1/A4/A5 importance + packing export
+    "q_export_crosscheck",   # stats_export.sh CSV/SHP/duplicate cross-check
     "q_registry_unmatched",  # J9 anti-join
     "q_voies_sans_adresses", # J10 matched-without-addresses export
     "q_ban_pseudo",          # J11 pseudo-registry augmentation
     "q_min_cp",              # A6 min postal per zone
     "q_tile_zones",          # G9 expire tiles → impacted zones
+    "q_tile_zones_arm",      # G9 metropolis rule: arrondissement substitution
+    "q_commune_list",        # J12 ARM/COMD commune-list exclusion
     "q_knn_match",           # ST5 cell-local kNN matcher
     "q_places",              # §3.2 lieux-dits merge cascade
     "q_langid",              # text: language ID heuristic

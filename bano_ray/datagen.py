@@ -453,6 +453,21 @@ class _LookupTables:
         self.fmt = np.asarray(["png", "jpeg"], dtype=object)
         self.tf = np.asarray(["false", "true"], dtype=object)
         self.empty = np.asarray([""], dtype=object)
+        # Arrow twins: string columns build as C-level takes from these
+        # (one code array per column, zero per-row Python objects)
+        self.caption_pa = pa.array(caps.ravel(), type=pa.string())
+        self.sources_pa = pa.array(SOURCES, type=pa.string())
+        self.hwt_pa = pa.array(HIGHWAY_TYPES_GEN, type=pa.string())
+        self.fmt_pa = pa.array(["png", "jpeg"], type=pa.string())
+        self.tf_pa = pa.array(["false", "true"], type=pa.string())
+        # fant dictionary: [valid10 flat | ban10 flat | ""] — code arithmetic
+        # in synthesize_batch picks the slice
+        self.fant_pa = pa.array(
+            np.concatenate([self.valid10.ravel(), self.ban10.ravel(),
+                            np.asarray([""], dtype=object)]), type=pa.string())
+        self.cp_pa = pa.array(
+            np.concatenate([self.cp, np.asarray([""], dtype=object)]),
+            type=pa.string())
 
 
 _TABLES: _LookupTables | None = None
@@ -502,16 +517,22 @@ def synthesize_batch(batch: pa.Table, with_bytes: bool = False) -> pa.Table:
     h6 = stream(doc_id, 6)
     variant = (h6 % 3).astype(np.int64)
     # fantoir: OSM rows get tag-form, BAN rows underscore-form, others none;
-    # variant 2 = wrong-zone (same tables indexed by the next zone)
+    # variant 2 = wrong-zone (same tables indexed by the next zone).
+    # All string columns are C-level takes over the precomputed Arrow
+    # tables — integer code arithmetic only, no per-row Python strings.
     zone_eff = np.where(variant == 2, (zone + 1) % NZONES, zone)
-    fant = np.where(src == 0, T.valid10[zone_eff, sidx],
-                    np.where(src == 1, T.ban10[zone_eff, sidx], ""))
-    fant = np.where(variant == 1, "", fant)
-    fant = np.where(src >= 2, "", fant).astype(object)
+    nvz = NZONES * NSTREET_ALL
+    fant_empty = 2 * nvz
+    fant_code = np.where(src == 0, zone_eff * NSTREET_ALL + sidx,
+                         np.where(src == 1, nvz + zone_eff * NSTREET_ALL + sidx,
+                                  fant_empty))
+    fant_code = np.where((variant == 1) | (src >= 2), fant_empty, fant_code)
+    fant = pc.take(T.fant_pa, pa.array(fant_code))
     h5 = stream(doc_id, 5)
-    postcode = np.where(h5 % POSTCODE_EMPTY_MOD == 0, "", T.cp[zone]).astype(object)
+    postcode = pc.take(T.cp_pa, pa.array(
+        np.where(h5 % POSTCODE_EMPTY_MOD == 0, NZONES, zone)))
     w, h = dims_of(doc_id)
-    fmt = T.fmt[(d % FMT_JPEG_MOD == 0).astype(np.int64)]
+    fmt = pc.take(T.fmt_pa, pa.array((d % FMT_JPEG_MOD == 0).astype(np.int64)))
     ids = pc.binary_join_element_wise(
         pa.array(np.repeat("img", len(d))),
         pc.utf8_lpad(pc.cast(pa.array(d), pa.string()), 8, "0"), "")
@@ -521,15 +542,18 @@ def synthesize_batch(batch: pa.Table, with_bytes: bool = False) -> pa.Table:
         "w": w,
         "h": h,
         "fmt": fmt,
-        "caption": T.caption[hn_slot, sidx * 4 + src],
+        "caption": pc.take(T.caption_pa,
+                           pa.array(hn_slot * (NSTREET_ALL * 4) + sidx * 4 + src)),
         "phash": phash_of(doc_id).astype(np.int64),
         "lon": lon,
         "lat": lat,
-        "source": T.sources[src],
+        "source": pc.take(T.sources_pa, pa.array(np.asarray(src, dtype=np.int64))),
         "fantoir_raw": fant,
         "postcode": postcode,
-        "pseudo_adresse": T.tf[(stream(doc_id, 9) % PSEUDO_MOD == 0).astype(np.int64)],
-        "highway_type": T.hwt[(stream(doc_id, 10) % 16).astype(np.int64)],
+        "pseudo_adresse": pc.take(T.tf_pa, pa.array(
+            (stream(doc_id, 9) % PSEUDO_MOD == 0).astype(np.int64))),
+        "highway_type": pc.take(T.hwt_pa, pa.array(
+            (stream(doc_id, 10) % 16).astype(np.int64))),
     }
     if with_bytes:
         from .codecs import encode_image_batch
@@ -697,6 +721,76 @@ def zone_boxes_wkb() -> list[tuple[str, bytes]]:
     return out
 
 
+# --- arrondissement world (G9/J12) ------------------------------------------
+# Three synthetic metropolises mirror the reference's Paris/Lyon/Marseille
+# special-casing: the metro parent's admin_level-8 polygon is EXCLUDED from
+# tile-impact lists (reference ``bano/models.py:330-360`` excludes
+# '75056','69123','13055') and its METRO_GRID² admin_level-9 arrondissement
+# boxes take over, with insee codes built from the same prefixes the
+# reference patterns match ('751__', '6938_', '132__').  Zones 34/24/48 are
+# chosen because the EXPIRE_TILES fixture hits all three.
+METRO_ZONES = {33: "751", 23: "6938", 47: "132"}  # 0-based zone idx → prefix
+METRO_GRID = 2
+
+
+def zone_box(zi: int) -> tuple[float, float, float, float]:
+    """(x0, x1, y0, y1) of grid zone ``zi`` (0-based)."""
+    zx, zy = zi // NZY, zi % NZY
+    return (LON0 + LON_SPAN * zx / NZX, LON0 + LON_SPAN * (zx + 1) / NZX,
+            LAT0 + LAT_SPAN * zy / NZY, LAT0 + LAT_SPAN * (zy + 1) / NZY)
+
+
+def arrondissement_boxes() -> list[tuple[str, str, float, float, float, float]]:
+    """admin_level-9 arrondissement boxes: each metro zone's box split into
+    METRO_GRID × METRO_GRID, codes = prefix + zero-padded ordinal (75101…,
+    69381…, 13201… — 5 chars, disjoint from the '000xx' zone codes).
+    Returns (arr_insee, parent_insee, x0, x1, y0, y1)."""
+    out = []
+    for zi, prefix in sorted(METRO_ZONES.items()):
+        x0, x1, y0, y1 = zone_box(zi)
+        w = (x1 - x0) / METRO_GRID
+        h = (y1 - y0) / METRO_GRID
+        parent = str(zi + 1).zfill(5)
+        for ax in range(METRO_GRID):
+            for ay in range(METRO_GRID):
+                a = ax * METRO_GRID + ay + 1
+                code = prefix + str(a).zfill(5 - len(prefix))
+                out.append((code, parent,
+                            x0 + w * ax, x0 + w * (ax + 1),
+                            y0 + h * ay, y0 + h * (ay + 1)))
+    return out
+
+
+COMD_EVERY = 9  # every 9th non-metro zone carries one commune déléguée
+
+
+def cog_communes_table() -> pa.Table:
+    """COG commune dim (J12 input, reference ``cog_commune``): a COM row per
+    zone (metro parents included — they are what the exclusion removes), ARM
+    children under each metro parent, and a COMD row planted on every
+    COMD_EVERY-th non-metro zone.  ``dep`` = 2-digit grid column."""
+    com, dep, ncc, typecom, comparent = [], [], [], [], []
+
+    def add(c, d, n, t, p):
+        com.append(c); dep.append(d); ncc.append(n)
+        typecom.append(t); comparent.append(p)
+
+    arrs = arrondissement_boxes()
+    for zi in range(NZONES):
+        insee = str(zi + 1).zfill(5)
+        d = str(zi // NZY + 1).zfill(2)
+        add(insee, d, f"ZONE {insee}", "COM", "")
+        if zi in METRO_ZONES:
+            for code, parent, *_ in arrs:
+                if parent == insee:
+                    add(code, d, f"ZONE {insee} ARR {code[-2:]}", "ARM", insee)
+        elif zi % COMD_EVERY == 0:
+            add("9" + str(zi + 1).zfill(4), d,
+                f"ZONE {insee} DELEGUEE", "COMD", insee)
+    return pa.table({"com": com, "dep": dep, "ncc": ncc,
+                     "typecom": typecom, "comparent": comparent})
+
+
 def registry_table() -> pa.Table:
     """FANTOIR-like registry: streets 0..K_REG-1 in every zone, official name
     = spelling 0, fantoir10 = insee + zfill(sidx,4) + 'A'.  Way-only streets
@@ -821,6 +915,9 @@ EXPIRE_TILES = [
     (11, 1037, 705),
     (16, 32859, 23830),
     (12, 2127, 1397),
+    # coarse tile straddling metro zone 00034's 2×2 arrondissement boundary
+    # (exercises the multi-arrondissement expiry of the G9 metropolis rule)
+    (10, 520, 352),
 ]
 
 

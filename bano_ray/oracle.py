@@ -645,6 +645,23 @@ FROM (SELECT *, row_number() OVER (PARTITION BY id ORDER BY numero, lat, lon) AS
 WHERE rn2 = 1 ORDER BY id"""
 
 
+def q_export_crosscheck() -> str:
+    """stats_export.sh:7-25 replica: per-zone CSV row count, distinct-line
+    count, and the shapefile-parity count (pinned equal to n_csv — the
+    engine measures it by actually rendering + re-reading the sink)."""
+    inner = q_export_csv().replace("ORDER BY id", "")
+    rowkey = (" || '|' || ".join(
+        f"CAST({c} AS VARCHAR)"
+        for c in ["id", "numero", "voie", "code_post", "ville", "source",
+                  "lat", "lon"]))
+    return f"""WITH export AS ({inner})
+SELECT substr(id, 1, 5) AS insee,
+       COUNT(*) AS n_csv,
+       COUNT(DISTINCT {rowkey}) AS n_unique,
+       COUNT(*) AS n_shp
+FROM export GROUP BY 1 ORDER BY 1"""
+
+
 _HAV = ("2.0 * 6371008.8 * asin(sqrt("
         "pow(sin((radians({lat2}) - radians({lat1})) / 2.0), 2)"
         " + cos(radians({lat1})) * cos(radians({lat2}))"
@@ -814,6 +831,84 @@ SELECT t.z, t.x, t.y, zo.insee
 FROM tl t JOIN zones zo
 ON t.lon0 <= zo.zx1 AND t.lon1 >= zo.zx0 AND t.lat0 <= zo.zy1 AND t.lat1 >= zo.zy0
 ORDER BY t.z, t.x, t.y, zo.insee"""
+
+
+def q_tile_zones_arm() -> str:
+    """G9 metropolis rule replica: level-8 zones minus the metro parents,
+    UNION the level-9 arrondissement boxes (reference bano/models.py:330-360).
+    Box geometry literals come from the same datagen constants the engine
+    uses; the exclusion + intersection semantics are replicated in SQL."""
+    tiles_vals = ", ".join(f"({z}, {x}, {y})" for z, x, y in dg.EXPIRE_TILES)
+    parents = ", ".join(f"'{str(zi + 1).zfill(5)}'"
+                        for zi in sorted(dg.METRO_ZONES))
+    arr_vals = ", ".join(
+        f"('{code}', {x0!r}, {x1!r}, {y0!r}, {y1!r})"
+        for code, _p, x0, x1, y0, y1 in dg.arrondissement_boxes())
+    m = 20037508.34
+    return f"""WITH tiles(z, x, y) AS (VALUES {tiles_vals}),
+tb AS (
+  SELECT z, x, y,
+         -{m} + ({2*m:.2f} / pow(2.0, z)) * x AS mx0,
+         -{m} + ({2*m:.2f} / pow(2.0, z)) * (x + 1) AS mx1,
+         {m} - ({2*m:.2f} / pow(2.0, z)) * (y + 1) AS my0,
+         {m} - ({2*m:.2f} / pow(2.0, z)) * y AS my1
+  FROM tiles
+),
+tl AS (
+  SELECT z, x, y,
+         mx0 / {m} * 180.0 AS lon0, mx1 / {m} * 180.0 AS lon1,
+         degrees(atan((exp(my0 / {m} * pi()) - exp(-(my0 / {m} * pi()))) / 2.0)) AS lat0,
+         degrees(atan((exp(my1 / {m} * pi()) - exp(-(my1 / {m} * pi()))) / 2.0)) AS lat1
+  FROM tb
+),
+lvl8 AS (
+  SELECT lpad(CAST(r.range + 1 AS VARCHAR), 5, '0') AS insee,
+         {dg.LON0} + ({dg.LON_SPAN} * (r.range // {dg.NZY})) / {dg.NZX} AS zx0,
+         {dg.LON0} + ({dg.LON_SPAN} * ((r.range // {dg.NZY}) + 1)) / {dg.NZX} AS zx1,
+         {dg.LAT0} + ({dg.LAT_SPAN} * (r.range % {dg.NZY})) / {dg.NZY} AS zy0,
+         {dg.LAT0} + ({dg.LAT_SPAN} * ((r.range % {dg.NZY}) + 1)) / {dg.NZY} AS zy1
+  FROM range({dg.NZONES}) r
+  WHERE lpad(CAST(r.range + 1 AS VARCHAR), 5, '0') NOT IN ({parents})
+),
+lvl9(insee, zx0, zx1, zy0, zy1) AS (VALUES {arr_vals}),
+zones AS (SELECT * FROM lvl8 UNION ALL SELECT * FROM lvl9)
+SELECT t.z, t.x, t.y, zo.insee
+FROM tl t JOIN zones zo
+ON t.lon0 <= zo.zx1 AND t.lon1 >= zo.zx0 AND t.lat0 <= zo.zy1 AND t.lat1 >= zo.zy0
+ORDER BY t.z, t.x, t.y, zo.insee"""
+
+
+def q_commune_list() -> str:
+    """J12 replica (reference bano/db_helpers.py:7-15): typecom != 'COMD',
+    ARM parents excluded.  The COM/COMD rows are closed-form over the zone
+    grid; the ARM rows are literals from the same datagen constants."""
+    metros = ", ".join(str(zi) for zi in sorted(dg.METRO_ZONES))
+    arm_vals = ", ".join(
+        f"('{code}', lpad(CAST({int(parent) - 1} // {dg.NZY} + 1 AS VARCHAR), 2, '0'), "
+        f"'ZONE {parent} ARR {code[-2:]}', 'ARM', '{parent}')"
+        for code, parent, *_ in dg.arrondissement_boxes())
+    return f"""WITH com AS (
+  SELECT lpad(CAST(r.range + 1 AS VARCHAR), 5, '0') AS com,
+         lpad(CAST(r.range // {dg.NZY} + 1 AS VARCHAR), 2, '0') AS dep,
+         'ZONE ' || lpad(CAST(r.range + 1 AS VARCHAR), 5, '0') AS ncc,
+         'COM' AS typecom, '' AS comparent
+  FROM range({dg.NZONES}) r
+),
+arm(com, dep, ncc, typecom, comparent) AS (VALUES {arm_vals}),
+comd AS (
+  SELECT '9' || lpad(CAST(r.range + 1 AS VARCHAR), 4, '0') AS com,
+         lpad(CAST(r.range // {dg.NZY} + 1 AS VARCHAR), 2, '0') AS dep,
+         'ZONE ' || lpad(CAST(r.range + 1 AS VARCHAR), 5, '0') || ' DELEGUEE' AS ncc,
+         'COMD' AS typecom,
+         lpad(CAST(r.range + 1 AS VARCHAR), 5, '0') AS comparent
+  FROM range({dg.NZONES}) r
+  WHERE r.range % {dg.COMD_EVERY} = 0 AND r.range NOT IN ({metros})
+),
+allc AS (SELECT * FROM com UNION ALL SELECT * FROM arm UNION ALL SELECT * FROM comd)
+SELECT dep, com, ncc FROM allc
+WHERE typecom <> 'COMD'
+  AND com NOT IN (SELECT DISTINCT comparent FROM allc WHERE typecom = 'ARM')
+ORDER BY com"""
 
 
 def q_knn_match() -> str:

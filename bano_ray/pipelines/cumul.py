@@ -38,28 +38,49 @@ def street_salt(street_key_arr) -> np.ndarray:
     """Deterministic street-level salt — groups (zone, salt) keep every
     street intact while splitting dense urban zones (SURVEY.md §4 skew).
     crc32 runs once per UNIQUE key (street cardinality is far below row
-    count), broadcast through a factorize — the per-row Python loop was
-    ~0.5 us/row on the flagship chain."""
+    count); an Arrow column dictionary-encodes in C++ (no per-row Python
+    string objects) and a numpy gather broadcasts the per-unique salts."""
     import zlib
 
-    arr = np.asarray(street_key_arr.to_pylist() if hasattr(street_key_arr, "to_pylist")
-                     else street_key_arr, dtype=object)
-    if len(arr) == 0:
-        return np.empty(0, dtype=np.int64)
-    # use_na_sentinel=False: a null key must fail loudly in crc32 below (the
-    # default -1 sentinel would silently index per_uniq[-1] — the last
-    # unique's salt), matching the old per-row loop's None behavior
-    inv, uniq = pd.factorize(arr, use_na_sentinel=False)
+    import pyarrow.compute as pc
+
+    if isinstance(street_key_arr, (pa.Array, pa.ChunkedArray)):
+        d = pc.dictionary_encode(street_key_arr)
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        if len(d) == 0:
+            return np.empty(0, dtype=np.int64)
+        if d.null_count:
+            raise ValueError("null street_key")  # must fail loudly
+        inv = d.indices.to_numpy()
+        uniq = d.dictionary.to_numpy(zero_copy_only=False)
+    else:
+        arr = np.asarray(street_key_arr, dtype=object)
+        if len(arr) == 0:
+            return np.empty(0, dtype=np.int64)
+        # use_na_sentinel=False: a null key must fail loudly in crc32 below
+        # (the default -1 sentinel would silently index per_uniq[-1] — the
+        # last unique's salt), matching the old per-row loop's None behavior
+        inv, uniq = pd.factorize(arr, use_na_sentinel=False)
     per_uniq = np.asarray([zlib.crc32(k.encode()) % NSALT for k in uniq],
                           dtype=np.int64)
     return per_uniq[inv]
+
+
+def _const_str(n: int, s: str) -> pa.Array:
+    """Length-n constant string column built in Arrow C (a take of one
+    value) — no n Python string objects."""
+    import pyarrow.compute as pc
+
+    return pc.take(pa.array([s], type=pa.string()),
+                   pa.array(np.zeros(n, dtype=np.int32)))
 
 
 def _tag_points(batch: pa.Table) -> pa.Table:
     import pyarrow.compute as pc
 
     n = batch.num_rows
-    batch = batch.append_column("rec_type", pa.array(["point"] * n))
+    batch = batch.append_column("rec_type", _const_str(n, "point"))
     batch = batch.append_column("salt", pa.array(street_salt(batch.column("street_key"))))
     # precompute validity columns with arrow kernels (cheap here, pandas
     # object-string ops downstream are not)

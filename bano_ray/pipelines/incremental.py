@@ -29,27 +29,48 @@ from ..geo.cells import tile_bbox_lonlat, tiles_to_cells
 CODE_VERSION = "r1"
 
 
-def impacted_zones(tiles: list[tuple[int, int, int]] | None = None) -> pa.Table:
+def impacted_zones(tiles: list[tuple[int, int, int]] | None = None,
+                   arrondissements: bool = False) -> pa.Table:
     """(z,x,y) tiles → (z, x, y, insee) pairs for every zone whose box the
-    tile bbox intersects (closed-box ST_Intersects semantics)."""
+    tile bbox intersects (closed-box ST_Intersects semantics).
+
+    ``arrondissements=True`` applies the reference's metropolis rule
+    (``bano/models.py:330-360``): the metro parents' admin_level-8 polygons
+    are EXCLUDED (reference ``NOT IN ('13055','69123','75056')``) and the
+    admin_level-9 arrondissement polygons whose insee matches the metro
+    prefixes take over — a tile over Paris/Lyon/Marseille expires
+    arrondissements, not the parent commune.  Default False keeps the
+    level-8 list: the synthetic point stream is keyed by zone insee, so the
+    recompute semi-join (``run_partitioned``) stays on level-8 keys.
+    """
     tiles = tiles if tiles is not None else datagen.EXPIRE_TILES
     z = np.array([t[0] for t in tiles], dtype=np.int64)
     x = np.array([t[1] for t in tiles], dtype=np.int64)
     y = np.array([t[2] for t in tiles], dtype=np.int64)
     lon0, lat0, lon1, lat1 = tile_bbox_lonlat(z, x, y)
-    out_z, out_x, out_y, out_i = [], [], [], []
+    metro_parents = {str(zi + 1).zfill(5) for zi in datagen.METRO_ZONES} \
+        if arrondissements else set()
+    boxes: list[tuple[str, float, float, float, float]] = []
     for zi in range(datagen.NZONES):
-        zx, zy = zi // datagen.NZY, zi % datagen.NZY
-        x0 = datagen.LON0 + datagen.LON_SPAN * zx / datagen.NZX
-        x1 = datagen.LON0 + datagen.LON_SPAN * (zx + 1) / datagen.NZX
-        y0 = datagen.LAT0 + datagen.LAT_SPAN * zy / datagen.NZY
-        y1 = datagen.LAT0 + datagen.LAT_SPAN * (zy + 1) / datagen.NZY
+        insee = str(zi + 1).zfill(5)
+        if insee in metro_parents:
+            continue
+        x0, x1, y0, y1 = datagen.zone_box(zi)
+        boxes.append((insee, x0, x1, y0, y1))
+    if arrondissements:
+        boxes.extend((code, x0, x1, y0, y1)
+                     for code, _parent, x0, x1, y0, y1
+                     in datagen.arrondissement_boxes())
+    out_z, out_x, out_y, out_i = [], [], [], []
+    for insee, x0, x1, y0, y1 in boxes:
         hit = (lon0 <= x1) & (lon1 >= x0) & (lat0 <= y1) & (lat1 >= y0)
         for j in np.nonzero(hit)[0]:
             out_z.append(int(z[j])); out_x.append(int(x[j])); out_y.append(int(y[j]))
-            out_i.append(str(zi + 1).zfill(5))
-    return pa.table({"z": pa.array(out_z, pa.int64()), "x": pa.array(out_x, pa.int64()),
-                     "y": pa.array(out_y, pa.int64()), "insee": pa.array(out_i)})
+            out_i.append(insee)
+    t = pa.table({"z": pa.array(out_z, pa.int64()), "x": pa.array(out_x, pa.int64()),
+                  "y": pa.array(out_y, pa.int64()), "insee": pa.array(out_i)})
+    return t.sort_by([("z", "ascending"), ("x", "ascending"),
+                      ("y", "ascending"), ("insee", "ascending")])
 
 
 def impacted_insee_set(tiles=None) -> set[str]:

@@ -157,6 +157,47 @@ def q_street_json(sf_dir: str):
     return street_json(sf_dir)
 
 
+def q_export_crosscheck(sf_dir: str):
+    """Export-format cross-check (reference stats_export.sh:7-25): per zone,
+    the CSV export's row count, its distinct-row count (the duplicate-line
+    check), and the row count read back from the shapefile sink rendering
+    of the same rows (the CSV-vs-SHP parity check, ogrinfo-style).  The
+    oracle pins n_shp == n_csv, so a duplicate export line or a row
+    dropped/duplicated by the shapefile writer turns the gate red."""
+    import os
+    import tempfile
+
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from .exports import export_csv
+    from ..sources_io_shp import read_point_shapefile, write_point_shapefile
+
+    EXPORT_COLS = ["id", "numero", "voie", "code_post", "ville", "source",
+                   "lat", "lon"]
+
+    def add_zone(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "insee", pc.utf8_slice_codeunits(batch.column("id"), 0, 5))
+
+    def group_fn(df: pd.DataFrame) -> pd.DataFrame:
+        insee = str(df["insee"].iloc[0])
+        n_csv = len(df)
+        n_unique = len(df[EXPORT_COLS].drop_duplicates())
+        with tempfile.TemporaryDirectory() as td:  # render the REAL sink
+            base = write_point_shapefile(df[EXPORT_COLS],
+                                         os.path.join(td, f"bano-{insee}"),
+                                         attr_cols=["id"])
+            n_shp = len(read_point_shapefile(base))
+        return pd.DataFrame({"insee": [insee], "n_csv": [n_csv],
+                             "n_unique": [n_unique], "n_shp": [n_shp]})
+
+    return (export_csv(sf_dir)
+            .map_batches(add_zone, batch_format="pyarrow")
+            .groupby("insee").map_groups(group_fn, batch_format="pandas")
+            .sort("insee"))
+
+
 # ---------------------------------------------------------------------------
 # registry joins / incremental / kNN
 # ---------------------------------------------------------------------------
@@ -290,6 +331,40 @@ def q_tile_zones(sf_dir: str):
     return impacted_zones()
 
 
+def q_tile_zones_arm(sf_dir: str):
+    """G9 metropolis rule: tile-impact with the arrondissement substitution —
+    metro parents' level-8 polygons excluded, their level-9 arrondissement
+    boxes take over (reference bano/models.py:330-360: ``NOT IN
+    ('13055','69123','75056')`` + the '751__'/'6938_'/'132__' level-9 arm)."""
+    from .incremental import impacted_zones
+
+    return impacted_zones(arrondissements=True)
+
+
+def q_commune_list(sf_dir: str):
+    """J12: the per-dept processing commune list (reference
+    bano/db_helpers.py:7-15) — typecom COMD excluded, ARM parents excluded
+    (Paris/Lyon/Marseille process per arrondissement, never as the parent
+    commune).  The ARM-parent set is dim-sized: broadcast is_in mask, no
+    shuffle."""
+    import pyarrow.compute as pc
+    import ray
+
+    ensure_worker_importable()
+    tbl = datagen.cog_communes_table()
+    parents = pc.unique(
+        tbl.filter(pc.equal(tbl.column("typecom"), "ARM")).column("comparent"))
+
+    def f(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.invert(pc.is_in(batch.column("com"), value_set=parents)),
+            pc.not_equal(batch.column("typecom"), "COMD"))
+        return batch.filter(keep).select(["dep", "com", "ncc"])
+
+    return (ray.data.from_arrow(tbl)
+            .map_batches(f, batch_format="pyarrow").sort("com"))
+
+
 def q_knn_match(sf_dir: str):
     """ST5 graft: cell-local kNN — nearest OSM point for each BAN point
     within (zone, street_key); grid-bucket index on large groups."""
@@ -339,13 +414,13 @@ def q_fingerprint(sf_dir: str):
 
 def q_dedup_exact_docs(sf_dir: str):
     """Exact text dedup: md5 hash-partition groupby, keep-first + group size."""
-    import hashlib
     from ray.data.aggregate import Count, Min
+    from ..stages.dedup import md5_hex_many
 
     def h(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
-        hs = [hashlib.md5(t.encode()).hexdigest() for t in texts]
-        return pa.table({"h": pa.array(hs), "doc_id": batch.column("doc_id")})
+        return pa.table({"h": pa.array(md5_hex_many(texts), pa.string()),
+                         "doc_id": batch.column("doc_id")})
 
     ds = _docs(sf_dir).map_batches(h, batch_format="pyarrow")
     return ds.groupby("h").aggregate(Count("doc_id", alias_name="n"),

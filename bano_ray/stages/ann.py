@@ -21,6 +21,21 @@ def _normalize_rows(v: np.ndarray) -> np.ndarray:
     return v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
 
 
+def emb_matrix(col) -> np.ndarray:
+    """Zero-copy (rows, dim) float64 view of an Arrow list<float> column —
+    replaces the former ``np.stack(col.to_pylist())`` which built a Python
+    list per row of the widest numeric column in the system."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    dim = len(flat) // n
+    if dim * n != len(flat):
+        raise ValueError("ragged embedding column")
+    return flat.reshape(n, dim).astype(np.float64)
+
+
 _PLANES_CACHE: dict[tuple[int, int, int], np.ndarray] = {}
 
 
@@ -48,7 +63,7 @@ class BatchTopK:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         vid = batch.column("vec_id").to_numpy()
-        mat = np.stack(batch.column("embedding").to_pylist()).astype(np.float64)
+        mat = emb_matrix(batch.column("embedding"))
         sims = self.q @ _normalize_rows(mat).T          # (nq, nb)
         k = min(self.k, sims.shape[1])
         idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]
@@ -103,7 +118,7 @@ def lsh_topk(ds, query_ids: list[int], k: int = 10, nbits: int = 8, nprobe: int 
         import pyarrow.compute as pc
 
         vid = batch.column("vec_id").to_numpy()
-        mat = np.stack(batch.column("embedding").to_pylist()).astype(np.float64)
+        mat = emb_matrix(batch.column("embedding"))
         proj = mat @ lsh_planes(mat.shape[1], nbits)
         base = ((proj > 0).astype(np.uint64)
                 << np.arange(nbits, dtype=np.uint64)).sum(axis=1).astype(np.int64)
@@ -225,7 +240,7 @@ def ivf_topk(ds, query_ids: list[int], k: int = 10, ncentroids: int = 16,
         import pyarrow.compute as pc
 
         c = ray.get(cent_ref)
-        vec = _normalize_rows(np.stack(batch.column("embedding").to_pylist()).astype(np.float64))
+        vec = _normalize_rows(emb_matrix(batch.column("embedding")))
         sims = vec @ c.T
         vid = batch.column("vec_id").to_numpy()
         is_q = np.isin(vid, qarr)

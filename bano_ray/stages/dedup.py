@@ -100,6 +100,19 @@ class _DuckMd5:
 _DUCK_MD5 = _DuckMd5()
 
 
+def md5_hex_many(strings) -> list[str]:
+    """Vectorized md5 hex digests (DuckDB ``md5()`` fast path, hashlib
+    fallback — identical values either way)."""
+    if len(strings) == 0:
+        return []
+    con = _DUCK_MD5.get()
+    if con:
+        tbl = pa.table({"s": pa.array(strings, pa.string())})  # noqa: F841
+        return con.execute("SELECT md5(s) AS h FROM tbl") \
+            .fetch_arrow_table().column("h").to_pylist()
+    return [hashlib.md5(s.encode()).hexdigest() for s in strings]
+
+
 def _md5_u64_many(strings: np.ndarray) -> np.ndarray:
     """Vectorized md5-upper-half over an array of strings.
 
@@ -554,9 +567,9 @@ def embedding_neardup(ds, sim_threshold: float = 0.98, nbits: int = 12,
     from ray.data.aggregate import Max
 
     def project(batch: pa.Table) -> pa.Table:
-        from .ann import lsh_planes
+        from .ann import emb_matrix, lsh_planes
 
-        vec = np.stack(batch.column("embedding").to_pylist()).astype(np.float64)
+        vec = emb_matrix(batch.column("embedding"))
         signs = (vec @ lsh_planes(vec.shape[1], nbits * nbands, seed=42)) > 0
         parts = []
         for band in range(nbands):

@@ -673,6 +673,79 @@ def _str_lens(a: np.ndarray) -> np.ndarray:
     return np.fromiter((len(x) for x in a), dtype=np.int64, count=len(a))
 
 
+def _dict_col(t, name):
+    """(codes int64[n], values pa.StringArray) of a string column via Arrow
+    dictionary-encode — the C++ hash table does the factorize; no per-row
+    Python string objects are ever created (VERDICT r3 #1: the former
+    ``to_numpy(zero_copy_only=False)`` of every string column was the
+    flagship hot chain's dominant memory traffic)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    d = pc.dictionary_encode(t.column(name))
+    if isinstance(d, pa.ChunkedArray):
+        d = d.combine_chunks()
+    return d.indices.to_numpy().astype(np.int64), d.dictionary
+
+
+def _gather_str(values, codes) -> np.ndarray:
+    """Group-representative string gather: codes (int64, -1 → '') → object
+    ndarray.  Python strings materialize only here — O(groups) rows."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    codes = np.asarray(codes, dtype=np.int64)
+    out = np.full(len(codes), "", dtype=object)
+    ok = codes >= 0
+    if ok.any():
+        out[ok] = pc.take(values, pa.array(codes[ok])).to_numpy(zero_copy_only=False)
+    return out
+
+
+def _gather_arr(values, codes):
+    """Arrow-native group-representative gather (codes int64, -1 → '') —
+    the output column is built entirely in C, no Python strings at all."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    codes = np.asarray(codes, dtype=np.int64)
+    if (codes < 0).any():
+        values = pa.concat_arrays([values, pa.array([""], type=values.type)])
+        codes = np.where(codes >= 0, codes, len(values) - 1)
+    return pc.take(values, pa.array(codes))
+
+
+def _const_arr(n: int, s: str):
+    """Length-n constant string column via a C-level take of one value."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    return pc.take(pa.array([s], type=pa.string()),
+                   pa.array(np.zeros(n, dtype=np.int32)))
+
+
+def _partial_table(rows: dict, n: int) -> "pa.Table":
+    """Arrow-native PARTIAL_COLS table with typed defaults (the pandas
+    ``_frame`` + ``Table.from_pandas`` round-trip was ~15% of the combiner's
+    wall; output columns are numpy/Arrow already, so assemble directly)."""
+    import pyarrow as pa
+
+    cols = {}
+    for c, ty in PARTIAL_COLS.items():
+        v = rows.get(c)
+        if v is None:
+            if ty == "int64":
+                v = np.full(n, -1, dtype=np.int64)
+            elif ty == "float64":
+                v = np.zeros(n, dtype=np.float64)
+            else:
+                v = _const_arr(n, "")
+        if not isinstance(v, (pa.Array, pa.ChunkedArray)):
+            v = pa.array(v, type=pa.string() if ty == "object" else None)
+        cols[c] = v
+    return pa.table(cols)
+
+
 def partial_from_points_fast(t) -> "pa.Table":
     """Arrow-in/arrow-out twin of :func:`partial_from_points` (see module
     docstring for the reduction inventory).  Semantics notes mirrored from
@@ -686,53 +759,58 @@ def partial_from_points_fast(t) -> "pa.Table":
       validity (reference models.py registers on every row).
     """
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     from ..functions.housenumber import split_multi
     from ..runtime import tune_malloc
 
     tune_malloc()
     if t.num_rows == 0:
-        return pa.Table.from_pandas(_empty_partial(), preserve_index=False)
+        return _partial_table({}, 0)   # typed empty (string, not null, cols)
 
-    def col(c):
-        return t.column(c).to_numpy(zero_copy_only=False)
+    # String columns stay Arrow: dictionary codes (int) drive every mask,
+    # key and reduction; Python strings materialize only for the O(groups)
+    # output rows via _gather_str.
+    src_c, src_d = _dict_col(t, "source")
+    src_code = {v: i for i, v in enumerate(src_d.to_pylist())}
+    insee_c, insee_d = _dict_col(t, "insee")
+    sk_c, sk_d = _dict_col(t, "street_key")
+    hn_c, hn_d = _dict_col(t, "hn")
+    cp_c, cp_d = _dict_col(t, "postcode")
+    st_c, st_d = _dict_col(t, "street")
+    fa_c, fa_d = _dict_col(t, "fantoir_raw")
+    hw_c, hw_d = _dict_col(t, "highway_type")
+    salt = t.column("salt").to_numpy().astype(np.int64)
+    doc = t.column("doc_id").to_numpy().astype(np.int64)
+    lon = t.column("lon").to_numpy()
+    lat = t.column("lat").to_numpy()
+    pseudo_ok = pc.not_equal(t.column("pseudo_adresse"), "true") \
+        .to_numpy(zero_copy_only=False).astype(bool)
+    fvalid = t.column("fant_valid").to_numpy(zero_copy_only=False).astype(bool)
+    hl = t.column("hn_len").to_numpy().astype(np.int64)
+    fa_len_u = pc.utf8_length(fa_d).to_numpy()   # per-unique lengths
+    fa_len = fa_len_u[fa_c]
 
-    src = col("source")
-    insee = col("insee")
-    salt = col("salt").astype(np.int64)
-    sk = col("street_key")
-    hn = col("hn")
-    doc = col("doc_id").astype(np.int64)
-    lon = col("lon")
-    lat = col("lat")
-    postcode = col("postcode")
-    street = col("street")
-    fant = col("fantoir_raw")
-    pseudo = col("pseudo_adresse")
-    hwt = col("highway_type")
-    fvalid = col("fant_valid").astype(bool)
-    hl = col("hn_len").astype(np.int64)
-
-    ci, u_insee = pd.factorize(insee)
-    ck, u_sk = pd.factorize(sk)
     sdim = int(salt.max()) + 1
-    base_key = (ci.astype(np.int64) * sdim + salt) * len(u_sk) + ck
+    base_key = (insee_c * sdim + salt) * len(sk_d) + sk_c
 
     frames: list[pd.DataFrame] = []
 
     for source in SOURCES_ORDER:
-        m = src == source
+        m = src_c == src_code.get(source, -1)
         if source == "CADASTRE":
-            m &= pseudo != "true"
+            m &= pseudo_ok
         if not m.any():
             continue
 
         if source == "OSM":
             ridx = np.flatnonzero(m & (hl > 0))
             if len(ridx):
-                # explode multi-number captions (split memoized per unique
-                # hn, same as merge._explode_osm)
-                uh, ih = np.unique(hn[ridx].astype("U"), return_inverse=True)
+                # explode multi-number captions (split computed per unique
+                # hn CODE — strings touched once per unique, same as
+                # merge._explode_osm's memoized split)
+                uh_codes, ih = np.unique(hn_c[ridx], return_inverse=True)
+                uh = pc.take(hn_d, pa.array(uh_codes)).to_pylist()
                 splits = [split_multi(u) for u in uh]
                 lens = np.array([len(s) for s in splits], dtype=np.int64)
                 reps = lens[ih]
@@ -756,33 +834,42 @@ def partial_from_points_fast(t) -> "pa.Table":
                         f"caption split into {int(part.max()) + 1} parts; "
                         f"ORD_SCALE={ORD_SCALE} would collapse ordering")
             ord_ = doc[eidx] * ORD_SCALE + part
-            cp = postcode[eidx]
+            cp_codes = cp_c[eidx]
         else:
             eidx = np.flatnonzero(m & (hl > 0) & (hl <= 11))
-            nums = hn[eidx]
+            nums = None   # hn codes are the group facet directly
             ord_ = doc[eidx] * ORD_SCALE
-            cp = postcode[eidx] if source == "BAN" \
-                else np.full(len(eidx), "", dtype=object)
+            cp_codes = cp_c[eidx] if source == "BAN" \
+                else np.full(len(eidx), -1, dtype=np.int64)
 
         if len(eidx):
-            cn, _u_num = pd.factorize(nums)
-            key = base_key[eidx] * len(_u_num) + cn
+            if nums is None:
+                cn = hn_c[eidx]
+                key = base_key[eidx] * len(hn_d) + cn
+            else:
+                # exploded parts are NEW strings (not batch uniques):
+                # factorize them; equal parts from different captions must
+                # share a group
+                cn, _u_num = pd.factorize(nums)
+                key = base_key[eidx] * max(len(_u_num), 1) + cn
             perm, st, en = _runs(key, ord_)
             firsts, lasts = perm[st], perm[en - 1]
-            fr_ = _frame({
-                "ptype": np.full(len(st), "pnum", dtype=object),
-                "insee": insee[eidx[firsts]],
+            rows = {
+                "ptype": _const_arr(len(st), "pnum"),
+                "insee": _gather_arr(insee_d, insee_c[eidx[firsts]]),
                 "salt": salt[eidx[firsts]],
-                "source": np.full(len(st), source, dtype=object),
-                "street_key": sk[eidx[firsts]],
-                "numero": nums[firsts],
+                "source": _const_arr(len(st), source),
+                "street_key": _gather_arr(sk_d, sk_c[eidx[firsts]]),
+                "numero": (pa.array(nums[firsts], type=pa.string())
+                           if nums is not None
+                           else _gather_arr(hn_d, cn[firsts])),
                 "first_ord": ord_[firsts],
                 "last_ord": ord_[lasts],
                 "last_lon": lon[eidx[lasts]].astype(np.float64),
                 "last_lat": lat[eidx[lasts]].astype(np.float64),
-                "last_cp": cp[lasts],
-                "last_street": street[eidx[lasts]],
-            })
+                "last_cp": _gather_arr(cp_d, cp_codes[lasts]),
+                "last_street": _gather_arr(st_d, st_c[eidx[lasts]]),
+            }
             if source == "OSM":
                 vsel = fvalid[eidx]
                 if vsel.any():
@@ -794,71 +881,73 @@ def partial_from_points_fast(t) -> "pa.Table":
                     hit = (pos < len(vkeys))
                     pos_c = np.minimum(pos, len(vkeys) - 1)
                     hit &= vkeys[pos_c] == gkeys
-                    vf_ord = np.where(hit, ord_[vsel][vlast][pos_c], -1)
-                    vf_fant = np.where(
-                        hit, fant[eidx[vsel]][vlast][pos_c], "").astype(object)
-                    fr_["vf_ord"] = vf_ord.astype(np.int64)
-                    fr_["vf_fant"] = vf_fant
-            frames.append(fr_)
+                    rows["vf_ord"] = np.where(hit, ord_[vsel][vlast][pos_c],
+                                              -1).astype(np.int64)
+                    rows["vf_fant"] = _gather_arr(
+                        fa_d, np.where(hit, fa_c[eidx[vsel]][vlast][pos_c], -1))
+            frames.append(_partial_table(rows, len(st)))
 
         if source == "BAN":
             bidx = np.flatnonzero(m)
-            bidx = bidx[_str_lens(fant[bidx]) == 10]
+            bidx = bidx[fa_len[bidx] == 10]
             if len(bidx):
-                cf, _u_f = pd.factorize(fant[bidx])
-                key = base_key[bidx] * len(_u_f) + cf
+                cf = fa_c[bidx]
+                key = base_key[bidx] * len(fa_d) + cf
                 ord_b = doc[bidx] * ORD_SCALE
                 perm, st, en = _runs(key, ord_b)
                 lasts = perm[en - 1]
-                frames.append(_frame({
-                    "ptype": np.full(len(st), "brep", dtype=object),
-                    "insee": insee[bidx[lasts]],
+                frames.append(_partial_table({
+                    "ptype": _const_arr(len(st), "brep"),
+                    "insee": _gather_arr(insee_d, insee_c[bidx[lasts]]),
                     "salt": salt[bidx[lasts]],
-                    "street_key": sk[bidx[lasts]],
-                    "raw": fant[bidx[lasts]],
+                    "street_key": _gather_arr(sk_d, sk_c[bidx[lasts]]),
+                    "raw": _gather_arr(fa_d, fa_c[bidx[lasts]]),
                     "brep_ord": ord_b[lasts],
-                }))
+                }, len(st)))
 
     # 'seen' rows: distinct (insee, salt, street_key) per source
     for source in SOURCES_ORDER:
-        m = src == source
+        m = src_c == src_code.get(source, -1)
         if source == "CADASTRE":
-            m &= pseudo != "true"
+            m &= pseudo_ok
         midx = np.flatnonzero(m)
         if len(midx) == 0:
             continue
         perm, st, _en = _runs(base_key[midx])
         firsts = midx[perm[st]]
-        frames.append(_frame({
-            "ptype": np.full(len(st), "seen", dtype=object),
-            "insee": insee[firsts],
+        frames.append(_partial_table({
+            "ptype": _const_arr(len(st), "seen"),
+            "insee": _gather_arr(insee_d, insee_c[firsts]),
             "salt": salt[firsts],
-            "source": np.full(len(st), source, dtype=object),
-            "street_key": sk[firsts],
-        }))
+            "source": _const_arr(len(st), source),
+            "street_key": _gather_arr(sk_d, sk_c[firsts]),
+        }, len(st)))
 
     # highway rows: OSM rows with no housenumber
-    hidx = np.flatnonzero((src == "OSM") & (hl == 0))
+    hidx = np.flatnonzero((src_c == src_code.get("OSM", -1)) & (hl == 0))
     if len(hidx):
         key = base_key[hidx]
         ord_h = doc[hidx] * ORD_SCALE
         perm, st, en = _runs(key, ord_h)
         lasts = perm[en - 1]
         gkeys = key[perm[st]]
-        fr_ = _frame({
-            "ptype": np.full(len(st), "hw", dtype=object),
-            "insee": insee[hidx[lasts]],
+        rows = {
+            "ptype": _const_arr(len(st), "hw"),
+            "insee": _gather_arr(insee_d, insee_c[hidx[lasts]]),
             "salt": salt[hidx[lasts]],
-            "street_key": sk[hidx[lasts]],
+            "street_key": _gather_arr(sk_d, sk_c[hidx[lasts]]),
             "hw_last_ord": ord_h[lasts],
-            "hw_last_street": street[hidx[lasts]],
-        })
-        # distinct-highway-type bitmask per street
-        p_map = pd.Series(hwt[hidx]).map(HIGHWAY_TYPES_INDEX)
-        psel = p_map.notna().to_numpy()
+            "hw_last_street": _gather_arr(st_d, st_c[hidx[lasts]]),
+        }
+        # distinct-highway-type bitmask per street (string→bit map computed
+        # once per unique highway type)
+        hw_lut = np.asarray([HIGHWAY_TYPES_INDEX.get(v, -1)
+                             for v in hw_d.to_pylist()], dtype=np.int64)
+        pv_row = hw_lut[hw_c[hidx]]
+        psel = pv_row >= 0
         mask_out = np.zeros(len(st), dtype=np.int64)
         if psel.any():
-            pv = p_map.to_numpy()[psel].astype(np.int64)
+            pv = pv_row[psel]
             comp = key[psel] * np.int64(len(HIGHWAY_TYPES_INDEX) * 2) + \
                 np.log2(pv).astype(np.int64)
             ucomp, uf = np.unique(comp, return_index=True)
@@ -868,7 +957,7 @@ def partial_from_points_fast(t) -> "pa.Table":
             sums = np.add.reduceat(p2[p_perm], p_st)
             pos = np.searchsorted(gkeys, k2[p_perm[p_st]])
             mask_out[pos] = sums
-        fr_["hw_mask"] = mask_out
+        rows["hw_mask"] = mask_out
         # first-valid-fantoir facet
         hsel = fvalid[hidx]
         if hsel.any():
@@ -879,15 +968,14 @@ def partial_from_points_fast(t) -> "pa.Table":
             hit = pos < len(vkeys)
             pos_c = np.minimum(pos, len(vkeys) - 1)
             hit &= vkeys[pos_c] == gkeys
-            fr_["hw_fv_ord"] = np.where(
+            rows["hw_fv_ord"] = np.where(
                 hit, ord_h[hsel][vfirst][pos_c], -1).astype(np.int64)
-            fr_["hw_fv_fant"] = np.where(
-                hit, fant[hidx[hsel]][vfirst][pos_c], "").astype(object)
-            fr_["hw_fv_street"] = np.where(
-                hit, street[hidx[hsel]][vfirst][pos_c], "").astype(object)
-        frames.append(fr_)
+            rows["hw_fv_fant"] = _gather_arr(
+                fa_d, np.where(hit, fa_c[hidx[hsel]][vfirst][pos_c], -1))
+            rows["hw_fv_street"] = _gather_arr(
+                st_d, np.where(hit, st_c[hidx[hsel]][vfirst][pos_c], -1))
+        frames.append(_partial_table(rows, len(st)))
 
     if not frames:
-        return pa.Table.from_pandas(_empty_partial(), preserve_index=False)
-    return pa.Table.from_pandas(pd.concat(frames, ignore_index=True),
-                                preserve_index=False)
+        return _partial_table({}, 0)
+    return pa.concat_tables(frames)

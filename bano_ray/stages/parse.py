@@ -22,18 +22,28 @@ CELL_RES = 12  # engine partition resolution (~10 km tiles; skew-split deeper)
 
 
 def parse_caption(batch: pa.Table) -> pa.Table:
-    """Split caption into hn / street and attach the normalized merge key."""
+    """Split caption into hn / street and attach the normalized merge key.
+
+    The normalize rewrite runs once per UNIQUE street via Arrow
+    dictionary-encode (the C++ hash table), and the per-row key column is
+    re-flattened with ``pc.take`` — Python objects are only ever created
+    for the uniques, never per row (the former ``to_numpy`` of the whole
+    street column was the hot chain's largest per-row allocation)."""
     cap = batch.column("caption")
     if isinstance(cap, pa.ChunkedArray):
         cap = cap.combine_chunks()
     ext = pc.extract_regex(cap, r"^(?P<hn>.*?), (?P<street>.*)$")
     hn = pc.coalesce(pc.struct_field(ext, "hn"), pa.scalar("", type=pa.string()))
     street = pc.coalesce(pc.struct_field(ext, "street"), cap)
-    key = normalize_array(street.to_numpy(zero_copy_only=False))
+    d = pc.dictionary_encode(street)
+    if isinstance(d, pa.ChunkedArray):
+        d = d.combine_chunks()
+    uniq = d.dictionary.to_numpy(zero_copy_only=False)
+    key = pc.take(pa.array(normalize_array(uniq), type=pa.string()), d.indices)
     return (batch
             .append_column("hn", hn)
             .append_column("street", street)
-            .append_column("street_key", pa.array(key, type=pa.string())))
+            .append_column("street_key", key))
 
 
 def encode_cells(batch: pa.Table, res: int = CELL_RES) -> pa.Table:
@@ -61,10 +71,11 @@ def _assign_with_index(index: PolygonIndex, batch: pa.Table) -> pa.Table:
         if len(pi2):
             np.minimum.at(slot, missing[pi2], gi2)
             via_bbox[missing[pi2]] = True
-    keys = np.asarray(index.keys + [""], dtype=object)
-    assigned = keys[np.where(slot == NO, len(index.keys), slot)]
+    # flatten key strings in Arrow C (no per-row Python string objects)
+    keys = pa.array(index.keys + [""], type=pa.string())
+    assigned = pc.take(keys, pa.array(np.where(slot == NO, len(index.keys), slot)))
     return (batch
-            .append_column("insee", pa.array(assigned, type=pa.string()))
+            .append_column("insee", assigned)
             .append_column("zone_via_bbox", pa.array(via_bbox)))
 
 

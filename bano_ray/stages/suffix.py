@@ -233,36 +233,60 @@ def make_suffix_decorator(centers_ref, emit_suffix: bool = False):
 
         zones_by_insee = _zones()
         n = batch.num_rows
-        suffixes = np.full(n, "", dtype=object)
+        cand = np.zeros(n, dtype=bool)
         if zones_by_insee:
-            mask = pc.and_(pc.equal(batch.column("source"), "OSM"),
-                           pc.equal(batch.column("hn"), ""))
-            insee_np = batch.column("insee").to_numpy(zero_copy_only=False)
-            cand = mask.to_numpy(zero_copy_only=False) & np.isin(
-                insee_np, np.asarray(list(zones_by_insee), dtype=object))
-        else:
-            cand = np.zeros(n, dtype=bool)
+            # candidate mask fully in Arrow — strings only materialize for
+            # the (tiny) candidate subset below
+            mask = pc.and_(
+                pc.and_(pc.equal(batch.column("source"), "OSM"),
+                        pc.equal(batch.column("hn"), "")),
+                pc.is_in(batch.column("insee"),
+                         value_set=pa.array(sorted(zones_by_insee))))
+            cand = mask.to_numpy(zero_copy_only=False).astype(bool)
+        sfx_idx = np.empty(0, dtype=np.int64)
+        sfx_vals: list[str] = []
         if cand.any():
-            key = batch.column("street_key").to_numpy(zero_copy_only=False).copy()
+            idx = np.flatnonzero(cand)
+            take = pa.array(idx)
+            insee_sub = np.asarray(
+                pc.take(batch.column("insee"), take).to_pylist(), dtype=object)
+            street_sub = pc.take(batch.column("street"), take).to_pylist()
             lon = batch.column("lon").to_numpy()
             lat = batch.column("lat").to_numpy()
-            street = batch.column("street").to_numpy(zero_copy_only=False)
-            idx = np.flatnonzero(cand)
-            for insee in np.unique(insee_np[idx]):
+            assigned = np.full(len(idx), "", dtype=object)
+            for insee in np.unique(insee_sub):
                 zi = zones_by_insee[insee]
-                sub = idx[insee_np[idx] == insee]
-                assigned = np.full(len(sub), "", dtype=object)
+                sel = np.flatnonzero(insee_sub == insee)
+                sub_rows = idx[sel]
+                got = np.full(len(sel), "", dtype=object)
                 for hamlet in sorted(zi):
-                    hit = zi[hamlet].contains(lon[sub], lat[sub])
-                    assigned[hit & (assigned == "")] = hamlet
-                suffixes[sub] = assigned
-                for j, sfx in zip(sub, assigned):
-                    if sfx:
-                        key[j] = normalize(append_suffixe(street[j], sfx))
-            i = batch.column_names.index("street_key")
-            batch = batch.set_column(i, "street_key", pa.array(key, type=pa.string()))
+                    hit = zi[hamlet].contains(lon[sub_rows], lat[sub_rows])
+                    got[hit & (got == "")] = hamlet
+                assigned[sel] = got
+            withsfx = np.flatnonzero(assigned != "")
+            if len(withsfx):
+                sfx_idx = idx[withsfx]
+                sfx_vals = [str(assigned[i]) for i in withsfx]
+                new_keys = [normalize(append_suffixe(street_sub[i], assigned[i]))
+                            for i in withsfx]
+                upd = np.zeros(n, dtype=bool)
+                upd[sfx_idx] = True
+                key_col = batch.column("street_key")
+                if isinstance(key_col, pa.ChunkedArray):
+                    key_col = key_col.combine_chunks()
+                new_col = pc.replace_with_mask(
+                    key_col, pa.array(upd), pa.array(new_keys, pa.string()))
+                i = batch.column_names.index("street_key")
+                batch = batch.set_column(i, "street_key", new_col)
         if emit_suffix:
-            batch = batch.append_column("suffixe", pa.array(suffixes, type=pa.string()))
+            upd = np.zeros(n, dtype=bool)
+            upd[sfx_idx] = True
+            base = pc.take(pa.array([""], pa.string()),
+                           pa.array(np.zeros(n, dtype=np.int32)))
+            sfx_col = pc.replace_with_mask(
+                base, pa.array(upd), pa.array(sfx_vals, pa.string())) \
+                if len(sfx_idx) else base
+            batch = batch.append_column("suffixe", sfx_col)
         return batch
 
     return decorate

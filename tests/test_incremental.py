@@ -70,3 +70,42 @@ def test_run_partitioned_kill_and_resume(ray_session, tmp_path, sf_dir):
     res3 = inc.run_partitioned(sf_dir, out, tiles=datagen.EXPIRE_TILES)
     impacted = inc.impacted_insee_set(datagen.EXPIRE_TILES)
     assert set(res3["written"]) | set(res3["skipped_done"]) <= impacted | set(res1["written"])
+
+
+def test_arrondissement_substitution_semantics():
+    """G9 metropolis rule: metro parents are never expired; their level-9
+    arrondissement codes appear instead, and only for boxes the tile
+    actually intersects (reference bano/models.py:330-360)."""
+    from bano_ray import datagen
+    from bano_ray.pipelines import incremental as inc
+
+    arm = inc.impacted_zones(arrondissements=True).to_pandas()
+    lvl8 = inc.impacted_zones().to_pandas()
+    parents = {str(zi + 1).zfill(5) for zi in datagen.METRO_ZONES}
+    arr_codes = {c for c, *_ in datagen.arrondissement_boxes()}
+    assert not (set(arm["insee"]) & parents)
+    assert set(arm["insee"]) - arr_codes == set(lvl8["insee"]) - parents
+    # the coarse straddling tile must expire ALL 4 arrondissements of its
+    # metro zone
+    coarse = arm[(arm["z"] == 10)]
+    assert len(coarse) == datagen.METRO_GRID ** 2
+    # non-metro zones are identical between the two modes
+    assert set(lvl8["insee"]) - parents <= set(arm["insee"])
+
+
+def test_commune_list_exclusions():
+    """J12: COMD rows and ARM parents excluded, ARM children included
+    (reference bano/db_helpers.py:7-15)."""
+    from bano_ray import datagen
+    from bano_ray.pipelines.queries import q_commune_list
+
+    out = q_commune_list("unused").to_pandas()
+    cog = datagen.cog_communes_table().to_pandas()
+    parents = {str(zi + 1).zfill(5) for zi in datagen.METRO_ZONES}
+    comds = set(cog[cog["typecom"] == "COMD"]["com"])
+    arms = set(cog[cog["typecom"] == "ARM"]["com"])
+    got = set(out["com"])
+    assert not (got & parents)
+    assert not (got & comds)
+    assert arms <= got
+    assert comds and arms and parents  # the fixture actually plants all three
