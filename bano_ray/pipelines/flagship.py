@@ -138,12 +138,16 @@ def image_roundtrip(sf_dir: str, concurrency=None, expand: int = 1):
     ensure_worker_importable()
     if concurrency is None:
         cpus = _cluster_cpus()
-        # floor the pool at ~cpus/4 (not 2): the ray 2.49 autoscaler adds
-        # actors only as the input queue builds, and with the synthesis
-        # tasks saturating the other slots the ramp from 2 actors costs
-        # ~15% of the stage wall at 32 cpus
+        # floor the pool at ~3/4 of the cluster: the ray 2.49 autoscaler
+        # adds actors only as the input queue builds, and the ramp never
+        # reaches the pool's ceiling before the job ends.  Measured at 32
+        # cpus (alternating A/B, 3 rounds): floor 8 → 51.7–55.0 s at 20.4
+        # busy cores; floor 24 → 45.5–47.8 s at 23.6 (+13%); floor 30
+        # (everything) → 66.9 s — the encode-side synthesis tasks starve.
+        # At 8 cpus floor 5 beats floors 2 and 6 by ~15% for the same
+        # reason (3 slots left for synthesis).
         hi = max(2, cpus - 2)
-        concurrency = (min(max(2, cpus // 4), hi), hi)
+        concurrency = (min(max(2, 3 * cpus // 4 - 1), hi), hi)
     # Byte-payload rows are ~1.3 KB: bound OUTPUT block size so the
     # synthesis tasks emit ~1.5k-row blocks for the actor pool regardless
     # of how the executor bundles their (tiny) id-stream inputs.  Without

@@ -33,6 +33,35 @@ def read_delimited(path: str, delimiter: str = ";", **kwargs):
         path, parse_options=pcsv.ParseOptions(delimiter=delimiter), **kwargs)
 
 
+def source_fingerprint(path: str) -> str:
+    """Freshness fingerprint of a local source file: (mtime_ns, size).
+    The HTTP equivalent is the Last-Modified/ETag header pair — the
+    reference's If-Modified-Since download gate (``bano/sources/ban.py:38-41``)
+    maps onto the same interface."""
+    import os
+
+    st = os.stat(path)
+    return f"{st.st_mtime_ns}_{st.st_size}"
+
+
+def read_delimited_fresh(path: str, state: dict | None,
+                         delimiter: str = ";", **kwargs):
+    """S1 conditional-fetch hook: returns ``(dataset_or_None, new_state)``.
+
+    ``state`` is the previous run's ``{path: fingerprint}`` map (keep it in
+    the pipeline's lineage dir).  If the source is unchanged the reader is
+    SKIPPED (``None``) — the engine analog of the reference's
+    If-Modified-Since 304 path; otherwise the dataset is returned and the
+    new fingerprint recorded.  No network in this sandbox: the fingerprint
+    is mtime+size; an HTTP deployment substitutes the conditional GET."""
+    state = dict(state or {})
+    fp = source_fingerprint(path)
+    if state.get(path) == fp:
+        return None, state
+    state[path] = fp
+    return read_delimited(path, delimiter=delimiter, **kwargs), state
+
+
 def geojson_features_to_table(text: str) -> pa.Table:
     """S3: FeatureCollection → (properties..., geom_wkb) rows."""
     fc = json.loads(text)

@@ -158,6 +158,14 @@ def run_scaling() -> dict:
         for cpus in (8, 32):
             runs[cpus].append(_one(cpus, SCALE_EXPAND))
 
+    # Pair-wise efficiencies: each interleaved round's (8, 32) runs execute
+    # back-to-back inside ONE ambient-bandwidth window, so the per-pair
+    # ratio cancels window drift that independent medians smear (observed
+    # 32-CPU throughput swings 3.3M→7.3M rows/s between windows while the
+    # sub-knee 8-CPU side holds ~2.0M).
+    eff_pairs = [round((b["rows_per_s"] / a["rows_per_s"]) / 4.0, 3)
+                 for a, b in zip(runs[8], runs[32])]
+
     # Companion pairs (one run per size):
     # - 2 -> 8 CPUs on the 38.4M-row corpus: the UNSATURATED-DRAM regime.
     #   On a single box, 32-way concurrency contends on one socket's
@@ -168,8 +176,11 @@ def run_scaling() -> dict:
     # - image decode/validate at 8 -> 32: the arithmetic-dense payload
     #   stage (DCT/Huffman per byte), much less DRAM-bound per core.
     small_expand = int(os.environ.get("GRAFT_SCALE_SMALL_EXPAND", "7680"))
-    pair_2 = {c: _one(c, small_expand) for c in (2, 8)}
-    pair_img = {c: _one(c, 80, pipeline="image") for c in (8, 32)}
+    if os.environ.get("GRAFT_SCALE_SKIP_COMPANIONS") == "1":
+        pair_2 = pair_img = None
+    else:
+        pair_2 = {c: _one(c, small_expand) for c in (2, 8)}
+        pair_img = {c: _one(c, 80, pipeline="image") for c in (8, 32)}
 
     med = {c: statistics.median(r["rows_per_s"] for r in runs[c]) for c in (8, 32)}
     best = {c: max(r["rows_per_s"] for r in runs[c]) for c in (8, 32)}
@@ -187,7 +198,13 @@ def run_scaling() -> dict:
         return max(r.get("canary_pre_s", r.get("mem_bw_canary_s", 0.0)) or 0.0,
                    r.get("canary_post_s", 0.0) or 0.0)
 
-    quiet = {c: [r for r in runs[c] if _canary(r) < quiet_s] for c in (8, 32)}
+    # quiet = canary under threshold AND co-tenants burned <1.5 cores during
+    # the run (the canary only sees MEMORY-BANDWIDTH contention; a
+    # cache-resident co-tenant steals CPU slots invisibly — own-vs-host
+    # process-tree accounting catches that)
+    cot_max = float(os.environ.get("GRAFT_QUIET_COTENANT_CORES", "1.5"))
+    quiet = {c: [r for r in runs[c] if _canary(r) < quiet_s
+                 and r.get("cotenant_cores", 0.0) <= cot_max] for c in (8, 32)}
     if quiet[8] and quiet[32]:
         med_q = {c: statistics.median(r["rows_per_s"] for r in quiet[c])
                  for c in (8, 32)}
@@ -224,11 +241,18 @@ def run_scaling() -> dict:
         "avg_host_cores_32": [r.get("avg_host_cores") for r in runs[32]],
         # companion pairs (see run_scaling comments): low-concurrency
         # flagship (unsaturated DRAM) and the arithmetic-dense image stage
-        "eff_2_to_8": round((pair_2[8]["rows_per_s"] / pair_2[2]["rows_per_s"]) / 4.0, 3),
-        "pair_2_to_8": {str(c): pair_2[c] for c in pair_2},
-        "eff_image_8_to_32": round(
-            (pair_img[32]["rows_per_s"] / pair_img[8]["rows_per_s"]) / 4.0, 3),
-        "pair_image": {str(c): pair_img[c] for c in pair_img},
+        "eff_pairs": eff_pairs,
+        "eff_pairs_max": max(eff_pairs),
+        "eff_pairs_median": round(statistics.median(eff_pairs), 3),
+        "cotenant_cores_8": [r.get("cotenant_cores") for r in runs[8]],
+        "cotenant_cores_32": [r.get("cotenant_cores") for r in runs[32]],
+        **({"eff_2_to_8": round((pair_2[8]["rows_per_s"]
+                                 / pair_2[2]["rows_per_s"]) / 4.0, 3),
+            "pair_2_to_8": {str(c): pair_2[c] for c in pair_2},
+            "eff_image_8_to_32": round(
+                (pair_img[32]["rows_per_s"] / pair_img[8]["rows_per_s"]) / 4.0, 3),
+            "pair_image": {str(c): pair_img[c] for c in pair_img}}
+           if pair_2 else {}),
     }
 
 
@@ -241,6 +265,42 @@ def host_busy_cpu_s() -> float:
         with open("/proc/stat") as f:
             v = list(map(int, f.readline().split()[1:]))
         return (sum(v) - v[3] - v[4]) / 100.0
+    except Exception:
+        return 0.0
+
+
+def own_busy_cpu_s() -> float:
+    """CPU seconds burned by THIS process tree (driver + raylet + workers),
+    summed from /proc/<pid>/stat over all descendants.  ``host - own`` over
+    a run's window is co-tenant CPU: the discriminator the canary (memory
+    bandwidth only) cannot provide — a cache-resident co-tenant steals CPU
+    slots without tripping the canary and silently halves a 32-CPU run."""
+    me = os.getpid()
+    try:
+        children: dict[int, list[int]] = {}
+        cpu: dict[int, float] = {}
+        for name in os.listdir("/proc"):
+            if not name.isdigit():
+                continue
+            try:
+                with open(f"/proc/{name}/stat") as f:
+                    parts = f.read().rsplit(")", 1)[1].split()
+                ppid = int(parts[1])
+                cpu[int(name)] = (int(parts[11]) + int(parts[12])) / 100.0
+                children.setdefault(ppid, []).append(int(name))
+            except (OSError, IndexError, ValueError):
+                continue
+        total = 0.0
+        stack = [me]
+        seen = set()
+        while stack:
+            p = stack.pop()
+            if p in seen:
+                continue
+            seen.add(p)
+            total += cpu.get(p, 0.0)
+            stack.extend(children.get(p, []))
+        return total
     except Exception:
         return 0.0
 
@@ -271,6 +331,7 @@ def run_single() -> dict:
     mem_bw_canary()
     canary_pre = mem_bw_canary()
     b0 = host_busy_cpu_s()
+    o0 = own_busy_cpu_s()
     t0 = time.time()
     if pipeline == "image":
         from bano_ray.pipelines.flagship import image_roundtrip
@@ -282,6 +343,7 @@ def run_single() -> dict:
                             assign_concurrency=max(4, NUM_CPUS // 4)).count()
     dt = time.time() - t0
     busy = host_busy_cpu_s() - b0
+    own = own_busy_cpu_s() - o0
     canary_post = mem_bw_canary()
     return {"metric": f"{pipeline} wall time", "value": round(dt, 3), "unit": "sec",
             "queries": {pipeline: round(dt, 3)}, "sf": SF_DIR,
@@ -290,7 +352,10 @@ def run_single() -> dict:
             "mem_bw_canary_s": max(canary_pre, canary_post),
             "canary_pre_s": canary_pre, "canary_post_s": canary_post,
             "host_busy_cpu_s": round(busy, 1),
-            "avg_host_cores": round(busy / dt, 1)}
+            "own_busy_cpu_s": round(own, 1),
+            "avg_host_cores": round(busy / dt, 1),
+            "avg_own_cores": round(own / dt, 1),
+            "cotenant_cores": round(max(busy - own, 0.0) / dt, 1)}
 
 
 if __name__ == "__main__":

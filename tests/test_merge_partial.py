@@ -157,3 +157,48 @@ def test_partial_fast_empty():
     out = partial_from_points_fast(
         pa.Table.from_pandas(pts, preserve_index=False)).to_pandas()
     assert len(out) == 0
+
+
+def test_fast_combiner_chunked_input_equals_contiguous():
+    """Multi-chunk Arrow tables (as produced by unions / block concats) must
+    run through the dictionary-code combiner identically to a contiguous
+    table — chunk dictionaries differ and must unify."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from bano_ray.stages.merge_partial import partial_from_points_fast
+
+    rng = np.random.default_rng(11)
+    n = 600
+    hn_pool = ["", "12", "3 bis", "5;7", "1"]
+    df = pd.DataFrame({
+        "rec_type": "point",
+        "insee": np.char.zfill(rng.integers(1, 4, n).astype(str), 5),
+        "salt": rng.integers(0, 8, n), "doc_id": np.arange(n),
+        "source": np.array(["OSM", "BAN", "BAL", "CADASTRE"])[rng.integers(0, 4, n)],
+        "street": np.array(["Rue A", "Rue B"], dtype=object)[rng.integers(0, 2, n)],
+        "street_key": np.array(["rue a", "rue b"], dtype=object)[rng.integers(0, 2, n)],
+        "hn": np.array(hn_pool, dtype=object)[rng.integers(0, len(hn_pool), n)],
+        "lon": rng.uniform(-5, 9, n), "lat": rng.uniform(41, 51, n),
+        "fantoir_raw": np.where(rng.random(n) < 0.5, "0000100a2A", ""),
+        "postcode": np.where(rng.random(n) < 0.5, "75001", ""),
+        "pseudo_adresse": np.where(rng.random(n) < 0.3, "true", "false"),
+        "highway_type": np.array(["residential", "primary", ""], dtype=object)[
+            rng.integers(0, 3, n)],
+    })
+    df["fant_valid"] = (df["fantoir_raw"].str.len() == 10) & \
+        (df["fantoir_raw"].str[:5] == df["insee"])
+    df["hn_len"] = df["hn"].str.len()
+    whole = pa.Table.from_pandas(df, preserve_index=False)
+    parts = pa.concat_tables([
+        pa.Table.from_pandas(df.iloc[:200], preserve_index=False),
+        pa.Table.from_pandas(df.iloc[200:450], preserve_index=False),
+        pa.Table.from_pandas(df.iloc[450:], preserve_index=False)])
+    assert parts.column("insee").num_chunks == 3
+    a = partial_from_points_fast(parts).to_pandas()
+    b = partial_from_points_fast(whole).to_pandas()
+    cols = sorted(a.columns)
+    pd.testing.assert_frame_equal(
+        a[cols].sort_values(cols).reset_index(drop=True),
+        b[cols].sort_values(cols).reset_index(drop=True))

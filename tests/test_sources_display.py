@@ -223,3 +223,28 @@ def test_pbf_distributed_write_matches_single_writer(ray_session, tmp_path):
     b = read_pbf(p2, tag_keys=("name",)).to_pandas() \
         .sort_values("node_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_read_delimited_fresh_conditional_fetch(ray_session, tmp_path):
+    """S1 freshness hook: unchanged source is skipped (the engine analog of
+    the reference's If-Modified-Since 304 path, bano/sources/ban.py:38-41);
+    a touched source re-reads."""
+    import os
+    import time
+
+    from bano_ray.sources_io import read_delimited_fresh
+
+    p = str(tmp_path / "ban.csv")
+    with open(p, "w") as f:
+        f.write("a;b\n1;x\n2;y\n")
+    ds, state = read_delimited_fresh(p, None)
+    assert ds is not None and ds.count() == 2 and p in state
+    ds2, state2 = read_delimited_fresh(p, state)
+    assert ds2 is None and state2 == state          # unchanged → skipped
+    time.sleep(0.01)
+    with open(p, "a") as f:
+        f.write("3;z\n")
+    os.utime(p)
+    ds3, state3 = read_delimited_fresh(p, state2)
+    assert ds3 is not None and ds3.count() == 3
+    assert state3[p] != state2[p]
