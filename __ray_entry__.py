@@ -68,6 +68,7 @@ _ORACLE_QUERIES = [
 _ROWSONLY_QUERIES = [
     "q_ann_ivf",             # similarity search: IVF (k-means lists) ANN
     "q_image_roundtrip",     # image payload decode/validate stage
+    "q_image_thumbs",        # multimodal decode → resize → feature stage
 ]
 
 

@@ -112,6 +112,68 @@ class ImageRoundtrip:
         })
 
 
+THUMB = 8  # thumbnail edge (px)
+
+
+class ImageThumbs:
+    """Actor-pool resize/feature stage: decode each payload, box-average to
+    a THUMB×THUMB RGB thumbnail (deterministic integer-sum box filter), emit
+    the PNG-encoded thumbnail plus per-channel means — the multimodal
+    decode → resize → feature-extract shape over opaque binary columns.
+    Same pool/batch/memory discipline as :class:`ImageRoundtrip`."""
+
+    def __init__(self):
+        from ..runtime import tune_malloc
+
+        tune_malloc()
+
+    @staticmethod
+    def thumb_of(px: np.ndarray, t: int = THUMB) -> np.ndarray:
+        """(h, w, 3) uint8 → (t, t, 3) uint8 box means (floor(x+0.5))."""
+        h, w, _ = px.shape
+        iy = (np.arange(h) * t) // h
+        ix = (np.arange(w) * t) // w
+        cell = (iy[:, None] * t + ix[None, :]).ravel()
+        flat = px.reshape(-1, 3).astype(np.int64)
+        sums = np.zeros((t * t, 3), dtype=np.int64)
+        np.add.at(sums, cell, flat)
+        cnt = np.bincount(cell, minlength=t * t).astype(np.float64)
+        means = sums / cnt[:, None]
+        return np.floor(means + 0.5).astype(np.uint8).reshape(t, t, 3)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..codecs import decode_image_batch, encode_png
+
+        fmts = batch.column("fmt").to_pylist()
+        blobs = _binary_column_views(batch.column("bytes"))
+        decoded = decode_image_batch(blobs, fmts)
+        thumbs = [self.thumb_of(p) for p in decoded]
+        means = np.asarray([t.reshape(-1, 3).mean(axis=0) for t in thumbs])
+        return pa.table({
+            "image_id": batch.column("image_id"),
+            "thumb_png": pa.array([encode_png(t) for t in thumbs],
+                                  type=pa.binary()),
+            "mean_r": pa.array(np.round(means[:, 0], 4)),
+            "mean_g": pa.array(np.round(means[:, 1], 4)),
+            "mean_b": pa.array(np.round(means[:, 2], 4)),
+        })
+
+
+def image_thumbs(sf_dir: str, concurrency=None, expand: int = 1):
+    """Thumbnail/feature pipeline over the payload bytes (same sizing as
+    :func:`image_roundtrip`)."""
+    ensure_worker_importable()
+    if concurrency is None:
+        cpus = _cluster_cpus()
+        hi = max(2, cpus - 2)
+        concurrency = (min(max(2, 3 * cpus // 4 - 1), hi), hi)
+    ds = datagen.images_dataset(sf_dir, with_bytes=True, expand=expand)
+    ds.context.target_max_block_size = 2 * 1024 * 1024
+    return ds.map_batches(ImageThumbs, concurrency=concurrency,
+                          batch_size=512, batch_format="pyarrow",
+                          memory=IMAGE_STAGE_MEMORY)
+
+
 # Declared per-task memory for the decode-validate actor stage.  A 512-row
 # batch of ~1 KB payloads peaks well under 100 MB inside __call__; 256 MiB
 # leaves headroom for block-size variance while letting 32 actors fit in a

@@ -597,6 +597,18 @@ def q_image_roundtrip(sf_dir: str):
         ["image_id", "fmt", "decode_ok", "psnr_db", "mean_lum"])
 
 
+def q_image_thumbs(sf_dir: str):
+    """Multimodal resize/feature stage (rows-only: codecs are not SQL):
+    decode → deterministic box-filter THUMB×THUMB thumbnail → PNG bytes +
+    channel means, in an actor pool over the opaque binary column.  The
+    box-filter is pinned against a numpy reference and the thumbnail PNG
+    round-trips bit-exact in tests/test_codecs.py."""
+    from .flagship import image_thumbs
+
+    return image_thumbs(sf_dir).select_columns(
+        ["image_id", "mean_r", "mean_g", "mean_b"])
+
+
 def _addr_tags(df):
     """Per-node OSM tags for the PBF writer (module-level: pickled into
     the distributed write tasks)."""
