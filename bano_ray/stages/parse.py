@@ -24,26 +24,28 @@ CELL_RES = 12  # engine partition resolution (~10 km tiles; skew-split deeper)
 def parse_caption(batch: pa.Table) -> pa.Table:
     """Split caption into hn / street and attach the normalized merge key.
 
-    The normalize rewrite runs once per UNIQUE street via Arrow
-    dictionary-encode (the C++ hash table), and the per-row key column is
-    re-flattened with ``pc.take`` — Python objects are only ever created
-    for the uniques, never per row (the former ``to_numpy`` of the whole
-    street column was the hot chain's largest per-row allocation)."""
+    One dictionary-encode of the caption column (the Arrow C++ hash table)
+    reduces the batch to its unique captions; the regex split and the
+    normalize rewrite then run per UNIQUE only, and the per-row hn /
+    street / street_key columns are re-flattened with ``pc.take`` (three
+    C-level gathers).  Python objects are only ever created for the
+    uniques, never per row — with ~150k-row batches over a bounded caption
+    vocabulary this is the difference between 150k regex evaluations and a
+    few thousand."""
     cap = batch.column("caption")
-    if isinstance(cap, pa.ChunkedArray):
-        cap = cap.combine_chunks()
-    ext = pc.extract_regex(cap, r"^(?P<hn>.*?), (?P<street>.*)$")
-    hn = pc.coalesce(pc.struct_field(ext, "hn"), pa.scalar("", type=pa.string()))
-    street = pc.coalesce(pc.struct_field(ext, "street"), cap)
-    d = pc.dictionary_encode(street)
+    d = pc.dictionary_encode(cap)
     if isinstance(d, pa.ChunkedArray):
         d = d.combine_chunks()
-    uniq = d.dictionary.to_numpy(zero_copy_only=False)
-    key = pc.take(pa.array(normalize_array(uniq), type=pa.string()), d.indices)
+    uniq_cap = d.dictionary
+    ext = pc.extract_regex(uniq_cap, r"^(?P<hn>.*?), (?P<street>.*)$")
+    hn_u = pc.coalesce(pc.struct_field(ext, "hn"), pa.scalar("", type=pa.string()))
+    street_u = pc.coalesce(pc.struct_field(ext, "street"), uniq_cap)
+    key_u = pa.array(normalize_array(street_u.to_numpy(zero_copy_only=False)),
+                     type=pa.string())
     return (batch
-            .append_column("hn", hn)
-            .append_column("street", street)
-            .append_column("street_key", key))
+            .append_column("hn", pc.take(hn_u, d.indices))
+            .append_column("street", pc.take(street_u, d.indices))
+            .append_column("street_key", pc.take(key_u, d.indices)))
 
 
 def encode_cells(batch: pa.Table, res: int = CELL_RES) -> pa.Table:
