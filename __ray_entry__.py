@@ -44,7 +44,8 @@ _ORACLE_QUERIES = [
     "q_knn_match",           # ST5 cell-local kNN matcher
     "q_places",              # §3.2 lieux-dits merge cascade
     "q_langid",              # text: language ID heuristic
-    "q_token_count",         # text: token counting
+    "q_token_count",         # text: whitespace token counting
+    "q_token_bpe",           # text: BPE-ish subword tokenizer count
     "q_quality",             # text: quality scoring
     "q_fingerprint",         # text: rolling-hash fingerprint
     "q_dedup_exact_docs",    # dedup: exact content hash
@@ -69,6 +70,7 @@ _ROWSONLY_QUERIES = [
     "q_ann_ivf",             # similarity search: IVF (k-means lists) ANN
     "q_image_roundtrip",     # image payload decode/validate stage
     "q_image_thumbs",        # multimodal decode → resize → feature stage
+    "q_frame_sample",        # multimodal video frame-sampling stage
 ]
 
 

@@ -959,6 +959,14 @@ def q_token_count() -> str:
 FROM documents ORDER BY doc_id"""
 
 
+def q_token_bpe() -> str:
+    from .stages.text import BPE_PATTERN
+
+    return f"""SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS BIGINT) AS n_bpe
+FROM documents ORDER BY doc_id"""
+
+
 def q_quality() -> str:
     from .stages.text import EN_MARKERS, FR_MARKERS, PUNCT
 

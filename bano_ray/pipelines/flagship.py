@@ -112,6 +112,108 @@ class ImageRoundtrip:
         })
 
 
+FRAMES_PER_VIDEO = 6
+FRAME_W, FRAME_H = 10, 8
+
+
+def make_video_payload(video_id: int) -> bytes:
+    """Deterministic fake video container: FRAMES_PER_VIDEO length-prefixed
+    PNG frames (frame pixels = ``datagen.pixels_of(video_id * FPV + i)``).
+    The sandbox has no video codec libraries — the CONTAINER is the
+    deterministic stand-in, while the Ray-side plumbing (opaque binary
+    column, actor pool, batch sizing, per-frame output layout) is real and
+    is what a production decoder would drop into (SURVEY.md §2.8
+    multimodal; the decode seam mirrors codecs/__init__.py's
+    NotImplementedError guards for unknown formats)."""
+    import struct
+
+    from ..codecs import encode_png
+
+    parts = [struct.pack(">I", FRAMES_PER_VIDEO)]
+    for i in range(FRAMES_PER_VIDEO):
+        blob = encode_png(datagen.pixels_of(
+            video_id * FRAMES_PER_VIDEO + i, FRAME_W, FRAME_H))
+        parts.append(struct.pack(">I", len(blob)))
+        parts.append(blob)
+    return b"".join(parts)
+
+
+class FrameSampler:
+    """Actor-pool frame-sample stage over opaque video payloads: parse the
+    container index, decode only every ``step``-th frame, emit one row per
+    SAMPLED frame with compact features — frames that aren't sampled are
+    never decoded (the point of sampling at 100 TB)."""
+
+    def __init__(self, step: int = 2):
+        from ..runtime import tune_malloc
+
+        tune_malloc()
+        self.step = step
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import struct
+
+        from ..codecs import decode_png
+
+        blobs = _binary_column_views(batch.column("bytes"))
+        vids = batch.column("video_id").to_numpy()
+        out_v, out_f, out_lum = [], [], []
+        for vid, blob in zip(vids, blobs):
+            (nf,) = struct.unpack(">I", blob[:4])
+            pos = 4
+            for fi in range(nf):
+                (ln,) = struct.unpack(">I", blob[pos:pos + 4])
+                pos += 4
+                if fi % self.step == 0:   # sampled frame: decode
+                    px = decode_png(blob[pos:pos + ln])
+                    out_v.append(int(vid))
+                    out_f.append(fi)
+                    out_lum.append(round(float(px.mean()), 4))
+                pos += ln                 # skipped frame: never decoded
+        return pa.table({"video_id": pa.array(out_v, pa.int64()),
+                         "frame_idx": pa.array(out_f, pa.int64()),
+                         "mean_lum": pa.array(out_lum, pa.float64())})
+
+
+def videos_dataset(sf_dir: str, expand: int = 1):
+    """Synthesized video table (video_id:int64, n_frames:int32,
+    bytes:binary) — one video per document row, payload built inside
+    map_batches (bytes never pass through the driver)."""
+    import struct
+
+    ensure_worker_importable()
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        payloads = [make_video_payload(int(i)) for i in ids]
+        return pa.table({
+            "video_id": pa.array(ids.astype(np.int64)),
+            "n_frames": pa.array(np.full(len(ids), FRAMES_PER_VIDEO,
+                                         dtype=np.int32)),
+            "bytes": pa.array(payloads, type=pa.binary()),
+        })
+
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+    ds = ds.map_batches(synth, batch_format="pyarrow")
+    ds.context.target_max_block_size = 2 * 1024 * 1024
+    return ds
+
+
+def frame_sample(sf_dir: str, step: int = 2, concurrency=None):
+    """Frame-sampling pipeline: video payloads → sampled-frame feature rows
+    (actor pool, same sizing discipline as the image stages)."""
+    if concurrency is None:
+        cpus = _cluster_cpus()
+        hi = max(2, cpus - 2)
+        concurrency = (min(max(2, 3 * cpus // 4 - 1), hi), hi)
+    return videos_dataset(sf_dir).map_batches(
+        FrameSampler, fn_constructor_args=(step,), concurrency=concurrency,
+        batch_size=256, batch_format="pyarrow", memory=IMAGE_STAGE_MEMORY)
+
+
 THUMB = 8  # thumbnail edge (px)
 
 

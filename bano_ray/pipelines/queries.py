@@ -400,6 +400,15 @@ def q_token_count(sf_dir: str):
     return _docs(sf_dir).map_batches(token_count_batch, batch_format="pyarrow")
 
 
+def q_token_bpe(sf_dir: str):
+    """BPE-ish subword token count (GPT-2-style pretokenizer regex; RE2 on
+    both sides, oracle-gated: oracle.q_token_bpe)."""
+    from ..stages.text import bpe_token_count_batch
+
+    return _docs(sf_dir).map_batches(bpe_token_count_batch,
+                                     batch_format="pyarrow")
+
+
 def q_quality(sf_dir: str):
     from ..stages.text import quality_batch
 
@@ -595,6 +604,15 @@ def q_image_roundtrip(sf_dir: str):
 
     return image_roundtrip(sf_dir).select_columns(
         ["image_id", "fmt", "decode_ok", "psnr_db", "mean_lum"])
+
+
+def q_frame_sample(sf_dir: str):
+    """Multimodal frame-sample stage (rows-only: the deterministic fake
+    container stands in for a video codec; the sampler decodes only every
+    2nd frame).  One row per sampled frame."""
+    from .flagship import frame_sample
+
+    return frame_sample(sf_dir, step=2).sort(["video_id", "frame_idx"])
 
 
 def q_image_thumbs(sf_dir: str):

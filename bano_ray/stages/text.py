@@ -60,6 +60,20 @@ def token_count_batch(batch: pa.Table) -> pa.Table:
     return pa.table({"doc_id": batch.column("doc_id"), "n_tokens": n})
 
 
+# BPE-ish subword segmentation (GPT-2-style pretokenizer shape): a leading
+# space glues to the following word, letter runs / digit runs / punctuation
+# runs are separate tokens.  Both pyarrow and DuckDB count matches with RE2,
+# so the count is value-replicable in SQL (oracle.q_token_bpe).
+BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+def bpe_token_count_batch(batch: pa.Table) -> pa.Table:
+    text = batch.column("text")
+    n = pc.count_substring_regex(text, BPE_PATTERN)
+    return pa.table({"doc_id": batch.column("doc_id"),
+                     "n_bpe": pc.cast(n, pa.int64())})
+
+
 def quality_batch(batch: pa.Table) -> pa.Table:
     """Length / punctuation / stopword heuristic quality score."""
     text = batch.column("text")

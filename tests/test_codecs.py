@@ -193,3 +193,39 @@ def test_image_thumbs_stage(ray_session):
     import pyarrow.parquet as pq  # noqa: F401
     ref_means = t.reshape(-1, 3).mean(axis=0)
     assert abs(ref_means[0] - row["mean_r"]) < 1e-3
+
+
+def test_frame_sampler_container_and_sampling():
+    """FrameSampler: container parse + every-step decode matches the
+    generative frames; skipped frames never decode."""
+    import numpy as np
+    import pyarrow as pa
+
+    from bano_ray import datagen
+    from bano_ray.pipelines.flagship import (FRAME_H, FRAME_W,
+                                             FRAMES_PER_VIDEO, FrameSampler,
+                                             make_video_payload)
+
+    vids = [3, 17]
+    batch = pa.table({
+        "video_id": pa.array(vids, pa.int64()),
+        "bytes": pa.array([make_video_payload(v) for v in vids], pa.binary()),
+    })
+    out = FrameSampler(step=2)(batch).to_pandas()
+    assert len(out) == len(vids) * ((FRAMES_PER_VIDEO + 1) // 2)
+    for _, row in out.iterrows():
+        assert row["frame_idx"] % 2 == 0
+        px = datagen.pixels_of(
+            int(row["video_id"]) * FRAMES_PER_VIDEO + int(row["frame_idx"]),
+            FRAME_W, FRAME_H)
+        assert abs(px.mean() - row["mean_lum"]) < 1e-3
+
+
+def test_frame_sample_pipeline(ray_session):
+    """End-to-end frame sampling over sf0.001 (500 videos, 3 sampled frames
+    each)."""
+    from bano_ray.pipelines.flagship import frame_sample
+
+    out = frame_sample("/root/testdata/sf0.001", step=2).to_pandas()
+    assert len(out) == 500 * 3
+    assert set(out["frame_idx"]) == {0, 2, 4}
