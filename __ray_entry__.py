@@ -59,6 +59,7 @@ _ORACLE_QUERIES = [
     "q_pbf_nodes",           # S5 OSM PBF import (write + distributed read)
     "q_zone_raster",         # raster<->vector: polygon rasterization census
     "q_minhash_pairs",       # dedup: MinHash+LSH near-dup pairs (md5 shingles)
+    "q_jaccard_neardup",     # dedup: exact-recall n-gram Jaccard (prefix filter)
     "q_simhash",             # dedup: SimHash signatures (md5 token hashes)
     "q_simhash_neardup",     # dedup: SimHash Hamming-<=3 banding pairs
     "q_embedding_neardup",   # dedup: embedding-cosine near-dups (banded LSH)

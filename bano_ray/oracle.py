@@ -1370,6 +1370,63 @@ SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM mh_j
 WHERE jac >= 0.5 ORDER BY doc_a, doc_b"""
 
 
+def q_jaccard_neardup() -> str:
+    """Exact-recall prefix-filtered Jaccard near-dup (stages/dedup.py
+    jaccard_neardup): per-doc distinct md5 shingle hashes in ascending hash
+    order, prefix length floor((1-t)*n)+1, per-prefix-hash buckets capped at
+    200 distinct docs, the min/max size filter, then exact Jaccard over
+    distinct-hash sets — all in closed form (t = 0.5)."""
+    return """WITH jx_w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+jx_sh AS (
+  SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+    THEN list_transform(range(1, len(w) - 1),
+                        i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])
+    ELSE [array_to_string(w, ' ')] END) AS s
+  FROM jx_w
+),
+jx_dh AS (SELECT DISTINCT doc_id, md5_number_lower(s) AS h FROM jx_sh),
+jx_cnt AS (SELECT doc_id, COUNT(*) AS n FROM jx_dh GROUP BY 1),
+jx_rk AS (
+  SELECT d.doc_id, d.h, c.n,
+         ROW_NUMBER() OVER (PARTITION BY d.doc_id ORDER BY d.h) - 1 AS r
+  FROM jx_dh d JOIN jx_cnt c USING (doc_id)
+),
+jx_pre AS (
+  SELECT doc_id, h, n FROM jx_rk
+  WHERE r < FLOOR((1 - 0.5) * n) + 1
+),
+jx_ok AS (
+  SELECT h FROM jx_pre GROUP BY h
+  HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 200
+),
+jx_cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM jx_pre x
+  JOIN jx_pre y ON y.h = x.h AND y.doc_id > x.doc_id
+  JOIN jx_ok o ON o.h = x.h
+  WHERE CAST(LEAST(x.n, y.n) AS DOUBLE) >= 0.5 * CAST(GREATEST(x.n, y.n) AS DOUBLE)
+),
+jx_inter AS (
+  SELECT c.a, c.b, COUNT(*) AS i
+  FROM jx_cand c
+  JOIN jx_dh x ON x.doc_id = c.a
+  JOIN jx_dh y ON y.doc_id = c.b AND y.h = x.h
+  GROUP BY 1, 2
+),
+jx_j AS (
+  SELECT c.a AS doc_a, c.b AS doc_b,
+         CAST(COALESCE(i.i, 0) AS DOUBLE) / (na.n + nb.n - COALESCE(i.i, 0)) AS jac
+  FROM jx_cand c
+  JOIN jx_cnt na ON na.doc_id = c.a
+  JOIN jx_cnt nb ON nb.doc_id = c.b
+  LEFT JOIN jx_inter i ON i.a = c.a AND i.b = c.b
+)
+SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM jx_j
+WHERE jac >= 0.5 ORDER BY doc_a, doc_b"""
+
+
 def q_embedding_neardup() -> str:
     """Banded-LSH embedding near-dup: the engine's planted twins, sign
     projections, bucket co-grouping and exact-cosine verify, replicated in

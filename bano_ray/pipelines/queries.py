@@ -445,6 +445,17 @@ def q_minhash_pairs(sf_dir: str):
     return minhash_candidate_pairs(_docs(sf_dir), threshold=0.5)
 
 
+def q_jaccard_neardup(sf_dir: str):
+    """Exact-recall word-3-gram Jaccard near-dup pairs via prefix filtering
+    (no probabilistic banding: every pair with J >= 0.5 is guaranteed to
+    surface as a candidate).  Fully oracle-gated — md5 shingle hashes,
+    hash-order prefixes, the size filter and the 200-doc skew cap are all
+    replicated in closed-form SQL (oracle.q_jaccard_neardup)."""
+    from ..stages.dedup import jaccard_neardup
+
+    return jaccard_neardup(_docs(sf_dir), threshold=0.5)
+
+
 def q_simhash(sf_dir: str):
     """SimHash per document (oracle-gated: oracle.q_simhash)."""
     from ..stages.dedup import simhash_batch

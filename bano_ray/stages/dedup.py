@@ -362,6 +362,16 @@ def minhash_candidate_pairs(ds, threshold: float = 0.7, max_bucket: int = 200):
     pairs = (sig.map_batches(explode, batch_format="pyarrow")
              .groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
              .groupby(["a", "b"]).count())
+    return verified_pairs(ds, pairs, threshold)
+
+
+def verified_pairs(ds, pairs, threshold: float):
+    """Shared exact-Jaccard verification tail for the candidate-pair family
+    (minhash banding, jaccard prefix filtering): ``pairs`` is a Dataset with
+    int64 ``a``/``b`` doc ids; each side's text attaches via a distributed
+    hash join (the candidate set never touches the driver at ≥8 CPU slots),
+    then the exact word-3-gram Jaccard check runs rowwise per batch."""
+    import ray
 
     def verify_batch(batch: pa.Table) -> pa.Table:
         a = batch.column("a").to_numpy().astype(np.int64)
@@ -444,6 +454,82 @@ def minhash_candidate_pairs(ds, threshold: float = 0.7, max_bucket: int = 200):
         "text_b": pa.array([tmap.get(int(x), "") for x in pdf["b"]], pa.string()),
     }))
     return ray.data.from_arrow(out)
+
+
+def jaccard_prefix_batch(batch: pa.Table, threshold: float) -> pa.Table:
+    """Prefix-filter candidate generation for EXACT-recall n-gram Jaccard
+    near-dup (the all-pairs-similarity prefix principle, hash-value order):
+    two docs with ``J >= t`` must share a shingle within each side's first
+    ``floor((1-t)*n)+1`` distinct shingles under any fixed global shingle
+    order — here ascending md5 hash, so no global-frequency pass is needed
+    and the whole step stays one vectorized map.  Emits
+    ``(h, doc_id, n_sh)`` rows for prefix shingles only."""
+    texts = batch.column("text").to_pylist()
+    ids = batch.column("doc_id").to_numpy().astype(np.int64)
+    uniq_h, codes, offsets = _batch_shingle_hashes(texts)
+    cnt = np.diff(offsets)
+    doc_idx = np.repeat(np.arange(len(texts)), cnt)
+    h = uniq_h[codes]
+    # distinct (doc, h), hash-ascending within doc
+    order = np.lexsort((h, doc_idx))
+    d2, h2 = doc_idx[order], h[order]
+    first = np.ones(len(d2), dtype=bool)
+    first[1:] = (d2[1:] != d2[:-1]) | (h2[1:] != h2[:-1])
+    d2, h2 = d2[first], h2[first]
+    # per-doc distinct count + within-doc rank
+    n_distinct = np.bincount(d2, minlength=len(texts)).astype(np.int64)
+    starts = np.zeros(len(texts), dtype=np.int64)
+    np.cumsum(n_distinct[:-1], out=starts[1:])
+    rank = np.arange(len(d2)) - starts[d2]
+    p = np.floor((1.0 - threshold) * n_distinct).astype(np.int64) + 1
+    keep = rank < p[d2]
+    return pa.table({
+        "h": pa.array(h2[keep]),
+        "doc_id": pa.array(ids[d2[keep]]),
+        "n_sh": pa.array(n_distinct[d2[keep]]),
+    })
+
+
+def jaccard_bucket_pairs(df: pd.DataFrame, threshold: float,
+                         max_bucket: int = 200) -> pd.DataFrame:
+    """Per-prefix-shingle candidate pairs with the standard Jaccard size
+    filter (``min(n) >= t * max(n)``: J <= min/max, so smaller ratios cannot
+    reach t) and the same counted skew guard as the minhash path."""
+    sub = df.drop_duplicates("doc_id").sort_values("doc_id")
+    if len(sub) < 2:
+        return _EMPTY_PAIRS
+    if len(sub) > max_bucket:
+        _record_drop("jaccard", len(sub), max_bucket)
+        return _EMPTY_PAIRS
+    ids = sub["doc_id"].to_numpy().astype(np.int64)
+    ns = sub["n_sh"].to_numpy().astype(np.int64)
+    ai, bi = np.triu_indices(len(ids), k=1)
+    lo = np.minimum(ns[ai], ns[bi]).astype(np.float64)
+    hi = np.maximum(ns[ai], ns[bi]).astype(np.float64)
+    ok = lo >= threshold * hi
+    return pd.DataFrame({"a": ids[ai[ok]], "b": ids[bi[ok]]})
+
+
+def jaccard_neardup(ds, threshold: float = 0.5, max_bucket: int = 200):
+    """documents Dataset → EXACT-recall near-dup pairs (doc_a, doc_b,
+    jaccard >= threshold).
+
+    Unlike the probabilistic minhash banding, prefix filtering guarantees
+    every qualifying pair surfaces as a candidate; the shuffle is the one
+    prefix-shingle groupby (volume ~(1-t)·distinct-shingles) and
+    verification reuses the distributed join tail (:func:`verified_pairs`).
+    """
+
+    def prefix(batch: pa.Table) -> pa.Table:
+        return jaccard_prefix_batch(batch, threshold)
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return jaccard_bucket_pairs(df, threshold, max_bucket=max_bucket)
+
+    pairs = (ds.map_batches(prefix, batch_format="pyarrow")
+             .groupby("h").map_groups(bucket_pairs, batch_format="pandas")
+             .groupby(["a", "b"]).count())
+    return verified_pairs(ds, pairs, threshold)
 
 
 def simhash_sigs(texts: list[str]) -> np.ndarray:

@@ -159,6 +159,7 @@ class TestDedup:
 
         from bano_ray.stages import dedup
         from bano_ray.stages.dedup import (embedding_bucket_dups,
+                                           jaccard_bucket_pairs,
                                            minhash_bucket_pairs,
                                            simhash_bucket_pairs)
 
@@ -174,11 +175,16 @@ class TestDedup:
                 pd.DataFrame({"vec_id": np.arange(250),
                               "embedding": [np.ones(4)] * 250}),
                 max_bucket=100)
-        assert mh.empty and sh.empty and em.empty
+            ja = jaccard_bucket_pairs(
+                pd.DataFrame({"doc_id": np.arange(400),
+                              "n_sh": np.full(400, 10)}),
+                threshold=0.5, max_bucket=200)
+        assert mh.empty and sh.empty and em.empty and ja.empty
         stats = dedup.drop_stats()
         assert stats.get("minhash") == 1 and stats.get("minhash_rows") == 500
         assert stats.get("simhash") == 1 and stats.get("embedding") == 1
-        assert sum("skew guard" in r.message for r in caplog.records) == 3
+        assert stats.get("jaccard") == 1 and stats.get("jaccard_rows") == 400
+        assert sum("skew guard" in r.message for r in caplog.records) == 4
         # under the cap: no drop recorded, pairs produced
         dedup.DROP_STATS.clear()
         ok = minhash_bucket_pairs(pd.DataFrame({"doc_id": np.arange(5)}),

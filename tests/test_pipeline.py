@@ -3,6 +3,7 @@ payload invariants through the actor stage, ANN brute-vs-LSH recall, and a
 small oracle-parity self-check (the driver gate's logic in miniature)."""
 
 import duckdb
+import numpy as np
 import pandas as pd
 import pytest
 
@@ -60,12 +61,49 @@ def test_minhash_pairs_find_planted_dups(ray_session, sf):
         assert (t["doc_a"] < t["doc_b"]).all()
 
 
+def test_jaccard_neardup_exact_recall(ray_session, sf):
+    """Prefix filtering guarantees exact recall: the engine's pair set (and
+    Jaccard values) must equal an all-pairs brute force over the corpus's
+    distinct-shingle-hash sets — modulo nothing, since no skew bucket trips
+    the 200-doc cap on this fixture (asserted via the drop counters)."""
+    import bano_ray.pipelines.queries as Q
+    from bano_ray.stages import dedup
+    from bano_ray.stages.dedup import _batch_shingle_hashes
+
+    t = Q.q_jaccard_neardup(sf).to_pandas()
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    uniq_h, codes, offsets = _batch_shingle_hashes(list(docs["text"]))
+    D, U = len(docs), len(uniq_h)
+    M = np.zeros((D, U), dtype=bool)
+    doc_idx = np.repeat(np.arange(D), np.diff(offsets))
+    M[doc_idx, codes] = True
+    n = M.sum(axis=1)
+    inter = (M.astype(np.int32) @ M.astype(np.int32).T).astype(np.float64)
+    union = n[:, None] + n[None, :] - inter
+    with np.errstate(invalid="ignore"):
+        J = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+    ai, bi = np.triu_indices(D, k=1)
+    keep = J[ai, bi] >= 0.5
+    ids = docs["doc_id"].to_numpy().astype(np.int64)
+    a, b = ids[ai[keep]], ids[bi[keep]]
+    flip = a > b
+    a2 = np.where(flip, b, a)
+    b2 = np.where(flip, a, b)
+    want = pd.DataFrame({"doc_a": a2, "doc_b": b2,
+                         "jaccard": np.round(J[ai, bi][keep], 6)})
+    got = t[["doc_a", "doc_b", "jaccard"]].sort_values(
+        ["doc_a", "doc_b"]).reset_index(drop=True)
+    want = want.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype(want.dtypes.to_dict()), want)
+    assert not dedup.drop_stats().get("jaccard")
+
+
 ORACLE_SUBSET = ["q_zone_counts", "q_cumul_adresses", "q_cumul_voies",
                  "q_voies_sans_adresses", "q_street_json",
                  "q_knn_match", "q_places", "q_token_count",
                  # hash-dedup/ANN family (md5 shingles + closed-form LSH
                  # literals make these value-replicable in DuckDB)
-                 "q_minhash_pairs", "q_simhash_neardup",
+                 "q_minhash_pairs", "q_jaccard_neardup", "q_simhash_neardup",
                  "q_embedding_neardup", "q_ann_lsh"]
 
 
