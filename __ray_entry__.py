@@ -64,6 +64,7 @@ _ORACLE_QUERIES = [
     "q_simhash_neardup",     # dedup: SimHash Hamming-<=3 banding pairs
     "q_embedding_neardup",   # dedup: embedding-cosine near-dups (banded LSH)
     "q_ann_lsh",             # similarity search: LSH-bucketed ANN
+    "q_audio_features",      # multimodal audio window features (fake PCM)
 ]
 
 # rows-only queries (approx algorithms with no exact SQL equivalent)

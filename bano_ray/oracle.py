@@ -1427,6 +1427,42 @@ SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM jx_j
 WHERE jac >= 0.5 ORDER BY doc_a, doc_b"""
 
 
+def q_audio_features() -> str:
+    """Windowed audio features (pipelines/flagship.py AudioFeatures): the
+    fake PCM16 waveform is integer-hash arithmetic
+    (flagship.audio_samples_of), so RMS / zero-crossings / peak per
+    AUDIO_WINDOW-sample window replicate exactly — integer sums are exact,
+    /512 is a power-of-two division, and sqrt is correctly rounded on both
+    sides."""
+    from .pipelines.flagship import AUDIO_SAMPLES, AUDIO_WINDOW
+
+    return f"""WITH au_ids AS (
+  SELECT doc_id AS audio_id FROM documents
+),
+au_smp AS (
+  SELECT audio_id, i,
+         ((audio_id * 1000003 + i * 7919 + 12345) % 2147483648) % 65536 - 32768 AS s
+  FROM au_ids
+  CROSS JOIN (SELECT unnest(range(0, {AUDIO_SAMPLES})) AS i) t
+),
+au_win AS (
+  SELECT audio_id, i // {AUDIO_WINDOW} AS window_idx, i, s,
+         lag(s) OVER (PARTITION BY audio_id, i // {AUDIO_WINDOW} ORDER BY i) AS prev
+  FROM au_smp
+),
+au_feat AS (
+  SELECT audio_id, window_idx,
+         round(sqrt(CAST(SUM(s * s) AS DOUBLE) / {AUDIO_WINDOW}), 6) AS rms,
+         CAST(SUM(CASE WHEN prev IS NOT NULL
+                        AND ((s >= 0) <> (prev >= 0)) THEN 1 ELSE 0 END)
+              AS BIGINT) AS zero_crossings,
+         CAST(MAX(ABS(s)) AS BIGINT) AS peak
+  FROM au_win GROUP BY 1, 2
+)
+SELECT audio_id, window_idx, rms, zero_crossings, peak
+FROM au_feat ORDER BY audio_id, window_idx"""
+
+
 def q_embedding_neardup() -> str:
     """Banded-LSH embedding near-dup: the engine's planted twins, sign
     projections, bucket co-grouping and exact-cosine verify, replicated in

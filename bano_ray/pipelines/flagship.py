@@ -214,6 +214,125 @@ def frame_sample(sf_dir: str, step: int = 2, concurrency=None):
         batch_size=256, batch_format="pyarrow", memory=IMAGE_STAGE_MEMORY)
 
 
+AUDIO_SR = 16000
+AUDIO_SAMPLES = 2048          # samples per clip (divisible by AUDIO_WINDOW)
+AUDIO_WINDOW = 512            # analysis window → 4 windows per clip
+
+
+def audio_samples_of(audio_ids: np.ndarray) -> np.ndarray:
+    """(len(ids), AUDIO_SAMPLES) int16 PCM matrix for the deterministic fake
+    audio corpus: pure integer-hash arithmetic, so the windowed features are
+    exactly replicable in SQL (oracle.q_audio_features)."""
+    ids = np.asarray(audio_ids, dtype=np.int64)
+    i = np.arange(AUDIO_SAMPLES, dtype=np.int64)
+    v = (ids[:, None] * 1000003 + i[None, :] * 7919 + 12345) % (1 << 31)
+    return (v % 65536 - 32768).astype(np.int16)
+
+
+def make_audio_payloads(audio_ids: np.ndarray) -> list[bytes]:
+    """Deterministic fake audio containers: ``FAKA`` magic + big-endian
+    sample-rate and sample-count header + little-endian PCM16 frames.  The
+    sandbox has no audio codec libraries — the container is the deterministic
+    stand-in (same seam as :func:`make_video_payload`); the Ray-side plumbing
+    (opaque binary column, actor pool, window layout) is the real part."""
+    import struct
+
+    hdr = b"FAKA" + struct.pack(">II", AUDIO_SR, AUDIO_SAMPLES)
+    mat = audio_samples_of(audio_ids)
+    return [hdr + mat[r].astype("<i2").tobytes() for r in range(len(mat))]
+
+
+class AudioFeatures:
+    """Actor-pool feature-extract stage over opaque audio payloads: parse
+    the container header, view the PCM16 frames zero-copy, and emit one row
+    per analysis window with vectorized features (RMS, zero-crossing count,
+    peak) — the multimodal decode → feature-extract shape for audio
+    (SURVEY.md §2.8 multimodal; same pool/batch/memory discipline as the
+    image/video stages)."""
+
+    def __init__(self, window: int = AUDIO_WINDOW):
+        from ..runtime import tune_malloc
+
+        tune_malloc()
+        self.window = window
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import struct
+
+        blobs = _binary_column_views(batch.column("bytes"))
+        ids = batch.column("audio_id").to_numpy().astype(np.int64)
+        W = self.window
+        rows_id, rows_w, rows_rms, rows_zc, rows_pk = [], [], [], [], []
+        # group equal-length clips so the window math runs as one matrix op
+        # per length class (this corpus has exactly one)
+        by_len: dict[int, list[int]] = {}
+        pcm: list[np.ndarray] = []
+        for r, blob in enumerate(blobs):
+            if bytes(blob[:4]) != b"FAKA":
+                raise NotImplementedError("unknown audio container format")
+            (_sr, n) = struct.unpack(">II", blob[4:12])
+            pcm.append(np.frombuffer(blob, dtype="<i2", count=n, offset=12))
+            by_len.setdefault(n, []).append(r)
+        for n, rws in by_len.items():
+            nw = n // W
+            if nw == 0:
+                continue
+            mat = np.stack([pcm[r] for r in rws]).astype(np.int64)
+            win = mat[:, :nw * W].reshape(len(rws), nw, W)
+            rms = np.round(np.sqrt((win * win).sum(axis=2) / float(W)), 6)
+            nonneg = win >= 0
+            zc = (nonneg[:, :, 1:] != nonneg[:, :, :-1]).sum(axis=2)
+            pk = np.abs(win).max(axis=2)
+            rows_id.append(np.repeat(ids[rws], nw))
+            rows_w.append(np.tile(np.arange(nw, dtype=np.int64), len(rws)))
+            rows_rms.append(rms.ravel())
+            rows_zc.append(zc.ravel().astype(np.int64))
+            rows_pk.append(pk.ravel().astype(np.int64))
+        cat = (lambda xs, dt: np.concatenate(xs) if xs else np.empty(0, dt))
+        return pa.table({
+            "audio_id": pa.array(cat(rows_id, np.int64)),
+            "window_idx": pa.array(cat(rows_w, np.int64)),
+            "rms": pa.array(cat(rows_rms, np.float64)),
+            "zero_crossings": pa.array(cat(rows_zc, np.int64)),
+            "peak": pa.array(cat(rows_pk, np.int64)),
+        })
+
+
+def audios_dataset(sf_dir: str):
+    """Synthesized audio table (audio_id:int64, sr:int32, bytes:binary) —
+    one clip per document row, payloads built inside map_batches (bytes
+    never pass through the driver)."""
+    ensure_worker_importable()
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        return pa.table({
+            "audio_id": pa.array(ids),
+            "sr": pa.array(np.full(len(ids), AUDIO_SR, dtype=np.int32)),
+            "bytes": pa.array(make_audio_payloads(ids), type=pa.binary()),
+        })
+
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+    ds = ds.map_batches(synth, batch_format="pyarrow")
+    ds.context.target_max_block_size = 2 * 1024 * 1024
+    return ds
+
+
+def audio_features(sf_dir: str, concurrency=None):
+    """Audio feature pipeline: clip payloads → per-window feature rows
+    (actor pool, same sizing discipline as the image stages)."""
+    if concurrency is None:
+        cpus = _cluster_cpus()
+        hi = max(2, cpus - 2)
+        concurrency = (min(max(2, 3 * cpus // 4 - 1), hi), hi)
+    return audios_dataset(sf_dir).map_batches(
+        AudioFeatures, concurrency=concurrency, batch_size=256,
+        batch_format="pyarrow", memory=IMAGE_STAGE_MEMORY)
+
+
 THUMB = 8  # thumbnail edge (px)
 
 

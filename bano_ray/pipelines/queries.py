@@ -626,6 +626,17 @@ def q_frame_sample(sf_dir: str):
     return frame_sample(sf_dir, step=2).sort(["video_id", "frame_idx"])
 
 
+def q_audio_features(sf_dir: str):
+    """Multimodal audio feature-extract stage: opaque PCM16 containers →
+    per-window (RMS, zero-crossing, peak) rows in an actor pool.  Fully
+    oracle-gated — the fake waveform is integer-hash arithmetic, so the
+    windowed features replicate in closed-form SQL
+    (oracle.q_audio_features)."""
+    from .flagship import audio_features
+
+    return audio_features(sf_dir)
+
+
 def q_image_thumbs(sf_dir: str):
     """Multimodal resize/feature stage (rows-only: codecs are not SQL):
     decode → deterministic box-filter THUMB×THUMB thumbnail → PNG bytes +

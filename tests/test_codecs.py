@@ -229,3 +229,52 @@ def test_frame_sample_pipeline(ray_session):
     out = frame_sample("/root/testdata/sf0.001", step=2).to_pandas()
     assert len(out) == 500 * 3
     assert set(out["frame_idx"]) == {0, 2, 4}
+
+
+def test_audio_features_container_and_windows():
+    """AudioFeatures: header parse + zero-copy PCM view reproduce the
+    generative waveform, and the windowed features match a direct numpy
+    reference; unknown containers raise (the decode seam)."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+
+    from bano_ray.pipelines.flagship import (AUDIO_SAMPLES, AUDIO_WINDOW,
+                                             AudioFeatures, audio_samples_of,
+                                             make_audio_payloads)
+
+    ids = np.array([0, 7, 123], dtype=np.int64)
+    payloads = make_audio_payloads(ids)
+    # container round-trip
+    mat = audio_samples_of(ids)
+    for r, blob in enumerate(payloads):
+        got = np.frombuffer(blob, dtype="<i2", count=AUDIO_SAMPLES, offset=12)
+        assert (got == mat[r]).all()
+    batch = pa.table({"audio_id": pa.array(ids),
+                      "bytes": pa.array(payloads, pa.binary())})
+    out = AudioFeatures()(batch).to_pandas()
+    nw = AUDIO_SAMPLES // AUDIO_WINDOW
+    assert len(out) == len(ids) * nw
+    for _, row in out.iterrows():
+        w = mat[list(ids).index(row["audio_id"])].astype(np.int64)[
+            int(row["window_idx"]) * AUDIO_WINDOW:
+            (int(row["window_idx"]) + 1) * AUDIO_WINDOW]
+        assert row["rms"] == round(float(np.sqrt((w * w).sum() / AUDIO_WINDOW)), 6)
+        nn = w >= 0
+        assert row["zero_crossings"] == int((nn[1:] != nn[:-1]).sum())
+        assert row["peak"] == int(np.abs(w).max())
+    bad = pa.table({"audio_id": pa.array([1], pa.int64()),
+                    "bytes": pa.array([b"NOPE" + b"\0" * 16], pa.binary())})
+    with pytest.raises(NotImplementedError):
+        AudioFeatures()(bad)
+
+
+def test_audio_features_pipeline(ray_session):
+    """End-to-end audio feature extraction over sf0.001 (500 clips, 4
+    windows each)."""
+    from bano_ray.pipelines.flagship import (AUDIO_SAMPLES, AUDIO_WINDOW,
+                                             audio_features)
+
+    out = audio_features("/root/testdata/sf0.001").to_pandas()
+    assert len(out) == 500 * (AUDIO_SAMPLES // AUDIO_WINDOW)
+    assert (out["peak"] <= 32768).all() and (out["rms"] > 0).all()
