@@ -1427,6 +1427,31 @@ SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM jx_j
 WHERE jac >= 0.5 ORDER BY doc_a, doc_b"""
 
 
+def q_sessionize() -> str:
+    """Gap-based sessionization (stages/sessions.py): lag-based session
+    starts, running-count session ids, per-session aggregates.  Value sums
+    are integer cents on both sides so summation order is immaterial."""
+    from .stages.sessions import SESSION_GAP_US
+
+    mins = SESSION_GAP_US // 60_000_000
+    return f"""WITH se AS (
+  SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
+  FROM events
+),
+sg AS (
+  SELECT user_id, ts, cents,
+         SUM(CASE WHEN pts IS NULL
+                   OR ts - pts > INTERVAL {mins} MINUTE THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS sid
+  FROM se
+)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events, SUM(cents) AS sum_cents
+FROM sg GROUP BY user_id, sid ORDER BY user_id, session_start"""
+
+
 def q_audio_features() -> str:
     """Windowed audio features (pipelines/flagship.py AudioFeatures): the
     fake PCM16 waveform is integer-hash arithmetic

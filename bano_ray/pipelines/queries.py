@@ -530,6 +530,22 @@ def q_ann_ivf(sf_dir: str):
     return ivf_topk(ds, ANN_QUERY_IDS, k=ANN_K, ncentroids=8, nprobe=4)
 
 
+def q_sessionize(sf_dir: str):
+    """Gap-based sessionization (30-min gap) via the no-global-sort
+    combiner shape (stages/sessions.py).  The fixture-sized input arrives
+    as one parquet block, so the read is repartitioned to force the
+    multi-block partial-segment → per-user-merge path that a 100 TB input
+    would take naturally; oracle-gated (oracle.q_sessionize)."""
+    import ray
+
+    from ..stages.sessions import sessionize
+
+    ensure_worker_importable()
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "value"])
+    return sessionize(ds.repartition(8))
+
+
 def q_events_hourly(sf_dir: str):
     """Windowed aggregate: per-user hourly event counts + value sums."""
     import ray

@@ -213,3 +213,54 @@ class TestSinks:
 
         content = gzip.open(out, "rt").read()
         assert content.startswith("@prefix") and "X-1" in content
+
+
+class TestSessions:
+    def test_combiner_matches_brute_force_across_blocks(self, ray_session):
+        """Block-local pre-sessionization + per-user merge must equal the
+        single-stream reference no matter how events scatter across blocks:
+        events are shuffled into many tiny blocks so segments of one session
+        arrive interleaved and overlapping from different blocks."""
+        import pyarrow as pa
+        import ray
+
+        from bano_ray.stages.sessions import (SESSION_GAP_US, _merge_user,
+                                              _segments_batch, sessionize)
+
+        rng = np.random.default_rng(42)
+        n = 4000
+        users = rng.integers(0, 25, n)
+        # bursty timestamps: long quiet gaps + dense bursts around each user
+        ts = (rng.integers(0, 50, n) * SESSION_GAP_US
+              + rng.integers(0, 3 * SESSION_GAP_US, n))
+        vals = np.round(rng.uniform(0, 200, n), 2)
+        tbl = pa.table({
+            "user_id": pa.array(users.astype(np.int64)),
+            "ts": pa.array(ts.astype("datetime64[us]")),
+            "value": pa.array(vals),
+        })
+        perm = rng.permutation(n)
+        shuffled = tbl.take(perm)
+        ds = ray.data.from_arrow(shuffled).repartition(37)
+        got = (sessionize(ds).to_pandas()
+               .sort_values(["user_id", "session_start"])
+               .reset_index(drop=True))
+        # brute force: one segment pass over the whole (sorted) stream is
+        # the reference (single "block" holding everything, then merge)
+        seg = _segments_batch(tbl)
+        want_parts = [
+            _merge_user(g)
+            for _, g in seg.to_pandas().groupby("user_id", sort=True)
+        ]
+        want = (pd.concat(want_parts)
+                .sort_values(["user_id", "session_start"])
+                .reset_index(drop=True))
+        pd.testing.assert_frame_equal(got[want.columns], want)
+        # invariants: sessions disjoint per user, gaps between them > T
+        for _, g in got.groupby("user_id"):
+            s = g.sort_values("session_start")
+            starts = s["session_start"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            ends = s["session_end"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            assert (ends >= starts).all()
+            if len(s) > 1:
+                assert ((starts[1:] - ends[:-1]) > SESSION_GAP_US).all()
