@@ -337,6 +337,54 @@ def minhash_bucket_pairs(df: pd.DataFrame, max_bucket: int = 200) -> pd.DataFram
                          "b": ids[b].astype(np.int64)})
 
 
+def _coarse_groups(default_cpus: int = 32) -> int:
+    """Coarse-shard count for :func:`bucketed_pairs`: 256 shards per cluster
+    CPU, so one shard holds ~(rows per CPU)/256 — per-group memory shrinks
+    as the cluster grows with the data."""
+    cpus = default_cpus
+    try:
+        import ray
+
+        if ray.is_initialized():
+            cpus = int(ray.cluster_resources().get("CPU", default_cpus))
+    except Exception:
+        pass
+    return max(1024, 256 * cpus)
+
+
+def bucketed_pairs(ds, pair_fn, key: str = "bucket"):
+    """``ds.groupby(key).map_groups(pair_fn)`` without Ray's per-group
+    dispatch cost.
+
+    The LSH-family bucket keys are near-unique (one group per band value /
+    shingle hash), so a true per-bucket ``map_groups`` pays the executor's
+    per-group overhead ~once per ROW — measured ~20 s for 70k buckets at
+    sf0.1.  Instead, group on a coarse shard of the key (a pure function of
+    it, so every true bucket still lands whole in exactly one group), then
+    inside the UDF drop singleton buckets with one vectorized
+    ``duplicated`` pass (the vast majority — no per-bucket frame is ever
+    built for them) and run ``pair_fn`` per surviving true bucket via
+    pandas groupby (~50 µs/group vs Ray's ~0.3 ms)."""
+    C = _coarse_groups()
+
+    def shard(batch: pa.Table) -> pa.Table:
+        arr = batch.column(key).to_numpy()
+        coarse = (arr.astype(np.uint64, copy=False)
+                  % np.uint64(C)).astype(np.int64)
+        return batch.append_column("_shard", pa.array(coarse))
+
+    def grouped(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[df[key].duplicated(keep=False)]
+        if len(sub) == 0:
+            return pair_fn(df.iloc[0:0])
+        parts = [pair_fn(g) for _, g in sub.groupby(key, sort=False)]
+        out = pd.concat(parts, ignore_index=True)
+        return out if len(out) else pair_fn(df.iloc[0:0])
+
+    return (ds.map_batches(shard, batch_format="pyarrow")
+            .groupby("_shard").map_groups(grouped, batch_format="pandas"))
+
+
 def minhash_candidate_pairs(ds, threshold: float = 0.7, max_bucket: int = 200):
     """documents Dataset → verified near-dup pairs (doc_a, doc_b, jaccard).
 
@@ -359,16 +407,20 @@ def minhash_candidate_pairs(ds, threshold: float = 0.7, max_bucket: int = 200):
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
         return minhash_bucket_pairs(df, max_bucket=max_bucket)
 
-    pairs = (sig.map_batches(explode, batch_format="pyarrow")
-             .groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
-             .groupby(["a", "b"]).count())
+    pairs = bucketed_pairs(sig.map_batches(explode, batch_format="pyarrow"),
+                           bucket_pairs)
     return verified_pairs(ds, pairs, threshold)
 
 
 def verified_pairs(ds, pairs, threshold: float):
     """Shared exact-Jaccard verification tail for the candidate-pair family
     (minhash banding, jaccard prefix filtering): ``pairs`` is a Dataset with
-    int64 ``a``/``b`` doc ids; each side's text attaches via a distributed
+    int64 ``a``/``b`` doc ids — duplicates allowed (a pair surfacing from
+    several buckets/bands is verified redundantly and deduped AFTER the
+    Jaccard cut, where rows number O(true near-dups); deduping the raw
+    candidate stream instead costs a sort-based aggregate with one group
+    per candidate, which measured ~90 s at 430k candidates vs ~7% wasted
+    re-verification here).  Each side's text attaches via a distributed
     hash join (the candidate set never touches the driver at ≥8 CPU slots),
     then the exact word-3-gram Jaccard check runs rowwise per batch."""
     import ray
@@ -422,7 +474,13 @@ def verified_pairs(ds, pairs, threshold: float):
             lambda t: t.rename_columns(
                 ["text_b" if c == "text" else c for c in t.column_names]),
             batch_format="pyarrow")
-        return tb.map_batches(verify_batch, batch_format="pyarrow")
+        verified = tb.map_batches(verify_batch, batch_format="pyarrow")
+        # post-verify dedup: few groups (O(true near-dups)), identical
+        # jaccard values for duplicates, so Min is just a picker
+        from ray.data.aggregate import Min
+
+        return verified.groupby(["doc_a", "doc_b"]).aggregate(
+            Min("jaccard", alias_name="jaccard"))
 
     # Below ~8 CPU slots ray 2.49's hash-join aggregator actors starve the
     # streaming executor (same gate as pipelines/flagship.flagship_with_bytes)
@@ -435,7 +493,7 @@ def verified_pairs(ds, pairs, threshold: float):
     EMPTY = pa.table({"doc_a": pa.array([], pa.int64()),
                       "doc_b": pa.array([], pa.int64()),
                       "jaccard": pa.array([], pa.float64())})
-    pdf = pairs.select_columns(["a", "b"]).to_pandas()
+    pdf = pairs.select_columns(["a", "b"]).to_pandas().drop_duplicates(["a", "b"])
     if len(pdf) == 0:
         return ray.data.from_arrow(EMPTY)
     ids = np.unique(np.concatenate([pdf["a"].to_numpy(), pdf["b"].to_numpy()]))
@@ -526,9 +584,8 @@ def jaccard_neardup(ds, threshold: float = 0.5, max_bucket: int = 200):
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
         return jaccard_bucket_pairs(df, threshold, max_bucket=max_bucket)
 
-    pairs = (ds.map_batches(prefix, batch_format="pyarrow")
-             .groupby("h").map_groups(bucket_pairs, batch_format="pandas")
-             .groupby(["a", "b"]).count())
+    pairs = bucketed_pairs(ds.map_batches(prefix, batch_format="pyarrow"),
+                           bucket_pairs, key="h")
     return verified_pairs(ds, pairs, threshold)
 
 
@@ -606,8 +663,9 @@ def simhash_neardup(ds, k: int = 3, max_bucket: int = 200):
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
         return simhash_bucket_pairs(df, k=k, max_bucket=max_bucket)
 
-    return (sig.map_batches(explode_blocks, batch_format="pyarrow")
-            .groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+    return (bucketed_pairs(sig.map_batches(explode_blocks,
+                                           batch_format="pyarrow"),
+                           bucket_pairs)
             .groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming")))
 
 
@@ -672,8 +730,8 @@ def embedding_neardup(ds, sim_threshold: float = 0.98, nbits: int = 12,
         return embedding_bucket_dups(df, sim_threshold=sim_threshold,
                                      max_bucket=max_bucket)
 
-    return (ds.map_batches(project, batch_format="pyarrow")
-            .groupby("bucket").map_groups(bucket_dups, batch_format="pandas")
+    return (bucketed_pairs(ds.map_batches(project, batch_format="pyarrow"),
+                           bucket_dups)
             .groupby(["a", "b"]).aggregate(Max("cos", alias_name="cos")))
 
 

@@ -60,9 +60,11 @@ def run_benchmarks() -> dict:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from bano_ray import datagen
     from bano_ray.pipelines.cumul import cumul_dataset  # noqa: F401
-    from bano_ray.pipelines.queries import (q_ann_topk, q_dedup_exact_docs,
+    from bano_ray.pipelines.queries import (q_ann_topk, q_audio_features,
+                                            q_dedup_exact_docs,
                                             q_events_hourly,
-                                            q_lineitem_pricing)
+                                            q_jaccard_neardup,
+                                            q_lineitem_pricing, q_sessionize)
     from bano_ray.runtime import ensure_worker_importable
     from bano_ray.stages.export import street_json_zone  # noqa: F401
     ensure_worker_importable()
@@ -93,6 +95,9 @@ def run_benchmarks() -> dict:
         "dedup_exact_docs": lambda: q_dedup_exact_docs(SF_DIR).count(),
         "events_hourly": lambda: q_events_hourly(SF_DIR).count(),
         "lineitem_pricing": lambda: q_lineitem_pricing(SF_DIR).count(),
+        "sessionize": lambda: q_sessionize(SF_DIR).count(),
+        "jaccard_neardup": lambda: q_jaccard_neardup(SF_DIR).count(),
+        "audio_features": lambda: q_audio_features(SF_DIR).count(),
     }
     for name, fn in others.items():
         t0 = time.time()
