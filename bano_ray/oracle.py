@@ -1427,6 +1427,20 @@ SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM jx_j
 WHERE jac >= 0.5 ORDER BY doc_a, doc_b"""
 
 
+def q_asof_join() -> str:
+    """AS-OF join vs DuckDB's native ASOF JOIN (stages/asof.py): inner
+    as-of, right side reduced to one row per (user, ts) keeping MAX(value)
+    so equal-timestamp ties are deterministic on both sides."""
+    return """WITH asr AS (
+  SELECT user_id, ts, MAX(value) AS value
+  FROM events WHERE event_type = 'signup' GROUP BY 1, 2
+)
+SELECT l.event_id, r.ts AS signup_ts, r.value AS rate
+FROM events l
+ASOF JOIN asr r ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY l.event_id"""
+
+
 def q_sessionize() -> str:
     """Gap-based sessionization (stages/sessions.py): lag-based session
     starts, running-count session ids, per-session aggregates.  Value sums

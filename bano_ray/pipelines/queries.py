@@ -546,6 +546,27 @@ def q_sessionize(sf_dir: str):
     return sessionize(ds.repartition(8))
 
 
+def q_asof_join(sf_dir: str):
+    """Distributed AS-OF join: every event attaches the user's most recent
+    signup at or before it (one key-hash shuffle + per-key vectorized
+    searchsorted; stages/asof.py).  Oracle-gated against DuckDB's native
+    ASOF JOIN (oracle.q_asof_join)."""
+    import ray
+
+    from ..stages.asof import asof_join
+
+    ensure_worker_importable()
+    left = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                 columns=["user_id", "ts", "event_id"])
+    right = (ray.data.read_parquet(
+                 f"{sf_dir}/events.parquet",
+                 columns=["user_id", "ts", "event_type", "value"])
+             .filter(expr="event_type == 'signup'"))
+    return asof_join(left, right, key="user_id", ts_col="ts",
+                     left_payload="event_id", right_payload="value",
+                     out_ts="signup_ts", out_val="rate")
+
+
 def q_events_hourly(sf_dir: str):
     """Windowed aggregate: per-user hourly event counts + value sums."""
     import ray

@@ -264,3 +264,57 @@ class TestSessions:
             assert (ends >= starts).all()
             if len(s) > 1:
                 assert ((starts[1:] - ends[:-1]) > SESSION_GAP_US).all()
+
+
+class TestAsof:
+    def test_asof_matches_searchsorted_reference(self, ray_session):
+        """Distributed as-of equals a per-key numpy reference on shuffled
+        multi-block input, including equal-timestamp ties (max payload
+        wins) and left rows with no prior right row (dropped)."""
+        import pyarrow as pa
+        import ray
+
+        from bano_ray.stages.asof import asof_join
+
+        rng = np.random.default_rng(9)
+        nl, nr = 3000, 400
+        lk = rng.integers(0, 20, nl)
+        lt = rng.integers(0, 10_000, nl)
+        rk = rng.integers(0, 20, nr)
+        rt = rng.integers(0, 10_000, nr)
+        # force ties: duplicate some right (key, ts) with different values
+        rk = np.concatenate([rk, rk[:50]])
+        rt = np.concatenate([rt, rt[:50]])
+        rv = np.round(rng.uniform(0, 100, nr + 50), 2)
+        left = pa.table({"k": pa.array(lk.astype(np.int64)),
+                         "ts": pa.array(lt.astype("datetime64[us]")),
+                         "eid": pa.array(np.arange(nl, dtype=np.int64))})
+        right = pa.table({"k": pa.array(rk.astype(np.int64)),
+                          "ts": pa.array(rt.astype("datetime64[us]")),
+                          "val": pa.array(rv)})
+        got = asof_join(ray.data.from_arrow(left).repartition(11),
+                        ray.data.from_arrow(right).repartition(7),
+                        key="k", ts_col="ts", left_payload="eid",
+                        right_payload="val").to_pandas()
+        got = got.sort_values("eid").reset_index(drop=True)
+        # reference
+        rows = []
+        for key in range(20):
+            lm = lk == key
+            rm = rk == key
+            if not rm.any():
+                continue
+            rdf = pd.DataFrame({"ts": rt[rm], "v": rv[rm]})
+            rdf = (rdf.sort_values(["ts", "v"]).drop_duplicates("ts", keep="last"))
+            rts = rdf["ts"].to_numpy()
+            idx = np.searchsorted(rts, lt[lm], side="right") - 1
+            ok = idx >= 0
+            eids = np.arange(nl)[lm][ok]
+            rows.append(pd.DataFrame({
+                "eid": eids,
+                "asof_ts": rts[idx[ok]].astype("datetime64[us]"),
+                "asof_value": rdf["v"].to_numpy()[idx[ok]],
+            }))
+        want = (pd.concat(rows).sort_values("eid").reset_index(drop=True)
+                .astype({"eid": "int64"}))
+        pd.testing.assert_frame_equal(got[want.columns], want)
