@@ -1441,6 +1441,26 @@ ASOF JOIN asr r ON l.user_id = r.user_id AND l.ts >= r.ts
 ORDER BY l.event_id"""
 
 
+def q_range_join() -> str:
+    """Interval range join (stages/rangejoin.py): purchases strictly after
+    an error and within 30 min, counted + cents-summed per error.  Inner
+    semantics (errors with no purchase in window produce no row); integer
+    cents keep the sum order-free."""
+    return """WITH rj_p AS (
+  SELECT ts, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+rj_e AS (
+  SELECT event_id, ts FROM events WHERE event_type = 'error'
+)
+SELECT e.event_id,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       SUM(p.cents) AS sum_cents
+FROM rj_e e
+JOIN rj_p p ON p.ts > e.ts AND p.ts <= e.ts + INTERVAL 30 MINUTE
+GROUP BY 1 ORDER BY 1"""
+
+
 def q_sessionize() -> str:
     """Gap-based sessionization (stages/sessions.py): lag-based session
     starts, running-count session ids, per-session aggregates.  Value sums

@@ -567,6 +567,27 @@ def q_asof_join(sf_dir: str):
                      out_ts="signup_ts", out_val="rate")
 
 
+def q_range_join(sf_dir: str):
+    """Distributed range join: purchases within 30 min after each error
+    event, via interval binning (≤2 covering bins per interval, one
+    bin-hash shuffle, per-bin vectorized prefix-sum probes;
+    stages/rangejoin.py).  Oracle-gated against a DuckDB range-predicate
+    join (oracle.q_range_join)."""
+    import ray
+
+    from ..stages.rangejoin import interval_count_join
+
+    ensure_worker_importable()
+    points = (ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                    columns=["ts", "event_type", "value"])
+              .filter(expr="event_type == 'purchase'"))
+    intervals = (ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                       columns=["event_id", "ts", "event_type"])
+                 .filter(expr="event_type == 'error'"))
+    return interval_count_join(points, intervals,
+                               width_us=30 * 60 * 1_000_000)
+
+
 def q_events_hourly(sf_dir: str):
     """Windowed aggregate: per-user hourly event counts + value sums."""
     import ray

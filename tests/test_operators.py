@@ -318,3 +318,39 @@ class TestAsof:
         want = (pd.concat(rows).sort_values("eid").reset_index(drop=True)
                 .astype({"eid": "int64"}))
         pd.testing.assert_frame_equal(got[want.columns], want)
+
+
+class TestRangeJoin:
+    def test_binned_interval_join_matches_brute_force(self, ray_session):
+        """Binned interval join equals the O(n*m) brute force on shuffled
+        multi-block input, including intervals straddling a bin boundary
+        and empty windows (dropped: inner semantics)."""
+        import pyarrow as pa
+        import ray
+
+        from bano_ray.stages.rangejoin import interval_count_join
+
+        rng = np.random.default_rng(13)
+        W = 1000
+        np_, ni = 5000, 300
+        pts_ts = rng.integers(0, 50_000, np_)
+        pts_val = np.round(rng.uniform(0, 50, np_), 2)
+        iv_ts = rng.integers(0, 50_000, ni)
+        points = pa.table({"ts": pa.array(pts_ts.astype("datetime64[us]")),
+                           "value": pa.array(pts_val)})
+        intervals = pa.table({"event_id": pa.array(np.arange(ni, dtype=np.int64)),
+                              "ts": pa.array(iv_ts.astype("datetime64[us]"))})
+        got = interval_count_join(
+            ray.data.from_arrow(points).repartition(13),
+            ray.data.from_arrow(intervals).repartition(5),
+            width_us=W).to_pandas().sort_values("event_id").reset_index(drop=True)
+        cents = np.round(pts_val * 100.0).astype(np.int64)
+        inside = (pts_ts[None, :] > iv_ts[:, None]) & \
+                 (pts_ts[None, :] <= iv_ts[:, None] + W)
+        n = inside.sum(axis=1)
+        s = (inside * cents[None, :]).sum(axis=1)
+        keep = n > 0
+        want = pd.DataFrame({"event_id": np.arange(ni, dtype=np.int64)[keep],
+                             "n_purchases": n[keep].astype(np.int64),
+                             "sum_cents": s[keep].astype(np.int64)})
+        pd.testing.assert_frame_equal(got[want.columns], want)
