@@ -53,6 +53,8 @@ _ORACLE_QUERIES = [
     "q_sessionize",          # gap-based session windows (combiner shape)
     "q_asof_join",           # as-of join (latest right row per key/ts)
     "q_range_join",          # interval range join (binned, prefix-sum probes)
+    "q_hll_registers",       # HyperLogLog sketch registers (mergeable partials)
+    "q_hash_sample",         # deterministic min-hash bounded sample
     "q_lineitem_pricing",    # relational baseline (TPC-H Q1 shape)
     "q_ann_topk",            # similarity search: brute cosine top-k
     "q_display_expand",      # M15 display-name expansion

@@ -1461,6 +1461,36 @@ JOIN rj_p p ON p.ts > e.ts AND p.ts <= e.ts + INTERVAL 30 MINUTE
 GROUP BY 1 ORDER BY 1"""
 
 
+def q_hll_registers() -> str:
+    """HyperLogLog registers (stages/sketch.py hll_registers): the engine
+    hashes str(l_orderkey) with the md5-upper-half = DuckDB
+    ``md5_number_lower``; register = low 8 bits, rank = trailing-zero count
+    of the remaining 56 bits + 1 (57 when they are all zero).  ``h // 256``
+    is the unsigned ``h >> 8`` and already fits BIGINT, so the
+    ``(v & -v) - 1`` popcount trailing-zero form replicates bit-for-bit."""
+    from .stages.sketch import HLL_M, HLL_P
+
+    return f"""WITH hl_h AS (
+  SELECT md5_number_lower(CAST(l_orderkey AS VARCHAR)) AS h FROM lineitem
+),
+hl_v AS (
+  SELECT CAST(h % {HLL_M} AS BIGINT) AS register,
+         CAST(h // {HLL_M} AS BIGINT) AS v
+  FROM hl_h
+)
+SELECT register,
+       MAX(CAST(CASE WHEN v = 0 THEN {64 - HLL_P + 1}
+                     ELSE bit_count((v & -v) - 1) + 1 END AS BIGINT)) AS rank
+FROM hl_v GROUP BY register ORDER BY register"""
+
+
+def q_hash_sample() -> str:
+    """Deterministic min-hash bounded sample (stages/sketch.py
+    hash_sample): the 100 (md5(text), doc_id)-smallest documents."""
+    return """SELECT doc_id, md5_number_lower(text) AS h
+FROM documents ORDER BY h, doc_id LIMIT 100"""
+
+
 def q_sessionize() -> str:
     """Gap-based sessionization (stages/sessions.py): lag-based session
     starts, running-count session ids, per-session aggregates.  Value sums

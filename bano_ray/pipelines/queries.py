@@ -588,6 +588,32 @@ def q_range_join(sf_dir: str):
                                width_us=30 * 60 * 1_000_000)
 
 
+def q_hll_registers(sf_dir: str):
+    """HyperLogLog distinct-count sketch over lineitem.l_orderkey: one row
+    per non-empty register (register, max trailing-zero rank).  Map-side
+    per-block register maxima merge through a single 256-group aggregate —
+    the shuffle moves sketch-sized data regardless of input size.  Fully
+    oracle-gated (md5 registers replicate in SQL; the ESTIMATE quality is
+    asserted in tests/test_operators.py against the exact distinct)."""
+    import ray
+
+    from ..stages.sketch import hll_registers
+
+    ensure_worker_importable()
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey"])
+    return hll_registers(ds, "l_orderkey")
+
+
+def q_hash_sample(sf_dir: str):
+    """Deterministic bounded sample: the 100 documents with the smallest
+    (md5(text), doc_id) — per-block local top-k, merge sorts only
+    blocks×k rows (oracle-gated: oracle.q_hash_sample)."""
+    from ..stages.sketch import hash_sample
+
+    return hash_sample(_docs(sf_dir), "text", "doc_id", k=100)
+
+
 def q_events_hourly(sf_dir: str):
     """Windowed aggregate: per-user hourly event counts + value sums."""
     import ray

@@ -1,0 +1,88 @@
+"""Distributed sketches: HyperLogLog registers and a deterministic min-hash
+sample — the bounded-state aggregates a 100 TB pipeline uses where exact
+answers would shuffle everything.
+
+Both are MERGEABLE map-side partials: every block reduces to O(m) / O(k)
+rows locally, so the only shuffle moves sketch-sized data no matter how big
+the input is.  Both hash with md5 (``dedup._md5_u64_many``), so the exact
+register/sample contents replicate in closed-form SQL and the driver's
+value-parity gate applies — the ESTIMATE quality is asserted separately in
+tests against the exact distinct count.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .dedup import _popcount64
+
+HLL_P = 8                      # 2^8 = 256 registers
+HLL_M = 1 << HLL_P
+
+
+def hll_partial(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(registers, max-ranks) for one block of string values.
+
+    register = low HLL_P bits of md5-u64; rank = trailing-zero count of the
+    remaining 64−HLL_P bits, +1 (the ``(v & -v) - 1`` popcount form so the
+    SQL oracle can replicate it with ``bit_count``); v == 0 → max rank."""
+    from .dedup import _md5_u64_many
+
+    h = _md5_u64_many(values).view(np.int64)
+    reg = (h & (HLL_M - 1)).astype(np.int64)
+    v = (h >> HLL_P) & ((1 << (64 - HLL_P)) - 1)
+    tz = np.full(len(v), 64 - HLL_P + 1, dtype=np.int64)
+    nz = v != 0
+    vv = v[nz]
+    tz[nz] = _popcount64((vv & -vv) - 1).astype(np.int64) + 1
+    # per-register max inside the block: one scatter-max reduction
+    out = np.zeros(HLL_M, dtype=np.int64)
+    np.maximum.at(out, reg, tz)
+    regs = np.flatnonzero(out)
+    return regs, out[regs]
+
+
+def hll_estimate(ranks_by_register: np.ndarray) -> float:
+    """Raw HLL estimate with the standard small-range (linear counting)
+    correction; ``ranks_by_register`` is the dense m-vector (0 = empty)."""
+    m = float(HLL_M)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.power(2.0, -ranks_by_register.astype(np.float64)).sum()
+    zeros = int((ranks_by_register == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
+def hll_registers(ds, col: str):
+    """Dataset → one row per non-empty HLL register (register, rank):
+    map-side per-block register maxima, merged by one 256-group aggregate."""
+    from ray.data.aggregate import Max
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = np.asarray(batch.column(col).to_numpy().astype(str), dtype=object)
+        regs, ranks = hll_partial(vals)
+        return pa.table({"register": pa.array(regs),
+                         "rank": pa.array(ranks)})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("register").aggregate(Max("rank", alias_name="rank")))
+
+
+def hash_sample(ds, col: str, id_col: str, k: int = 100):
+    """Deterministic bounded sample: the k rows with the smallest
+    (md5(col), id) — every block reduces to its local top-k, the merge
+    sorts only blocks×k rows.  Output (id_col, h)."""
+    from .dedup import _md5_u64_many
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = np.asarray(batch.column(col).to_pylist(), dtype=object)
+        ids = batch.column(id_col).to_numpy().astype(np.int64)
+        h = _md5_u64_many(vals)
+        order = np.lexsort((ids, h))[:k]
+        return pa.table({id_col: pa.array(ids[order]),
+                         "h": pa.array(h[order])})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .sort(["h", id_col]).limit(k))

@@ -354,3 +354,59 @@ class TestRangeJoin:
                              "n_purchases": n[keep].astype(np.int64),
                              "sum_cents": s[keep].astype(np.int64)})
         pd.testing.assert_frame_equal(got[want.columns], want)
+
+
+class TestSketch:
+    def test_hll_estimate_quality(self):
+        """Merged register estimate lands within ~3σ of the exact distinct
+        count (σ ≈ 1.04/√m ≈ 6.5 % at m=256)."""
+        from bano_ray.stages.sketch import (HLL_M, hll_estimate, hll_partial)
+
+        rng = np.random.default_rng(7)
+        vals = rng.integers(0, 40_000, 60_000)
+        strs = np.asarray(vals.astype(str), dtype=object)
+        dense = np.zeros(HLL_M, dtype=np.int64)
+        # merge block partials by register max, as the groupby does
+        for chunk in np.array_split(strs, 7):
+            regs, ranks = hll_partial(chunk)
+            np.maximum.at(dense, regs, ranks)
+        exact = len(np.unique(vals))
+        est = hll_estimate(dense)
+        assert abs(est - exact) / exact < 0.20
+
+    def test_hll_partial_matches_scalar(self):
+        """The vectorized rank matches a per-value scalar recomputation."""
+        from bano_ray.stages.dedup import _md5_u64
+        from bano_ray.stages.sketch import HLL_M, HLL_P, hll_partial
+
+        strs = np.asarray([str(i) for i in range(2000)], dtype=object)
+        regs, ranks = hll_partial(strs)
+        dense = np.zeros(HLL_M, dtype=np.int64)
+        dense[regs] = ranks
+        want = np.zeros(HLL_M, dtype=np.int64)
+        for s in strs:
+            h = int(_md5_u64(s.encode()))
+            r = h & (HLL_M - 1)
+            v = h >> HLL_P
+            tz = (64 - HLL_P + 1) if v == 0 else ((v & -v).bit_length())
+            want[r] = max(want[r], tz)
+        assert (dense == want).all()
+
+    def test_hash_sample_bounded(self, ray_session, sf_dir):
+        """k smaller than / larger than the corpus both behave; output is
+        the global (h, id)-smallest prefix."""
+        import ray
+
+        from bano_ray.stages.dedup import _md5_u64_many
+        from bano_ray.stages.sketch import hash_sample
+
+        t = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+        h = _md5_u64_many(np.asarray(t["text"], dtype=object))
+        order = np.lexsort((t["doc_id"].to_numpy(), h))
+        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet").repartition(6)
+        got = hash_sample(ds, "text", "doc_id", k=25).to_pandas()
+        assert got["doc_id"].tolist() == \
+            t["doc_id"].to_numpy()[order[:25]].tolist()
+        big = hash_sample(ds, "text", "doc_id", k=10 * len(t)).to_pandas()
+        assert len(big) == len(t)
