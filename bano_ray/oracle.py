@@ -1491,6 +1491,20 @@ def q_hash_sample() -> str:
 FROM documents ORDER BY h, doc_id LIMIT 100"""
 
 
+def q_bloom_semijoin() -> str:
+    """Bloom-filtered exact semi-join (stages/bloom.py): the Bloom layer is
+    bandwidth-only, so the SQL is the plain ANSI semi-join it guarantees."""
+    from .pipelines.queries import BLOOM_PRICE_MIN
+
+    return f"""SELECT l_orderkey,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_cents
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_totalprice > {BLOOM_PRICE_MIN})
+GROUP BY 1 ORDER BY 1"""
+
+
 def q_sessionize() -> str:
     """Gap-based sessionization (stages/sessions.py): lag-based session
     starts, running-count session ids, per-session aggregates.  Value sums

@@ -614,6 +614,43 @@ def q_hash_sample(sf_dir: str):
     return hash_sample(_docs(sf_dir), "text", "doc_id", k=100)
 
 
+BLOOM_PRICE_MIN = 400_000.0
+
+
+def q_bloom_semijoin(sf_dir: str):
+    """Bloom-filtered exact semi-join (stages/bloom.py): lineitem rows whose
+    order is high-value (o_totalprice > BLOOM_PRICE_MIN), aggregated per
+    order.  The Bloom bitmap (512 KiB regardless of build cardinality)
+    prefilters the probe side so the only all-to-all moves survivors; false
+    positives are removed by the sharded verification semi-join, so the
+    output equals ANSI ``IN (SELECT ...)`` exactly."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.bloom import bloom_semijoin
+
+    ensure_worker_importable()
+    big = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                                columns=["l_orderkey", "l_extendedprice"])
+    build = (ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_totalprice"])
+             .filter(expr=f"o_totalprice > {BLOOM_PRICE_MIN}")
+             .select_columns(["o_orderkey"])
+             .rename_columns({"o_orderkey": "l_orderkey"}))
+    kept = bloom_semijoin(big, build, "l_orderkey", m_bits=1 << 20)
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = pc.round(pc.multiply(batch.column("l_extendedprice"), 100.0),
+                     round_mode="half_towards_infinity").cast(pa.int64())
+        return pa.table({"l_orderkey": batch.column("l_orderkey"),
+                         "cents": c})
+
+    return (kept.map_batches(cents, batch_format="pyarrow")
+            .groupby("l_orderkey")
+            .aggregate(Count("cents", alias_name="n_items"),
+                       Sum("cents", alias_name="sum_cents")))
+
+
 def q_events_hourly(sf_dir: str):
     """Windowed aggregate: per-user hourly event counts + value sums."""
     import ray

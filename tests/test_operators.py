@@ -410,3 +410,51 @@ class TestSketch:
             t["doc_id"].to_numpy()[order[:25]].tolist()
         big = hash_sample(ds, "text", "doc_id", k=10 * len(t)).to_pandas()
         assert len(big) == len(t)
+
+
+class TestBloom:
+    def test_no_false_negatives(self):
+        from bano_ray.stages.bloom import (_bloom_may_contain, _positions)
+
+        keys = np.arange(-500, 500, dtype=np.int64)
+        m = 1 << 12
+        words = np.zeros(m >> 6, dtype=np.uint64)
+        pos = _positions(keys, m, 4).ravel().astype(np.uint64)
+        np.bitwise_or.at(words, (pos >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (pos & np.uint64(63)))
+        assert _bloom_may_contain(keys, words, m, 4).all()
+
+    def test_semijoin_exact_even_with_tiny_bitmap(self, ray_session):
+        """A 256-bit bitmap saturates (≈every probe is a false positive);
+        the verification join must still produce the exact semi-join."""
+        import ray
+
+        rng = np.random.default_rng(11)
+        bk = rng.integers(0, 3000, 5000).astype(np.int64)
+        pay = rng.integers(0, 100, 5000).astype(np.int64)
+        keep_keys = np.unique(rng.integers(0, 3000, 150).astype(np.int64))
+        import pyarrow as pa
+
+        from bano_ray.stages.bloom import bloom_semijoin
+
+        big = ray.data.from_arrow(pa.table({"k": bk, "v": pay})).repartition(7)
+        build = ray.data.from_arrow(
+            pa.table({"k": np.repeat(keep_keys, 2)})).repartition(3)
+        got = bloom_semijoin(big, build, "k", m_bits=256, k=2).to_pandas()
+        want = pd.DataFrame({"k": bk, "v": pay})
+        want = want[np.isin(bk, keep_keys)]
+        g = got.sort_values(["k", "v"]).reset_index(drop=True)
+        w = want.sort_values(["k", "v"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(g[["k", "v"]], w)
+
+    def test_empty_build_side(self, ray_session):
+        import pyarrow as pa
+        import ray
+
+        from bano_ray.stages.bloom import bloom_semijoin
+
+        big = ray.data.from_arrow(
+            pa.table({"k": np.arange(100, dtype=np.int64)}))
+        build = ray.data.from_arrow(
+            pa.table({"k": np.empty(0, dtype=np.int64)}))
+        assert bloom_semijoin(big, build, "k", m_bits=1 << 10).count() == 0

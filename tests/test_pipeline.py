@@ -106,7 +106,7 @@ ORACLE_SUBSET = ["q_zone_counts", "q_cumul_adresses", "q_cumul_voies",
                  "q_minhash_pairs", "q_jaccard_neardup", "q_simhash_neardup",
                  "q_embedding_neardup", "q_ann_lsh", "q_audio_features",
                  "q_sessionize", "q_asof_join",
-                 "q_hll_registers", "q_hash_sample"]
+                 "q_hll_registers", "q_hash_sample", "q_bloom_semijoin"]
 
 
 def test_oracle_parity_subset(ray_session, sf):
@@ -114,7 +114,7 @@ def test_oracle_parity_subset(ray_session, sf):
 
     qs, osql = e.queries(), e.oracle_sql()
     con = duckdb.connect()
-    for t in ["documents", "events", "lineitem", "embeddings"]:
+    for t in ["documents", "events", "lineitem", "embeddings", "orders"]:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
     for name in ORACLE_SUBSET:
         res = qs[name](sf)
