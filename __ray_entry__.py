@@ -56,6 +56,7 @@ _ORACLE_QUERIES = [
     "q_hll_registers",       # HyperLogLog sketch registers (mergeable partials)
     "q_hash_sample",         # deterministic min-hash bounded sample
     "q_bloom_semijoin",      # Bloom-prefiltered exact semi-join
+    "q_quantiles",           # exact quantiles via distributed selection
     "q_lineitem_pricing",    # relational baseline (TPC-H Q1 shape)
     "q_ann_topk",            # similarity search: brute cosine top-k
     "q_display_expand",      # M15 display-name expansion

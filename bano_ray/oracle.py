@@ -1505,6 +1505,17 @@ WHERE l_orderkey IN (SELECT o_orderkey FROM orders
 GROUP BY 1 ORDER BY 1"""
 
 
+def q_quantiles() -> str:
+    """Exact distributed quantiles (stages/quantile.py): discrete-quantile
+    semantics — the engine's rank = max(1, ceil(q*n)) IS quantile_disc."""
+    from .pipelines.queries import QUANTILE_QS
+
+    parts = [f"SELECT CAST({q} AS DOUBLE) AS q, "
+             f"quantile_disc(l_extendedprice, {q}) AS value FROM lineitem"
+             for q in QUANTILE_QS]
+    return "\nUNION ALL\n".join(parts)
+
+
 def q_sessionize() -> str:
     """Gap-based sessionization (stages/sessions.py): lag-based session
     starts, running-count session ids, per-session aggregates.  Value sums

@@ -651,6 +651,25 @@ def q_bloom_semijoin(sf_dir: str):
                        Sum("cents", alias_name="sum_cents")))
 
 
+QUANTILE_QS = [0.25, 0.5, 0.9, 0.95, 0.99]
+
+
+def q_quantiles(sf_dir: str):
+    """Exact distributed quantiles of lineitem.l_extendedprice via
+    iterative histogram selection (stages/quantile.py) — no global sort;
+    every shuffle moves histogram-sized data and the driver never holds
+    more than final_cap candidate values per quantile."""
+    import ray
+
+    from ..stages.quantile import exact_quantiles
+
+    ensure_worker_importable()
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_extendedprice"])
+    return exact_quantiles(ds, "l_extendedprice", QUANTILE_QS,
+                           bins=1024, final_cap=4096)
+
+
 def q_events_hourly(sf_dir: str):
     """Windowed aggregate: per-user hourly event counts + value sums."""
     import ray

@@ -458,3 +458,39 @@ class TestBloom:
         build = ray.data.from_arrow(
             pa.table({"k": np.empty(0, dtype=np.int64)}))
         assert bloom_semijoin(big, build, "k", m_bits=1 << 10).count() == 0
+
+
+class TestQuantile:
+    def _check(self, vals: np.ndarray, qs, **kw):
+        import pyarrow as pa
+        import ray
+
+        from bano_ray.stages.quantile import exact_quantiles
+
+        ds = ray.data.from_arrow(pa.table({"x": vals})).repartition(9)
+        got = exact_quantiles(ds, "x", qs, **kw)
+        s = np.sort(vals)
+        want = [s[max(1, int(np.ceil(q * len(s)))) - 1] for q in qs]
+        assert got["value"].tolist() == pytest.approx(want, abs=0)
+
+    def test_multi_round_shrink(self, ray_session):
+        """final_cap small enough to force several histogram rounds."""
+        rng = np.random.default_rng(3)
+        vals = rng.normal(0, 1e6, 200_000)
+        self._check(vals, [0.01, 0.5, 0.999], bins=16, final_cap=64)
+
+    def test_value_spike_distinct_fallback(self, ray_session):
+        """A 90% single-value spike defeats binning; the distinct-value
+        resolve must still produce the exact answer."""
+        rng = np.random.default_rng(4)
+        vals = np.concatenate([np.full(90_000, 42.5),
+                               rng.uniform(0, 100, 10_000)])
+        rng.shuffle(vals)
+        self._check(vals, [0.25, 0.5, 0.9, 0.99], bins=8, final_cap=32)
+
+    def test_all_equal(self, ray_session):
+        self._check(np.full(5000, 7.25), [0.0, 0.5, 1.0],
+                    bins=16, final_cap=8)
+
+    def test_tiny_input(self, ray_session):
+        self._check(np.array([3.0, 1.0, 2.0]), [0.5], bins=4, final_cap=1)

@@ -106,7 +106,8 @@ ORACLE_SUBSET = ["q_zone_counts", "q_cumul_adresses", "q_cumul_voies",
                  "q_minhash_pairs", "q_jaccard_neardup", "q_simhash_neardup",
                  "q_embedding_neardup", "q_ann_lsh", "q_audio_features",
                  "q_sessionize", "q_asof_join",
-                 "q_hll_registers", "q_hash_sample", "q_bloom_semijoin"]
+                 "q_hll_registers", "q_hash_sample", "q_bloom_semijoin",
+                 "q_quantiles"]
 
 
 def test_oracle_parity_subset(ray_session, sf):
