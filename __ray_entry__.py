@@ -54,6 +54,7 @@ _ORACLE_QUERIES = [
     "q_asof_join",           # as-of join (latest right row per key/ts)
     "q_range_join",          # interval range join (binned, prefix-sum probes)
     "q_hll_registers",       # HyperLogLog sketch registers (mergeable partials)
+    "q_hll_by_group",        # per-group HLL distinct sketch
     "q_hash_sample",         # deterministic min-hash bounded sample
     "q_bloom_semijoin",      # Bloom-prefiltered exact semi-join
     "q_quantiles",           # exact quantiles via distributed selection

@@ -1484,6 +1484,26 @@ SELECT register,
 FROM hl_v GROUP BY register ORDER BY register"""
 
 
+def q_hll_by_group() -> str:
+    """Grouped HLL registers (stages/sketch.py hll_group_registers):
+    q_hll_registers' rank arithmetic, grouped by event_type."""
+    from .stages.sketch import HLL_M, HLL_P
+
+    return f"""WITH hg_h AS (
+  SELECT event_type,
+         md5_number_lower(CAST(user_id AS VARCHAR)) AS h FROM events
+),
+hg_v AS (
+  SELECT event_type, CAST(h % {HLL_M} AS BIGINT) AS register,
+         CAST(h // {HLL_M} AS BIGINT) AS v
+  FROM hg_h
+)
+SELECT event_type, register,
+       MAX(CAST(CASE WHEN v = 0 THEN {64 - HLL_P + 1}
+                     ELSE bit_count((v & -v) - 1) + 1 END AS BIGINT)) AS rank
+FROM hg_v GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
 def q_hash_sample() -> str:
     """Deterministic min-hash bounded sample (stages/sketch.py
     hash_sample): the 100 (md5(text), doc_id)-smallest documents."""

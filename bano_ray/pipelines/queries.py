@@ -605,6 +605,21 @@ def q_hll_registers(sf_dir: str):
     return hll_registers(ds, "l_orderkey")
 
 
+def q_hll_by_group(sf_dir: str):
+    """Per-group HLL distinct-user sketch: one row per (event_type,
+    non-empty register).  The map side reduces every block to ≤ groups×256
+    rows with one flat scatter-max, so the shuffle is sketch-sized per
+    group regardless of how many events hit each type."""
+    import ray
+
+    from ..stages.sketch import hll_group_registers
+
+    ensure_worker_importable()
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "user_id"])
+    return hll_group_registers(ds, "event_type", "user_id")
+
+
 def q_hash_sample(sf_dir: str):
     """Deterministic bounded sample: the 100 documents with the smallest
     (md5(text), doc_id) — per-block local top-k, merge sorts only

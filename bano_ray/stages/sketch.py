@@ -86,3 +86,45 @@ def hash_sample(ds, col: str, id_col: str, k: int = 100):
 
     return (ds.map_batches(partial, batch_format="pyarrow")
             .sort(["h", id_col]).limit(k))
+
+
+def hll_group_registers(ds, group_col: str, col: str):
+    """Per-group HLL registers: one row per (group, non-empty register).
+
+    The grouped twin of :func:`hll_registers` — every block reduces to at
+    most ``groups_in_block × 256`` rows via one flat scatter-max over
+    ``group_code * m + register``, so the shuffle moves sketch-sized data
+    per group no matter how many raw rows hit each group.  Feed the merged
+    rows per group to :func:`hll_estimate` for the distinct estimate."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max
+
+    from .dedup import _md5_u64_many
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = pc.dictionary_encode(batch.column(group_col))
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        gcodes = g.indices.to_numpy().astype(np.int64)
+        vals = np.asarray(batch.column(col).to_numpy().astype(str),
+                          dtype=object)
+        h = _md5_u64_many(vals).view(np.int64)
+        reg = (h & (HLL_M - 1)).astype(np.int64)
+        v = (h >> HLL_P) & ((1 << (64 - HLL_P)) - 1)
+        tz = np.full(len(v), 64 - HLL_P + 1, dtype=np.int64)
+        nz = v != 0
+        vv = v[nz]
+        tz[nz] = _popcount64((vv & -vv) - 1).astype(np.int64) + 1
+        ng = len(g.dictionary)
+        dense = np.zeros(ng * HLL_M, dtype=np.int64)
+        np.maximum.at(dense, gcodes * HLL_M + reg, tz)
+        hit = np.flatnonzero(dense)
+        return pa.table({
+            group_col: pc.take(g.dictionary, pa.array(hit // HLL_M)),
+            "register": pa.array(hit % HLL_M),
+            "rank": pa.array(dense[hit]),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby([group_col, "register"])
+            .aggregate(Max("rank", alias_name="rank")))

@@ -61,10 +61,13 @@ def run_benchmarks() -> dict:
     from bano_ray import datagen
     from bano_ray.pipelines.cumul import cumul_dataset  # noqa: F401
     from bano_ray.pipelines.queries import (q_ann_topk, q_audio_features,
+                                            q_bloom_semijoin,
                                             q_dedup_exact_docs,
                                             q_events_hourly,
+                                            q_hll_registers,
                                             q_jaccard_neardup,
-                                            q_lineitem_pricing, q_sessionize)
+                                            q_lineitem_pricing, q_quantiles,
+                                            q_sessionize)
     from bano_ray.runtime import ensure_worker_importable
     from bano_ray.stages.export import street_json_zone  # noqa: F401
     ensure_worker_importable()
@@ -98,6 +101,9 @@ def run_benchmarks() -> dict:
         "sessionize": lambda: q_sessionize(SF_DIR).count(),
         "jaccard_neardup": lambda: q_jaccard_neardup(SF_DIR).count(),
         "audio_features": lambda: q_audio_features(SF_DIR).count(),
+        "hll_registers": lambda: q_hll_registers(SF_DIR).count(),
+        "bloom_semijoin": lambda: q_bloom_semijoin(SF_DIR).count(),
+        "quantiles": lambda: len(q_quantiles(SF_DIR)),
     }
     for name, fn in others.items():
         t0 = time.time()

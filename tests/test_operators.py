@@ -494,3 +494,44 @@ class TestQuantile:
 
     def test_tiny_input(self, ray_session):
         self._check(np.array([3.0, 1.0, 2.0]), [0.5], bins=4, final_cap=1)
+
+
+class TestGroupedHll:
+    def test_grouped_matches_per_group_scalar(self, ray_session):
+        """Per-group registers equal running hll_partial per group alone."""
+        import pyarrow as pa
+        import ray
+
+        from bano_ray.stages.sketch import HLL_M, hll_group_registers, hll_partial
+
+        rng = np.random.default_rng(9)
+        g = rng.choice(["a", "b", "c"], 20_000)
+        v = rng.integers(0, 5_000, 20_000)
+        ds = ray.data.from_arrow(pa.table({"g": g, "v": v})).repartition(8)
+        got = hll_group_registers(ds, "g", "v").to_pandas()
+        for grp in "abc":
+            strs = np.asarray(v[g == grp].astype(str), dtype=object)
+            regs, ranks = hll_partial(strs)
+            sub = got[got["g"] == grp].sort_values("register")
+            assert sub["register"].tolist() == regs.tolist()
+            assert sub["rank"].tolist() == ranks.tolist()
+
+    def test_grouped_estimate_quality(self, ray_session):
+        import pyarrow as pa
+        import ray
+
+        from bano_ray.stages.sketch import (HLL_M, hll_estimate,
+                                            hll_group_registers)
+
+        rng = np.random.default_rng(10)
+        g = rng.choice(["x", "y"], 50_000)
+        v = np.where(g == "x", rng.integers(0, 20_000, 50_000),
+                     rng.integers(0, 200, 50_000))
+        ds = ray.data.from_arrow(pa.table({"g": g, "v": v})).repartition(6)
+        got = hll_group_registers(ds, "g", "v").to_pandas()
+        for grp in "xy":
+            exact = len(np.unique(v[g == grp]))
+            dense = np.zeros(HLL_M, dtype=np.int64)
+            sub = got[got["g"] == grp]
+            dense[sub["register"].to_numpy()] = sub["rank"].to_numpy()
+            assert abs(hll_estimate(dense) - exact) / exact < 0.20
