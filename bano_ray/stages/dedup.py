@@ -135,6 +135,22 @@ def _md5_u64_many(strings: np.ndarray) -> np.ndarray:
                        dtype=np.uint64, count=len(strings))
 
 
+def _md5_u64_ints(vals: np.ndarray) -> np.ndarray:
+    """md5-upper-half of the DECIMAL STRING of each int64 — the int→varchar
+    cast runs inside DuckDB's C kernel instead of materializing millions of
+    Python strings (same values as ``_md5_u64_many(vals.astype(str))``;
+    asserted by the sketch tests)."""
+    if len(vals) == 0:
+        return np.empty(0, np.uint64)
+    con = _DUCK_MD5.get()
+    if con:
+        tbl = pa.table({"s": pa.array(np.asarray(vals, dtype=np.int64))})  # noqa: F841
+        out = con.execute("SELECT md5_number_lower(CAST(s AS VARCHAR)) AS h "
+                          "FROM tbl").fetch_arrow_table()
+        return out.column("h").to_numpy().astype(np.uint64)
+    return _md5_u64_many(np.asarray(np.asarray(vals).astype(str), dtype=object))
+
+
 def _token_hashes(text: str, n: int = 3) -> np.ndarray:
     """Hashes of word n-gram shingles for ONE text (verification-path kernel;
     the signature hot path uses :func:`_batch_shingle_hashes`)."""

@@ -15,27 +15,55 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from .dedup import _popcount64
-
 HLL_P = 8                      # 2^8 = 256 registers
 HLL_M = 1 << HLL_P
 
 
-def hll_partial(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """(registers, max-ranks) for one block of string values.
+def _hash_column_u64(col) -> np.ndarray:
+    """md5-u64 of a pa column's values-as-strings.  Integer columns hash
+    through DuckDB's CAST(.. AS VARCHAR) C kernel (no per-row Python
+    strings — ``astype(str)`` of 6M int64s was most of q_hll_registers'
+    wall); other types fall back to the object-string path."""
+    import pyarrow.types as pt
 
-    register = low HLL_P bits of md5-u64; rank = trailing-zero count of the
-    remaining 64−HLL_P bits, +1 (the ``(v & -v) - 1`` popcount form so the
-    SQL oracle can replicate it with ``bit_count``); v == 0 → max rank."""
-    from .dedup import _md5_u64_many
+    from .dedup import _DUCK_MD5, _md5_u64_ints, _md5_u64_many
 
-    h = _md5_u64_many(values).view(np.int64)
+    if pt.is_integer(col.type):
+        return _md5_u64_ints(col.to_numpy().astype(np.int64))
+    con = _DUCK_MD5.get()
+    if con and (pt.is_string(col.type) or pt.is_large_string(col.type)):
+        # feed the Arrow column straight in — zero-copy into DuckDB
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        tbl = pa.table({"s": arr})  # noqa: F841
+        out = con.execute(
+            "SELECT md5_number_lower(s) AS h FROM tbl").fetch_arrow_table()
+        return out.column("h").to_numpy().astype(np.uint64)
+    return _md5_u64_many(np.asarray(col.to_pylist(), dtype=object))
+
+
+def _hll_rank(h: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(register, rank) per hash: register = low HLL_P bits; rank =
+    trailing-zero count of the remaining 64−HLL_P bits, +1; v == 0 → max
+    rank.  ``v & -v`` isolates the lowest set bit (a power of two ≤ 2^55,
+    exactly representable in float64), so ``frexp`` returns rank = k+1
+    directly — same value as the SQL oracle's
+    ``bit_count((v & -v) - 1) + 1``, ~50× cheaper than the unpackbits
+    popcount (2 s → 40 ms per 1M rows)."""
+    h = h.view(np.int64)
     reg = (h & (HLL_M - 1)).astype(np.int64)
     v = (h >> HLL_P) & ((1 << (64 - HLL_P)) - 1)
     tz = np.full(len(v), 64 - HLL_P + 1, dtype=np.int64)
     nz = v != 0
     vv = v[nz]
-    tz[nz] = _popcount64((vv & -vv) - 1).astype(np.int64) + 1
+    tz[nz] = np.frexp((vv & -vv).astype(np.float64))[1]
+    return reg, tz
+
+
+def hll_partial(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(registers, max-ranks) for one block of string values."""
+    from .dedup import _md5_u64_many
+
+    reg, tz = _hll_rank(_md5_u64_many(values))
     # per-register max inside the block: one scatter-max reduction
     out = np.zeros(HLL_M, dtype=np.int64)
     np.maximum.at(out, reg, tz)
@@ -61,10 +89,12 @@ def hll_registers(ds, col: str):
     from ray.data.aggregate import Max
 
     def partial(batch: pa.Table) -> pa.Table:
-        vals = np.asarray(batch.column(col).to_numpy().astype(str), dtype=object)
-        regs, ranks = hll_partial(vals)
+        reg, tz = _hll_rank(_hash_column_u64(batch.column(col)))
+        out = np.zeros(HLL_M, dtype=np.int64)
+        np.maximum.at(out, reg, tz)
+        regs = np.flatnonzero(out)
         return pa.table({"register": pa.array(regs),
-                         "rank": pa.array(ranks)})
+                         "rank": pa.array(out[regs])})
 
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby("register").aggregate(Max("rank", alias_name="rank")))
@@ -74,12 +104,10 @@ def hash_sample(ds, col: str, id_col: str, k: int = 100):
     """Deterministic bounded sample: the k rows with the smallest
     (md5(col), id) — every block reduces to its local top-k, the merge
     sorts only blocks×k rows.  Output (id_col, h)."""
-    from .dedup import _md5_u64_many
 
     def partial(batch: pa.Table) -> pa.Table:
-        vals = np.asarray(batch.column(col).to_pylist(), dtype=object)
         ids = batch.column(id_col).to_numpy().astype(np.int64)
-        h = _md5_u64_many(vals)
+        h = _hash_column_u64(batch.column(col))
         order = np.lexsort((ids, h))[:k]
         return pa.table({id_col: pa.array(ids[order]),
                          "h": pa.array(h[order])})
@@ -99,22 +127,12 @@ def hll_group_registers(ds, group_col: str, col: str):
     import pyarrow.compute as pc
     from ray.data.aggregate import Max
 
-    from .dedup import _md5_u64_many
-
     def partial(batch: pa.Table) -> pa.Table:
         g = pc.dictionary_encode(batch.column(group_col))
         if isinstance(g, pa.ChunkedArray):
             g = g.combine_chunks()
         gcodes = g.indices.to_numpy().astype(np.int64)
-        vals = np.asarray(batch.column(col).to_numpy().astype(str),
-                          dtype=object)
-        h = _md5_u64_many(vals).view(np.int64)
-        reg = (h & (HLL_M - 1)).astype(np.int64)
-        v = (h >> HLL_P) & ((1 << (64 - HLL_P)) - 1)
-        tz = np.full(len(v), 64 - HLL_P + 1, dtype=np.int64)
-        nz = v != 0
-        vv = v[nz]
-        tz[nz] = _popcount64((vv & -vv) - 1).astype(np.int64) + 1
+        reg, tz = _hll_rank(_hash_column_u64(batch.column(col)))
         ng = len(g.dictionary)
         dense = np.zeros(ng * HLL_M, dtype=np.int64)
         np.maximum.at(dense, gcodes * HLL_M + reg, tz)
