@@ -1504,6 +1504,37 @@ SELECT event_type, register,
 FROM hg_v GROUP BY 1, 2 ORDER BY 1, 2"""
 
 
+def q_cms_counters() -> str:
+    """Count-Min counters (stages/sketch.py cms_counters): the engine's
+    row hashes are md5('cms<d>:' || value), so the exact counter table is
+    one GROUP BY away."""
+    from .stages.sketch import CMS_D, CMS_W
+
+    return f"""WITH cm_d AS (SELECT unnest(range({CMS_D})) AS d),
+cm_h AS (
+  SELECT d.d AS row,
+         CAST(md5_number_lower('cms' || CAST(d.d AS VARCHAR) || ':'
+                               || CAST(e.user_id AS VARCHAR))
+              % {CMS_W} AS BIGINT) AS bucket
+  FROM events e CROSS JOIN cm_d d
+)
+SELECT row, bucket, CAST(COUNT(*) AS BIGINT) AS n
+FROM cm_h GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+def q_sample_per_group() -> str:
+    """Stratified deterministic sample (stages/sketch.py
+    hash_sample_per_group): the windowed-SQL twin."""
+    return """SELECT event_type, event_id, h FROM (
+  SELECT event_type, event_id,
+         md5_number_lower(CAST(event_id AS VARCHAR)) AS h,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY md5_number_lower(CAST(event_id AS VARCHAR)),
+                                     event_id) AS rn
+  FROM events)
+WHERE rn <= 20 ORDER BY event_type, h"""
+
+
 def q_hash_sample() -> str:
     """Deterministic min-hash bounded sample (stages/sketch.py
     hash_sample): the 100 (md5(text), doc_id)-smallest documents."""

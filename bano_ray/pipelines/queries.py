@@ -620,6 +620,34 @@ def q_hll_by_group(sf_dir: str):
     return hll_group_registers(ds, "event_type", "user_id")
 
 
+def q_cms_counters(sf_dir: str):
+    """Count-Min sketch counters over events.user_id: one row per non-zero
+    (row, bucket) counter — mergeable bincount partials, the shuffle moves
+    ≤ d×w rows regardless of input size (stages/sketch.py)."""
+    import ray
+
+    from ..stages.sketch import cms_counters
+
+    ensure_worker_importable()
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id"])
+    return cms_counters(ds, "user_id")
+
+
+def q_sample_per_group(sf_dir: str):
+    """Deterministic stratified sample: 20 (md5(event_id), event_id)-
+    smallest events per event_type (stages/sketch.py)."""
+    import ray
+
+    from ..stages.sketch import hash_sample_per_group
+
+    ensure_worker_importable()
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "event_id"])
+    return hash_sample_per_group(ds, "event_type", "event_id", "event_id",
+                                 k=20)
+
+
 def q_hash_sample(sf_dir: str):
     """Deterministic bounded sample: the 100 documents with the smallest
     (md5(text), doc_id) — per-block local top-k, merge sorts only

@@ -146,3 +146,100 @@ def hll_group_registers(ds, group_col: str, col: str):
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby([group_col, "register"])
             .aggregate(Max("rank", alias_name="rank")))
+
+
+CMS_D = 4                      # hash rows
+CMS_W = 1024                   # counters per row
+
+
+def cms_counters(ds, col: str):
+    """Count-Min sketch over a column: one row per non-zero counter
+    (row, bucket, n).
+
+    Mergeable map-side partials like the HLL: every block reduces to at
+    most d×w rows via one flat bincount, and the single shuffle moves
+    sketch-sized data (≤ 4096 rows here) regardless of input size.  Row
+    hashes are ``md5(seed || value)`` so the exact counter table
+    replicates in closed-form SQL; the point-estimate (min over the d
+    counters) is checked against exact counts in tests."""
+    from ray.data.aggregate import Sum
+
+    from .dedup import _md5_u64_many
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        import pyarrow.types as pt
+
+        c = batch.column(col)
+        if pt.is_integer(c.type):
+            c = pc.cast(c, pa.string())
+        rows, buckets, ns = [], [], []
+        for d in range(CMS_D):
+            salted = pc.binary_join_element_wise(
+                pa.scalar(f"cms{d}:"), c.combine_chunks()
+                if isinstance(c, pa.ChunkedArray) else c, pa.scalar(""))
+            h = _hash_column_u64(salted)
+            b = (h % np.uint64(CMS_W)).astype(np.int64)
+            cnt = np.bincount(b, minlength=CMS_W)
+            nz = np.flatnonzero(cnt)
+            rows.append(np.full(len(nz), d, dtype=np.int64))
+            buckets.append(nz.astype(np.int64))
+            ns.append(cnt[nz].astype(np.int64))
+        return pa.table({"row": pa.array(np.concatenate(rows)),
+                         "bucket": pa.array(np.concatenate(buckets)),
+                         "n": pa.array(np.concatenate(ns))})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["row", "bucket"]).aggregate(Sum("n", alias_name="n")))
+
+
+def cms_estimate(counters, values) -> np.ndarray:
+    """Point estimates for ``values`` from a merged counter table
+    (pandas DataFrame with row/bucket/n): min over the d row counters."""
+    from .dedup import _md5_u64_many
+
+    dense = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+    dense[counters["row"].to_numpy(), counters["bucket"].to_numpy()] = \
+        counters["n"].to_numpy()
+    vals = np.asarray(values, dtype=object)
+    est = np.full(len(vals), np.iinfo(np.int64).max, dtype=np.int64)
+    for d in range(CMS_D):
+        salted = np.asarray([f"cms{d}:{v}" for v in vals], dtype=object)
+        b = (_md5_u64_many(salted) % np.uint64(CMS_W)).astype(np.int64)
+        est = np.minimum(est, dense[d, b])
+    return est
+
+
+def hash_sample_per_group(ds, group_col: str, col: str, id_col: str,
+                          k: int = 20):
+    """Deterministic stratified sample: the k (md5(col), id)-smallest rows
+    PER GROUP.  Each block reduces to ≤ groups_in_block×k rows with one
+    lexsort; the per-group merge then sees only blocks×k rows per group.
+    Output (group_col, id_col, h) — ANSI-replicable as ROW_NUMBER() OVER
+    (PARTITION BY group ORDER BY md5, id) <= k."""
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = pc.dictionary_encode(batch.column(group_col))
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        gcodes = g.indices.to_numpy().astype(np.int64)
+        ids = batch.column(id_col).to_numpy().astype(np.int64)
+        h = _hash_column_u64(batch.column(col))
+        order = np.lexsort((ids, h, gcodes))
+        gs = gcodes[order]
+        starts = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]])
+        lens = np.diff(np.r_[starts, np.int64(len(gs))])
+        pos = np.arange(len(gs), dtype=np.int64) - np.repeat(starts, lens)
+        take = order[pos < k]
+        return pa.table({
+            group_col: pc.take(g.dictionary, pa.array(gcodes[take])),
+            id_col: pa.array(ids[take]),
+            "h": pa.array(h[take]),
+        })
+
+    def final(df):
+        return df.sort_values(["h", id_col], kind="mergesort").head(k)
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(group_col).map_groups(final, batch_format="pandas"))

@@ -535,3 +535,47 @@ class TestGroupedHll:
             sub = got[got["g"] == grp]
             dense[sub["register"].to_numpy()] = sub["rank"].to_numpy()
             assert abs(hll_estimate(dense) - exact) / exact < 0.20
+
+
+class TestCms:
+    def test_counters_and_estimate(self, ray_session):
+        import pyarrow as pa
+        import ray
+
+        from bano_ray.stages.sketch import CMS_D, cms_counters, cms_estimate
+
+        rng = np.random.default_rng(12)
+        # zipf-ish: a few heavy values + a long tail
+        vals = np.concatenate([np.repeat([7, 13, 99], [5000, 3000, 1000]),
+                               rng.integers(1000, 30000, 20_000)])
+        rng.shuffle(vals)
+        ds = ray.data.from_arrow(pa.table({"v": vals})).repartition(7)
+        got = cms_counters(ds, "v").to_pandas()
+        # total count per hash row equals the input size (nothing dropped)
+        assert (got.groupby("row")["n"].sum() == len(vals)).all()
+        assert set(got["row"]) == set(range(CMS_D))
+        # point estimates: >= exact (one-sided error), tight for heavies
+        for v, exact in [(7, 5000), (13, 3000), (99, 1000)]:
+            est = int(cms_estimate(got, [str(v)])[0])
+            assert est >= exact
+            assert est <= exact + len(vals) * 2.0 * CMS_D / 1024
+
+    def test_sample_per_group_exact(self, ray_session):
+        import pyarrow as pa
+        import ray
+
+        from bano_ray.stages.dedup import _md5_u64_many
+        from bano_ray.stages.sketch import hash_sample_per_group
+
+        rng = np.random.default_rng(13)
+        g = rng.choice(["a", "b", "c", "d"], 10_000)
+        ids = np.arange(10_000, dtype=np.int64)
+        ds = ray.data.from_arrow(pa.table({"g": g, "id": ids})).repartition(9)
+        got = hash_sample_per_group(ds, "g", "id", "id", k=15).to_pandas()
+        h = _md5_u64_many(np.asarray(ids.astype(str), dtype=object))
+        for grp in "abcd":
+            m = g == grp
+            order = np.lexsort((ids[m], h[m]))[:15]
+            want = ids[m][order]
+            sub = got[got["g"] == grp].sort_values(["h", "id"])
+            assert sub["id"].tolist() == want.tolist()
