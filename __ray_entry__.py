@@ -57,6 +57,7 @@ _ORACLE_QUERIES = [
     "q_hll_by_group",        # per-group HLL distinct sketch
     "q_hash_sample",         # deterministic min-hash bounded sample
     "q_cms_counters",        # Count-Min sketch counters (mergeable partials)
+    "q_distance_selfjoin",   # spatial distance self-join (grid buckets)
     "q_sample_per_group",    # deterministic stratified per-group sample
     "q_bloom_semijoin",      # Bloom-prefiltered exact semi-join
     "q_quantiles",           # exact quantiles via distributed selection

@@ -1504,6 +1504,21 @@ SELECT event_type, register,
 FROM hg_v GROUP BY 1, 2 ORDER BY 1, 2"""
 
 
+def q_distance_selfjoin() -> str:
+    """Distance self-join (stages/spatial.py): identical float64
+    (dx² + dy² ≤ r²) predicate on both sides; planar degrees."""
+    from .pipelines.queries import DIST_JOIN_RADIUS as R
+
+    return f"""WITH {base_pts_cte()}
+SELECT a.doc_id AS a, b.doc_id AS b,
+       round(sqrt((a.lon-b.lon)*(a.lon-b.lon)
+                  + (a.lat-b.lat)*(a.lat-b.lat)), 6) AS dist
+FROM pts2 a JOIN pts2 b ON a.doc_id < b.doc_id
+WHERE (a.lon-b.lon)*(a.lon-b.lon) + (a.lat-b.lat)*(a.lat-b.lat)
+      <= {R * R!r}
+ORDER BY 1, 2"""
+
+
 def q_cms_counters() -> str:
     """Count-Min counters (stages/sketch.py cms_counters): the engine's
     row hashes are md5('cms<d>:' || value), so the exact counter table is

@@ -620,6 +620,20 @@ def q_hll_by_group(sf_dir: str):
     return hll_group_registers(ds, "event_type", "user_id")
 
 
+DIST_JOIN_RADIUS = 0.05
+
+
+def q_distance_selfjoin(sf_dir: str):
+    """Spatial distance self-join: all point pairs within
+    DIST_JOIN_RADIUS degrees (grid-bucket join, stages/spatial.py) —
+    one cell groupby, vectorized native×probe verify per bucket."""
+    from ..stages.spatial import distance_selfjoin
+
+    ensure_worker_importable()
+    pts = points_dataset(sf_dir).select_columns(["doc_id", "lon", "lat"])
+    return distance_selfjoin(pts, DIST_JOIN_RADIUS)
+
+
 def q_cms_counters(sf_dir: str):
     """Count-Min sketch counters over events.user_id: one row per non-zero
     (row, bucket) counter — mergeable bincount partials, the shuffle moves

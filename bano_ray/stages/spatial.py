@@ -1,0 +1,92 @@
+"""Distance self-join: all point pairs within radius r — the spatial join
+a tiling engine runs for "nearby duplicates / cluster candidates".
+
+Shape (grid-bucket join, no all-pairs): every point lands NATIVE in its
+``floor(lon/r), floor(lat/r)`` grid cell and PROBES the 3×3 neighborhood,
+so any pair within r shares ≥1 cell with one side native and the other
+probing; ``native_id < probe_id`` makes each unordered pair emit exactly
+once (the reverse orientation fails the id test in the other cell).  The
+only shuffle is the cell groupby — via :func:`dedup.bucketed_pairs`'s
+coarse-shard grouping, so Ray's per-group dispatch is amortized across
+near-unique cells.  The in-bucket verify is one vectorized native×probe
+distance matrix.
+
+Partitioning assumption (SURVEY §2 custom-operator rule): points per grid
+cell are bounded (the radius matches the physical interaction scale, so a
+cell holds O(density·r²) points); the 9× probe fan-out is the simple
+exact variant — a production 100 TB run would emit the 5-cell forward
+neighborhood instead to halve the fan-out.
+
+Metric: planar Euclidean in degrees (the synthetic world's native frame;
+both the engine and the DuckDB oracle evaluate the identical float64
+expression, so the boundary is bit-deterministic).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .dedup import bucketed_pairs
+
+_GY_OFF = 1 << 20          # grid coords offset to non-negative before packing
+_GX_MULT = 1 << 21
+
+
+def _grid_cell(gx: np.ndarray, gy: np.ndarray) -> np.ndarray:
+    return (gx + _GY_OFF) * _GX_MULT + (gy + _GY_OFF)
+
+
+def distance_selfjoin(ds, radius: float, id_col: str = "doc_id",
+                      lon_col: str = "lon", lat_col: str = "lat"):
+    """Dataset (id, lon, lat) → pairs (a, b, dist) with dist ≤ radius,
+    a < b, dist rounded to 6 places."""
+    r2 = radius * radius
+
+    def emit(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy().astype(np.int64)
+        lon = batch.column(lon_col).to_numpy().astype(np.float64)
+        lat = batch.column(lat_col).to_numpy().astype(np.float64)
+        gx = np.floor(lon / radius).astype(np.int64)
+        gy = np.floor(lat / radius).astype(np.int64)
+        n = len(ids)
+        # native row + 9 probe rows per point
+        parts_cell = [_grid_cell(gx, gy)]
+        parts_native = [np.ones(n, dtype=np.int8)]
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                parts_cell.append(_grid_cell(gx + dx, gy + dy))
+                parts_native.append(np.zeros(n, dtype=np.int8))
+        reps = len(parts_cell)
+        return pa.table({
+            "bucket": pa.array(np.concatenate(parts_cell)),
+            "id": pa.array(np.tile(ids, reps)),
+            "lon": pa.array(np.tile(lon, reps)),
+            "lat": pa.array(np.tile(lat, reps)),
+            "native": pa.array(np.concatenate(parts_native)),
+        })
+
+    empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                          "b": pd.Series(dtype="int64"),
+                          "dist": pd.Series(dtype="float64")})
+
+    def pair_fn(g: pd.DataFrame) -> pd.DataFrame:
+        nat = g[g["native"] == 1]
+        pro = g[g["native"] == 0]
+        if len(nat) == 0 or len(pro) == 0:
+            return empty
+        ai = nat["id"].to_numpy()
+        bi = pro["id"].to_numpy()
+        dx = nat["lon"].to_numpy()[:, None] - pro["lon"].to_numpy()[None, :]
+        dy = nat["lat"].to_numpy()[:, None] - pro["lat"].to_numpy()[None, :]
+        d2 = dx * dx + dy * dy
+        keep = (ai[:, None] < bi[None, :]) & (d2 <= r2)
+        ia, ib = np.nonzero(keep)
+        if len(ia) == 0:
+            return empty
+        return pd.DataFrame({"a": ai[ia], "b": bi[ib],
+                             "dist": np.round(np.sqrt(d2[ia, ib]), 6)})
+
+    pts = ds.map_batches(emit, batch_format="pyarrow")
+    return bucketed_pairs(pts, pair_fn, key="bucket")

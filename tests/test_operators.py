@@ -579,3 +579,45 @@ class TestCms:
             want = ids[m][order]
             sub = got[got["g"] == grp].sort_values(["h", "id"])
             assert sub["id"].tolist() == want.tolist()
+
+
+class TestDistanceJoin:
+    def test_matches_bruteforce(self, ray_session):
+        import pyarrow as pa
+        import ray
+
+        from bano_ray.stages.spatial import distance_selfjoin
+
+        rng = np.random.default_rng(14)
+        n = 2000
+        lon = rng.uniform(-3, 3, n)
+        lat = rng.uniform(40, 45, n)
+        # plant exact-duplicate coordinates (same-street clusters)
+        lon[100:110] = lon[99]
+        lat[100:110] = lat[99]
+        ids = np.arange(n, dtype=np.int64)
+        r = 0.07
+        ds = ray.data.from_arrow(pa.table(
+            {"doc_id": ids, "lon": lon, "lat": lat})).repartition(9)
+        got = distance_selfjoin(ds, r).to_pandas() \
+            .sort_values(["a", "b"]).reset_index(drop=True)
+        dx = lon[:, None] - lon[None, :]
+        dy = lat[:, None] - lat[None, :]
+        d2 = dx * dx + dy * dy
+        ia, ib = np.nonzero((ids[:, None] < ids[None, :]) & (d2 <= r * r))
+        want = pd.DataFrame({"a": ids[ia], "b": ids[ib],
+                             "dist": np.round(np.sqrt(d2[ia, ib]), 6)}) \
+            .sort_values(["a", "b"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[["a", "b", "dist"]].astype(want.dtypes.to_dict()), want)
+
+    def test_no_pairs(self, ray_session):
+        import pyarrow as pa
+        import ray
+
+        from bano_ray.stages.spatial import distance_selfjoin
+
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": np.arange(5, dtype=np.int64),
+            "lon": np.arange(5) * 10.0, "lat": np.zeros(5)}))
+        assert distance_selfjoin(ds, 0.01).count() == 0
