@@ -1504,6 +1504,35 @@ SELECT event_type, register,
 FROM hg_v GROUP BY 1, 2 ORDER BY 1, 2"""
 
 
+def q_heavy_hitters() -> str:
+    """Exact top-25 users by event count (queries.q_heavy_hitters);
+    (n DESC, user_id) order pins the k boundary."""
+    return """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY 1 ORDER BY n DESC, user_id LIMIT 25"""
+
+
+def q_topk_per_group() -> str:
+    """Top-3 users per event_type (queries.q_topk_per_group)."""
+    return """SELECT event_type, user_id, n FROM (
+  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY COUNT(*) DESC, user_id) AS rn
+  FROM events GROUP BY 1, 2)
+WHERE rn <= 3 ORDER BY event_type, n DESC, user_id"""
+
+
+def q_group_quantiles() -> str:
+    """Per-group discrete quantiles of integer cents
+    (queries.q_group_quantiles): quantile_disc per event_type."""
+    from .pipelines.queries import GROUP_QUANTILE_QS
+
+    parts = [f"SELECT event_type, CAST({q} AS DOUBLE) AS q, "
+             f"quantile_disc(CAST(round(value * 100) AS BIGINT), {q}) "
+             f"AS value FROM events GROUP BY 1"
+             for q in GROUP_QUANTILE_QS]
+    return "\nUNION ALL\n".join(parts)
+
+
 def q_distance_selfjoin() -> str:
     """Distance self-join (stages/spatial.py): identical float64
     (dx² + dy² ≤ r²) predicate on both sides; planar degrees."""

@@ -620,6 +620,103 @@ def q_hll_by_group(sf_dir: str):
     return hll_group_registers(ds, "event_type", "user_id")
 
 
+def q_heavy_hitters(sf_dir: str):
+    """Exact global top-25 users by event count: per-block np.unique
+    partial counts (map-side combiner — the shuffle moves distinct keys,
+    not rows) → one groupby sum → sort+limit over the small key table.
+    Deterministic at the k boundary via the (n DESC, user_id ASC) order."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ensure_worker_importable()
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        u, c = np.unique(batch.column("user_id").to_numpy().astype(np.int64),
+                         return_counts=True)
+        return pa.table({"user_id": pa.array(u),
+                         "n": pa.array(c.astype(np.int64))})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("user_id").aggregate(Sum("n", alias_name="n"))
+            .sort(["n", "user_id"], descending=[True, False]).limit(25))
+
+
+def q_topk_per_group(sf_dir: str):
+    """Top-3 users per event_type by count: combiner-shaped double
+    aggregate — per-block (type, user) partial counts, one groupby sum,
+    then a per-type head-3 (groups are key-table-sized, not row-sized)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ensure_worker_importable()
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = pc.dictionary_encode(batch.column("event_type"))
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        gc = g.indices.to_numpy().astype(np.int64)
+        u = batch.column("user_id").to_numpy().astype(np.int64)
+        if len(u) == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "user_id": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        key = gc * (int(u.max()) + 1) + u
+        _, first, cnt = np.unique(key, return_index=True, return_counts=True)
+        return pa.table({
+            "event_type": pc.take(g.dictionary, pa.array(gc[first])),
+            "user_id": pa.array(u[first]),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    def head3(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["n", "user_id"], ascending=[False, True],
+                              kind="mergesort").head(3)
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["event_type", "user_id"])
+            .aggregate(Sum("n", alias_name="n"))
+            .groupby("event_type").map_groups(head3, batch_format="pandas"))
+
+
+GROUP_QUANTILE_QS = [0.5, 0.9]
+
+
+def q_group_quantiles(sf_dir: str):
+    """Per-event_type discrete quantiles of integer cents (p50/p90):
+    per-group np.partition selection at DuckDB quantile_disc ranks.
+    Values are integer cents so selection is exact on both sides."""
+    import ray
+
+    ensure_worker_importable()
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = pc.round(pc.multiply(batch.column("value"), 100.0),
+                     round_mode="half_towards_infinity").cast(pa.int64())
+        return pa.table({"event_type": batch.column("event_type"),
+                         "cents": c})
+
+    def qsel(df: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        v = df["cents"].to_numpy()
+        n = len(v)
+        rows = []
+        for q in GROUP_QUANTILE_QS:
+            k = max(1, int(math.ceil(q * n))) - 1
+            rows.append((df["event_type"].iloc[0], q,
+                         int(np.partition(v, k)[k])))
+        return pd.DataFrame(rows, columns=["event_type", "q", "value"])
+
+    return (ds.map_batches(cents, batch_format="pyarrow")
+            .groupby("event_type").map_groups(qsel, batch_format="pandas"))
+
+
 DIST_JOIN_RADIUS = 0.05
 
 
