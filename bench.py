@@ -63,6 +63,7 @@ def run_benchmarks() -> dict:
     from bano_ray.pipelines.queries import (q_ann_topk, q_audio_features,
                                             q_bloom_semijoin,
                                             q_dedup_exact_docs,
+                                            q_distance_selfjoin,
                                             q_events_hourly,
                                             q_hll_registers,
                                             q_jaccard_neardup,
@@ -104,6 +105,7 @@ def run_benchmarks() -> dict:
         "hll_registers": lambda: q_hll_registers(SF_DIR).count(),
         "bloom_semijoin": lambda: q_bloom_semijoin(SF_DIR).count(),
         "quantiles": lambda: len(q_quantiles(SF_DIR)),
+        "distance_selfjoin": lambda: q_distance_selfjoin(SF_DIR).count(),
     }
     for name, fn in others.items():
         t0 = time.time()
