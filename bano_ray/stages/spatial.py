@@ -78,15 +78,24 @@ def distance_selfjoin(ds, radius: float, id_col: str = "doc_id",
             return empty
         ai = nat["id"].to_numpy()
         bi = pro["id"].to_numpy()
-        dx = nat["lon"].to_numpy()[:, None] - pro["lon"].to_numpy()[None, :]
-        dy = nat["lat"].to_numpy()[:, None] - pro["lat"].to_numpy()[None, :]
-        d2 = dx * dx + dy * dy
-        keep = (ai[:, None] < bi[None, :]) & (d2 <= r2)
-        ia, ib = np.nonzero(keep)
-        if len(ia) == 0:
-            return empty
-        return pd.DataFrame({"a": ai[ia], "b": bi[ib],
-                             "dist": np.round(np.sqrt(d2[ia, ib]), 6)})
+        alon, alat = nat["lon"].to_numpy(), nat["lat"].to_numpy()
+        blon, blat = pro["lon"].to_numpy(), pro["lat"].to_numpy()
+        # chunk the native side so the distance matrix stays ≤ ~4M cells —
+        # a degenerate cell (mass co-located points) degrades to more
+        # chunks, never to an OOM or a silent drop
+        step = max(1, 4_000_000 // max(len(bi), 1))
+        parts = []
+        for s in range(0, len(ai), step):
+            dx = alon[s:s + step, None] - blon[None, :]
+            dy = alat[s:s + step, None] - blat[None, :]
+            d2 = dx * dx + dy * dy
+            keep = (ai[s:s + step, None] < bi[None, :]) & (d2 <= r2)
+            ia, ib = np.nonzero(keep)
+            if len(ia):
+                parts.append(pd.DataFrame({
+                    "a": ai[s + ia], "b": bi[ib],
+                    "dist": np.round(np.sqrt(d2[ia, ib]), 6)}))
+        return pd.concat(parts, ignore_index=True) if parts else empty
 
     pts = ds.map_batches(emit, batch_format="pyarrow")
     return bucketed_pairs(pts, pair_fn, key="bucket")
