@@ -40,3 +40,42 @@ def test_housenumber_functions_total(s):
 @given(st.text(min_size=1, max_size=60))
 def test_toponyme_total(s):
     assert isinstance(format_toponyme(s), str)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                          allow_nan=False, allow_infinity=False),
+                min_size=1, max_size=200),
+       st.floats(min_value=0.0, max_value=1.0))
+def test_quantile_rank_matches_duckdb(vals, q):
+    """The engine's rank formula (stages/quantile._ranks) selects exactly
+    DuckDB's quantile_disc element for arbitrary lists and fractions."""
+    import duckdb
+
+    from bano_ray.stages.quantile import _ranks
+
+    want = duckdb.sql(
+        f"SELECT quantile_disc(x, {q!r}) FROM (SELECT unnest($v) AS x)",
+        params={"v": vals}).fetchone()[0]
+    s = sorted(vals)
+    got = s[_ranks([q], len(s))[0] - 1]
+    assert got == want
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1),
+                min_size=1, max_size=500))
+def test_hll_rank_matches_bitcount_form(hs):
+    """frexp-based rank == the oracle's bit_count((v&-v)-1)+1 for
+    arbitrary 64-bit hashes (including v == 0)."""
+    import numpy as np
+
+    from bano_ray.stages.sketch import HLL_M, HLL_P, _hll_rank
+
+    h = np.array(hs, dtype=np.uint64)
+    reg, rank = _hll_rank(h)
+    for hv, r, k in zip(hs, reg.tolist(), rank.tolist()):
+        assert r == hv % HLL_M
+        v = (hv >> HLL_P) & ((1 << (64 - HLL_P)) - 1)
+        want = (64 - HLL_P + 1) if v == 0 else bin((v & -v) - 1).count("1") + 1
+        assert k == want
