@@ -59,6 +59,7 @@ _ORACLE_QUERIES = [
     "q_cms_counters",        # Count-Min sketch counters (mergeable partials)
     "q_distance_selfjoin",   # spatial distance self-join (grid buckets)
     "q_heavy_hitters",       # exact top-k by count (combiner shape)
+    "q_dup_clusters",        # iterative: connected components over dup pairs
     "q_topk_per_group",      # windowed top-k per group
     "q_group_quantiles",     # per-group discrete quantiles
     "q_sample_per_group",    # deterministic stratified per-group sample

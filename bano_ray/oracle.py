@@ -1504,6 +1504,26 @@ SELECT event_type, register,
 FROM hg_v GROUP BY 1, 2 ORDER BY 1, 2"""
 
 
+def q_dup_clusters() -> str:
+    """Transitive closure of the minhash near-dup pairs (stages/graph.py
+    connected_components): min reachable id per node via WITH RECURSIVE
+    over the exact q_minhash_pairs SQL."""
+    inner = q_minhash_pairs()
+    return f"""WITH RECURSIVE cc_p AS (
+  SELECT doc_a AS a, doc_b AS b FROM ({inner}) mh
+),
+cc_e AS (
+  SELECT a, b FROM cc_p UNION SELECT b, a FROM cc_p
+  UNION SELECT a, a FROM cc_p UNION SELECT b, b FROM cc_p
+),
+cc_r AS (
+  SELECT a AS node, b AS r FROM cc_e
+  UNION
+  SELECT cc_r.node, e.b FROM cc_r JOIN cc_e e ON cc_r.r = e.a
+)
+SELECT node, MIN(r) AS label FROM cc_r GROUP BY node ORDER BY node"""
+
+
 def q_heavy_hitters() -> str:
     """Exact top-25 users by event count (queries.q_heavy_hitters);
     (n DESC, user_id) order pins the k boundary."""

@@ -445,6 +445,19 @@ def q_minhash_pairs(sf_dir: str):
     return minhash_candidate_pairs(_docs(sf_dir), threshold=0.5)
 
 
+def q_dup_clusters(sf_dir: str):
+    """Transitive duplicate clusters from the verified minhash pairs:
+    distributed min-label propagation (stages/graph.py) — per-round
+    shuffles are label-table-sized; convergence certified by the monotone
+    label sum.  Oracle: recursive-CTE transitive closure over the same
+    pair SQL."""
+    from ..stages.dedup import minhash_candidate_pairs
+    from ..stages.graph import connected_components
+
+    pairs = minhash_candidate_pairs(_docs(sf_dir), threshold=0.5)
+    return connected_components(pairs, "doc_a", "doc_b")
+
+
 def q_jaccard_neardup(sf_dir: str):
     """Exact-recall word-3-gram Jaccard near-dup pairs via prefix filtering
     (no probabilistic banding: every pair with J >= 0.5 is guaranteed to

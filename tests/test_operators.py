@@ -621,3 +621,51 @@ class TestDistanceJoin:
             "doc_id": np.arange(5, dtype=np.int64),
             "lon": np.arange(5) * 10.0, "lat": np.zeros(5)}))
         assert distance_selfjoin(ds, 0.01).count() == 0
+
+
+class TestConnectedComponents:
+    @staticmethod
+    def _uf_labels(pairs):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in parent}
+
+    def test_matches_union_find(self, ray_session):
+        import pyarrow as pa
+        import ray
+
+        from bano_ray.stages.graph import connected_components
+
+        rng = np.random.default_rng(21)
+        # random clusters + one long chain (diameter ~40, forces rounds)
+        pairs = [(int(a), int(b)) for a, b in
+                 rng.integers(0, 300, (200, 2)) if a != b]
+        pairs += [(1000 + i, 1001 + i) for i in range(40)]
+        t = pa.table({"a": pa.array([p[0] for p in pairs], pa.int64()),
+                      "b": pa.array([p[1] for p in pairs], pa.int64())})
+        got = connected_components(
+            ray.data.from_arrow(t).repartition(5), max_rounds=50) \
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        want = self._uf_labels(pairs)
+        assert dict(zip(got["node"], got["label"])) == want
+
+    def test_empty(self, ray_session):
+        import pyarrow as pa
+        import ray
+
+        from bano_ray.stages.graph import connected_components
+
+        t = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64())})
+        assert connected_components(ray.data.from_arrow(t)).count() == 0

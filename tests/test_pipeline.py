@@ -109,7 +109,8 @@ ORACLE_SUBSET = ["q_zone_counts", "q_cumul_adresses", "q_cumul_voies",
                  "q_hll_registers", "q_hash_sample", "q_bloom_semijoin",
                  "q_quantiles", "q_hll_by_group", "q_cms_counters",
                  "q_sample_per_group", "q_distance_selfjoin",
-                 "q_heavy_hitters", "q_topk_per_group", "q_group_quantiles"]
+                 "q_heavy_hitters", "q_topk_per_group", "q_group_quantiles",
+                 "q_dup_clusters"]
 
 
 def test_oracle_parity_subset(ray_session, sf):
