@@ -669,3 +669,14 @@ class TestConnectedComponents:
         t = pa.table({"a": pa.array([], pa.int64()),
                       "b": pa.array([], pa.int64())})
         assert connected_components(ray.data.from_arrow(t)).count() == 0
+
+    def test_negative_ids_rejected(self, ray_session):
+        import pyarrow as pa
+        import ray
+
+        from bano_ray.stages.graph import connected_components
+
+        t = pa.table({"a": pa.array([-1, 2], pa.int64()),
+                      "b": pa.array([3, 4], pa.int64())})
+        with pytest.raises(Exception):
+            connected_components(ray.data.from_arrow(t)).count()
