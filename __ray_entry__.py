@@ -57,6 +57,7 @@ _ORACLE_QUERIES = [
     "q_hll_by_group",        # per-group HLL distinct sketch
     "q_hash_sample",         # deterministic min-hash bounded sample
     "q_cms_counters",        # Count-Min sketch counters (mergeable partials)
+    "q_kmv_overlap",         # KMV set-overlap sketch (k-min distinct hashes)
     "q_distance_selfjoin",   # spatial distance self-join (grid buckets)
     "q_heavy_hitters",       # exact top-k by count (combiner shape)
     "q_dup_clusters",        # iterative: connected components over dup pairs

@@ -1568,6 +1568,20 @@ WHERE (a.lon-b.lon)*(a.lon-b.lon) + (a.lat-b.lat)*(a.lat-b.lat)
 ORDER BY 1, 2"""
 
 
+def q_kmv_overlap() -> str:
+    """KMV sketches (stages/sketch.py kmv_minhashes): DISTINCT hash +
+    ORDER BY h LIMIT k per side."""
+    from .pipelines.queries import KMV_K
+
+    return f"""(SELECT 'a' AS side, h FROM (
+   SELECT DISTINCT md5_number_lower(CAST(o_custkey AS VARCHAR)) AS h
+   FROM orders) ORDER BY h LIMIT {KMV_K})
+UNION ALL
+(SELECT 'b' AS side, h FROM (
+   SELECT DISTINCT md5_number_lower(CAST(c_custkey AS VARCHAR)) AS h
+   FROM customer) ORDER BY h LIMIT {KMV_K})"""
+
+
 def q_cms_counters() -> str:
     """Count-Min counters (stages/sketch.py cms_counters): the engine's
     row hashes are md5('cms<d>:' || value), so the exact counter table is

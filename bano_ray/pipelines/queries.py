@@ -744,6 +744,26 @@ def q_distance_selfjoin(sf_dir: str):
     return distance_selfjoin(pts, DIST_JOIN_RADIUS)
 
 
+KMV_K = 128
+
+
+def q_kmv_overlap(sf_dir: str):
+    """K-minimum-values set-overlap sketch between orders.o_custkey and
+    customer.c_custkey: the two k-min distinct-hash sketches (side, h) —
+    exact-SQL-gated; the union/intersection/Jaccard estimates from
+    kmv_estimate are accuracy-asserted in tests."""
+    import ray
+
+    from ..stages.sketch import kmv_overlap
+
+    ensure_worker_importable()
+    a = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_custkey"])
+    b = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey"])
+    return kmv_overlap(a, b, "o_custkey", "c_custkey", k=KMV_K)
+
+
 def q_cms_counters(sf_dir: str):
     """Count-Min sketch counters over events.user_id: one row per non-zero
     (row, bucket) counter — mergeable bincount partials, the shuffle moves

@@ -243,3 +243,70 @@ def hash_sample_per_group(ds, group_col: str, col: str, id_col: str,
 
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby(group_col).map_groups(final, batch_format="pandas"))
+
+
+def kmv_minhashes(ds, col: str, k: int = 128):
+    """K-minimum-values sketch: the k smallest DISTINCT md5 hashes of a
+    column — per-block unique+top-k partials, a groupby(h) for the
+    cluster-wide distinct, then a sort over ≤ blocks×k rows.  The sketch
+    is exact-SQL-replicable (DISTINCT + ORDER BY h LIMIT k)."""
+
+    # uint64 survives map stages but Ray's sort-based groupby round-trips
+    # values through Python ints (> 2^63 falls back to pickled objects and
+    # the downstream Sort aborts); carry the order-preserving signed view
+    # h ^ 2^63 through the shuffle and flip back at the end
+    FLIP = np.uint64(1 << 63)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = np.unique(_hash_column_u64(batch.column(col)))[:k]
+        return pa.table({"hs": pa.array((h ^ FLIP).view(np.int64))})
+
+    def unflip(batch: pa.Table) -> pa.Table:
+        hs = batch.column("hs").to_numpy().astype(np.int64)
+        return pa.table({"h": pa.array(hs.view(np.uint64) ^ FLIP)})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("hs").count().select_columns(["hs"])
+            .sort("hs").limit(k)
+            .map_batches(unflip, batch_format="pyarrow"))
+
+
+def kmv_overlap(ds_a, ds_b, col_a: str, col_b: str, k: int = 128):
+    """Two datasets → tagged union of their KMV sketches (side, h).
+
+    Set-operation estimates (distinct union / intersection / Jaccard)
+    come from :func:`kmv_estimate` over these 2k driver-side rows — the
+    sketch of A∪B is the k smallest of K(A) ∪ K(B), so no second pass
+    over either input is needed."""
+
+    def tag(side):
+        def f(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "side": pa.array([side] * len(batch), pa.string()),
+                "h": batch.column("h")})
+        return f
+
+    return (kmv_minhashes(ds_a, col_a, k)
+            .map_batches(tag("a"), batch_format="pyarrow")
+            .union(kmv_minhashes(ds_b, col_b, k)
+                   .map_batches(tag("b"), batch_format="pyarrow")))
+
+
+def kmv_estimate(df, k: int = 128) -> dict:
+    """(side, h) rows → {union, intersection, jaccard} estimates.
+
+    D(S) ≈ (k-1)·2^64 / h_k (k-th smallest distinct hash); the Jaccard
+    estimator is the fraction of the union-sketch's k values present in
+    both sides' sketches."""
+    ha = np.sort(df.loc[df["side"] == "a", "h"].to_numpy().astype(np.uint64))
+    hb = np.sort(df.loc[df["side"] == "b", "h"].to_numpy().astype(np.uint64))
+    hu = np.unique(np.concatenate([ha, hb]))[:k]
+    if len(hu) == 0:
+        return {"union": 0.0, "intersection": 0.0, "jaccard": 0.0}
+    if len(hu) < k:        # saw every distinct value: estimates are exact
+        union = float(len(hu))
+    else:
+        union = (k - 1) * (2.0 ** 64) / float(hu[-1])
+    both = np.isin(hu, ha) & np.isin(hu, hb)
+    jac = float(both.sum()) / float(len(hu))
+    return {"union": union, "intersection": jac * union, "jaccard": jac}

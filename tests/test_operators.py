@@ -680,3 +680,38 @@ class TestConnectedComponents:
                       "b": pa.array([3, 4], pa.int64())})
         with pytest.raises(Exception):
             connected_components(ray.data.from_arrow(t)).count()
+
+
+class TestKmv:
+    def test_estimate_accuracy(self, ray_session):
+        import pyarrow as pa
+        import ray
+
+        from bano_ray.stages.sketch import kmv_estimate, kmv_overlap
+
+        rng = np.random.default_rng(17)
+        a = np.arange(0, 30_000, dtype=np.int64)
+        b = np.arange(20_000, 60_000, dtype=np.int64)   # overlap 10k
+        da = ray.data.from_arrow(pa.table({"v": rng.permutation(
+            np.repeat(a, 2))})).repartition(7)
+        db = ray.data.from_arrow(pa.table({"v": rng.permutation(
+            np.repeat(b, 3))})).repartition(5)
+        df = kmv_overlap(da, db, "v", "v", k=256).to_pandas()
+        est = kmv_estimate(df, k=256)
+        assert abs(est["union"] - 60_000) / 60_000 < 0.25
+        assert abs(est["intersection"] - 10_000) / 10_000 < 0.45
+        assert abs(est["jaccard"] - 10_000 / 60_000) < 0.08
+
+    def test_exact_when_small(self, ray_session):
+        import pyarrow as pa
+        import ray
+
+        from bano_ray.stages.sketch import kmv_estimate, kmv_overlap
+
+        da = ray.data.from_arrow(pa.table({"v": np.array([1, 2, 3, 2],
+                                                         np.int64)}))
+        db = ray.data.from_arrow(pa.table({"v": np.array([3, 4], np.int64)}))
+        df = kmv_overlap(da, db, "v", "v", k=128).to_pandas()
+        est = kmv_estimate(df, k=128)
+        assert est["union"] == 4.0
+        assert est["intersection"] == 1.0

@@ -110,7 +110,7 @@ ORACLE_SUBSET = ["q_zone_counts", "q_cumul_adresses", "q_cumul_voies",
                  "q_quantiles", "q_hll_by_group", "q_cms_counters",
                  "q_sample_per_group", "q_distance_selfjoin",
                  "q_heavy_hitters", "q_topk_per_group", "q_group_quantiles",
-                 "q_dup_clusters"]
+                 "q_dup_clusters", "q_kmv_overlap"]
 
 
 def test_oracle_parity_subset(ray_session, sf):
@@ -118,7 +118,7 @@ def test_oracle_parity_subset(ray_session, sf):
 
     qs, osql = e.queries(), e.oracle_sql()
     con = duckdb.connect()
-    for t in ["documents", "events", "lineitem", "embeddings", "orders"]:
+    for t in ["documents", "events", "lineitem", "embeddings", "orders", "customer"]:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
     for name in ORACLE_SUBSET:
         res = qs[name](sf)
