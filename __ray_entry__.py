@@ -24,6 +24,7 @@ _ORACLE_QUERIES = [
     "q_zone_counts",         # G1 PIP zone assignment counts
     "q_cell_counts",         # cell index encoding (z12 tiles)
     "q_phash_dups",          # §2.8 exact image dedup by phash
+    "q_phash_neardup",       # §2.8 Hamming-≤3 phash near-dup (12-bit banding)
     "q_hn_canon",            # M9 canonical housenumber key
     "q_hn_explode",          # M7 OSM multi-number split
     "q_hn_ranges",           # M8 conditional range expansion
@@ -51,6 +52,7 @@ _ORACLE_QUERIES = [
     "q_dedup_exact_docs",    # dedup: exact content hash
     "q_events_hourly",       # streaming-style windowed aggregate
     "q_sessionize",          # gap-based session windows (combiner shape)
+    "q_window_funcs",        # per-key ROW_NUMBER / LAG / running SUM windows
     "q_asof_join",           # as-of join (latest right row per key/ts)
     "q_range_join",          # interval range join (binned, prefix-sum probes)
     "q_hll_registers",       # HyperLogLog sketch registers (mergeable partials)

@@ -157,6 +157,33 @@ SELECT phash, COUNT(*) AS n, MIN(image_id) AS keeper
 FROM pts2 GROUP BY phash HAVING COUNT(*) > 1 ORDER BY phash"""
 
 
+def q_phash_neardup() -> str:
+    # Mirror of stages/dedup.py phash_neardup: pigeonhole 4 × 12-bit block
+    # banding over the 48-bit phash (PHASH_MOD < 2^48 — non-negative, so
+    # plain BIGINT arithmetic; no two's-complement shim needed), bucket-size
+    # guard [2, 200] on DISTINCT doc_ids, Hamming via popcount of the xor.
+    return f"""WITH {base_pts_cte()},
+ph_blocks AS (
+  SELECT doc_id, phash, d.blk, CAST((phash // d.dv) % 4096 AS BIGINT) AS bv
+  FROM pts2 CROSS JOIN (VALUES (0, CAST(1 AS BIGINT)),
+                               (1, CAST(4096 AS BIGINT)),
+                               (2, CAST(16777216 AS BIGINT)),
+                               (3, CAST(68719476736 AS BIGINT))) d(blk, dv)
+),
+ph_ok AS (
+  SELECT blk, bv FROM ph_blocks GROUP BY 1, 2
+  HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 200
+),
+ph_pairs AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         CAST(bit_count(xor(x.phash, y.phash)) AS BIGINT) AS hamming
+  FROM ph_blocks x
+  JOIN ph_blocks y ON y.blk = x.blk AND y.bv = x.bv AND y.doc_id > x.doc_id
+  JOIN ph_ok o ON o.blk = x.blk AND o.bv = x.bv
+)
+SELECT a, b, hamming FROM ph_pairs WHERE hamming <= 3 ORDER BY a, b"""
+
+
 def q_hn_canon() -> str:
     # reference bano/sql/export_csv_dept.sql:8
     return f"""WITH {base_pts_cte()}
@@ -1643,6 +1670,19 @@ def q_quantiles() -> str:
              f"quantile_disc(l_extendedprice, {q}) AS value FROM lineitem"
              for q in QUANTILE_QS]
     return "\nUNION ALL\n".join(parts)
+
+
+def q_window_funcs() -> str:
+    """Per-user window functions (stages/window.py): integer cents so the
+    running sum is order-exact; (ts, event_id) makes the order total."""
+    return """SELECT event_id, user_id,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+       LAG(CAST(round(value * 100) AS BIGINT)) OVER w AS lag_cents,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS run_cents
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY event_id"""
 
 
 def q_sessionize() -> str:

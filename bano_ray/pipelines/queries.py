@@ -485,6 +485,18 @@ def q_simhash_neardup(sf_dir: str):
     return simhash_neardup(_docs(sf_dir), k=3).sort(["a", "b"])
 
 
+def q_phash_neardup(sf_dir: str):
+    """Perceptual-hash Hamming-≤3 near-dup IMAGE pairs via pigeonhole
+    12-bit block banding over the 48-bit phash (oracle-gated:
+    oracle.q_phash_neardup) — the image-payload twin of q_simhash_neardup;
+    catches re-encoded / slightly-retouched copies that the exact
+    q_phash_dups groupby misses."""
+    from ..stages.dedup import phash_neardup
+
+    ds = datagen.images_dataset(sf_dir).select_columns(["doc_id", "phash"])
+    return phash_neardup(ds, k=3).sort(["a", "b"])
+
+
 def q_embedding_neardup(sf_dir: str):
     """Embedding-cosine near-dup pairs via banded LSH buckets
     (oracle-gated: oracle.q_embedding_neardup).  Runs over the corpus with
@@ -541,6 +553,22 @@ def q_ann_ivf(sf_dir: str):
                                columns=["vec_id", "embedding"])
     # unclustered synthetic vectors: few lists + wide probing (see q_ann_lsh)
     return ivf_topk(ds, ANN_QUERY_IDS, k=ANN_K, ncentroids=8, nprobe=4)
+
+
+def q_window_funcs(sf_dir: str):
+    """Per-user ordered window functions (ROW_NUMBER / LAG / running SUM)
+    via the coarse-shard sort-within-group operator (stages/window.py).
+    The fixture input arrives as one block, so the read is repartitioned
+    to force the multi-block shard path; oracle-gated
+    (oracle.q_window_funcs)."""
+    import ray
+
+    from ..stages.window import window_user_events
+
+    ensure_worker_importable()
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts", "value"])
+    return window_user_events(ds.repartition(8))
 
 
 def q_sessionize(sf_dir: str):

@@ -689,6 +689,14 @@ def simhash_bucket_pairs(df: pd.DataFrame, k: int = 3,
                          max_bucket: int = 200) -> pd.DataFrame:
     """Per-bucket Hamming-verify with the skew guard (module-level for
     direct unit testing of the guard)."""
+    return _hamming_bucket_pairs(df, "simhash", k=k, max_bucket=max_bucket,
+                                 family="simhash")
+
+
+def _hamming_bucket_pairs(df: pd.DataFrame, sig_col: str, k: int,
+                          max_bucket: int, family: str) -> pd.DataFrame:
+    """Shared per-bucket Hamming verification for the 64-bit-signature
+    banding families (simhash over text, phash over images)."""
     empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
                           "b": pd.Series(dtype="int64"),
                           "hamming": pd.Series(dtype="int64")})
@@ -696,10 +704,10 @@ def simhash_bucket_pairs(df: pd.DataFrame, k: int = 3,
     if len(u) < 2:
         return empty
     if len(u) > max_bucket:     # skew guard (degenerate blocks)
-        _record_drop("simhash", len(u), max_bucket)
+        _record_drop(family, len(u), max_bucket)
         return empty
     ids = u["doc_id"].to_numpy()
-    sh = u["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+    sh = u[sig_col].to_numpy().astype(np.int64).view(np.uint64)
     ii, jj = np.triu_indices(len(ids), k=1)
     ham = _popcount64(sh[ii] ^ sh[jj])
     keep = ham <= k
@@ -707,6 +715,51 @@ def simhash_bucket_pairs(df: pd.DataFrame, k: int = 3,
         return empty
     return pd.DataFrame({"a": ids[ii][keep], "b": ids[jj][keep],
                          "hamming": ham[keep].astype(np.int64)})
+
+
+PHASH_BLOCKS = 4   # 4 × 12-bit blocks over the 48-bit phash space
+PHASH_BLOCK_BITS = 12
+
+
+def phash_neardup(ds, k: int = 3, max_bucket: int = 200):
+    """images Dataset (doc_id, phash) → pairs with phash Hamming ≤ k.
+
+    The image-payload twin of :func:`simhash_neardup` (reference parity:
+    bano's dedup merges exact keys only — Hamming-tolerant perceptual-hash
+    matching is the §2.8 multimodal extension).  The synthesized phash
+    lives in [0, 2^48) (datagen.PHASH_MOD < 2^48), so the pigeonhole split
+    is 4 × 12-bit blocks over the low 48 bits — a 4 × 16-bit split of a
+    48-bit value would make the top block identically zero, i.e. one
+    degenerate bucket holding the whole corpus that the skew guard would
+    then drop.  Exact recall for k ≤ PHASH_BLOCKS - 1; verification
+    (popcount) runs inside bucket groups; duplicates found via several
+    blocks dedup through one tiny groupby.
+    """
+    from ray.data.aggregate import Min
+
+    def explode_blocks(batch: pa.Table) -> pa.Table:
+        ph = batch.column("phash").to_numpy().astype(np.int64)
+        doc = batch.column("doc_id").to_numpy()
+        parts = []
+        for blk in range(PHASH_BLOCKS):
+            val = ((ph.view(np.uint64) >> np.uint64(PHASH_BLOCK_BITS * blk))
+                   & np.uint64((1 << PHASH_BLOCK_BITS) - 1))
+            parts.append(pa.table({
+                "doc_id": pa.array(doc),
+                "phash": pa.array(ph),
+                "bucket": pa.array((np.int64(blk) << PHASH_BLOCK_BITS)
+                                   | val.astype(np.int64)),
+            }))
+        return pa.concat_tables(parts)
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return _hamming_bucket_pairs(df, "phash", k=k, max_bucket=max_bucket,
+                                     family="phash")
+
+    return (bucketed_pairs(ds.map_batches(explode_blocks,
+                                          batch_format="pyarrow"),
+                           bucket_pairs)
+            .groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming")))
 
 
 def embedding_neardup(ds, sim_threshold: float = 0.98, nbits: int = 12,

@@ -104,6 +104,7 @@ ORACLE_SUBSET = ["q_zone_counts", "q_cumul_adresses", "q_cumul_voies",
                  # hash-dedup/ANN family (md5 shingles + closed-form LSH
                  # literals make these value-replicable in DuckDB)
                  "q_minhash_pairs", "q_jaccard_neardup", "q_simhash_neardup",
+                 "q_phash_neardup",
                  "q_embedding_neardup", "q_ann_lsh", "q_audio_features",
                  "q_sessionize", "q_asof_join",
                  "q_hll_registers", "q_hash_sample", "q_bloom_semijoin",
@@ -212,6 +213,34 @@ def test_simhash_neardup_matches_brute_force(ray_session, sf):
     got = {(a, b): h for a, b, h in zip(pairs["a"], pairs["b"], pairs["hamming"])}
     assert got == exp
     assert len(got) > 0
+
+
+def test_phash_neardup_matches_brute_force(ray_session, sf):
+    """12-bit block banding over the 48-bit phash has exact recall for
+    Hamming <= 3: output equals the all-pairs brute-force reference, and the
+    planted exact-dup pairs (hamming 0) are all present."""
+    import numpy as np
+    from bano_ray import datagen as dg
+    from bano_ray.pipelines.queries import q_phash_neardup
+
+    pairs = q_phash_neardup(sf).to_pandas()
+    img = (dg.images_dataset(sf).select_columns(["doc_id", "phash"])
+           .to_pandas().sort_values("doc_id"))
+    ph = img["phash"].to_numpy().astype(np.int64).view(np.uint64)
+    ids = img["doc_id"].to_numpy()
+    ii, jj = np.triu_indices(len(ids), k=1)
+    x = (ph[ii] ^ ph[jj]).view(np.uint8).reshape(-1, 8)
+    ham = np.unpackbits(x, axis=1).sum(axis=1)
+    keep = ham <= 3
+    exp = {(min(a, b), max(a, b)): h
+           for a, b, h in zip(ids[ii][keep], ids[jj][keep], ham[keep])}
+    got = {(a, b): h for a, b, h in zip(pairs["a"], pairs["b"], pairs["hamming"])}
+    assert got == exp
+    planted = {(i, i + 1) for i in ids if i % dg.PHASH_DUP_MOD == 0
+               and (i + 1) in set(ids)}
+    assert planted <= set(got)
+    assert all(got[p] == 0 for p in planted)
+    assert len(planted) > 0
 
 
 def test_cosharded_pip_matches_broadcast_assigner(ray_session, sf):
