@@ -49,6 +49,8 @@ _ORACLE_QUERIES = [
     "q_token_bpe",           # text: BPE-ish subword tokenizer count
     "q_quality",             # text: quality scoring
     "q_fingerprint",         # text: rolling-hash fingerprint
+    "q_tfidf",               # text: per-doc top-3 TF-IDF terms (broadcast df)
+    "q_term_postings",       # text: truncated inverted index (top-3 postings)
     "q_dedup_exact_docs",    # dedup: exact content hash
     "q_events_hourly",       # streaming-style windowed aggregate
     "q_sessionize",          # gap-based session windows (combiner shape)
@@ -57,16 +59,20 @@ _ORACLE_QUERIES = [
     "q_range_join",          # interval range join (binned, prefix-sum probes)
     "q_hll_registers",       # HyperLogLog sketch registers (mergeable partials)
     "q_hll_by_group",        # per-group HLL distinct sketch
+    "q_distinct_per_group",  # exact per-group distinct (combiner pairs)
     "q_hash_sample",         # deterministic min-hash bounded sample
+    "q_weighted_sample",     # sequential-Poisson weighted sample (u/w priority)
     "q_cms_counters",        # Count-Min sketch counters (mergeable partials)
     "q_kmv_overlap",         # KMV set-overlap sketch (k-min distinct hashes)
     "q_distance_selfjoin",   # spatial distance self-join (grid buckets)
     "q_heavy_hitters",       # exact top-k by count (combiner shape)
+    "q_rollup",              # multi-level ROLLUP aggregate from finest level
     "q_dup_clusters",        # iterative: connected components over dup pairs
     "q_topk_per_group",      # windowed top-k per group
     "q_group_quantiles",     # per-group discrete quantiles
     "q_sample_per_group",    # deterministic stratified per-group sample
     "q_bloom_semijoin",      # Bloom-prefiltered exact semi-join
+    "q_broadcast_join",      # explicit broadcast fact-to-dim join
     "q_quantiles",           # exact quantiles via distributed selection
     "q_lineitem_pricing",    # relational baseline (TPC-H Q1 shape)
     "q_ann_topk",            # similarity search: brute cosine top-k
@@ -76,6 +82,7 @@ _ORACLE_QUERIES = [
     "q_communes_json",       # communes JSON export (importance variant)
     "q_pbf_nodes",           # S5 OSM PBF import (write + distributed read)
     "q_zone_raster",         # raster<->vector: polygon rasterization census
+    "q_zorder_range",        # bbox via coalesced morton-range pruning
     "q_minhash_pairs",       # dedup: MinHash+LSH near-dup pairs (md5 shingles)
     "q_jaccard_neardup",     # dedup: exact-recall n-gram Jaccard (prefix filter)
     "q_simhash",             # dedup: SimHash signatures (md5 token hashes)

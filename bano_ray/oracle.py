@@ -1551,6 +1551,21 @@ cc_r AS (
 SELECT node, MIN(r) AS label FROM cc_r GROUP BY node ORDER BY node"""
 
 
+def q_distinct_per_group() -> str:
+    """Exact per-group distinct count (queries.q_distinct_per_group)."""
+    return """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1 ORDER BY 1"""
+
+
+def q_rollup() -> str:
+    """Multi-level rollup (queries.q_rollup): ROLLUP(source, lang)."""
+    return """SELECT source, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY ROLLUP(source, lang)
+ORDER BY source NULLS LAST, lang NULLS LAST"""
+
+
 def q_heavy_hitters() -> str:
     """Exact top-25 users by event count (queries.q_heavy_hitters);
     (n DESC, user_id) order pins the k boundary."""
@@ -1647,6 +1662,45 @@ def q_hash_sample() -> str:
 FROM documents ORDER BY h, doc_id LIMIT 100"""
 
 
+def q_broadcast_join() -> str:
+    """Plain ANSI reference for the broadcast fact-to-dim join
+    (queries.q_broadcast_join)."""
+    return """SELECT n.n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS sum_cents
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY 1 ORDER BY 1"""
+
+
+def q_zorder_range() -> str:
+    """Plain-BETWEEN bbox reference for the morton-range-pruned scan
+    (queries.q_zorder_range) — the prune is a superset prefilter, so the
+    exact filter equals this."""
+    from .pipelines.queries import ZORDER_BBOX
+
+    lon0, lat0, lon1, lat1 = ZORDER_BBOX
+    return f"""WITH {base_pts_cte()}
+SELECT doc_id, round(lon, 6) AS lon, round(lat, 6) AS lat
+FROM pts2
+WHERE lon BETWEEN {lon0} AND {lon1} AND lat BETWEEN {lat0} AND {lat1}
+ORDER BY doc_id"""
+
+
+def q_weighted_sample() -> str:
+    """Sequential Poisson weighted sample (stages/sketch.py
+    weighted_sample): priority = (md5-u64 / 2^64) / n_chars; selection by
+    the UNROUNDED priority (bit-identical IEEE division on both sides),
+    displayed rounded."""
+    return """SELECT doc_id, n_chars, round(q, 9) AS priority FROM (
+  SELECT doc_id, n_chars,
+         (CAST(md5_number_lower(text) AS DOUBLE) / 18446744073709551616.0)
+           / CAST(n_chars AS DOUBLE) AS q
+  FROM documents)
+ORDER BY q, doc_id LIMIT 100"""
+
+
 def q_bloom_semijoin() -> str:
     """Bloom-filtered exact semi-join (stages/bloom.py): the Bloom layer is
     bandwidth-only, so the SQL is the plain ANSI semi-join it guarantees."""
@@ -1670,6 +1724,41 @@ def q_quantiles() -> str:
              f"quantile_disc(l_extendedprice, {q}) AS value FROM lineitem"
              for q in QUANTILE_QS]
     return "\nUNION ALL\n".join(parts)
+
+
+def q_tfidf() -> str:
+    """Per-doc top-3 TF-IDF terms (stages/text.py tfidf_topk): single-space
+    split on both sides; rank by UNROUNDED score desc then term asc (exact
+    ties only arise from equal (tf, df), which the term tiebreak settles)."""
+    return """WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+dft AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf * ln(nn.n / dft.df) AS raw,
+         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf * ln(nn.n / dft.df) DESC, tf.term) AS rn
+  FROM tf JOIN dft USING (term) CROSS JOIN nn
+)
+SELECT doc_id, term, round(raw, 6) AS score, CAST(rn AS BIGINT) AS rn
+FROM scored WHERE rn <= 3 ORDER BY doc_id, rn"""
+
+
+def q_term_postings() -> str:
+    """Truncated inverted index (stages/text.py term_postings_topk)."""
+    return """WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+ranked AS (
+  SELECT term, doc_id, tf,
+         ROW_NUMBER() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rn
+  FROM tf
+)
+SELECT term, doc_id, tf, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 3 ORDER BY term, rn"""
 
 
 def q_window_funcs() -> str:

@@ -555,6 +555,37 @@ def q_ann_ivf(sf_dir: str):
     return ivf_topk(ds, ANN_QUERY_IDS, k=ANN_K, ncentroids=8, nprobe=4)
 
 
+def q_tfidf(sf_dir: str):
+    """Per-document top-3 TF-IDF terms (stages/text.py tfidf_topk):
+    vocabulary-sized df aggregate broadcast via ray.put, then a batch-local
+    score-and-cut second pass — the row stream never shuffles.  Oracle-gated
+    (oracle.q_tfidf)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..stages.text import tfidf_topk
+
+    ensure_worker_importable()
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return tfidf_topk(ds, n_docs, k=3)
+
+
+def q_term_postings(sf_dir: str):
+    """Truncated inverted index — per-term top-3 postings by tf
+    (stages/text.py term_postings_topk): batch-local tf + per-term pre-cut,
+    md5-sharded per-term merge.  Oracle-gated (oracle.q_term_postings)."""
+    import ray
+
+    from ..stages.text import term_postings_topk
+
+    ensure_worker_importable()
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return term_postings_topk(ds.repartition(8), k=3)
+
+
 def q_window_funcs(sf_dir: str):
     """Per-user ordered window functions (ROW_NUMBER / LAG / running SUM)
     via the coarse-shard sort-within-group operator (stages/window.py).
@@ -659,6 +690,78 @@ def q_hll_by_group(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["event_type", "user_id"])
     return hll_group_registers(ds, "event_type", "user_id")
+
+
+def q_distinct_per_group(sf_dir: str):
+    """Exact COUNT(DISTINCT user_id) per event_type — the exact twin of the
+    q_hll_by_group sketch: per-block (type, user) dedup partials (the
+    combiner — the shuffle moves distinct pairs, not events), one pair
+    groupby, then a key-sized per-type count.  Oracle-gated
+    (oracle.q_distinct_per_group)."""
+    import ray
+
+    ensure_worker_importable()
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "user_id"])
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        d = pd.DataFrame({"event_type": batch.column("event_type").to_pandas(),
+                          "user_id": batch.column("user_id").to_numpy()})
+        u = d.drop_duplicates()
+        return pa.table({"event_type": pa.array(u["event_type"], pa.string()),
+                         "user_id": pa.array(u["user_id"].to_numpy(), pa.int64())})
+
+    pairs = (ds.map_batches(pair_partial, batch_format="pyarrow")
+             .groupby(["event_type", "user_id"]).count())
+    return (pairs.groupby("event_type").count()
+            .rename_columns({"count()": "n_users"}))
+
+
+def q_rollup(sf_dir: str):
+    """Multi-level ROLLUP(source, lang) aggregate over documents: per-block
+    combiner partials → ONE groupby on the finest level, then the coarser
+    levels re-aggregate the finest AGGREGATE (key-table-sized, never the
+    row stream) — the classic rollup-from-finest identity, so the raw data
+    is scanned exactly once at any scale.  Oracle-gated (oracle.q_rollup,
+    GROUP BY ROLLUP)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ensure_worker_importable()
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "lang", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        d = pd.DataFrame({"source": batch.column("source").to_pandas(),
+                          "lang": batch.column("lang").to_pandas(),
+                          "n_chars": batch.column("n_chars").to_numpy()})
+        g = (d.groupby(["source", "lang"], sort=False)
+             .agg(n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum"))
+             .reset_index())
+        return pa.table({"source": pa.array(g["source"], pa.string()),
+                         "lang": pa.array(g["lang"], pa.string()),
+                         "n_docs": pa.array(g["n_docs"].to_numpy(), pa.int64()),
+                         "sum_chars": pa.array(g["sum_chars"].to_numpy(), pa.int64())})
+
+    finest = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["source", "lang"])
+              .aggregate(Sum("n_docs", alias_name="n_docs"),
+                         Sum("sum_chars", alias_name="sum_chars")))
+    f = finest.to_pandas()  # key-table-sized: |sources| × |langs| rows
+    l1 = (f.groupby("source", as_index=False)[["n_docs", "sum_chars"]].sum()
+          .assign(lang=None))
+    l0 = pd.DataFrame({"source": [None], "lang": [None],
+                       "n_docs": [f["n_docs"].sum()],
+                       "sum_chars": [f["sum_chars"].sum()]})
+    out = pd.concat([f, l1, l0], ignore_index=True)
+    return pa.table({
+        "source": pa.array(out["source"], pa.string()),
+        "lang": pa.array(out["lang"], pa.string()),
+        "n_docs": pa.array(out["n_docs"].to_numpy(dtype=np.int64), pa.int64()),
+        "sum_chars": pa.array(out["sum_chars"].to_numpy(dtype=np.int64), pa.int64()),
+    })
 
 
 def q_heavy_hitters(sf_dir: str):
@@ -827,6 +930,116 @@ def q_hash_sample(sf_dir: str):
     from ..stages.sketch import hash_sample
 
     return hash_sample(_docs(sf_dir), "text", "doc_id", k=100)
+
+
+def q_broadcast_join(sf_dir: str):
+    """Fact-to-dim enrichment as an explicit BROADCAST join: the dim side
+    (customer→nation map + nation names) is built once, ``ray.put`` once,
+    and read per actor — never re-shipped per batch and never shuffled; the
+    fact stream (orders) reduces to per-nation partials inside each batch
+    (np.bincount), so the only all-to-all is the 25-row nation aggregate.
+    The partitioning assumption (dim fits a worker heap) is the broadcast
+    contract; a dim beyond memory takes the bloom_semijoin / hash-partition
+    path instead.  Oracle-gated (oracle.q_broadcast_join)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ensure_worker_importable()
+    cust = (ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                  columns=["c_custkey", "c_nationkey"])
+            .to_pandas())          # dim-sized by contract
+    nat = (ray.data.read_parquet(f"{sf_dir}/nation.parquet",
+                                 columns=["n_nationkey", "n_name"])
+           .to_pandas().sort_values("n_nationkey"))
+    ckeys = cust["c_custkey"].to_numpy()
+    order_c = np.argsort(ckeys)
+    ref = ray.put((ckeys[order_c],
+                   cust["c_nationkey"].to_numpy().astype(np.int64)[order_c]))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys, nat_of = ray.get(ref)
+        ck = batch.column("o_custkey").to_numpy()
+        cents = np.round(batch.column("o_totalprice").to_numpy() * 100.0).astype(np.int64)
+        nk = nat_of[np.searchsorted(keys, ck)]
+        n_orders = np.bincount(nk)
+        sums = np.bincount(nk, weights=cents).astype(np.int64)
+        hit = np.flatnonzero(n_orders)
+        return pa.table({"n_nationkey": pa.array(hit.astype(np.int64)),
+                         "n_orders": pa.array(n_orders[hit].astype(np.int64)),
+                         "sum_cents": pa.array(sums[hit])})
+
+    agg = (ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                 columns=["o_custkey", "o_totalprice"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("n_nationkey")
+           .aggregate(Sum("n_orders", alias_name="n_orders"),
+                      Sum("sum_cents", alias_name="sum_cents"))
+           .to_pandas())           # 25 rows
+    names = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    agg["n_name"] = agg["n_nationkey"].map(names)
+    agg = agg.sort_values("n_name")
+    return pa.table({"n_name": pa.array(agg["n_name"], pa.string()),
+                     "n_orders": pa.array(agg["n_orders"].to_numpy(), pa.int64()),
+                     "sum_cents": pa.array(agg["sum_cents"].to_numpy(), pa.int64())})
+
+
+ZORDER_BBOX = (-1.0, 44.0, 3.0, 48.0)   # lon_min, lat_min, lon_max, lat_max
+ZORDER_Z = 10
+
+
+def q_zorder_range(sf_dir: str):
+    """Bbox query answered the z-order-index way: the bbox becomes a small
+    set of CONTIGUOUS MORTON RANGES at z10 (cover_bbox + run coalescing —
+    the scan unit of a morton-clustered 100 TB layout, where each range is
+    a contiguous key scan instead of a full pass), points prefilter by
+    cell-in-range and then exact-verify against the bbox.  The tile mapping
+    is monotone in lon / −lat, so covering cells are a superset of the bbox
+    — the exact verify makes the result identical to the oracle's plain
+    BETWEEN filter (oracle.q_zorder_range)."""
+    from ..geo.cells import cell_encode, cover_bbox
+
+    ensure_worker_importable()
+    lon0, lat0, lon1, lat1 = ZORDER_BBOX
+    cells = np.sort(cover_bbox(lon0, lat0, lon1, lat1, ZORDER_Z))
+    brk = np.flatnonzero(np.diff(cells) != 1)
+    los = cells[np.r_[0, brk + 1]]
+    his = cells[np.r_[brk, len(cells) - 1]]
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        lon = batch.column("lon").to_numpy()
+        lat = batch.column("lat").to_numpy()
+        cell = cell_encode(lon, lat, ZORDER_Z)
+        mask = np.zeros(len(cell), dtype=bool)
+        for lo, hi in zip(los, his):    # few coalesced ranges, vectorized
+            mask |= (cell >= lo) & (cell <= hi)
+        mask &= (lon >= lon0) & (lon <= lon1) & (lat >= lat0) & (lat <= lat1)
+        t = batch.filter(pa.array(mask))
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "lon": pa.array(np.round(t.column("lon").to_numpy(), 6)),
+            "lat": pa.array(np.round(t.column("lat").to_numpy(), 6)),
+        })
+
+    return (datagen.images_dataset(sf_dir)
+            .select_columns(["doc_id", "lon", "lat"])
+            .map_batches(prefilter, batch_format="pyarrow"))
+
+
+def q_weighted_sample(sf_dir: str):
+    """Deterministic weighted sample without replacement (sequential
+    Poisson sampling): 100 documents with the smallest md5-uniform/weight
+    priority, weight = n_chars — longer documents proportionally likelier.
+    Per-block top-k partials; the merge sorts blocks×k rows.  Oracle-gated
+    (oracle.q_weighted_sample)."""
+    import ray
+
+    from ..stages.sketch import weighted_sample
+
+    ensure_worker_importable()
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "n_chars"])
+    return weighted_sample(ds, weight_col="n_chars", hash_col="text",
+                           id_col="doc_id", k=100)
 
 
 BLOOM_PRICE_MIN = 400_000.0

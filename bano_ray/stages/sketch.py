@@ -310,3 +310,32 @@ def kmv_estimate(df, k: int = 128) -> dict:
     both = np.isin(hu, ha) & np.isin(hu, hb)
     jac = float(both.sum()) / float(len(hu))
     return {"union": union, "intersection": jac * union, "jaccard": jac}
+
+
+def weighted_sample(ds, weight_col: str, hash_col: str, id_col: str,
+                    k: int = 100):
+    """Deterministic weighted sample without replacement (sequential
+    Poisson sampling, Ohlsson 1998): priority q = u / w with
+    u = md5(hash_col)/2^64 ∈ (0,1), keep the k smallest (q, id).
+
+    Same scale shape as :func:`hash_sample` — every block reduces to its
+    local top-k with one lexsort, the merge sorts only blocks×k rows — but
+    inclusion probability is proportional to the weight.  Division of
+    identical IEEE doubles is bit-deterministic, so the selected set is
+    exactly SQL-replicable (oracle.q_weighted_sample)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy().astype(np.int64)
+        w = batch.column(weight_col).to_numpy().astype(np.float64)
+        u = _hash_column_u64(batch.column(hash_col)).astype(np.float64) / 2.0**64
+        q = u / w
+        order = np.lexsort((ids, q))[:k]
+        return pa.table({id_col: pa.array(ids[order]),
+                         weight_col: pa.array(batch.column(weight_col)
+                                              .to_numpy()[order]),
+                         "priority": pa.array(np.round(q[order], 9)),
+                         "_q": pa.array(q[order])})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .sort(["_q", id_col]).limit(k))
+    return out.drop_columns(["_q"])

@@ -120,3 +120,148 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
         out[i] = acc % FP_MOD
     return pa.table({"doc_id": batch.column("doc_id"),
                      "fingerprint": pa.array(out)})
+
+
+def _explode_terms(batch: pa.Table):
+    """text batch → (doc_rep, term) flat arrays via a single-space split —
+    exactly DuckDB's ``string_split(text, ' ')`` (empty strings from
+    consecutive spaces are KEPT on both sides)."""
+    parts = pc.split_pattern(batch.column("text"), " ")
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    lengths = pc.list_value_length(parts).to_numpy()
+    doc_rep = np.repeat(batch.column("doc_id").to_numpy(), lengths)
+    return doc_rep, parts.values
+
+
+def tfidf_df_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch document-frequency partials: one (term, df) row per term
+    per batch (each document's text lives whole in one row, so per-doc
+    term dedup is batch-local and the partials sum to the true df)."""
+    import pandas as pd
+
+    doc_rep, terms = _explode_terms(batch)
+    d = pd.DataFrame({"doc": doc_rep, "term": terms.to_pandas()})
+    df = (d.drop_duplicates().groupby("term", sort=False).size()
+          .reset_index(name="df"))
+    return pa.table({"term": pa.array(df["term"], pa.string()),
+                     "df": pa.array(df["df"].to_numpy(), pa.int64())})
+
+
+class TfIdfTopK:
+    """Actor-pool stage: per-document top-k TF-IDF terms against a
+    BROADCAST document-frequency table (``ray.put`` once, read per actor in
+    ``__init__`` — never re-shipped per batch).
+
+    score = tf · ln(N / df); ties at the same score cut by term ascending
+    (deterministic, mirrored in oracle.q_tfidf's ROW_NUMBER ordering).
+    """
+
+    def __init__(self, df_ref, n_docs: int, k: int = 3):
+        import ray
+
+        df_tbl = ray.get(df_ref) if not isinstance(df_ref, dict) else df_ref
+        self.df = df_tbl          # dict term -> df
+        self.n = float(n_docs)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        doc_rep, terms = _explode_terms(batch)
+        d = pd.DataFrame({"doc_id": doc_rep, "term": terms.to_pandas()})
+        tf = d.groupby(["doc_id", "term"], sort=False).size().reset_index(name="tf")
+        dfv = tf["term"].map(self.df).to_numpy(dtype=np.float64)
+        score = tf["tf"].to_numpy() * np.log(self.n / dfv)
+        tf["score"] = score
+        tf = tf.sort_values(["doc_id", "score", "term"],
+                            ascending=[True, False, True], kind="stable")
+        tf["rn"] = tf.groupby("doc_id", sort=False).cumcount() + 1
+        top = tf[tf["rn"] <= self.k]
+        return pa.table({
+            "doc_id": pa.array(top["doc_id"].to_numpy(), pa.int64()),
+            "term": pa.array(top["term"], pa.string()),
+            "score": pa.array(np.round(top["score"].to_numpy(), 6)),
+            "rn": pa.array(top["rn"].to_numpy(), pa.int64()),
+        })
+
+
+def tfidf_topk(ds, n_docs: int, k: int = 3, concurrency: int | None = None):
+    """documents Dataset → per-doc top-k TF-IDF terms.
+
+    Two passes, no all-to-all on the row stream: (1) per-batch df partials
+    → one vocabulary-sized groupby sum → the df table is DRIVER-SIZED
+    (vocabulary, not corpus) and broadcast via ``ray.put``; (2) a second
+    streaming pass over documents scores and cuts top-k per doc entirely
+    batch-locally (a document is atomic in its row).  At 100 TB the only
+    shuffle is the vocabulary aggregate; if the open vocabulary outgrew
+    the driver, the broadcast becomes a hash-join against the df Dataset
+    on term — same pass structure.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    if concurrency is None:
+        # leave CPU headroom for the upstream read tasks — a FIXED pool
+        # equal to the whole cluster deadlocks the pipeline (the read task
+        # can never get a CPU; observed as a hang on the 4-CPU test session)
+        cpus = (int(ray.cluster_resources().get("CPU", 8))
+                if ray.is_initialized() else 8)
+        concurrency = max(1, min(8, cpus - 1))
+
+    df_tbl = (ds.map_batches(tfidf_df_partial, batch_format="pyarrow")
+              .groupby("term").aggregate(Sum("df", alias_name="df"))
+              .to_pandas())
+    df_ref = ray.put(dict(zip(df_tbl["term"], df_tbl["df"].astype(float))))
+    return ds.map_batches(TfIdfTopK, batch_format="pyarrow",
+                          concurrency=concurrency,
+                          fn_constructor_kwargs={"df_ref": df_ref,
+                                                 "n_docs": n_docs, "k": k})
+
+
+def term_postings_topk(ds, k: int = 3):
+    """Truncated inverted index: per TERM, the k highest-tf postings
+    (term, doc_id, tf, rn) — the index-head build a retrieval pipeline
+    runs over its corpus.
+
+    Combiner shape: a (term, doc) tf count is FINAL inside one batch (a
+    document is atomic in its row), and any global top-k posting must be in
+    its batch's per-term top-k, so each batch pre-cuts to ≤ terms_in_batch×k
+    candidate rows before the shuffle.  Terms then co-locate on a coarse
+    md5 shard (vocabulary can be millions at 100 TB — one Ray group per
+    term would pay ~0.3 ms dispatch per term) and the final per-term top-k
+    resolves with one pandas sort per shard.
+    """
+    import pandas as pd
+
+    from .dedup import _coarse_groups
+    from .sketch import _hash_column_u64
+
+    C = _coarse_groups()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        doc_rep, terms = _explode_terms(batch)
+        d = pd.DataFrame({"doc_id": doc_rep, "term": terms.to_pandas()})
+        tf = (d.groupby(["term", "doc_id"], sort=False).size()
+              .reset_index(name="tf"))
+        tf = tf.sort_values(["term", "tf", "doc_id"],
+                            ascending=[True, False, True], kind="stable")
+        top = tf[tf.groupby("term", sort=False).cumcount() < k]
+        t = pa.array(top["term"], pa.string())
+        return pa.table({
+            "term": t,
+            "doc_id": pa.array(top["doc_id"].to_numpy(), pa.int64()),
+            "tf": pa.array(top["tf"].to_numpy(), pa.int64()),
+            "_shard": pa.array((_hash_column_u64(t)
+                                % np.uint64(C)).astype(np.int64)),
+        })
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["term", "tf", "doc_id"],
+                            ascending=[True, False, True], kind="mergesort")
+        df["rn"] = df.groupby("term", sort=False).cumcount() + 1
+        out = df[df["rn"] <= k]
+        return out[["term", "doc_id", "tf", "rn"]]
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("_shard").map_groups(final, batch_format="pandas"))

@@ -68,7 +68,9 @@ def run_benchmarks() -> dict:
                                             q_hll_registers,
                                             q_jaccard_neardup,
                                             q_lineitem_pricing, q_quantiles,
-                                            q_sessionize)
+                                            q_sessionize, q_tfidf,
+                                            q_term_postings, q_window_funcs,
+                                            q_broadcast_join)
     from bano_ray.runtime import ensure_worker_importable
     from bano_ray.stages.export import street_json_zone  # noqa: F401
     ensure_worker_importable()
@@ -106,7 +108,17 @@ def run_benchmarks() -> dict:
         "bloom_semijoin": lambda: q_bloom_semijoin(SF_DIR).count(),
         "quantiles": lambda: len(q_quantiles(SF_DIR)),
         "distance_selfjoin": lambda: q_distance_selfjoin(SF_DIR).count(),
+        "tfidf": lambda: q_tfidf(SF_DIR).num_rows,
+        "term_postings": lambda: q_term_postings(SF_DIR).count(),
+        "window_funcs": lambda: q_window_funcs(SF_DIR).count(),
+        "broadcast_join": lambda: q_broadcast_join(SF_DIR).num_rows,
     }
+    # phash near-dup at bench scale (expanded image corpus; banding explodes
+    # the stream 4x, so run at a bounded expansion like the image stage)
+    from bano_ray.stages.dedup import phash_neardup
+    others["phash_neardup"] = lambda: phash_neardup(
+        datagen.images_dataset(SF_DIR, expand=max(1, EXPAND // 8))
+        .select_columns(["doc_id", "phash"]), k=3).count()
     for name, fn in others.items():
         t0 = time.time()
         fn()

@@ -111,7 +111,10 @@ ORACLE_SUBSET = ["q_zone_counts", "q_cumul_adresses", "q_cumul_voies",
                  "q_quantiles", "q_hll_by_group", "q_cms_counters",
                  "q_sample_per_group", "q_distance_selfjoin",
                  "q_heavy_hitters", "q_topk_per_group", "q_group_quantiles",
-                 "q_dup_clusters", "q_kmv_overlap"]
+                 "q_dup_clusters", "q_kmv_overlap",
+                 "q_tfidf", "q_term_postings", "q_window_funcs", "q_rollup",
+                 "q_weighted_sample", "q_zorder_range", "q_broadcast_join",
+                 "q_distinct_per_group"]
 
 
 def test_oracle_parity_subset(ray_session, sf):
@@ -119,7 +122,8 @@ def test_oracle_parity_subset(ray_session, sf):
 
     qs, osql = e.queries(), e.oracle_sql()
     con = duckdb.connect()
-    for t in ["documents", "events", "lineitem", "embeddings", "orders", "customer"]:
+    for t in ["documents", "events", "lineitem", "embeddings", "orders",
+              "customer", "nation"]:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
     for name in ORACLE_SUBSET:
         res = qs[name](sf)
