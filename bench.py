@@ -108,7 +108,7 @@ def run_benchmarks() -> dict:
         "bloom_semijoin": lambda: q_bloom_semijoin(SF_DIR).count(),
         "quantiles": lambda: len(q_quantiles(SF_DIR)),
         "distance_selfjoin": lambda: q_distance_selfjoin(SF_DIR).count(),
-        "tfidf": lambda: q_tfidf(SF_DIR).num_rows,
+        "tfidf": lambda: q_tfidf(SF_DIR).count(),
         "term_postings": lambda: q_term_postings(SF_DIR).count(),
         "window_funcs": lambda: q_window_funcs(SF_DIR).count(),
         "broadcast_join": lambda: q_broadcast_join(SF_DIR).num_rows,
