@@ -50,6 +50,7 @@ _ORACLE_QUERIES = [
     "q_quality",             # text: quality scoring
     "q_fingerprint",         # text: rolling-hash fingerprint
     "q_tfidf",               # text: per-doc top-3 TF-IDF terms (broadcast df)
+    "q_pii_redact",          # text: PII scan + redaction (RE2 both sides)
     "q_term_postings",       # text: truncated inverted index (top-3 postings)
     "q_dedup_exact_docs",    # dedup: exact content hash
     "q_events_hourly",       # streaming-style windowed aggregate
@@ -66,6 +67,8 @@ _ORACLE_QUERIES = [
     "q_kmv_overlap",         # KMV set-overlap sketch (k-min distinct hashes)
     "q_distance_selfjoin",   # spatial distance self-join (grid buckets)
     "q_heavy_hitters",       # exact top-k by count (combiner shape)
+    "q_group_moments",       # mergeable exact moments (count/Σ/Σ² partials)
+    "q_delta_upsert",        # LSM-style last-wins snapshot compaction
     "q_rollup",              # multi-level ROLLUP aggregate from finest level
     "q_dup_clusters",        # iterative: connected components over dup pairs
     "q_topk_per_group",      # windowed top-k per group

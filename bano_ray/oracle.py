@@ -1945,3 +1945,53 @@ fin AS (
 )
 SELECT query_id, vec_id, sim, rank FROM fin WHERE rank <= {ANN_K}
 ORDER BY query_id, rank"""
+
+
+def q_pii_redact() -> str:
+    """PII scan/redaction (queries.q_pii_redact): the SAME RE2 literals and
+    the same every-third-doc plant, as pure SQL."""
+    from .stages.text import EMAIL_RE, PHONE_RE, PII_PLANT_SUFFIX
+
+    return f"""WITH aug AS (
+  SELECT doc_id, text || CASE WHEN doc_id % 3 = 0
+    THEN ' contact user' || CAST(doc_id AS VARCHAR) || '{PII_PLANT_SUFFIX}'
+    ELSE '' END AS text
+  FROM documents),
+r1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+         regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g') AS red1
+  FROM aug)
+SELECT doc_id, n_emails,
+       CAST(len(regexp_extract_all(red1, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+       CAST(length(regexp_replace(red1, '{PHONE_RE}', '<PHONE>', 'g')) AS BIGINT)
+         AS red_len
+FROM r1 ORDER BY doc_id"""
+
+
+def q_group_moments() -> str:
+    """Mergeable per-group moments (queries.q_group_moments): exact integer
+    count / Σcents / Σcents² per event_type."""
+    return """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)
+                * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sumsq_cents
+FROM events GROUP BY 1 ORDER BY 1"""
+
+
+def q_delta_upsert() -> str:
+    """Delta-upsert (queries.q_delta_upsert): last-wins per key over the
+    base ∪ repriced-delta union, as a ROW_NUMBER window."""
+    return """WITH u AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         CAST(0 AS BIGINT) AS src
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) + 1111,
+         CAST(1 AS BIGINT)
+  FROM orders WHERE o_orderkey % 7 = 0
+)
+SELECT o_orderkey, cents, src FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                               ORDER BY src DESC) AS rn
+  FROM u) WHERE rn = 1 ORDER BY o_orderkey"""

@@ -1335,3 +1335,94 @@ def q_zone_raster(sf_dir: str):
                          "n_cells": pa.array(counts, pa.int64())})
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_pii_redact(sf_dir: str):
+    """PII scan/redaction over documents (stages/text.py pii_redact_batch):
+    plant the deterministic contact line on every third doc, then one
+    stateless vectorized RE2 pass — counts + redacted length, no shuffle.
+    Oracle-gated (oracle.q_pii_redact; same regex literals run in DuckDB)."""
+    import ray
+
+    from ..stages.text import pii_plant, pii_redact_batch
+
+    ensure_worker_importable()
+    return (ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                  columns=["doc_id", "text"])
+            .map_batches(pii_plant, batch_format="pyarrow")
+            .map_batches(pii_redact_batch, batch_format="pyarrow"))
+
+
+def q_group_moments(sf_dir: str):
+    """Per-event_type mergeable moments (count, Σcents, Σcents²) — the
+    combiner shape for distributed mean/variance: per-block bincount
+    partials over dictionary codes, one key-table-sized groupby sum.  All
+    integer (exact under any distribution order; Σcents² headroom to
+    ~2.9e9 rows/group at max |value| 560.21 before int64 overflow — the
+    100 TB form switches to a base-1e9 split of the same partials).
+    Oracle-gated (oracle.q_group_moments)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ensure_worker_importable()
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = pc.dictionary_encode(batch.column("event_type"))
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        codes = g.indices.to_numpy().astype(np.int64)
+        cents = np.round(batch.column("value").to_numpy() * 100.0).astype(np.int64)
+        nbins = len(g.dictionary)
+        n = np.bincount(codes, minlength=nbins)
+        s = np.bincount(codes, weights=cents.astype(np.float64),
+                        minlength=nbins).astype(np.int64)
+        s2 = np.bincount(codes, weights=(cents * cents).astype(np.float64),
+                         minlength=nbins).astype(np.int64)
+        return pa.table({"event_type": g.dictionary,
+                         "n": pa.array(n.astype(np.int64)),
+                         "sum_cents": pa.array(s),
+                         "sumsq_cents": pa.array(s2)})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("sum_cents", alias_name="sum_cents"),
+                       Sum("sumsq_cents", alias_name="sumsq_cents")))
+
+
+def q_delta_upsert(sf_dir: str):
+    """Snapshot delta-upsert (stages/upsert.py): base = orders as cents
+    (version 0), delta = every 7th order repriced +1111 cents (version 1);
+    last-wins per o_orderkey via map-side pre-reduce + one coarse-shard
+    resolve.  Oracle-gated (oracle.q_delta_upsert = ROW_NUMBER over the
+    same union)."""
+    import ray
+
+    from ..stages.upsert import upsert_latest
+
+    ensure_worker_importable()
+
+    def base_tag(batch: pa.Table) -> pa.Table:
+        cents = np.round(batch.column("o_totalprice").to_numpy() * 100.0).astype(np.int64)
+        n = len(cents)
+        return pa.table({"o_orderkey": batch.column("o_orderkey"),
+                         "cents": pa.array(cents),
+                         "src": pa.array(np.zeros(n, dtype=np.int64))})
+
+    def delta_tag(batch: pa.Table) -> pa.Table:
+        keys = batch.column("o_orderkey").to_numpy()
+        keep = keys % 7 == 0
+        cents = np.round(batch.column("o_totalprice").to_numpy() * 100.0).astype(np.int64)
+        return pa.table({"o_orderkey": pa.array(keys[keep]),
+                         "cents": pa.array(cents[keep] + 1111),
+                         "src": pa.array(np.ones(int(keep.sum()), dtype=np.int64))})
+
+    cols = ["o_orderkey", "o_totalprice"]
+    base = (ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=cols)
+            .map_batches(base_tag, batch_format="pyarrow"))
+    delta = (ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=cols)
+             .map_batches(delta_tag, batch_format="pyarrow"))
+    return upsert_latest(base.union(delta), key="o_orderkey",
+                         version="src", payload=["cents"])

@@ -265,3 +265,51 @@ def term_postings_topk(ds, k: int = 3):
 
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby("_shard").map_groups(final, batch_format="pandas"))
+
+
+# --- PII scan / redaction -------------------------------------------------
+#
+# Training-data pipelines scrub PII before anything else touches the text.
+# Both patterns are RE2-safe (no backrefs / lookaround) so the SAME literal
+# runs in pyarrow's count_substring_regex / replace_substring_regex and in
+# DuckDB's regexp_extract_all / regexp_replace(..., 'g') — the counts and
+# the redacted length are value-replicable in SQL (oracle.q_pii_redact).
+#
+# The synthetic corpus contains no organic PII, so the query layer PLANTS a
+# deterministic contact line on every third document (same closed-form
+# plant on the oracle side — the planted-twin convention of
+# q_embedding_neardup).
+EMAIL_RE = r"[a-z0-9._%+\-]+@[a-z0-9.\-]+\.[a-z][a-z]+"
+PHONE_RE = r"\+[0-9][0-9]? [0-9]{6,12}"
+PII_PLANT_SUFFIX = "@example.com tel +33 612345678"
+
+
+def pii_plant(batch: pa.Table) -> pa.Table:
+    """Append the deterministic contact line to every third document:
+    ``text || ' contact user<doc_id>' || PII_PLANT_SUFFIX`` when
+    ``doc_id % 3 == 0``, else the text unchanged."""
+    did = batch.column("doc_id").to_numpy()
+    ids = pc.cast(batch.column("doc_id"), pa.string())
+    suffix = pc.binary_join_element_wise(
+        pa.scalar(" contact user"), ids, pa.scalar(PII_PLANT_SUFFIX), "")
+    mask = pa.array(did % 3 == 0)
+    aug = pc.binary_join_element_wise(
+        batch.column("text"), pc.if_else(mask, suffix, ""), "")
+    return pa.table({"doc_id": batch.column("doc_id"), "text": aug})
+
+
+def pii_redact_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) → (doc_id, n_emails, n_phones, red_len): match counts
+    plus the length after replacing emails with ``<EMAIL>`` then phones with
+    ``<PHONE>`` — a stateless vectorized map, no shuffle anywhere."""
+    text = batch.column("text")
+    n_email = pc.cast(pc.count_substring_regex(text, EMAIL_RE), pa.int64())
+    red = pc.replace_substring_regex(text, EMAIL_RE, "<EMAIL>")
+    n_phone = pc.cast(pc.count_substring_regex(red, PHONE_RE), pa.int64())
+    red = pc.replace_substring_regex(red, PHONE_RE, "<PHONE>")
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_emails": n_email,
+        "n_phones": n_phone,
+        "red_len": pc.cast(pc.utf8_length(red), pa.int64()),
+    })

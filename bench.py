@@ -63,11 +63,14 @@ def run_benchmarks() -> dict:
     from bano_ray.pipelines.queries import (q_ann_topk, q_audio_features,
                                             q_bloom_semijoin,
                                             q_dedup_exact_docs,
+                                            q_delta_upsert,
                                             q_distance_selfjoin,
                                             q_events_hourly,
+                                            q_group_moments,
                                             q_hll_registers,
                                             q_jaccard_neardup,
-                                            q_lineitem_pricing, q_quantiles,
+                                            q_lineitem_pricing,
+                                            q_pii_redact, q_quantiles,
                                             q_sessionize, q_tfidf,
                                             q_term_postings, q_window_funcs,
                                             q_broadcast_join)
@@ -112,6 +115,9 @@ def run_benchmarks() -> dict:
         "term_postings": lambda: q_term_postings(SF_DIR).count(),
         "window_funcs": lambda: q_window_funcs(SF_DIR).count(),
         "broadcast_join": lambda: q_broadcast_join(SF_DIR).num_rows,
+        "pii_redact": lambda: q_pii_redact(SF_DIR).count(),
+        "group_moments": lambda: q_group_moments(SF_DIR).count(),
+        "delta_upsert": lambda: q_delta_upsert(SF_DIR).count(),
     }
     # phash near-dup at bench scale (expanded image corpus; banding explodes
     # the stream 4x, so run at a bounded expansion like the image stage)
