@@ -51,6 +51,8 @@ _ORACLE_QUERIES = [
     "q_fingerprint",         # text: rolling-hash fingerprint
     "q_tfidf",               # text: per-doc top-3 TF-IDF terms (broadcast df)
     "q_pii_redact",          # text: PII scan + redaction (RE2 both sides)
+    "q_repetition",          # text: Gopher-style repetition quality signals
+    "q_decontaminate",       # text: benchmark n-gram decontamination
     "q_term_postings",       # text: truncated inverted index (top-3 postings)
     "q_dedup_exact_docs",    # dedup: exact content hash
     "q_events_hourly",       # streaming-style windowed aggregate
@@ -76,6 +78,7 @@ _ORACLE_QUERIES = [
     "q_sample_per_group",    # deterministic stratified per-group sample
     "q_bloom_semijoin",      # Bloom-prefiltered exact semi-join
     "q_broadcast_join",      # explicit broadcast fact-to-dim join
+    "q_salted_join",         # skew-proof salted repartition join
     "q_quantiles",           # exact quantiles via distributed selection
     "q_lineitem_pricing",    # relational baseline (TPC-H Q1 shape)
     "q_ann_topk",            # similarity search: brute cosine top-k

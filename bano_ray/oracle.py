@@ -1995,3 +1995,60 @@ SELECT o_orderkey, cents, src FROM (
   SELECT *, row_number() OVER (PARTITION BY o_orderkey
                                ORDER BY src DESC) AS rn
   FROM u) WHERE rn = 1 ORDER BY o_orderkey"""
+
+
+def q_repetition() -> str:
+    """Repetition signals (queries.q_repetition): single-space split (the
+    TF-IDF convention — empties kept), per-(doc, token) counts."""
+    return """WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), pt AS (
+  SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2
+), agg AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         MAX(c) AS top_c
+  FROM pt GROUP BY 1
+)
+SELECT doc_id, n_tokens, n_distinct,
+       round(CAST(top_c AS DOUBLE) / n_tokens, 6) AS top_frac,
+       round(1.0 - CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS dup_frac
+FROM agg ORDER BY doc_id"""
+
+
+def q_decontaminate() -> str:
+    """Decontamination (queries.q_decontaminate): benchmark = the 1/97
+    doc_id slice's first-DECON_N-token n-gram; hits = substring containment
+    (duplicated benchmark n-grams count once each, like the engine's
+    per-n-gram probe loop)."""
+    from .stages.text import DECON_MOD, DECON_N
+
+    return f"""WITH bench AS (
+  SELECT array_to_string(
+           (string_split(text, ' '))[1:{DECON_N}], ' ') AS ng
+  FROM documents
+  WHERE doc_id % {DECON_MOD} = 0
+    AND len(string_split(text, ' ')) >= {DECON_N}
+),
+hits AS (
+  SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM documents d JOIN bench b ON contains(d.text, b.ng)
+  GROUP BY 1
+)
+SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+       COALESCE(h.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id) ORDER BY doc_id"""
+
+
+def q_salted_join() -> str:
+    """Salted skew join (queries.q_salted_join): the plain inner join the
+    salted repartition reproduces."""
+    return """WITH f AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 10 < 7 THEN 1 ELSE o_custkey END AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT f.o_orderkey, f.k, f.cents, c.c_nationkey
+FROM f JOIN customer c ON c.c_custkey = f.k
+ORDER BY f.o_orderkey"""

@@ -1426,3 +1426,73 @@ def q_delta_upsert(sf_dir: str):
              .map_batches(delta_tag, batch_format="pyarrow"))
     return upsert_latest(base.union(delta), key="o_orderkey",
                          version="src", payload=["cents"])
+
+
+def q_repetition(sf_dir: str):
+    """Gopher-style repetition quality signals (stages/text.repetition_batch):
+    per-doc token count, distinct tokens, top-token fraction, duplicate
+    fraction — all batch-local, never shuffles.  Oracle-gated
+    (oracle.q_repetition = unnest + per-(doc,tok) groupby)."""
+    import ray
+
+    from ..stages.text import repetition_batch
+
+    ensure_worker_importable()
+    return (ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                  columns=["doc_id", "text"])
+            .map_batches(repetition_batch, batch_format="pyarrow"))
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark n-gram decontamination (stages/text.decontaminate): the
+    1/97 doc_id slice plays the benchmark suite; its first-3-token n-grams
+    are collected (benchmark-sized, never corpus-sized), broadcast via
+    ray.put, and probed per batch with vectorized match_substring.
+    Oracle-gated (oracle.q_decontaminate = contains() join)."""
+    import ray
+
+    from ..stages.text import DECON_MOD, decontaminate
+
+    ensure_worker_importable()
+
+    def bench_filter(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id").to_numpy()
+        return batch.filter(pa.array(did % DECON_MOD == 0))
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    bench = docs.map_batches(bench_filter, batch_format="pyarrow")
+    return decontaminate(docs, bench)
+
+
+def q_salted_join(sf_dir: str):
+    """Skew-proof shuffle join (stages/join.salted_repartition_join): the
+    fact side is orders with an ARTIFICIALLY hot join key (70% of rows on
+    key 1 — `o_orderkey % 10 < 7`), joined per-row to customer.  Salting
+    by the fact's unique id spreads the hot key over 16 shards; the dim
+    side replicates 16× (bounded).  Oracle-gated (oracle.q_salted_join =
+    the plain SQL inner join)."""
+    import ray
+
+    from ..stages.join import salted_repartition_join
+
+    ensure_worker_importable()
+
+    def fact_prep(batch: pa.Table) -> pa.Table:
+        ok = batch.column("o_orderkey").to_numpy()
+        ck = batch.column("o_custkey").to_numpy()
+        k = np.where(ok % 10 < 7, 1, ck).astype(np.int64)
+        cents = np.round(batch.column("o_totalprice").to_numpy() * 100.0
+                         ).astype(np.int64)
+        return pa.table({"o_orderkey": batch.column("o_orderkey"),
+                         "k": pa.array(k), "cents": pa.array(cents)})
+
+    fact = (ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+        .map_batches(fact_prep, batch_format="pyarrow"))
+    dim = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                columns=["c_custkey", "c_nationkey"])
+    return salted_repartition_join(fact, dim, key="k", dim_key="c_custkey",
+                                   salt_from="o_orderkey",
+                                   dim_cols=["c_nationkey"], n_salt=16)

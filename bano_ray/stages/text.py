@@ -313,3 +313,114 @@ def pii_redact_batch(batch: pa.Table) -> pa.Table:
         "n_phones": n_phone,
         "red_len": pc.cast(pc.utf8_length(red), pa.int64()),
     })
+
+
+# --- Gopher-style repetition signals --------------------------------------
+#
+# Published quality-filter stacks (Gopher / RefinedWeb rules) drop documents
+# dominated by repeated content.  Per document: token count, distinct-token
+# count, top-token fraction (most frequent token / tokens) and duplicate
+# fraction (1 - distinct/tokens).  Tokenization is the single-space split
+# shared with the TF-IDF family (`_explode_terms` == DuckDB
+# ``string_split(text, ' ')``), so the whole op is value-replicable in SQL
+# (oracle.q_repetition).  Entirely batch-local — a document is atomic in
+# its row — so the op never shuffles at any scale.
+def repetition_batch(batch: pa.Table) -> pa.Table:
+    parts = pc.split_pattern(batch.column("text"), " ")
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    lengths = pc.list_value_length(parts).to_numpy().astype(np.int64)
+    n = len(batch)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    enc = pc.dictionary_encode(parts.values)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = enc.indices.to_numpy().astype(np.int64)
+    vocab = max(1, len(enc.dictionary))
+    pair = doc_idx * vocab + codes
+    uniq, counts = np.unique(pair, return_counts=True)
+    doc_of = uniq // vocab
+    n_distinct = np.bincount(doc_of, minlength=n)
+    top = np.zeros(n, dtype=np.int64)
+    np.maximum.at(top, doc_of, counts)
+    denom = np.maximum(lengths, 1).astype(np.float64)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_tokens": pa.array(lengths),
+        "n_distinct": pa.array(n_distinct.astype(np.int64)),
+        "top_frac": pa.array(np.round(top / denom, 6)),
+        "dup_frac": pa.array(np.round(1.0 - n_distinct / denom, 6)),
+    })
+
+
+# --- benchmark decontamination --------------------------------------------
+#
+# Training corpora are scrubbed of benchmark text by n-gram overlap (the
+# GPT-3 / Llama decontamination recipe uses 8-13-gram collisions).  The
+# synthetic corpus draws from a ~40-word vocabulary, so DECON_N = 3 keeps
+# cross-document collisions non-degenerate at test scale; the operator is
+# n-agnostic.  The benchmark side here is the deterministic 1/97 slice of
+# the corpus (its first-DECON_N-token n-gram), standing in for an external
+# benchmark suite.
+#
+# Scale shape: the benchmark n-gram set is BENCHMARK-sized (thousands of
+# rows for real eval suites), never corpus-sized — it is collected once,
+# broadcast via ``ray.put`` and read per actor in ``__init__``.  The scan
+# is a per-batch vectorized ``match_substring`` per n-gram (RE2-free exact
+# find).  If the benchmark outgrew per-actor memory the probe becomes a
+# Bloom filter over document shingles (stages/bloom.py) — same pass
+# structure, same output.
+DECON_N = 3
+DECON_MOD = 97
+
+
+def decon_ngram_batch(batch: pa.Table) -> pa.Table:
+    """Benchmark rows → their first-DECON_N-token n-gram (rows with fewer
+    tokens contribute nothing)."""
+    parts = pc.split_pattern(batch.column("text"), " ")
+    keep = pc.greater_equal(pc.list_value_length(parts), DECON_N)
+    ng = pc.binary_join(pc.list_slice(parts, 0, DECON_N), " ")
+    return pa.table({"ng": pc.filter(ng, keep)})
+
+
+class Decontaminate:
+    """Actor-pool stage: count benchmark n-gram hits per document against
+    the broadcast n-gram list (``ray.put`` once, resolved per actor)."""
+
+    def __init__(self, ng_ref):
+        import ray
+
+        self.ngrams = (ray.get(ng_ref)
+                       if not isinstance(ng_ref, list) else ng_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        hits = np.zeros(len(batch), dtype=np.int64)
+        for ng in self.ngrams:
+            m = pc.match_substring(text, ng)
+            hits += m.to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_hits": pa.array(hits),
+            "contaminated": pa.array(hits > 0),
+        })
+
+
+def decontaminate(ds, bench_ds, concurrency: int | None = None):
+    """documents Dataset × benchmark Dataset → per-doc hit counts.
+
+    ``bench_ds`` rows are reduced to their n-grams and collected — bounded
+    by the benchmark size, not the corpus (see module comment)."""
+    import ray
+
+    if concurrency is None:
+        cpus = (int(ray.cluster_resources().get("CPU", 8))
+                if ray.is_initialized() else 8)
+        concurrency = max(1, min(8, cpus - 1))
+    ngrams = [r["ng"] for r in
+              bench_ds.map_batches(decon_ngram_batch,
+                                   batch_format="pyarrow").take_all()]
+    ref = ray.put(sorted(ngrams))
+    return ds.map_batches(Decontaminate, batch_format="pyarrow",
+                          concurrency=concurrency,
+                          fn_constructor_kwargs={"ng_ref": ref})

@@ -71,6 +71,7 @@ def run_benchmarks() -> dict:
                                             q_jaccard_neardup,
                                             q_lineitem_pricing,
                                             q_pii_redact, q_quantiles,
+                                            q_repetition, q_salted_join,
                                             q_sessionize, q_tfidf,
                                             q_term_postings, q_window_funcs,
                                             q_broadcast_join)
@@ -116,6 +117,8 @@ def run_benchmarks() -> dict:
         "window_funcs": lambda: q_window_funcs(SF_DIR).count(),
         "broadcast_join": lambda: q_broadcast_join(SF_DIR).num_rows,
         "pii_redact": lambda: q_pii_redact(SF_DIR).count(),
+        "repetition": lambda: q_repetition(SF_DIR).count(),
+        "salted_join": lambda: q_salted_join(SF_DIR).count(),
         "group_moments": lambda: q_group_moments(SF_DIR).count(),
         "delta_upsert": lambda: q_delta_upsert(SF_DIR).count(),
     }

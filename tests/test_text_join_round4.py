@@ -1,0 +1,107 @@
+"""Behavior tests: repetition signals, decontamination probe, salted join."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from bano_ray.stages.text import (DECON_N, Decontaminate, decon_ngram_batch,
+                                  repetition_batch)
+
+
+class TestRepetition:
+    def test_hand_cases(self):
+        batch = pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["a a a a", "a b c d", "x"]),
+        })
+        out = repetition_batch(batch).to_pandas()
+        assert out["n_tokens"].tolist() == [4, 4, 1]
+        assert out["n_distinct"].tolist() == [1, 4, 1]
+        assert out["top_frac"].tolist() == [1.0, 0.25, 1.0]
+        assert out["dup_frac"].tolist() == [0.75, 0.0, 0.0]
+
+    def test_matches_python_reference(self):
+        rng = np.random.default_rng(7)
+        vocab = ["w%d" % i for i in range(9)]
+        texts = [" ".join(rng.choice(vocab, rng.integers(1, 30)))
+                 for _ in range(200)]
+        batch = pa.table({"doc_id": pa.array(range(200), pa.int64()),
+                          "text": pa.array(texts)})
+        out = repetition_batch(batch).to_pandas()
+        for i, t in enumerate(texts):
+            toks = t.split(" ")
+            from collections import Counter
+            c = Counter(toks)
+            assert out["n_tokens"][i] == len(toks)
+            assert out["n_distinct"][i] == len(c)
+            assert out["top_frac"][i] == pytest.approx(
+                round(max(c.values()) / len(toks), 6))
+
+    def test_empty_string_counts_one_empty_token(self):
+        # DuckDB string_split('', ' ') = [''] — mirrored here
+        batch = pa.table({"doc_id": pa.array([1], pa.int64()),
+                          "text": pa.array([""])})
+        out = repetition_batch(batch).to_pandas()
+        assert out["n_tokens"][0] == 1 and out["n_distinct"][0] == 1
+
+
+class TestDecontaminate:
+    def test_ngram_extract(self):
+        batch = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                          "text": pa.array(["a b c d e", "x y"])})
+        ngs = decon_ngram_batch(batch).column("ng").to_pylist()
+        # second doc has < DECON_N tokens -> contributes nothing
+        assert ngs == ["a b c"] and DECON_N == 3
+
+    def test_probe_counts_duplicate_ngrams(self):
+        probe = Decontaminate(["b c", "b c", "zz"])
+        batch = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                          "text": pa.array(["a b c d", "nothing here"])})
+        out = probe(batch).to_pandas()
+        assert out["n_hits"].tolist() == [2, 0]
+        assert out["contaminated"].tolist() == [True, False]
+
+
+class TestSaltedJoin:
+    def test_matches_pandas_merge_with_hot_key(self, ray_session):
+        import ray
+
+        from bano_ray.stages.join import salted_repartition_join
+
+        rng = np.random.default_rng(3)
+        n = 2000
+        # 70% of fact rows on key 1 — the skew the salt must spread
+        k = np.where(rng.random(n) < 0.7, 1,
+                     rng.integers(0, 50, n)).astype(np.int64)
+        fact = pd.DataFrame({"fid": np.arange(n, dtype=np.int64),
+                             "k": k,
+                             "v": rng.integers(0, 100, n).astype(np.int64)})
+        dim = pd.DataFrame({"dk": np.arange(0, 40, dtype=np.int64),
+                            "payload": np.arange(100, 140, dtype=np.int64)})
+        got = salted_repartition_join(
+            ray.data.from_pandas([fact.iloc[:900], fact.iloc[900:]]),
+            ray.data.from_pandas(dim),
+            key="k", dim_key="dk", salt_from="fid",
+            dim_cols=["payload"], n_salt=8,
+        ).to_pandas().sort_values(["fid"]).reset_index(drop=True)
+        ref = (fact.merge(dim, left_on="k", right_on="dk")
+               [["fid", "k", "v", "payload"]]
+               .sort_values("fid").reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            got[["fid", "k", "v", "payload"]], ref, check_dtype=False)
+        # keys >= 40 were dropped (inner join)
+        assert (got["k"] < 40).all() and len(got) < n
+
+    def test_duplicate_dim_keys_multiply_like_sql(self, ray_session):
+        import ray
+
+        from bano_ray.stages.join import salted_repartition_join
+
+        fact = pd.DataFrame({"fid": [0, 1], "k": [5, 5]})
+        dim = pd.DataFrame({"dk": [5, 5], "payload": [1, 2]})
+        got = salted_repartition_join(
+            ray.data.from_pandas(fact), ray.data.from_pandas(dim),
+            key="k", dim_key="dk", salt_from="fid",
+            dim_cols=["payload"], n_salt=4).to_pandas()
+        assert len(got) == 4  # 2 fact rows x 2 dim rows
