@@ -56,8 +56,12 @@ _ORACLE_QUERIES = [
     "q_term_postings",       # text: truncated inverted index (top-3 postings)
     "q_dedup_exact_docs",    # dedup: exact content hash
     "q_events_hourly",       # streaming-style windowed aggregate
+    "q_events_sliding",      # hopping-window (2h/1h) aggregate
+    "q_pivot",               # conditional-aggregation pivot by event type
     "q_sessionize",          # gap-based session windows (combiner shape)
     "q_window_funcs",        # per-key ROW_NUMBER / LAG / running SUM windows
+    "q_window_ranks",        # per-key RANK/DENSE_RANK/PERCENT_RANK/NTILE
+    "q_bigram_lm",           # text: bigram-LM quality scoring (broadcast MLE)
     "q_asof_join",           # as-of join (latest right row per key/ts)
     "q_range_join",          # interval range join (binned, prefix-sum probes)
     "q_hll_registers",       # HyperLogLog sketch registers (mergeable partials)

@@ -2052,3 +2052,79 @@ def q_salted_join() -> str:
 SELECT f.o_orderkey, f.k, f.cents, c.c_nationkey
 FROM f JOIN customer c ON c.c_custkey = f.k
 ORDER BY f.o_orderkey"""
+
+
+def q_events_sliding() -> str:
+    """Hopping windows (queries.q_events_sliding): 2h window / 1h hop as a
+    UNION ALL of the two hour shifts."""
+    return """WITH w AS (
+  SELECT date_trunc('hour', ts) AS h,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), e AS (
+  SELECT h AS win_start, cents FROM w
+  UNION ALL
+  SELECT h - INTERVAL 1 HOUR, cents FROM w
+)
+SELECT win_start, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM e GROUP BY 1 ORDER BY 1"""
+
+
+def q_pivot() -> str:
+    """Pivot (queries.q_pivot): SUM(CASE) per pinned event type."""
+    from .pipelines.queries import EVENT_TYPES
+
+    cols = []
+    for t in EVENT_TYPES:
+        cols.append(f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 "
+                    f"END) AS BIGINT) AS {t}_n")
+        cols.append(f"CAST(SUM(CASE WHEN event_type = '{t}' THEN "
+                    f"CAST(round(value * 100) AS BIGINT) ELSE 0 END) "
+                    f"AS BIGINT) AS {t}_cents")
+    sel = ",\n       ".join(cols)
+    return f"""SELECT date_trunc('day', ts) AS day,
+       {sel}
+FROM events GROUP BY 1 ORDER BY 1"""
+
+
+def q_window_ranks() -> str:
+    """Rank windows (queries.q_window_ranks / stages.window.window_ranks)."""
+    return """WITH e AS (
+  SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id, user_id, cents,
+       CAST(RANK() OVER (PARTITION BY user_id ORDER BY cents) AS BIGINT) AS rnk,
+       CAST(DENSE_RANK() OVER (PARTITION BY user_id ORDER BY cents) AS BIGINT) AS dense_rnk,
+       round(PERCENT_RANK() OVER (PARTITION BY user_id ORDER BY cents), 6) AS pct_rank,
+       CAST(NTILE(4) OVER (PARTITION BY user_id ORDER BY cents, event_id) AS BIGINT) AS ntile4
+FROM e ORDER BY user_id, cents, event_id"""
+
+
+def q_bigram_lm() -> str:
+    """Bigram-LM scoring (queries.q_bigram_lm): the same self-consistent
+    bigram MLE — c(w1 w2) over c(w1 at LEFT positions) — in pure SQL."""
+    return """WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(len(l) - 1),
+                               i -> l[i + 1] || ' ' || l[i + 2])) AS bg
+  FROM t WHERE len(l) >= 2
+), c2 AS (
+  SELECT bg, CAST(COUNT(*) AS DOUBLE) AS c FROM bg GROUP BY 1
+), c1 AS (
+  SELECT split_part(bg, ' ', 1) AS w, CAST(COUNT(*) AS DOUBLE) AS c
+  FROM bg GROUP BY 1
+), sc AS (
+  SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         round(AVG(ln(c2.c / c1.c)), 6) AS avg_logp
+  FROM bg b
+  JOIN c2 ON b.bg = c2.bg
+  JOIN c1 ON split_part(b.bg, ' ', 1) = c1.w
+  GROUP BY 1
+)
+SELECT d.doc_id, COALESCE(s.n_bigrams, 0) AS n_bigrams,
+       COALESCE(s.avg_logp, 0.0) AS avg_logp
+FROM documents d LEFT JOIN sc s USING (doc_id) ORDER BY doc_id"""

@@ -1496,3 +1496,128 @@ def q_salted_join(sf_dir: str):
     return salted_repartition_join(fact, dim, key="k", dim_key="c_custkey",
                                    salt_from="o_orderkey",
                                    dim_cols=["c_nationkey"], n_salt=16)
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_sliding(sf_dir: str):
+    """Hopping-window aggregate (2h windows every 1h): each event lands in
+    the window starting at its hour and the one before.  Per-block partial
+    (np.unique over window ids) → one window-table-sized groupby — the
+    shuffle moves distinct windows, not events.  Exact integer cents.
+    Oracle-gated (oracle.q_events_sliding = UNION ALL of the two shifts)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ensure_worker_importable()
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "value"])
+    US_H = np.int64(3_600_000_000)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = batch.column("ts").cast(pa.int64()).to_numpy() // US_H
+        cents = np.round(batch.column("value").to_numpy() * 100.0).astype(np.int64)
+        win = np.concatenate([h, h - 1])
+        c2 = np.concatenate([cents, cents])
+        uniq, inv = np.unique(win, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        s = np.bincount(inv, weights=c2.astype(np.float64),
+                        minlength=len(uniq)).astype(np.int64)
+        return pa.table({"win_h": pa.array(uniq), "n": pa.array(n),
+                         "sum_cents": pa.array(s)})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("win_h")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("sum_cents", alias_name="sum_cents")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ts = (batch.column("win_h").to_numpy() * US_H)
+        return pa.table({
+            "win_start": pa.array(ts.astype("datetime64[us]")),
+            "n": batch.column("n"),
+            "sum_cents": batch.column("sum_cents")})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_pivot(sf_dir: str):
+    """Pivot (conditional aggregation): per-day columns <type>_n and
+    <type>_cents for the five pinned event types.  Per-block partial:
+    one flat bincount over day_code×5+type_code, reshaped — the shuffle
+    moves day-table-sized partials.  Unknown types fail loudly.
+    Oracle-gated (oracle.q_pivot = SUM(CASE ...) per type)."""
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    ensure_worker_importable()
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type", "value"])
+    US_D = np.int64(86_400_000_000)
+    k = len(EVENT_TYPES)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = batch.column("ts").cast(pa.int64()).to_numpy() // US_D
+        tcode = pd.Categorical(batch.column("event_type").to_pandas(),
+                               categories=EVENT_TYPES).codes.astype(np.int64)
+        if (tcode < 0).any():
+            raise ValueError("unknown event_type in pivot")
+        cents = np.round(batch.column("value").to_numpy() * 100.0).astype(np.int64)
+        uniq, inv = np.unique(day, return_inverse=True)
+        flat = inv * k + tcode
+        n = np.bincount(flat, minlength=len(uniq) * k).reshape(-1, k)
+        s = np.bincount(flat, weights=cents.astype(np.float64),
+                        minlength=len(uniq) * k).astype(np.int64).reshape(-1, k)
+        cols = {"day_idx": pa.array(uniq)}
+        for j, t in enumerate(EVENT_TYPES):
+            cols[f"{t}_n"] = pa.array(n[:, j].astype(np.int64))
+            cols[f"{t}_cents"] = pa.array(s[:, j])
+        return pa.table(cols)
+
+    aggs = []
+    for t in EVENT_TYPES:
+        aggs.append(Sum(f"{t}_n", alias_name=f"{t}_n"))
+        aggs.append(Sum(f"{t}_cents", alias_name=f"{t}_cents"))
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("day_idx").aggregate(*aggs))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ts = batch.column("day_idx").to_numpy() * US_D
+        out = {"day": pa.array(ts.astype("datetime64[us]"))}
+        for t in EVENT_TYPES:
+            out[f"{t}_n"] = batch.column(f"{t}_n")
+            out[f"{t}_cents"] = batch.column(f"{t}_cents")
+        return pa.table(out)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_window_ranks(sf_dir: str):
+    """Rank-family windows per user (stages/window.window_ranks): RANK /
+    DENSE_RANK / PERCENT_RANK over (user, ORDER BY cents) and NTILE(4)
+    over the tie-broken (cents, event_id) order.  Oracle-gated
+    (oracle.q_window_ranks)."""
+    import ray
+
+    from ..stages.window import window_ranks
+
+    ensure_worker_importable()
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "value"])
+    return window_ranks(ds.repartition(8), n_tiles=4)
+
+
+def q_bigram_lm(sf_dir: str):
+    """Bigram-LM quality scoring (stages/text.bigram_lm_score): corpus
+    bigram MLE broadcast via ray.put, per-doc mean log-probability in one
+    batch-local rescore pass.  Oracle-gated (oracle.q_bigram_lm)."""
+    import ray
+
+    from ..stages.text import bigram_lm_score
+
+    ensure_worker_importable()
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return bigram_lm_score(ds)

@@ -424,3 +424,98 @@ def decontaminate(ds, bench_ds, concurrency: int | None = None):
     return ds.map_batches(Decontaminate, batch_format="pyarrow",
                           concurrency=concurrency,
                           fn_constructor_kwargs={"ng_ref": ref})
+
+
+# --- bigram language-model scoring -----------------------------------------
+#
+# LM-based quality scoring (the CCNet / Llama-recipe shape: score each doc
+# by average token log-probability under a corpus LM, drop the tail).  The
+# model here is the corpus's own bigram MLE — P(w2|w1) = c(w1 w2)/c(w1·) with
+# c(w1·) counted over bigram LEFT positions, so the model is self-consistent
+# and every probability is ≤ 1.  Two passes, no all-to-all on the row stream
+# (the TF-IDF discipline): (1) per-batch bigram-count partials → one
+# vocabulary²-bounded groupby → broadcast via ray.put; (2) per-batch rescore.
+# If the bigram vocabulary outgrew the driver the broadcast becomes a
+# hash-join on the bigram key — same pass structure.
+def _explode_bigrams(batch: pa.Table):
+    """text batch → (doc_pos, w1, w2) flat arrays — consecutive token pairs
+    within a document (single-space split, the TF-IDF convention)."""
+    parts = pc.split_pattern(batch.column("text"), " ")
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    lengths = pc.list_value_length(parts).to_numpy().astype(np.int64)
+    doc_idx = np.repeat(np.arange(len(batch), dtype=np.int64), lengths)
+    flat = parts.values
+    if len(flat) < 2:
+        empty = pa.array([], pa.string())
+        return np.array([], np.int64), empty, empty
+    same = doc_idx[1:] == doc_idx[:-1]
+    keep = np.flatnonzero(same)
+    w1 = flat.take(pa.array(keep))
+    w2 = flat.take(pa.array(keep + 1))
+    return doc_idx[keep], w1, w2
+
+
+def bigram_count_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch (bigram, count) partials."""
+    import pandas as pd
+
+    _, w1, w2 = _explode_bigrams(batch)
+    bg = pc.binary_join_element_wise(w1, w2, " ")
+    codes, uniq = pd.factorize(bg.to_pandas(), sort=False)
+    counts = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+    return pa.table({"bg": pa.array(uniq, pa.string()),
+                     "c": pa.array(counts)})
+
+
+class BigramScore:
+    """Actor-pool rescore pass: per-doc mean bigram log-probability against
+    the broadcast count tables (``ray.put`` once, read per actor)."""
+
+    def __init__(self, counts_ref):
+        import ray
+
+        c2, c1 = (ray.get(counts_ref) if not isinstance(counts_ref, tuple)
+                  else counts_ref)
+        self.c2 = c2              # dict "w1 w2" -> count
+        self.c1 = c1              # dict "w1"    -> left-position count
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        doc_pos, w1, w2 = _explode_bigrams(batch)
+        n = len(batch)
+        n_bg = np.bincount(doc_pos, minlength=n).astype(np.int64)
+        if len(doc_pos):
+            bg = pc.binary_join_element_wise(w1, w2, " ")
+            num = pd.Series(bg.to_pandas()).map(self.c2).to_numpy(np.float64)
+            den = pd.Series(w1.to_pandas()).map(self.c1).to_numpy(np.float64)
+            logp = np.log(num / den)
+            sums = np.zeros(n, dtype=np.float64)
+            np.add.at(sums, doc_pos, logp)
+            avg = np.where(n_bg > 0, sums / np.maximum(n_bg, 1), 0.0)
+        else:
+            avg = np.zeros(n, dtype=np.float64)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_bigrams": pa.array(n_bg),
+                         "avg_logp": pa.array(np.round(avg, 6))})
+
+
+def bigram_lm_score(ds, concurrency: int | None = None):
+    """documents Dataset → per-doc (n_bigrams, avg bigram log-prob)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    if concurrency is None:
+        cpus = (int(ray.cluster_resources().get("CPU", 8))
+                if ray.is_initialized() else 8)
+        concurrency = max(1, min(8, cpus - 1))
+    tbl = (ds.map_batches(bigram_count_partial, batch_format="pyarrow")
+           .groupby("bg").aggregate(Sum("c", alias_name="c")).to_pandas())
+    c2 = dict(zip(tbl["bg"], tbl["c"].astype(float)))
+    lefts = tbl["bg"].str.split(" ", n=1).str[0]
+    c1 = tbl.groupby(lefts)["c"].sum().astype(float).to_dict()
+    ref = ray.put((c2, c1))
+    return ds.map_batches(BigramScore, batch_format="pyarrow",
+                          concurrency=concurrency,
+                          fn_constructor_kwargs={"counts_ref": ref})

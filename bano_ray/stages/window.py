@@ -88,3 +88,66 @@ def window_user_events(ds):
 
     return (ds.map_batches(shard, batch_format="pyarrow")
             .groupby("_shard").map_groups(windows, batch_format="pandas"))
+
+
+def window_ranks(ds, n_tiles: int = 4):
+    """events Dataset → (event_id, user_id, cents, rnk, dense_rnk,
+    pct_rank, ntile4): RANK / DENSE_RANK / PERCENT_RANK over
+    ``PARTITION BY user_id ORDER BY cents`` (ties share rank — deterministic
+    without a tiebreak) and NTILE(n) over the tie-broken total order
+    ``(cents, event_id)`` (NTILE over ties is otherwise nondeterministic).
+
+    Same coarse-shard + ONE-flat-lexsort discipline and the same
+    partitioning assumption as ``window_user_events``: a user's rows fit a
+    shard.  Rank windows over a HANDFUL of huge partitions are a different
+    operator (they need a distributed sort per partition); per-entity ranks
+    are the 100 TB-sane shape.
+    """
+    C = _coarse_groups()
+
+    def shard(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy()
+        cents = np.round(batch.column("value").to_numpy() * 100.0).astype(np.int64)
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "cents": pa.array(cents),
+            "_shard": pa.array((u.astype(np.uint64) % np.uint64(C)).astype(np.int64)),
+        })
+
+    def ranks(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].to_numpy()
+        ev = df["event_id"].to_numpy()
+        cents = df["cents"].to_numpy()
+        order = np.lexsort((ev, cents, u))
+        u, ev, cents = u[order], ev[order], cents[order]
+        n = len(u)
+        idx = np.arange(n, dtype=np.int64)
+        first = np.ones(n, dtype=bool)
+        first[1:] = u[1:] != u[:-1]
+        sizes = np.diff(np.append(np.flatnonzero(first), n))
+        start = np.repeat(idx[first], sizes)          # user start index per row
+        grp_n = np.repeat(sizes, sizes)               # user size per row
+        rn0 = idx - start                             # 0-based row number
+        new_val = first.copy()
+        new_val[1:] |= cents[1:] != cents[:-1]
+        run_start = np.maximum.accumulate(np.where(new_val, idx, -1))
+        rnk = run_start - start + 1                   # RANK (ties share)
+        dcum = np.cumsum(new_val)
+        dense = dcum - np.repeat(dcum[first] - 1, sizes)
+        pct = np.where(grp_n > 1, (rnk - 1) / np.maximum(grp_n - 1, 1), 0.0)
+        k = n_tiles
+        nbig = grp_n % k
+        big = grp_n // k + 1
+        small = np.maximum(grp_n // k, 1)
+        in_big = rn0 < nbig * big
+        tile = np.where(in_big, rn0 // big,
+                        nbig + (rn0 - nbig * big) // small) + 1
+        return pd.DataFrame({
+            "event_id": ev, "user_id": u, "cents": cents,
+            "rnk": rnk, "dense_rnk": dense,
+            "pct_rank": np.round(pct, 6), "ntile4": tile,
+        })
+
+    return (ds.map_batches(shard, batch_format="pyarrow")
+            .groupby("_shard").map_groups(ranks, batch_format="pandas"))

@@ -61,11 +61,12 @@ def run_benchmarks() -> dict:
     from bano_ray import datagen
     from bano_ray.pipelines.cumul import cumul_dataset  # noqa: F401
     from bano_ray.pipelines.queries import (q_ann_topk, q_audio_features,
-                                            q_bloom_semijoin,
+                                            q_bigram_lm, q_bloom_semijoin,
                                             q_dedup_exact_docs,
                                             q_delta_upsert,
                                             q_distance_selfjoin,
                                             q_events_hourly,
+                                            q_events_sliding,
                                             q_group_moments,
                                             q_hll_registers,
                                             q_jaccard_neardup,
@@ -119,6 +120,8 @@ def run_benchmarks() -> dict:
         "pii_redact": lambda: q_pii_redact(SF_DIR).count(),
         "repetition": lambda: q_repetition(SF_DIR).count(),
         "salted_join": lambda: q_salted_join(SF_DIR).count(),
+        "events_sliding": lambda: q_events_sliding(SF_DIR).count(),
+        "bigram_lm": lambda: q_bigram_lm(SF_DIR).count(),
         "group_moments": lambda: q_group_moments(SF_DIR).count(),
         "delta_upsert": lambda: q_delta_upsert(SF_DIR).count(),
     }
