@@ -77,6 +77,7 @@ _ORACLE_QUERIES = [
     "q_delta_upsert",        # LSM-style last-wins snapshot compaction
     "q_rollup",              # multi-level ROLLUP aggregate from finest level
     "q_dup_clusters",        # iterative: connected components over dup pairs
+    "q_pagerank",            # iterative: PageRank over the user<->item graph
     "q_topk_per_group",      # windowed top-k per group
     "q_group_quantiles",     # per-group discrete quantiles
     "q_sample_per_group",    # deterministic stratified per-group sample

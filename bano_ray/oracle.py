@@ -2128,3 +2128,42 @@ def q_bigram_lm() -> str:
 SELECT d.doc_id, COALESCE(s.n_bigrams, 0) AS n_bigrams,
        COALESCE(s.avg_logp, 0.0) AS avg_logp
 FROM documents d LEFT JOIN sc s USING (doc_id) ORDER BY doc_id"""
+
+
+def q_pagerank() -> str:
+    """PageRank over the bipartite user<->item click graph
+    (queries.q_pagerank / stages/pagerank.pagerank): 3 fixed iterations of
+    r'(v) = 0.15/N + 0.85 * SUM r(u)/deg(u), unrolled as CTEs; per-iteration
+    ROUND to 10 decimals pins engine == oracle across summation orders."""
+    its = []
+    prev = "r0"
+    for i in (1, 2, 3):
+        its.append(f"""c{i} AS (
+  SELECT e.dst AS node, SUM(p.r / d.deg) AS s
+  FROM edges e JOIN {prev} p ON p.node = e.src JOIN deg d ON d.src = e.src
+  GROUP BY e.dst
+), r{i} AS (
+  SELECT n.node, ROUND(0.15 / (SELECT n FROM nn) + 0.85 * COALESCE(c.s, 0), 10) AS r
+  FROM nodes n LEFT JOIN c{i} c ON c.node = n.node
+)""")
+        prev = f"r{i}"
+    steps = ",\n".join(its)
+    return f"""WITH RECURSIVE ev AS (
+  SELECT user_id,
+         CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) % 100 AS item
+  FROM events
+), nu AS (SELECT MAX(user_id) + 1 AS nu FROM ev),
+edges AS (
+  SELECT user_id AS src, (SELECT nu FROM nu) + item AS dst FROM ev
+  UNION ALL
+  SELECT (SELECT nu FROM nu) + item AS src, user_id AS dst FROM ev
+),
+nodes(node) AS (
+  SELECT 0 UNION ALL
+  SELECT node + 1 FROM nodes WHERE node + 1 < (SELECT nu + 100 FROM nu)
+),
+deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM edges GROUP BY src),
+nn AS (SELECT CAST(nu + 100 AS DOUBLE) AS n FROM nu),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes),
+{steps}
+SELECT node, ROUND(r, 6) AS pagerank FROM r3 ORDER BY node"""

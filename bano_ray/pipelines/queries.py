@@ -1621,3 +1621,36 @@ def q_bigram_lm(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
     return bigram_lm_score(ds)
+
+
+def q_pagerank(sf_dir: str):
+    """PageRank over the bipartite user<->item click graph
+    (stages/pagerank.pagerank): each event row yields two directed edges
+    user -> item and item -> user (item = props "k" mod 100, offset by
+    n_users), so the edge stream is built batch-locally with zero joins;
+    rank iterations stream the edge set with node-vector broadcast +
+    bincount partials.  Oracle-gated (oracle.q_pagerank unrolls the 3
+    iterations as CTEs)."""
+    import ray
+
+    from ..stages.pagerank import N_ITEMS, pagerank
+
+    ensure_worker_importable()
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "props"])
+    n_users = int(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id"]).max("user_id")) + 1
+
+    def edges_fn(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy()
+        ks = pc.extract_regex(batch.column("props"),
+                              pattern='"k": (?P<k>[0-9]+)')
+        k = pc.cast(pc.struct_field(ks, "k"), pa.int64()).to_numpy()
+        item = n_users + (k % N_ITEMS)
+        return pa.table({
+            "src": pa.array(np.concatenate([u, item]), pa.int64()),
+            "dst": pa.array(np.concatenate([item, u]), pa.int64()),
+        })
+
+    edges = ds.map_batches(edges_fn, batch_format="pyarrow")
+    return pagerank(edges, n_nodes=n_users + N_ITEMS)

@@ -715,3 +715,53 @@ class TestKmv:
         est = kmv_estimate(df, k=128)
         assert est["union"] == 4.0
         assert est["intersection"] == 1.0
+
+
+class TestPagerank:
+    @staticmethod
+    def _dense_pr(edges, n, iters=3, d=0.85):
+        """Single-core dense reference of the same recurrence."""
+        deg = np.zeros(n)
+        for s, _ in edges:
+            deg[s] += 1
+        inv = np.where(deg > 0, 1.0 / np.maximum(deg, 1), 0.0)
+        r = np.full(n, 1.0 / n)
+        for _ in range(iters):
+            nxt = np.full(n, (1 - d) / n)
+            for s, t in edges:
+                nxt[t] += d * r[s] * inv[s]
+            r = np.round(nxt, 10)
+        return np.round(r, 6)
+
+    def test_matches_dense_reference(self, ray_session):
+        import pyarrow as pa
+        import ray
+
+        from bano_ray.stages.pagerank import pagerank
+
+        rng = np.random.default_rng(7)
+        n = 60
+        edges = [(int(a), int(b)) for a, b in
+                 rng.integers(0, n, (400, 2)) if a != b]
+        # a few dangling nodes: 55..59 never appear as src
+        edges = [(s, t) for s, t in edges if s < 55]
+        t = pa.table({"src": pa.array([e[0] for e in edges], pa.int64()),
+                      "dst": pa.array([e[1] for e in edges], pa.int64())})
+        got = pagerank(ray.data.from_arrow(t).repartition(4), n_nodes=n)
+        want = self._dense_pr(edges, n)
+        assert np.array_equal(got["pagerank"].to_numpy(), want)
+        assert list(got["node"]) == list(range(n))
+
+    def test_rank_mass_bounded(self, ray_session):
+        import pyarrow as pa
+        import ray
+
+        from bano_ray.stages.pagerank import pagerank
+
+        # ring graph: no dangling mass, ranks stay uniform and sum to 1
+        n = 16
+        t = pa.table({"src": pa.array(list(range(n)), pa.int64()),
+                      "dst": pa.array([(i + 1) % n for i in range(n)],
+                                      pa.int64())})
+        got = pagerank(ray.data.from_arrow(t), n_nodes=n)
+        assert np.allclose(got["pagerank"], 1.0 / n, atol=1e-6)
