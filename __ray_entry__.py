@@ -101,6 +101,9 @@ _ORACLE_QUERIES = [
     "q_embedding_neardup",   # dedup: embedding-cosine near-dups (banded LSH)
     "q_ann_lsh",             # similarity search: LSH-bucketed ANN
     "q_audio_features",      # multimodal audio window features (fake PCM)
+    "q_fuzzy_streets",       # blocked edit-distance fuzzy key matching
+    "q_group_outliers",      # per-group z-score outliers (broadcast stats)
+    "q_outer_join",          # one-shuffle FULL OUTER join (tagged union)
 ]
 
 # rows-only queries (approx algorithms with no exact SQL equivalent)

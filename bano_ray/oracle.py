@@ -2167,3 +2167,63 @@ nn AS (SELECT CAST(nu + 100 AS DOUBLE) AS n FROM nu),
 r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes),
 {steps}
 SELECT node, ROUND(r, 6) AS pagerank FROM r3 ORDER BY node"""
+
+
+def q_fuzzy_streets() -> str:
+    """Blocked fuzzy street-key pairs (queries.q_fuzzy_streets /
+    stages/fuzzy.py): distinct normalized street keys, 4-char-prefix
+    blocking, |len diff| <= 5, DuckDB levenshtein() <= 5 — the same block
+    rule and exact unit-cost edit distance as the engine's vectorized
+    Wagner-Fischer pass."""
+    return f"""WITH {base_pts_cte()},
+ks AS (SELECT DISTINCT street_key AS k FROM pts2 WHERE street_key IS NOT NULL)
+SELECT a.k AS a, b.k AS b, CAST(levenshtein(a.k, b.k) AS BIGINT) AS dist
+FROM ks a JOIN ks b
+  ON substr(a.k, 1, 4) = substr(b.k, 1, 4) AND a.k < b.k
+WHERE abs(length(a.k) - length(b.k)) <= 5
+  AND levenshtein(a.k, b.k) <= 5
+ORDER BY a, b"""
+
+
+def q_group_outliers() -> str:
+    """Per-group z-score outliers (queries.q_group_outliers): flag iff
+    (n·x − S)² > 4·(n·S2 − S²) with every operand cast to DOUBLE in the
+    SAME order as the engine's numpy expression — identical IEEE rounding
+    on both sides, so no float tolerance is needed."""
+    return """WITH m AS (
+  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) AS s,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)
+                  * CAST(round(value * 100) AS BIGINT)) AS DOUBLE) AS s2
+  FROM events GROUP BY 1
+), r AS (
+  SELECT e.event_id, e.event_type,
+         CAST(round(e.value * 100) AS BIGINT) AS cents,
+         m.n, m.s, m.s2
+  FROM events e JOIN m USING (event_type)
+)
+SELECT event_id, event_type, cents
+FROM r
+WHERE (n * CAST(cents AS DOUBLE) - s) * (n * CAST(cents AS DOUBLE) - s)
+      > 4.0 * (n * s2 - s * s)
+ORDER BY event_id"""
+
+
+def q_outer_join() -> str:
+    """Full outer join of two aggregate streams (queries.q_outer_join):
+    orders by o_custkey vs events by user_id*11, plain SQL FULL OUTER."""
+    return """WITH a AS (
+  SELECT o_custkey AS key, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents
+  FROM orders GROUP BY 1
+), b AS (
+  SELECT user_id * 11 AS key, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS value_cents
+  FROM events GROUP BY 1
+)
+SELECT COALESCE(a.key, b.key) AS key, n_orders, total_cents,
+       n_events, value_cents
+FROM a FULL OUTER JOIN b ON a.key = b.key
+ORDER BY 1"""

@@ -1654,3 +1654,135 @@ def q_pagerank(sf_dir: str):
 
     edges = ds.map_batches(edges_fn, batch_format="pyarrow")
     return pagerank(edges, n_nodes=n_users + N_ITEMS)
+
+
+def q_fuzzy_streets(sf_dir: str):
+    """Blocked edit-distance fuzzy street-key matching
+    (stages/fuzzy.fuzzy_key_pairs): pairs of DISTINCT normalized street
+    keys sharing a 4-char block with Levenshtein distance <= 5 — the fuzzy
+    tier of the reference's street-name linkage (its exact tier is the
+    normalize()-key merge, reference bano/models.py AdressesDept match
+    loops).  Distinct keys via per-block unique partials + one groupby;
+    pair generation + vectorized Wagner-Fischer inside coarse shards.
+    Oracle-gated (oracle.q_fuzzy_streets uses DuckDB levenshtein())."""
+    from ..stages.fuzzy import fuzzy_key_pairs
+
+    def key_partial(batch: pa.Table) -> pa.Table:
+        ks = batch.column("street_key")
+        ks = ks.drop_null().unique()
+        return pa.table({"key": ks})
+
+    keys = (parsed_dataset(sf_dir).select_columns(["street_key"])
+            .map_batches(key_partial, batch_format="pyarrow")
+            .groupby("key").count().select_columns(["key"]))
+    return fuzzy_key_pairs(keys, k=5, prefix=4).sort(["a", "b"])
+
+
+def q_group_outliers(sf_dir: str):
+    """Per-group z-score outliers (|value − μ_g| > 2σ_g) over events —
+    the canonical two-phase broadcast shape: phase 1 is the mergeable
+    moments combiner of q_group_moments (count/Σcents/Σcents² per
+    event_type — a key-table-sized shuffle), phase 2 broadcasts that tiny
+    stats table via ``ray.put`` and flags rows in one stateless
+    ``map_batches`` pass — the row stream is never shuffled.
+
+    Determinism without float tolerance: both sides evaluate the SAME
+    double expression tree over EXACTLY equal integers (n, Σ, Σ² are
+    order-independent int sums): flag iff (n·x − S)² > 4·(n·S2 − S²),
+    every operand cast to double in the same order, so engine and oracle
+    round identically bit for bit.  Oracle-gated (oracle.q_group_outliers).
+    """
+    import ray
+
+    ensure_worker_importable()
+    stats = q_group_moments(sf_dir).to_pandas()   # key-table-sized
+    stats_ref = ray.put({
+        r.event_type: (float(r.n), float(r.sum_cents), float(r.sumsq_cents))
+        for r in stats.itertuples()})
+
+    class Flag:
+        def __init__(self, ref):
+            self.stats = ray.get(ref) if not isinstance(ref, dict) else ref
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            g = batch.column("event_type").to_numpy(zero_copy_only=False)
+            cents = np.round(
+                batch.column("value").to_numpy() * 100.0).astype(np.int64)
+            n = np.empty(len(g)); s = np.empty(len(g)); s2 = np.empty(len(g))
+            for grp, (gn, gs, gs2) in self.stats.items():
+                m = g == grp
+                n[m], s[m], s2[m] = gn, gs, gs2
+            a = n * cents.astype(np.float64) - s
+            d = n * s2 - s * s
+            hit = (a * a) > (4.0 * d)
+            return pa.table({
+                "event_id": batch.column("event_id").filter(pa.array(hit)),
+                "event_type": batch.column("event_type").filter(pa.array(hit)),
+                "cents": pa.array(cents[hit]),
+            })
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "event_type", "value"])
+    return ds.map_batches(Flag, batch_format="pyarrow", concurrency=(1, 8),
+                          fn_constructor_kwargs={"ref": stats_ref})
+
+
+def q_outer_join(sf_dir: str):
+    """Distributed FULL OUTER join of two aggregate streams in ONE shuffle
+    (tagged-union co-aggregation): orders grouped by o_custkey vs events
+    grouped by user_id*11 (the ×11 spreads the event keys past the
+    customer domain so all three outer cases — left-only, right-only,
+    both — occur).  Each side emits per-block combiner partials into one
+    UNIFIED schema with the other side's measures null; a single
+    groupby(key) Sum merges partials AND performs the outer join, because
+    Sum over an all-null group is null — exactly outer semantics.  No
+    row-level shuffle, no driver materialization beyond the key table.
+    Oracle-gated (oracle.q_outer_join = plain FULL OUTER JOIN)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ensure_worker_importable()
+
+    def orders_partial(batch: pa.Table) -> pa.Table:
+        k = batch.column("o_custkey").to_numpy()
+        cents = np.round(
+            batch.column("o_totalprice").to_numpy() * 100.0).astype(np.int64)
+        uk, inv = np.unique(k, return_inverse=True)
+        n = np.bincount(inv)
+        s = np.bincount(inv, weights=cents.astype(np.float64)).astype(np.int64)
+        m = len(uk)
+        return pa.table({
+            "key": pa.array(uk.astype(np.int64)),
+            "n_orders": pa.array(n.astype(np.int64)),
+            "total_cents": pa.array(s),
+            "n_events": pa.nulls(m, pa.int64()),
+            "value_cents": pa.nulls(m, pa.int64()),
+        })
+
+    def events_partial(batch: pa.Table) -> pa.Table:
+        k = batch.column("user_id").to_numpy() * 11
+        cents = np.round(
+            batch.column("value").to_numpy() * 100.0).astype(np.int64)
+        uk, inv = np.unique(k, return_inverse=True)
+        n = np.bincount(inv)
+        s = np.bincount(inv, weights=cents.astype(np.float64)).astype(np.int64)
+        m = len(uk)
+        return pa.table({
+            "key": pa.array(uk.astype(np.int64)),
+            "n_orders": pa.nulls(m, pa.int64()),
+            "total_cents": pa.nulls(m, pa.int64()),
+            "n_events": pa.array(n.astype(np.int64)),
+            "value_cents": pa.array(s),
+        })
+
+    a = (ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_custkey", "o_totalprice"])
+         .map_batches(orders_partial, batch_format="pyarrow"))
+    b = (ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "value"])
+         .map_batches(events_partial, batch_format="pyarrow"))
+    return (a.union(b).groupby("key")
+            .aggregate(Sum("n_orders", alias_name="n_orders"),
+                       Sum("total_cents", alias_name="total_cents"),
+                       Sum("n_events", alias_name="n_events"),
+                       Sum("value_cents", alias_name="value_cents")))

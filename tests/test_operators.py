@@ -765,3 +765,84 @@ class TestPagerank:
                                       pa.int64())})
         got = pagerank(ray.data.from_arrow(t), n_nodes=n)
         assert np.allclose(got["pagerank"], 1.0 / n, atol=1e-6)
+
+
+class TestFuzzy:
+    def test_levenshtein_vectorized_exact(self):
+        from bano_ray.stages.fuzzy import levenshtein_pairs
+
+        def ref(a, b):
+            d = list(range(len(b) + 1))
+            for i in range(1, len(a) + 1):
+                nd = [i] + [0] * len(b)
+                for j in range(1, len(b) + 1):
+                    nd[j] = min(d[j] + 1, nd[j - 1] + 1,
+                                d[j - 1] + (a[i - 1] != b[j - 1]))
+                d = nd
+            return d[len(b)]
+
+        import random
+        random.seed(3)
+        pairs = [("", ""), ("", "ABC"), ("ABC", ""), ("kitten", "sitting"),
+                 ("RUE EGLISE", "RUE EGLSE"), ("AAAA", "AAAA")]
+        pairs += [("".join(random.choices("AB C", k=random.randint(0, 20))),
+                   "".join(random.choices("AB C", k=random.randint(0, 20))))
+                  for _ in range(300)]
+        got = levenshtein_pairs([p[0] for p in pairs], [p[1] for p in pairs])
+        want = np.array([ref(a, b) for a, b in pairs])
+        assert np.array_equal(got, want)
+
+    def test_fuzzy_key_pairs_blocked(self, ray_session):
+        import pyarrow as pa
+        import ray
+
+        from bano_ray.stages.fuzzy import fuzzy_key_pairs
+
+        keys = ["RUE EGLISE", "RUE EGLSE", "RUE ECOLE",
+                "AV GARE", "AV GARES", "ZZ LONGWAYOFF"]
+        ds = ray.data.from_arrow(pa.table({"key": pa.array(keys)}))
+        out = (fuzzy_key_pairs(ds, k=2, prefix=4).to_pandas()
+               .sort_values(["a", "b"]).reset_index(drop=True))
+        got = set(map(tuple, out[["a", "b", "dist"]].itertuples(index=False)))
+        # RUE EGLISE~RUE EGLSE d=1; RUE ECOLE~RUE EGLSE d... check blocked set
+        assert ("AV GARE", "AV GARES", 1) in got
+        assert ("RUE EGLISE", "RUE EGLSE", 1) in got
+        assert all(a[:4] == b[:4] and d <= 2 for a, b, d in got)
+        assert not any("ZZ" in a or "ZZ" in b for a, b, _ in got)
+
+
+class TestGroupOutliers:
+    def test_flags_planted_outlier(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from bano_ray.pipelines.queries import q_group_outliers
+
+        # one group, values tightly clustered plus one far point
+        n = 50
+        vals = [10.0] * (n - 1) + [500.0]
+        t = pa.table({
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array([0] * n, pa.timestamp("us")),
+            "user_id": pa.array([0] * n, pa.int64()),
+            "event_type": pa.array(["x"] * n),
+            "value": pa.array(vals, pa.float64()),
+            "props": pa.array(["{}"] * n),
+        })
+        pq.write_table(t, tmp_path / "events.parquet")
+        out = q_group_outliers(str(tmp_path)).to_pandas()
+        assert list(out["event_id"]) == [n - 1]
+        assert list(out["cents"]) == [50000]
+
+
+class TestOuterJoin:
+    def test_all_three_cases(self, ray_session):
+        from bano_ray.pipelines.queries import q_outer_join
+
+        out = (q_outer_join("/root/testdata/sf0.001").to_pandas()
+               .set_index("key").sort_index())
+        a_only = out[out["n_events"].isna() & out["n_orders"].notna()]
+        b_only = out[out["n_orders"].isna() & out["n_events"].notna()]
+        both = out[out["n_orders"].notna() & out["n_events"].notna()]
+        assert len(a_only) > 0 and len(b_only) > 0 and len(both) > 0
+        assert len(out) == len(a_only) + len(b_only) + len(both)
