@@ -104,6 +104,8 @@ _ORACLE_QUERIES = [
     "q_fuzzy_streets",       # blocked edit-distance fuzzy key matching
     "q_group_outliers",      # per-group z-score outliers (broadcast stats)
     "q_outer_join",          # one-shuffle FULL OUTER join (tagged union)
+    "q_train_split",         # deterministic train/val/test hash split
+    "q_char_entropy",        # per-doc character Shannon entropy
 ]
 
 # rows-only queries (approx algorithms with no exact SQL equivalent)

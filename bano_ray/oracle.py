@@ -2227,3 +2227,34 @@ SELECT COALESCE(a.key, b.key) AS key, n_orders, total_cents,
        n_events, value_cents
 FROM a FULL OUTER JOIN b ON a.key = b.key
 ORDER BY 1"""
+
+
+def q_train_split() -> str:
+    """Deterministic split counts (queries.q_train_split): same
+    md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 assignment."""
+    return """WITH s AS (
+  SELECT lang,
+         CASE WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 80
+              THEN 'train'
+              WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 90
+              THEN 'val' ELSE 'test' END AS split
+  FROM documents)
+SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM s GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+def q_char_entropy() -> str:
+    """Per-doc character entropy (queries.q_char_entropy /
+    stages/text.char_entropy_batch): H = log2(n) − Σ c·log2(c)/n over
+    exact per-char counts, rounded to 6."""
+    return """WITH ch AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+), cc AS (
+  SELECT doc_id, c, CAST(COUNT(*) AS DOUBLE) AS n FROM ch GROUP BY 1, 2
+), tot AS (
+  SELECT doc_id, SUM(n) AS t, SUM(n * log2(n)) AS slc FROM cc GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(round(log2(t) - slc / t, 6), 0.0) AS entropy
+FROM documents d LEFT JOIN tot ON d.doc_id = tot.doc_id
+ORDER BY d.doc_id"""

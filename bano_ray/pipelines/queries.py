@@ -1786,3 +1786,53 @@ def q_outer_join(sf_dir: str):
                        Sum("total_cents", alias_name="total_cents"),
                        Sum("n_events", alias_name="n_events"),
                        Sum("value_cents", alias_name="value_cents")))
+
+
+def q_train_split(sf_dir: str):
+    """Deterministic train/val/test split — the ML-pipeline staple: every
+    doc hashes to a split by md5(doc_id) % 100 (< 80 train, < 90 val, else
+    test), so assignment is stable across runs, machines and partitionings
+    (no RNG state, no coordination).  The query returns per-(split, lang)
+    counts via per-block combiner partials; the row-level assignment
+    itself is the reusable part (a writer fans the three streams to
+    partitioned parquet).  Oracle-gated (oracle.q_train_split uses the
+    same DuckDB md5_number_lower convention as the dedup family)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..stages.dedup import _md5_u64_ints
+
+    ensure_worker_importable()
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = _md5_u64_ints(batch.column("doc_id").to_numpy()) % np.uint64(100)
+        split = np.where(h < 80, "train", np.where(h < 90, "val", "test"))
+        lang = batch.column("lang").to_numpy(zero_copy_only=False)
+        key = np.char.add(np.char.add(split.astype("U8"), "|"),
+                          lang.astype("U8"))
+        uk, counts = np.unique(key, return_counts=True)
+        sp = np.array([k.split("|")[0] for k in uk])
+        lg = np.array([k.split("|")[1] for k in uk])
+        return pa.table({"split": pa.array(sp), "lang": pa.array(lg),
+                         "n_docs": pa.array(counts.astype(np.int64))})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["split", "lang"])
+            .aggregate(Sum("n_docs", alias_name="n_docs")))
+
+
+def q_char_entropy(sf_dir: str):
+    """Per-doc character Shannon entropy (stages/text.char_entropy_batch):
+    stateless vectorized map_batches, no shuffle — the distribution-quality
+    twin of q_quality/q_repetition.  Oracle-gated (oracle.q_char_entropy:
+    same H = log2(n) − Σc·log2(c)/n over exact counts, rounded to 6)."""
+    import ray
+
+    from ..stages.text import char_entropy_batch
+
+    ensure_worker_importable()
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(char_entropy_batch, batch_format="pyarrow")

@@ -846,3 +846,45 @@ class TestOuterJoin:
         both = out[out["n_orders"].notna() & out["n_events"].notna()]
         assert len(a_only) > 0 and len(b_only) > 0 and len(both) > 0
         assert len(out) == len(a_only) + len(b_only) + len(both)
+
+
+class TestCharEntropy:
+    def test_known_values(self):
+        import pyarrow as pa
+
+        from bano_ray.stages.text import char_entropy_batch
+
+        t = pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                      "text": pa.array(["aab", "", "aaaa", "abcd"])})
+        out = char_entropy_batch(t)
+        got = dict(zip(out["doc_id"].to_pylist(), out["entropy"].to_pylist()))
+        assert got[1] == 0.918296   # log2(3) - 2/3
+        assert got[2] == 0.0
+        assert got[3] == 0.0        # single symbol
+        assert got[4] == 2.0        # uniform over 4
+
+    def test_unicode_and_batch_boundary(self):
+        import pyarrow as pa
+
+        from bano_ray.stages.text import char_entropy_batch
+
+        t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                      "text": pa.array(["éééx", "abab"])})
+        out = char_entropy_batch(t)
+        e = out["entropy"].to_pylist()
+        assert e[0] == round(np.log2(4) - (3 * np.log2(3)) / 4, 6)
+        assert e[1] == 1.0
+
+
+class TestTrainSplit:
+    def test_partition_invariant_and_ratio(self, ray_session):
+        from bano_ray.pipelines.queries import q_train_split
+
+        out = q_train_split("/root/testdata/sf0.001").to_pandas()
+        tot = out.groupby("split")["n_docs"].sum()
+        n = tot.sum()
+        assert n == 500
+        # hash split lands near 80/10/10 (binomial tolerance)
+        assert abs(tot.get("train", 0) / n - 0.80) < 0.06
+        assert abs(tot.get("val", 0) / n - 0.10) < 0.05
+        assert abs(tot.get("test", 0) / n - 0.10) < 0.05
