@@ -106,6 +106,10 @@ _ORACLE_QUERIES = [
     "q_outer_join",          # one-shuffle FULL OUTER join (tagged union)
     "q_train_split",         # deterministic train/val/test hash split
     "q_char_entropy",        # per-doc character Shannon entropy
+    "q_cube",                # CUBE grouping sets from finest-level partials
+    "q_histogram",           # fixed-bin histogram (bincount combiner)
+    "q_corr_by_group",       # per-group Pearson r from exact bilinear moments
+    "q_embed_centroids",     # per-label embedding centroid (vector combiner)
 ]
 
 # rows-only queries (approx algorithms with no exact SQL equivalent)

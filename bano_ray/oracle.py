@@ -2258,3 +2258,56 @@ SELECT d.doc_id,
        COALESCE(round(log2(t) - slc / t, 6), 0.0) AS entropy
 FROM documents d LEFT JOIN tot ON d.doc_id = tot.doc_id
 ORDER BY d.doc_id"""
+
+
+def q_cube() -> str:
+    """CUBE(source, lang) (queries.q_cube)."""
+    return """SELECT source, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY CUBE(source, lang)
+ORDER BY source NULLS LAST, lang NULLS LAST"""
+
+
+def q_histogram() -> str:
+    """Fixed-bin order-total histogram (queries.q_histogram): $25k bins
+    over exact cents, integer floor division."""
+    return """WITH c AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 2500000 AS bin
+  FROM orders)
+SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+       bin * 2500000 AS lo_cents
+FROM c GROUP BY bin ORDER BY bin"""
+
+
+def q_corr_by_group() -> str:
+    """Per-l_returnflag Pearson r of (quantity, discount)
+    (queries.q_corr_by_group): explicit moment formula with the SAME
+    double cast order as the engine, rounded to 6."""
+    return """WITH m AS (
+  SELECT l_returnflag AS grp,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)
+                  * CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)
+                  * CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) AS sx2,
+         CAST(SUM(CAST(round(l_discount * 100) AS BIGINT)
+                  * CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) AS sy2
+  FROM lineitem GROUP BY 1)
+SELECT grp, CAST(n AS BIGINT) AS n,
+       round((n * sxy - sx * sy)
+             / (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)), 6) AS corr
+FROM m ORDER BY grp"""
+
+
+def q_embed_centroids() -> str:
+    """Per-label embedding centroids (queries.q_embed_centroids): one row
+    per (label, dim); both sides sum exact float32→float64 casts."""
+    return """WITH e AS (
+  SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)
+SELECT label, i AS idx, round(SUM(v[i + 1]) / COUNT(*), 6) AS mean_val
+FROM e, range(0, 64) t(i)
+GROUP BY label, i ORDER BY label, i"""

@@ -1836,3 +1836,179 @@ def q_char_entropy(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
     return ds.map_batches(char_entropy_batch, batch_format="pyarrow")
+
+
+def q_cube(sf_dir: str):
+    """CUBE(source, lang) aggregate from finest-level partials — the
+    rollup-family completion: the raw stream is scanned ONCE into the
+    finest (source, lang) aggregate (per-block combiner partials, one
+    key-table-sized shuffle); all 2² grouping sets re-aggregate that tiny
+    table driver-side.  Oracle-gated (oracle.q_cube, GROUP BY CUBE)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ensure_worker_importable()
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "lang", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = pd.DataFrame({"source": batch.column("source").to_pandas(),
+                          "lang": batch.column("lang").to_pandas(),
+                          "n_chars": batch.column("n_chars").to_numpy()})
+        g = (d.groupby(["source", "lang"], sort=False)
+             .agg(n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum"))
+             .reset_index())
+        return pa.table({"source": pa.array(g["source"], pa.string()),
+                         "lang": pa.array(g["lang"], pa.string()),
+                         "n_docs": pa.array(g["n_docs"].to_numpy(), pa.int64()),
+                         "sum_chars": pa.array(g["sum_chars"].to_numpy(),
+                                               pa.int64())})
+
+    finest = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["source", "lang"])
+              .aggregate(Sum("n_docs", alias_name="n_docs"),
+                         Sum("sum_chars", alias_name="sum_chars"))
+              .to_pandas())          # key-table-sized
+    agg_cols = ["n_docs", "sum_chars"]
+    by_src = (finest.groupby("source", as_index=False)[agg_cols].sum()
+              .assign(lang=None))
+    by_lang = (finest.groupby("lang", as_index=False)[agg_cols].sum()
+               .assign(source=None))
+    grand = pd.DataFrame({"source": [None], "lang": [None],
+                          "n_docs": [finest["n_docs"].sum()],
+                          "sum_chars": [finest["sum_chars"].sum()]})
+    out = pd.concat([finest, by_src, by_lang, grand], ignore_index=True)
+    return pa.table({
+        "source": pa.array(out["source"], pa.string()),
+        "lang": pa.array(out["lang"], pa.string()),
+        "n_docs": pa.array(out["n_docs"].to_numpy(np.int64)),
+        "sum_chars": pa.array(out["sum_chars"].to_numpy(np.int64))})
+
+
+def q_histogram(sf_dir: str):
+    """Fixed-bin histogram of order totals ($25k bins over exact cents):
+    per-block ``np.bincount`` partials → one bin-table-sized groupby —
+    the O(1)-shuffle profile primitive every data-quality pass needs.
+    Oracle-gated (oracle.q_histogram; integer floor-div on cents is exact
+    on both sides)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ensure_worker_importable()
+    width = 2_500_000   # cents = $25,000
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.round(
+            batch.column("o_totalprice").to_numpy() * 100.0).astype(np.int64)
+        b = cents // width
+        nb = int(b.max()) + 1 if len(b) else 0
+        c = np.bincount(b, minlength=nb)
+        nz = np.flatnonzero(c)
+        return pa.table({"bin": pa.array(nz.astype(np.int64)),
+                         "n": pa.array(c[nz].astype(np.int64))})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("bin").aggregate(Sum("n", alias_name="n")))
+
+    def lo(batch: pa.Table) -> pa.Table:
+        b = batch.column("bin").to_numpy()
+        return batch.append_column("lo_cents", pa.array(b * width))
+
+    return out.map_batches(lo, batch_format="pyarrow")
+
+
+def q_corr_by_group(sf_dir: str):
+    """Per-group Pearson correlation (quantity vs discount per
+    l_returnflag) from EXACT bilinear moments: per-block bincount partials
+    of (n, Σx, Σy, Σxy, Σx², Σy²) over integer cents — order-independent
+    exact ints (bounded domain: qty ≤ 50·100, disc ≤ 10 cents, so Σ
+    headroom is ~3.7e11 rows/group) — then one key-table-sized shuffle and
+    a SHARED double expression for r (same cast order both sides, rounded
+    to 6).  Oracle-gated (oracle.q_corr_by_group uses the explicit
+    formula, not corr(), to pin the float path)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ensure_worker_importable()
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = pc.dictionary_encode(batch.column("l_returnflag"))
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        codes = g.indices.to_numpy().astype(np.int64)
+        x = np.round(batch.column("l_quantity").to_numpy() * 100.0
+                     ).astype(np.int64)
+        y = np.round(batch.column("l_discount").to_numpy() * 100.0
+                     ).astype(np.int64)
+        nb = len(g.dictionary)
+
+        def bc(w):
+            return np.bincount(codes, weights=w.astype(np.float64),
+                               minlength=nb).astype(np.int64)
+
+        return pa.table({
+            "grp": g.dictionary,
+            "n": pa.array(np.bincount(codes, minlength=nb).astype(np.int64)),
+            "sx": pa.array(bc(x)), "sy": pa.array(bc(y)),
+            "sxy": pa.array(bc(x * y)),
+            "sx2": pa.array(bc(x * x)), "sy2": pa.array(bc(y * y))})
+
+    m = (ds.map_batches(partial, batch_format="pyarrow")
+         .groupby("grp")
+         .aggregate(*[Sum(c, alias_name=c)
+                      for c in ["n", "sx", "sy", "sxy", "sx2", "sy2"]])
+         .to_pandas())
+    n = m["n"].to_numpy(np.float64)
+    sx = m["sx"].to_numpy(np.float64); sy = m["sy"].to_numpy(np.float64)
+    sxy = m["sxy"].to_numpy(np.float64)
+    sx2 = m["sx2"].to_numpy(np.float64); sy2 = m["sy2"].to_numpy(np.float64)
+    r = (n * sxy - sx * sy) / (np.sqrt(n * sx2 - sx * sx)
+                               * np.sqrt(n * sy2 - sy * sy))
+    return pd.DataFrame({"grp": m["grp"], "n": m["n"].astype(np.int64),
+                         "corr": np.round(r, 6)}).sort_values("grp")
+
+
+def q_embed_centroids(sf_dir: str):
+    """Per-label embedding centroid — the k-means/cluster-profile building
+    block as a VECTOR-VALUED combiner: each block stacks its (64-dim
+    float32) vectors once and emits per-(label, dim) partial sums via a
+    single bincount over label·64+dim keys; the shuffle carries
+    labels×64 rows.  Output one row per (label, dim) so the driver gate
+    compares scalars.  Oracle-gated (oracle.q_embed_centroids; both sides
+    sum exact float32→float64 casts, order drift ≪ the 1e-6 rounding)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ensure_worker_importable()
+    dim = 64
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["label", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lab = batch.column("label").to_numpy().astype(np.int64)
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        flat = emb.flatten().to_numpy().astype(np.float64)  # (n*dim,)
+        ul, inv = np.unique(lab, return_inverse=True)
+        nl = len(ul)
+        key = np.repeat(inv * dim, dim) + np.tile(np.arange(dim), len(lab))
+        s = np.bincount(key, weights=flat, minlength=nl * dim)
+        cnt = np.bincount(inv, minlength=nl)
+        return pa.table({
+            "label": pa.array(np.repeat(ul, dim)),
+            "idx": pa.array(np.tile(np.arange(dim, dtype=np.int64), nl)),
+            "s": pa.array(s),
+            "n": pa.array(np.repeat(cnt, dim).astype(np.int64))})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["label", "idx"])
+           .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+           .to_pandas())              # labels×64 rows
+    out["mean_val"] = np.round(out["s"].to_numpy() / out["n"].to_numpy(), 6)
+    return out[["label", "idx", "mean_val"]].sort_values(["label", "idx"])

@@ -888,3 +888,58 @@ class TestTrainSplit:
         assert abs(tot.get("train", 0) / n - 0.80) < 0.06
         assert abs(tot.get("val", 0) / n - 0.10) < 0.05
         assert abs(tot.get("test", 0) / n - 0.10) < 0.05
+
+
+class TestCubeHistCorr:
+    def test_cube_levels_consistent(self, ray_session):
+        from bano_ray.pipelines.queries import q_cube
+
+        out = q_cube("/root/testdata/sf0.001").to_pandas()
+        grand = out[out["source"].isna() & out["lang"].isna()]
+        finest = out[out["source"].notna() & out["lang"].notna()]
+        by_src = out[out["source"].notna() & out["lang"].isna()]
+        by_lang = out[out["source"].isna() & out["lang"].notna()]
+        assert len(grand) == 1
+        for part in (finest, by_src, by_lang):
+            assert part["n_docs"].sum() == grand["n_docs"].iloc[0]
+            assert part["sum_chars"].sum() == grand["sum_chars"].iloc[0]
+
+    def test_histogram_covers_all_rows(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from bano_ray.pipelines.queries import q_histogram
+
+        out = q_histogram("/root/testdata/sf0.001").to_pandas()
+        n = pq.read_metadata("/root/testdata/sf0.001/orders.parquet").num_rows
+        assert out["n"].sum() == n
+        assert (out["lo_cents"] == out["bin"] * 2_500_000).all()
+
+    def test_corr_matches_numpy(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from bano_ray.pipelines.queries import q_corr_by_group
+
+        out = q_corr_by_group("/root/testdata/sf0.001")
+        t = pq.read_table("/root/testdata/sf0.001/lineitem.parquet",
+                          columns=["l_returnflag", "l_quantity", "l_discount"])
+        df = t.to_pandas()
+        df["x"] = np.round(df["l_quantity"] * 100).astype(np.int64)
+        df["y"] = np.round(df["l_discount"] * 100).astype(np.int64)
+        for _, row in out.iterrows():
+            g = df[df["l_returnflag"] == row["grp"]]
+            want = np.corrcoef(g["x"], g["y"])[0, 1]
+            assert abs(row["corr"] - want) < 1e-5
+
+    def test_centroids_match_numpy(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from bano_ray.pipelines.queries import q_embed_centroids
+
+        out = q_embed_centroids("/root/testdata/sf0.001")
+        t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+        lab = t.column("label").to_numpy()
+        emb = np.stack(t.column("embedding").to_pandas().to_numpy()).astype(np.float64)
+        for label in np.unique(lab):
+            want = emb[lab == label].mean(axis=0)
+            got = out[out["label"] == label].sort_values("idx")["mean_val"].to_numpy()
+            assert np.allclose(got, want, atol=1e-5)
