@@ -110,6 +110,7 @@ _ORACLE_QUERIES = [
     "q_histogram",           # fixed-bin histogram (bincount combiner)
     "q_corr_by_group",       # per-group Pearson r from exact bilinear moments
     "q_embed_centroids",     # per-label embedding centroid (vector combiner)
+    "q_vocab_topk",          # vocabulary building: global top-k bigrams
 ]
 
 # rows-only queries (approx algorithms with no exact SQL equivalent)

@@ -2311,3 +2311,17 @@ def q_embed_centroids() -> str:
 SELECT label, i AS idx, round(SUM(v[i + 1]) / COUNT(*), 6) AS mean_val
 FROM e, range(0, 64) t(i)
 GROUP BY label, i ORDER BY label, i"""
+
+
+def q_vocab_topk() -> str:
+    """Top-100 word bigrams (queries.q_vocab_topk): same single-space
+    split convention as the bigram-LM family; (c DESC, bg ASC) boundary."""
+    return """WITH t AS (
+  SELECT string_split(text, ' ') AS l FROM documents
+), bg AS (
+  SELECT unnest(list_transform(range(len(l) - 1),
+                               i -> l[i + 1] || ' ' || l[i + 2])) AS bg
+  FROM t WHERE len(l) >= 2
+)
+SELECT bg, CAST(COUNT(*) AS BIGINT) AS c
+FROM bg GROUP BY 1 ORDER BY c DESC, bg LIMIT 100"""

@@ -2012,3 +2012,23 @@ def q_embed_centroids(sf_dir: str):
            .to_pandas())              # labels×64 rows
     out["mean_val"] = np.round(out["s"].to_numpy() / out["n"].to_numpy(), 6)
     return out[["label", "idx", "mean_val"]].sort_values(["label", "idx"])
+
+
+def q_vocab_topk(sf_dir: str):
+    """Vocabulary building — the BPE-merge-step primitive: global top-100
+    word BIGRAMS by count over the corpus.  Per-block factorized bigram
+    partials (stages/text.bigram_count_partial — the shuffle moves the
+    distinct-bigram table, never token streams) → one groupby sum →
+    sort+limit over the vocab-sized table; the (c DESC, bg ASC) order pins
+    the k boundary.  Oracle-gated (oracle.q_vocab_topk)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..stages.text import bigram_count_partial
+
+    ensure_worker_importable()
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return (ds.map_batches(bigram_count_partial, batch_format="pyarrow")
+            .groupby("bg").aggregate(Sum("c", alias_name="c"))
+            .sort(["c", "bg"], descending=[True, False]).limit(100))

@@ -943,3 +943,25 @@ class TestCubeHistCorr:
             want = emb[lab == label].mean(axis=0)
             got = out[out["label"] == label].sort_values("idx")["mean_val"].to_numpy()
             assert np.allclose(got, want, atol=1e-5)
+
+
+class TestVocabTopk:
+    def test_boundary_and_counts(self, ray_session):
+        import duckdb
+
+        from bano_ray.pipelines.queries import q_vocab_topk
+
+        out = q_vocab_topk("/root/testdata/sf0.001").to_pandas()
+        assert len(out) == 100
+        # descending counts with asc-bigram tiebreak
+        c = out["c"].to_numpy()
+        assert (np.diff(c) <= 0).all()
+        con = duckdb.connect()
+        con.sql("CREATE VIEW documents AS SELECT * FROM "
+                "read_parquet('/root/testdata/sf0.001/documents.parquet')")
+        top1 = con.sql("""WITH t AS (SELECT string_split(text,' ') l FROM documents),
+            bg AS (SELECT unnest(list_transform(range(len(l)-1),
+                   i -> l[i+1] || ' ' || l[i+2])) bg FROM t WHERE len(l) >= 2)
+            SELECT bg, COUNT(*) c FROM bg GROUP BY 1 ORDER BY c DESC, bg LIMIT 1""").df()
+        assert out.iloc[0]["bg"] == top1.iloc[0]["bg"]
+        assert out.iloc[0]["c"] == top1.iloc[0]["c"]
