@@ -764,10 +764,28 @@ def q_rollup(sf_dir: str):
     })
 
 
+def _local_topk_cut(ds, cols: list[str], descending: list[bool], k: int):
+    """Per-block top-k cut AFTER counts are final: the global top-k of
+    per-block top-ks equals the global top-k, so the final sort sees
+    blocks×k rows instead of the whole key table — at 100 TB the key
+    table (users, vocabulary) is itself huge and sorting it all-to-all
+    is the bottleneck this avoids."""
+    asc = [not d for d in descending]
+
+    def cut(batch: pa.Table) -> pa.Table:
+        if len(batch) <= k:
+            return batch
+        df = batch.to_pandas().sort_values(cols, ascending=asc).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return ds.map_batches(cut, batch_format="pyarrow")
+
+
 def q_heavy_hitters(sf_dir: str):
     """Exact global top-25 users by event count: per-block np.unique
     partial counts (map-side combiner — the shuffle moves distinct keys,
-    not rows) → one groupby sum → sort+limit over the small key table.
+    not rows) → one groupby sum → per-block top-k cut → sort+limit over
+    blocks×k rows (the key table itself never enters the sort).
     Deterministic at the k boundary via the (n DESC, user_id ASC) order."""
     import ray
     from ray.data.aggregate import Sum
@@ -782,8 +800,9 @@ def q_heavy_hitters(sf_dir: str):
         return pa.table({"user_id": pa.array(u),
                          "n": pa.array(c.astype(np.int64))})
 
-    return (ds.map_batches(partial, batch_format="pyarrow")
-            .groupby("user_id").aggregate(Sum("n", alias_name="n"))
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("user_id").aggregate(Sum("n", alias_name="n")))
+    return (_local_topk_cut(agg, ["n", "user_id"], [True, False], 25)
             .sort(["n", "user_id"], descending=[True, False]).limit(25))
 
 
@@ -2019,7 +2038,8 @@ def q_vocab_topk(sf_dir: str):
     word BIGRAMS by count over the corpus.  Per-block factorized bigram
     partials (stages/text.bigram_count_partial — the shuffle moves the
     distinct-bigram table, never token streams) → one groupby sum →
-    sort+limit over the vocab-sized table; the (c DESC, bg ASC) order pins
+    per-block top-k cut → sort+limit over blocks×k rows (the vocab table
+    itself never enters the final sort); the (c DESC, bg ASC) order pins
     the k boundary.  Oracle-gated (oracle.q_vocab_topk)."""
     import ray
     from ray.data.aggregate import Sum
@@ -2029,6 +2049,7 @@ def q_vocab_topk(sf_dir: str):
     ensure_worker_importable()
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
-    return (ds.map_batches(bigram_count_partial, batch_format="pyarrow")
-            .groupby("bg").aggregate(Sum("c", alias_name="c"))
+    agg = (ds.map_batches(bigram_count_partial, batch_format="pyarrow")
+           .groupby("bg").aggregate(Sum("c", alias_name="c")))
+    return (_local_topk_cut(agg, ["c", "bg"], [True, False], 100)
             .sort(["c", "bg"], descending=[True, False]).limit(100))
