@@ -111,6 +111,10 @@ _ORACLE_QUERIES = [
     "q_corr_by_group",       # per-group Pearson r from exact bilinear moments
     "q_embed_centroids",     # per-label embedding centroid (vector combiner)
     "q_vocab_topk",          # vocabulary building: global top-k bigrams
+    "q_chunk_dedup",         # dedup: cross-doc duplicated-chunk removal
+    "q_spatial_clusters",    # geo: single-linkage clusters (pairs + CC)
+    "q_image_dims",          # image: container header parse (PNG/JPEG)
+    "q_dedup_corpus",        # dedup: end-to-end near-dup removal filter
 ]
 
 # rows-only queries (approx algorithms with no exact SQL equivalent)

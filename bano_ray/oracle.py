@@ -2325,3 +2325,90 @@ def q_vocab_topk() -> str:
 )
 SELECT bg, CAST(COUNT(*) AS BIGINT) AS c
 FROM bg GROUP BY 1 ORDER BY c DESC, bg LIMIT 100"""
+
+
+def q_chunk_dedup() -> str:
+    """Duplicated-chunk removal (stages/chunkdedup.py): 16-word aligned
+    chunks; a chunk in >= 2 distinct docs keeps only its global first
+    (doc_id, position) occurrence; docs rebuilt from surviving chunks."""
+    from .stages.chunkdedup import CHUNK_WORDS as W
+
+    return f"""WITH cd_w AS (
+  SELECT doc_id, string_split(text, ' ') AS s FROM documents
+),
+cd_tok AS (
+  SELECT doc_id, unnest(s) AS wd,
+         CAST(unnest(range(len(s))) AS BIGINT) AS i
+  FROM cd_w
+),
+cd_ch AS (
+  SELECT doc_id, i // {W} AS c, string_agg(wd, ' ' ORDER BY i) AS chunk
+  FROM cd_tok GROUP BY doc_id, i // {W}
+),
+cd_occ AS (
+  SELECT doc_id, c, chunk,
+         ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, c) AS rn,
+         COUNT(DISTINCT doc_id) OVER (PARTITION BY chunk) AS nd
+  FROM cd_ch
+),
+cd_kept AS (
+  SELECT doc_id, c, chunk FROM cd_occ WHERE nd = 1 OR rn = 1
+),
+cd_base AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks FROM cd_ch GROUP BY 1
+)
+SELECT b.doc_id, b.n_chunks,
+       CAST(COALESCE(k.kc, 0) AS BIGINT) AS kept_chunks,
+       COALESCE(k.txt, '') AS text_clean
+FROM cd_base b LEFT JOIN (
+  SELECT doc_id, COUNT(*) AS kc,
+         string_agg(chunk, ' ' ORDER BY c) AS txt
+  FROM cd_kept GROUP BY doc_id) k USING (doc_id)
+ORDER BY b.doc_id"""
+
+
+def q_spatial_clusters() -> str:
+    """Spatial single-linkage clusters (queries.q_spatial_clusters):
+    recursive min-label closure over the q_distance_selfjoin pair
+    predicate, singletons included via self-edges."""
+    from .pipelines.queries import DIST_JOIN_RADIUS as R
+
+    return f"""WITH RECURSIVE {base_pts_cte()},
+sc_p AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM pts2 a JOIN pts2 b ON a.doc_id < b.doc_id
+  WHERE (a.lon-b.lon)*(a.lon-b.lon) + (a.lat-b.lat)*(a.lat-b.lat)
+        <= {R * R!r}
+),
+sc_e AS (
+  SELECT a, b FROM sc_p UNION SELECT b, a FROM sc_p
+  UNION SELECT doc_id AS a, doc_id AS b FROM pts2
+),
+sc_r AS (
+  SELECT a AS node, b AS r FROM sc_e
+  UNION
+  SELECT sc_r.node, e.b FROM sc_r JOIN sc_e e ON sc_r.r = e.a
+)
+SELECT node, MIN(r) AS label FROM sc_r GROUP BY node ORDER BY node"""
+
+
+def q_image_dims() -> str:
+    """Image container dims (stages/imagemeta.py): the engine parses real
+    PNG/JPEG headers; the oracle replays datagen.dims_of / fmt closed-form."""
+    return f"""SELECT doc_id,
+       CASE WHEN doc_id % {dg.FMT_JPEG_MOD} = 0 THEN 'jpeg' ELSE 'png' END
+         AS fmt_parsed,
+       CAST(12 + ({H(7)} % 9) AS BIGINT) AS width,
+       CAST(12 + ({H(8)} % 9) AS BIGINT) AS height
+FROM documents ORDER BY doc_id"""
+
+
+def q_dedup_corpus() -> str:
+    """Near-dup removal (queries.q_dedup_corpus): documents minus every
+    clustered doc that is not its cluster's min-id representative."""
+    labels = q_dup_clusters()
+    return f"""SELECT d.doc_id FROM documents d
+WHERE NOT EXISTS (
+  SELECT 1 FROM ({labels}) lab
+  WHERE lab.node = d.doc_id AND lab.label < lab.node)
+ORDER BY d.doc_id"""

@@ -2053,3 +2053,85 @@ def q_vocab_topk(sf_dir: str):
            .groupby("bg").aggregate(Sum("c", alias_name="c")))
     return (_local_topk_cut(agg, ["c", "bg"], [True, False], 100)
             .sort(["c", "bg"], descending=[True, False]).limit(100))
+
+
+def q_chunk_dedup(sf_dir: str):
+    """Corpus-level exact duplicated-chunk removal (stages/chunkdedup.py):
+    every 16-word chunk that occurs in >= 2 distinct documents keeps only
+    its global first occurrence; documents are re-assembled from their
+    surviving chunks.  The ExactSubstr-style boilerplate cleaner a
+    training-data pipeline runs AFTER doc-level dedup — oracle-gated
+    (oracle.q_chunk_dedup is the literal windowed-SQL twin)."""
+    from ..stages.chunkdedup import chunk_dedup
+
+    return chunk_dedup(_docs(sf_dir))
+
+
+def q_spatial_clusters(sf_dir: str):
+    """Spatial single-linkage clustering (DBSCAN with minPts=1): points
+    chained by <= DIST_JOIN_RADIUS hops share a cluster label.  Composes
+    the grid-bucket distance self-join (stages/spatial.py) with
+    distributed connected components (stages/graph.py); singleton points
+    enter as self-edges so every point is labeled.  Oracle: recursive-CTE
+    min-label closure over the identical pair SQL."""
+    from ..stages.graph import connected_components
+    from ..stages.spatial import distance_selfjoin
+
+    ensure_worker_importable()
+    pts = points_dataset(sf_dir).select_columns(["doc_id", "lon", "lat"])
+    pairs = distance_selfjoin(pts, DIST_JOIN_RADIUS).select_columns(["a", "b"])
+
+    def self_pairs(batch: pa.Table) -> pa.Table:
+        return pa.table({"a": batch.column("doc_id"),
+                         "b": batch.column("doc_id")})
+
+    nodes = pts.map_batches(self_pairs, batch_format="pyarrow")
+    return connected_components(pairs.union(nodes), "a", "b")
+
+
+def q_image_dims(sf_dir: str):
+    """Image-container metadata from RAW BYTES (stages/imagemeta.py):
+    vectorized PNG IHDR reads over the Arrow binary buffers + a real JPEG
+    SOF marker walk for the jpeg minority — the catalog/validate pass a
+    multimodal ingest runs before it can afford decodes.  Value-gated:
+    oracle.q_image_dims replays the generative dims closed-form, so the
+    driver checks byte-level parsing of real encoded files against
+    independent SQL (the decode stages q_image_* stay rows-only)."""
+    from ..stages.imagemeta import image_dims_batch
+
+    ds = datagen.images_dataset(sf_dir, with_bytes=True) \
+        .select_columns(["doc_id", "bytes"])
+    return ds.map_batches(image_dims_batch, batch_format="pyarrow")
+
+
+def q_dedup_corpus(sf_dir: str):
+    """End-to-end near-dup REMOVAL: MinHash pairs → connected components
+    → keep each cluster's min-id representative plus every unpaired doc.
+    The composition that actually shrinks a training corpus (pairs and
+    clusters are diagnostics; this is the filter).  The drop side joins
+    back by ONE (doc_id, flag) groupby-sum — no driver-side set, no
+    broadcast of the (at 100 TB potentially corpus-sized) dup list."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.dedup import minhash_candidate_pairs
+    from ..stages.graph import connected_components
+
+    pairs = minhash_candidate_pairs(_docs(sf_dir), threshold=0.5)
+    labels = connected_components(pairs, "doc_a", "doc_b")
+
+    def drops(batch: pa.Table) -> pa.Table:
+        node = batch.column("node").to_numpy()
+        lab = batch.column("label").to_numpy()
+        keep = node != lab
+        return pa.table({"doc_id": pa.array(node[keep]),
+                         "drop": pa.array(np.ones(int(keep.sum()), np.int64))})
+
+    def keeps(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "drop": pa.array(np.zeros(batch.num_rows, np.int64))})
+
+    tagged = (_docs(sf_dir).select_columns(["doc_id"])
+              .map_batches(keeps, batch_format="pyarrow")
+              .union(labels.map_batches(drops, batch_format="pyarrow")))
+    agg = tagged.groupby("doc_id").aggregate(Sum("drop", alias_name="d"))
+    return agg.filter(expr="d == 0").select_columns(["doc_id"])

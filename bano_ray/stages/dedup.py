@@ -126,13 +126,16 @@ def _md5_u64_many(strings: np.ndarray) -> np.ndarray:
     if len(strings) == 0:
         return np.empty(0, np.uint64)
     con = _DUCK_MD5.get()
+    is_arrow = isinstance(strings, (pa.Array, pa.ChunkedArray))
     if con:
-        tbl = pa.table({"s": pa.array(strings, pa.string())})  # noqa: F841
+        tbl = pa.table({"s": strings if is_arrow  # noqa: F841
+                        else pa.array(strings, pa.string())})
         out = con.execute(
             "SELECT md5_number_lower(s) AS h FROM tbl").fetch_arrow_table()
         return out.column("h").to_numpy().astype(np.uint64)
-    return np.fromiter((_md5_u64(s.encode()) for s in strings),
-                       dtype=np.uint64, count=len(strings))
+    seq = strings.to_pylist() if is_arrow else strings
+    return np.fromiter((_md5_u64(s.encode()) for s in seq),
+                       dtype=np.uint64, count=len(seq))
 
 
 def _md5_u64_ints(vals: np.ndarray) -> np.ndarray:

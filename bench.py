@@ -75,7 +75,9 @@ def run_benchmarks() -> dict:
                                             q_repetition, q_salted_join,
                                             q_sessionize, q_tfidf,
                                             q_term_postings, q_window_funcs,
-                                            q_broadcast_join)
+                                            q_broadcast_join, q_chunk_dedup,
+                                            q_dedup_corpus, q_image_dims,
+                                            q_spatial_clusters)
     from bano_ray.runtime import ensure_worker_importable
     from bano_ray.stages.export import street_json_zone  # noqa: F401
     ensure_worker_importable()
@@ -124,6 +126,10 @@ def run_benchmarks() -> dict:
         "bigram_lm": lambda: q_bigram_lm(SF_DIR).count(),
         "group_moments": lambda: q_group_moments(SF_DIR).count(),
         "delta_upsert": lambda: q_delta_upsert(SF_DIR).count(),
+        "chunk_dedup": lambda: q_chunk_dedup(SF_DIR).count(),
+        "dedup_corpus": lambda: q_dedup_corpus(SF_DIR).count(),
+        "image_dims": lambda: q_image_dims(SF_DIR).count(),
+        "spatial_clusters": lambda: q_spatial_clusters(SF_DIR).count(),
     }
     # phash near-dup at bench scale (expanded image corpus; banding explodes
     # the stream 4x, so run at a bounded expansion like the image stage)
