@@ -115,6 +115,10 @@ _ORACLE_QUERIES = [
     "q_spatial_clusters",    # geo: single-linkage clusters (pairs + CC)
     "q_image_dims",          # image: container header parse (PNG/JPEG)
     "q_dedup_corpus",        # dedup: end-to-end near-dup removal filter
+    "q_funnel",              # ordered conversion funnel (greedy earliest-reach)
+    "q_cohort_retention",    # weekly cohort retention matrix
+    "q_lift_cooccur",        # item co-occurrence lift (exact integer ppm)
+    "q_profile",             # one-pass column profiler (exact distincts)
 ]
 
 # rows-only queries (approx algorithms with no exact SQL equivalent)

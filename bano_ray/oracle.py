@@ -2412,3 +2412,88 @@ WHERE NOT EXISTS (
   SELECT 1 FROM ({labels}) lab
   WHERE lab.node = d.doc_id AND lab.label < lab.node)
 ORDER BY d.doc_id"""
+
+
+def q_funnel() -> str:
+    """Ordered funnel (stages/analytics.funnel): chained min-after joins —
+    greedy earliest-reach equals "an increasing step subsequence exists"."""
+    from .stages.analytics import FUNNEL_STEPS
+
+    s1, s2, s3 = FUNNEL_STEPS
+    return f"""WITH f1 AS (
+  SELECT user_id, MIN(ts) AS t FROM events
+  WHERE event_type = '{s1}' GROUP BY user_id
+),
+f2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+  JOIN f1 ON f1.user_id = e.user_id
+  WHERE e.event_type = '{s2}' AND e.ts > f1.t GROUP BY e.user_id
+),
+f3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+  JOIN f2 ON f2.user_id = e.user_id
+  WHERE e.event_type = '{s3}' AND e.ts > f2.t GROUP BY e.user_id
+)
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS step_idx, '{s1}' AS step,
+         CAST(COUNT(*) AS BIGINT) AS users FROM f1
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), '{s2}', CAST(COUNT(*) AS BIGINT) FROM f2
+  UNION ALL
+  SELECT CAST(3 AS BIGINT), '{s3}', CAST(COUNT(*) AS BIGINT) FROM f3
+) ORDER BY step_idx"""
+
+
+def q_cohort_retention() -> str:
+    """Weekly cohort retention (stages/analytics.cohort_retention):
+    epoch-week integers on both sides, distinct-(user, week) activity."""
+    from .stages.analytics import WEEK_US
+
+    return f"""WITH act AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {WEEK_US} AS wk FROM events
+),
+coh AS (
+  SELECT user_id, MIN(wk) AS cw FROM act GROUP BY user_id
+)
+SELECT c.cw AS cohort_week, a.wk - c.cw AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS users
+FROM act a JOIN coh c ON c.user_id = a.user_id
+GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+def q_lift_cooccur() -> str:
+    """Item co-occurrence lift (stages/analytics.lift_cooccur): exact
+    integer ppm floor-division on both sides, distinct-user universe."""
+    return """WITH ui AS (
+  SELECT DISTINCT user_id,
+         CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) % 100 AS item
+  FROM events WHERE event_type = 'click'
+),
+nu AS (SELECT COUNT(DISTINCT user_id) AS n FROM ui),
+ic AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS c FROM ui GROUP BY item),
+pr AS (
+  SELECT a.item AS i, b.item AS j, CAST(COUNT(*) AS BIGINT) AS c_ab
+  FROM ui a JOIN ui b ON b.user_id = a.user_id AND b.item > a.item
+  GROUP BY 1, 2
+)
+SELECT pr.i, pr.j, pr.c_ab,
+       (1000000 * pr.c_ab * nu.n) // (ia.c * ib.c) AS lift_ppm
+FROM pr CROSS JOIN nu
+JOIN ic ia ON ia.item = pr.i
+JOIN ic ib ON ib.item = pr.j
+WHERE pr.c_ab >= 2 ORDER BY pr.i, pr.j"""
+
+
+def q_profile() -> str:
+    """Column profiler (stages/analytics.profile): per-column row/null/
+    exact-distinct counts + min/max rendered as VARCHAR (numeric min/max
+    computed natively before the cast, exactly as the engine does)."""
+    parts = []
+    for c in ("lang", "source", "n_chars"):
+        parts.append(f"""SELECT '{c}' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(MIN({c}) AS VARCHAR) AS min_val,
+       CAST(MAX({c}) AS VARCHAR) AS max_val
+FROM documents""")
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY col"

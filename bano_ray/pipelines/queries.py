@@ -2135,3 +2135,65 @@ def q_dedup_corpus(sf_dir: str):
               .union(labels.map_batches(drops, batch_format="pyarrow")))
     agg = tagged.groupby("doc_id").aggregate(Sum("drop", alias_name="d"))
     return agg.filter(expr="d == 0").select_columns(["doc_id"])
+
+
+def q_funnel(sf_dir: str):
+    """Ordered conversion funnel signup → click → purchase (strictly
+    increasing ts, greedy earliest-reach) via the filtered-shuffle +
+    user-whole-shard operator (stages/analytics.funnel).  Oracle-gated
+    against the chained min-after-join CTE form (oracle.q_funnel)."""
+    import ray
+
+    from ..stages.analytics import funnel
+
+    ensure_worker_importable()
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_type"])
+    return funnel(ds.repartition(8))
+
+
+def q_cohort_retention(sf_dir: str):
+    """Weekly cohort retention (cohort = epoch-week of first event, users
+    active per week offset) via distinct-(user, week) pre-reduction +
+    user-whole shards (stages/analytics.cohort_retention).  Oracle-gated
+    (oracle.q_cohort_retention)."""
+    import ray
+
+    from ..stages.analytics import cohort_retention
+
+    ensure_worker_importable()
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+    return cohort_retention(ds.repartition(8))
+
+
+def q_lift_cooccur(sf_dir: str):
+    """Item co-occurrence lift over click events (exact integer ppm, pairs
+    with ≥2 co-clicking users) via per-block distinct pre-reduction,
+    user-whole pair generation, one union-typed multi-key sum, and an
+    n_items²-bounded finish (stages/analytics.lift_cooccur).  Oracle-gated
+    (oracle.q_lift_cooccur)."""
+    import ray
+
+    from ..stages.analytics import lift_cooccur
+
+    ensure_worker_importable()
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type", "props"])
+    return lift_cooccur(ds.repartition(8))
+
+
+def q_profile(sf_dir: str):
+    """One-pass column profiler over documents (lang, source, n_chars):
+    row/null/exact-distinct counts plus min/max rendered as strings, via
+    per-block distinct pre-reduction and one (col, val) sum-groupby
+    (stages/analytics.profile).  Oracle-gated (oracle.q_profile)."""
+    import ray
+
+    from ..stages.analytics import profile
+
+    ensure_worker_importable()
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "source", "n_chars"])
+    return profile(ds.repartition(8), columns=("lang", "source", "n_chars"),
+                   int_cols=frozenset({"n_chars"}))

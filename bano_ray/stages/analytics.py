@@ -1,0 +1,336 @@
+"""Behavioral-analytics operators: ordered funnel, cohort retention,
+item co-occurrence lift, and a column profiler.
+
+The reference engine has none of these (bano's SQL layer is pure
+address-merge aggregates; see reference ``bano/sql/*``) — they are §2
+"custom operator" extensions a training-data / product-analytics pipeline
+runs over the same event logs it sessionizes (``stages/sessions.py``).
+
+All four follow the repo's established scale discipline:
+
+* **coarse key-shards, not per-key groups** — every operator that needs a
+  user's rows together groups on ``user_id % _coarse_groups()`` (a pure
+  function of the key, so a key's rows land whole in exactly one group)
+  and resolves per-key work with vectorized pandas/numpy inside the shard
+  (``stages/window.py`` rationale: Ray's per-group dispatch is ~0.3 ms).
+* **map-side pre-reduction** — blocks dedup / pre-count before any
+  shuffle, so the all-to-all moves O(distinct), not O(events).
+* **bounded finishes only** — the only driver-side materialization is the
+  co-occurrence lift join, whose input is ≤ ``n_items²/2 + n_items + 1``
+  rows by construction (the same bounded-finish argument as
+  ``stages/ann.lsh_topk``).
+
+Partitioning assumptions (SURVEY §2 custom-operator rule): one user's
+DISTINCT (step|week|item) rows fit in a worker shard — at most
+``len(steps)`` / #weeks / ``n_items`` rows per user after pre-reduction,
+orders of magnitude below the raw event count.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .dedup import _coarse_groups
+
+logger = logging.getLogger(__name__)
+
+WEEK_US = 7 * 24 * 3600 * 1_000_000  # calendar week, in timestamp[us] ticks
+
+FUNNEL_STEPS = ("signup", "click", "purchase")
+
+# sentinel row-kind marker for profile() stat rows (never a real value:
+# real values are parquet strings / decimal renderings without NULs)
+_STATS_VAL = "\x00stats\x00"
+
+
+def _dedup_pairs(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Boolean mask of first occurrences of (a[i], b[i]) pairs (sorted scan,
+    no Python sets)."""
+    order = np.lexsort((b, a))
+    keep_sorted = np.ones(len(a), dtype=bool)
+    keep_sorted[1:] = ((a[order][1:] != a[order][:-1])
+                       | (b[order][1:] != b[order][:-1]))
+    keep = np.zeros(len(a), dtype=bool)
+    keep[order] = keep_sorted
+    return keep
+
+
+def funnel(ds, steps: tuple[str, ...] = FUNNEL_STEPS):
+    """Ordered conversion funnel over events (user_id, ts, event_type):
+    a user reaches step k+1 iff they have a step-k+1 event STRICTLY after
+    their earliest step-k reach time (the classic greedy funnel — greedy
+    earliest-reach is optimal, so it equals "any increasing subsequence
+    exists").  Returns one row per step: (step_idx, step, users).
+
+    Shape: filter to the step types (map-side — on a real event stream the
+    funnel types are a small fraction, so this IS the big reduction), then
+    dedup exact (user, step, ts) triples per block — the only always-safe
+    pre-reduction: collapsing to min-ts per (user, step) would be WRONG,
+    because step k needs "min ts strictly after t_{k-1}" and the global
+    minimum may precede it.  User-whole shards walk the ``len(steps)``
+    merge chain vectorized, then the per-shard partial counts sum — the
+    final shuffle is ``len(steps)`` rows per shard.
+    """
+    C = _coarse_groups()
+    step_of = {s: i for i, s in enumerate(steps)}
+
+    def prep(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type")
+        keep = pc.is_in(et, value_set=pa.array(list(steps)))
+        t = batch.filter(keep)
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        ts = t.column("ts").cast(pa.int64()).to_numpy()
+        si = np.full(len(u), -1, dtype=np.int64)
+        for s, i in step_of.items():   # len(steps) vectorized compares
+            si[pc.equal(t.column("event_type"), s)
+               .to_numpy(zero_copy_only=False)] = i
+        # per-block pre-reduction: distinct (user, step, ts) triples
+        order = np.lexsort((ts, si, u))
+        u, si, ts = u[order], si[order], ts[order]
+        first = np.ones(len(u), dtype=bool)
+        first[1:] = ((u[1:] != u[:-1]) | (si[1:] != si[:-1])
+                     | (ts[1:] != ts[:-1]))
+        return pa.table({
+            "user_id": pa.array(u[first]),
+            "step_idx": pa.array(si[first]),
+            "ts": pa.array(ts[first]),
+            "_shard": pa.array((u[first].astype(np.uint64)
+                                % np.uint64(C)).astype(np.int64)),
+        })
+
+    def shard_counts(df: pd.DataFrame) -> pd.DataFrame:
+        counts = []
+        prev = None
+        for i in range(len(steps)):
+            sub = df[df["step_idx"] == i]
+            if i == 0:
+                cur = sub.groupby("user_id", as_index=False)["ts"].min()
+            else:
+                m = sub.merge(prev.rename(columns={"ts": "t_prev"}),
+                              on="user_id")
+                cur = (m[m["ts"] > m["t_prev"]]
+                       .groupby("user_id", as_index=False)["ts"].min())
+            counts.append(len(cur))
+            prev = cur
+        return pd.DataFrame({
+            "step_idx": np.arange(1, len(steps) + 1, dtype=np.int64),
+            "step": list(steps),
+            "users": np.asarray(counts, dtype=np.int64),
+        })
+
+    def total(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "step_idx": df["step_idx"].iloc[:1].to_numpy(np.int64),
+            "step": df["step"].iloc[:1],
+            "users": np.asarray([df["users"].sum()], dtype=np.int64),
+        })
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("_shard").map_groups(shard_counts, batch_format="pandas")
+            .groupby("step_idx").map_groups(total, batch_format="pandas"))
+
+
+def cohort_retention(ds, week_us: int = WEEK_US):
+    """Weekly cohort retention over events (user_id, ts): cohort_week =
+    the epoch-week of a user's first event, week_offset = active week −
+    cohort week, users = distinct users of that cohort active at that
+    offset.  Returns (cohort_week, week_offset, users).
+
+    Shape: blocks pre-reduce to distinct (user, week) pairs, users shard
+    whole (so shard-local distinct IS globally distinct and shard-local
+    min-week IS the user's cohort), shards emit per-(cohort, offset)
+    partial counts, and ONE small multi-key sum finishes — the all-to-alls
+    move O(users × active-weeks), never O(events).
+    """
+    from ray.data.aggregate import Sum
+
+    C = _coarse_groups()
+
+    def prep(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy().astype(np.int64)
+        wk = batch.column("ts").cast(pa.int64()).to_numpy() // week_us
+        keep = _dedup_pairs(u, wk)
+        u, wk = u[keep], wk[keep]
+        return pa.table({
+            "user_id": pa.array(u),
+            "wk": pa.array(wk),
+            "_shard": pa.array((u.astype(np.uint64)
+                                % np.uint64(C)).astype(np.int64)),
+        })
+
+    def shard_counts(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].to_numpy(np.int64)
+        wk = df["wk"].to_numpy(np.int64)
+        keep = _dedup_pairs(u, wk)           # re-dedup across blocks
+        u, wk = u[keep], wk[keep]
+        cw = pd.Series(wk).groupby(pd.Series(u)).transform("min").to_numpy()
+        part = (pd.DataFrame({"cohort_week": cw, "week_offset": wk - cw})
+                .groupby(["cohort_week", "week_offset"], as_index=False)
+                .size().rename(columns={"size": "users"}))
+        part["users"] = part["users"].astype(np.int64)
+        return part
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("_shard").map_groups(shard_counts, batch_format="pandas")
+            .groupby(["cohort_week", "week_offset"])
+            .aggregate(Sum("users", alias_name="users")))
+
+
+def lift_cooccur(ds, n_items: int = 100, min_pair_users: int = 2,
+                 max_items_per_user: int = 100_000):
+    """Item co-occurrence lift over click events (user_id, props): for
+    every unordered item pair (i < j) clicked by ≥ ``min_pair_users``
+    distinct users, lift in exact integer ppm:
+
+        lift_ppm = (1_000_000 · c_ab · n_users) // (c_a · c_b)
+
+    (lift = P(ab)/(P(a)P(b)) over the distinct-user universe; ppm floor
+    division keeps both sides exact-integer so the oracle hash-gates).
+    Returns (i, j, c_ab, lift_ppm).
+
+    Shape: click filter + per-block distinct (user, item) pre-reduction,
+    user-whole shards generate pairs with ONE self-merge (no per-user
+    loop), per-shard partials for pair counts / item counts / user count
+    ride one union-typed table through a single multi-key sum, and the
+    finish joins a table bounded by ``n_items²/2 + n_items + 1`` rows —
+    independent of input size (bounded-finish rule, as
+    ``stages/ann.lsh_topk``).  ``max_items_per_user`` is the skew guard
+    (quadratic pair fan-out); drops are logged, never silent
+    (``dedup._record_drop`` discipline).
+    """
+    from ray.data.aggregate import Sum
+
+    from .dedup import _record_drop
+
+    C = _coarse_groups()
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ks = pc.extract_regex(batch.column("props"),
+                              pattern='"k": (?P<k>[0-9]+)')
+        item = (pc.cast(pc.struct_field(ks, "k"), pa.int64()).to_numpy()
+                % n_items)
+        u = batch.column("user_id").to_numpy().astype(np.int64)
+        keep = _dedup_pairs(u, item)
+        u, item = u[keep], item[keep]
+        return pa.table({
+            "user_id": pa.array(u),
+            "item": pa.array(item),
+            "_shard": pa.array((u.astype(np.uint64)
+                                % np.uint64(C)).astype(np.int64)),
+        })
+
+    def shard_partials(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].to_numpy(np.int64)
+        item = df["item"].to_numpy(np.int64)
+        keep = _dedup_pairs(u, item)
+        ui = pd.DataFrame({"u": u[keep], "i": item[keep]})
+        fan = ui.groupby("u")["i"].transform("size")
+        big = fan > max_items_per_user
+        if big.any():
+            for uu, cnt in ui.loc[big, "u"].value_counts().items():
+                _record_drop("cooccur_user", int(cnt), max_items_per_user)
+            ui = ui[~big]
+        m = ui.merge(ui, on="u")
+        pairs = (m[m["i_x"] < m["i_y"]]
+                 .groupby(["i_x", "i_y"], as_index=False).size())
+        out = pd.DataFrame({
+            "kind": np.zeros(len(pairs), dtype=np.int64),
+            "i": pairs["i_x"].to_numpy(np.int64),
+            "j": pairs["i_y"].to_numpy(np.int64),
+            "c": pairs["size"].to_numpy(np.int64),
+        })
+        ic = ui.groupby("i", as_index=False).size()
+        parts = [out,
+                 pd.DataFrame({"kind": 1, "i": ic["i"].to_numpy(np.int64),
+                               "j": -1,
+                               "c": ic["size"].to_numpy(np.int64)}),
+                 pd.DataFrame({"kind": [2], "i": [-1], "j": [-1],
+                               "c": [ui["u"].nunique()]})]
+        return pd.concat(parts, ignore_index=True).astype(np.int64)
+
+    agg = (ds.filter(expr="event_type == 'click'")
+           .map_batches(prep, batch_format="pyarrow")
+           .groupby("_shard").map_groups(shard_partials, batch_format="pandas")
+           .groupby(["kind", "i", "j"]).aggregate(Sum("c", alias_name="c")))
+    # bounded finish: ≤ n_items²/2 + n_items + 1 rows by construction
+    small = agg.to_pandas()
+    n_users = int(small.loc[small["kind"] == 2, "c"].iloc[0])
+    ic = small[small["kind"] == 1].set_index("i")["c"]
+    pr = small[small["kind"] == 0]
+    pr = pr[pr["c"] >= min_pair_users]
+    i = pr["i"].to_numpy(np.int64)
+    j = pr["j"].to_numpy(np.int64)
+    c_ab = pr["c"].to_numpy(np.int64)
+    lift = (1_000_000 * c_ab * n_users) // (ic.loc[i].to_numpy(np.int64)
+                                            * ic.loc[j].to_numpy(np.int64))
+    out = pd.DataFrame({"i": i, "j": j, "c_ab": c_ab, "lift_ppm": lift})
+    return out.sort_values(["i", "j"], ignore_index=True)
+
+
+def profile(ds, columns: tuple[str, ...], int_cols: frozenset[str] = frozenset()):
+    """One-pass column profiler: per column, (col, n_rows, n_null,
+    n_distinct, min_val, max_val) with min/max rendered as strings
+    (numeric columns compare numerically — ``int_cols`` — so "999" < "1000"
+    holds; everything else compares as text, matching SQL VARCHAR MIN/MAX
+    on ASCII data).
+
+    Shape: each block pre-reduces to its distinct values per column plus
+    ONE stats row per column (row counts / null counts), a single
+    (col, val) sum-groupby dedups values globally while summing the stat
+    rows, and a per-col finish (≤ ``len(columns)`` groups) counts
+    distincts and reduces min/max.  The shuffle moves O(distinct values),
+    never O(rows), and nothing materializes on the driver.
+    """
+    from ray.data.aggregate import Sum
+
+    def prep(batch: pa.Table) -> pa.Table:
+        parts = []
+        for c in columns:
+            arr = batch.column(c)
+            uniq = pc.unique(pc.cast(arr.drop_null(), pa.string()))
+            if isinstance(uniq, pa.ChunkedArray):
+                uniq = uniq.combine_chunks()
+            k = len(uniq)
+            nr = np.zeros(k + 1, dtype=np.int64)
+            nn = np.zeros(k + 1, dtype=np.int64)
+            nr[k] = len(arr)
+            nn[k] = arr.null_count
+            parts.append(pa.table({
+                "col": pa.array([c] * (k + 1), pa.string()),
+                "val": pa.concat_arrays(
+                    [uniq, pa.array([_STATS_VAL], pa.string())]),
+                "n_rows": pa.array(nr),
+                "n_null": pa.array(nn),
+            }))
+        return pa.concat_tables(parts)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["col"].iloc[0]
+        stats = df[df["val"] == _STATS_VAL]
+        dv = df.loc[df["val"] != _STATS_VAL, "val"]
+        if len(dv) and c in int_cols:
+            as_int = dv.astype(np.int64)
+            mn, mx = str(as_int.min()), str(as_int.max())
+        elif len(dv):
+            mn, mx = dv.min(), dv.max()
+        else:
+            mn = mx = None
+        return pd.DataFrame({
+            "col": [c],
+            "n_rows": np.asarray([stats["n_rows"].sum()], dtype=np.int64),
+            "n_null": np.asarray([stats["n_null"].sum()], dtype=np.int64),
+            "n_distinct": np.asarray([len(dv)], dtype=np.int64),
+            "min_val": [mn],
+            "max_val": [mx],
+        })
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby(["col", "val"])
+            .aggregate(Sum("n_rows", alias_name="n_rows"),
+                       Sum("n_null", alias_name="n_null"))
+            .groupby("col").map_groups(finish, batch_format="pandas"))

