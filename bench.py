@@ -77,7 +77,9 @@ def run_benchmarks() -> dict:
                                             q_term_postings, q_window_funcs,
                                             q_broadcast_join, q_chunk_dedup,
                                             q_dedup_corpus, q_image_dims,
-                                            q_spatial_clusters)
+                                            q_spatial_clusters, q_funnel,
+                                            q_cohort_retention,
+                                            q_lift_cooccur, q_profile)
     from bano_ray.runtime import ensure_worker_importable
     from bano_ray.stages.export import street_json_zone  # noqa: F401
     ensure_worker_importable()
@@ -130,6 +132,10 @@ def run_benchmarks() -> dict:
         "dedup_corpus": lambda: q_dedup_corpus(SF_DIR).count(),
         "image_dims": lambda: q_image_dims(SF_DIR).count(),
         "spatial_clusters": lambda: q_spatial_clusters(SF_DIR).count(),
+        "funnel": lambda: q_funnel(SF_DIR).count(),
+        "cohort_retention": lambda: q_cohort_retention(SF_DIR).count(),
+        "lift_cooccur": lambda: len(q_lift_cooccur(SF_DIR)),
+        "profile": lambda: q_profile(SF_DIR).count(),
     }
     # phash near-dup at bench scale (expanded image corpus; banding explodes
     # the stream 4x, so run at a bounded expansion like the image stage)
