@@ -119,6 +119,9 @@ _ORACLE_QUERIES = [
     "q_cohort_retention",    # weekly cohort retention matrix
     "q_lift_cooccur",        # item co-occurrence lift (exact integer ppm)
     "q_profile",             # one-pass column profiler (exact distincts)
+    "q_pct_rank",            # huge-partition PERCENT_RANK (integer ppm)
+    "q_key_spectrum",        # key-frequency spectrum (count-of-counts)
+    "q_triangles",           # per-node triangles on the co-click item graph
 ]
 
 # rows-only queries (approx algorithms with no exact SQL equivalent)

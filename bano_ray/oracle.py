@@ -2497,3 +2497,58 @@ def q_profile() -> str:
        CAST(MAX({c}) AS VARCHAR) AS max_val
 FROM documents""")
     return "\nUNION ALL\n".join(parts) + "\nORDER BY col"
+
+
+def q_pct_rank() -> str:
+    """Huge-partition PERCENT_RANK as integer ppm
+    (stages/analytics.pct_rank): below-count / (n-1) floor division on
+    both sides — no float window function in the gate."""
+    return """WITH pr_cnt AS (
+  SELECT lang, n_chars, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2
+),
+pr_cum AS (
+  SELECT lang, n_chars,
+         COALESCE(SUM(c) OVER (PARTITION BY lang ORDER BY n_chars
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS below,
+         SUM(c) OVER (PARTITION BY lang) AS n
+  FROM pr_cnt
+)
+SELECT d.doc_id, d.lang, d.n_chars,
+       CAST(CASE WHEN cu.n > 1 THEN (1000000 * cu.below) // (cu.n - 1)
+                 ELSE 0 END AS BIGINT) AS pr_ppm
+FROM documents d
+JOIN pr_cum cu ON cu.lang = d.lang AND cu.n_chars = d.n_chars
+ORDER BY d.doc_id"""
+
+
+def q_key_spectrum() -> str:
+    """Count-of-counts spectrum (stages/analytics.key_spectrum)."""
+    return """WITH ks_f AS (
+  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM lineitem GROUP BY 1
+)
+SELECT freq, CAST(COUNT(*) AS BIGINT) AS n_keys
+FROM ks_f GROUP BY 1 ORDER BY 1"""
+
+
+def q_triangles() -> str:
+    """Per-node triangle counts (stages/analytics.triangles): i<j<k triple
+    self-join over the lift-survivor edge set; every triangle credits all
+    three corners."""
+    edges = q_lift_cooccur()
+    return f"""WITH tr_ed AS (
+  SELECT i, j FROM ({edges})
+),
+tr AS (
+  SELECT e1.i AS a, e1.j AS b, e2.j AS c
+  FROM tr_ed e1
+  JOIN tr_ed e2 ON e2.i = e1.j
+  JOIN tr_ed e3 ON e3.i = e1.i AND e3.j = e2.j
+)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+  SELECT a AS node FROM tr
+  UNION ALL SELECT b FROM tr
+  UNION ALL SELECT c FROM tr
+) GROUP BY node ORDER BY node"""

@@ -2197,3 +2197,50 @@ def q_profile(sf_dir: str):
                                columns=["lang", "source", "n_chars"])
     return profile(ds.repartition(8), columns=("lang", "source", "n_chars"),
                    int_cols=frozenset({"n_chars"}))
+
+
+def q_pct_rank(sf_dir: str):
+    """Exact PERCENT_RANK over the per-language length distribution as
+    integer ppm — the huge-partition window case, solved by a
+    domain-bounded (key, value) count-combiner + broadcast lookup instead
+    of a distributed sort per partition (stages/analytics.pct_rank).
+    Oracle-gated (oracle.q_pct_rank)."""
+    import ray
+
+    from ..stages.analytics import pct_rank
+
+    ensure_worker_importable()
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang", "n_chars"])
+    return pct_rank(ds.repartition(8), key="lang", val="n_chars",
+                    id_col="doc_id")
+
+
+def q_key_spectrum(sf_dir: str):
+    """Key-frequency spectrum (count-of-counts) over lineitem.l_orderkey —
+    the skew diagnostic behind salting decisions; two sub-linear
+    sum-groupbys (stages/analytics.key_spectrum).  Oracle-gated
+    (oracle.q_key_spectrum)."""
+    import ray
+
+    from ..stages.analytics import key_spectrum
+
+    ensure_worker_importable()
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey"])
+    return key_spectrum(ds, "l_orderkey")
+
+
+def q_triangles(sf_dir: str):
+    """Per-node triangle counts on the co-click item graph (edges = lift
+    survivors with ≥2 co-clicking users) — distributed edge construction,
+    n_items²-bounded adjacency finish (stages/analytics.triangles).
+    Oracle-gated against the SQL triple self-join (oracle.q_triangles)."""
+    import ray
+
+    from ..stages.analytics import triangles
+
+    ensure_worker_importable()
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type", "props"])
+    return triangles(ds.repartition(8))

@@ -1,12 +1,13 @@
 """Behavioral-analytics operators: ordered funnel, cohort retention,
-item co-occurrence lift, and a column profiler.
+item co-occurrence lift, column profiler, huge-partition percent-rank,
+key-frequency spectrum, and triangle counting.
 
 The reference engine has none of these (bano's SQL layer is pure
 address-merge aggregates; see reference ``bano/sql/*``) — they are §2
 "custom operator" extensions a training-data / product-analytics pipeline
 runs over the same event logs it sessionizes (``stages/sessions.py``).
 
-All four follow the repo's established scale discipline:
+All of them follow the repo's established scale discipline:
 
 * **coarse key-shards, not per-key groups** — every operator that needs a
   user's rows together groups on ``user_id % _coarse_groups()`` (a pure
@@ -334,3 +335,117 @@ def profile(ds, columns: tuple[str, ...], int_cols: frozenset[str] = frozenset()
             .aggregate(Sum("n_rows", alias_name="n_rows"),
                        Sum("n_null", alias_name="n_null"))
             .groupby("col").map_groups(finish, batch_format="pandas"))
+
+
+def pct_rank(ds, key: str, val: str, id_col: str):
+    """Exact PERCENT_RANK over a HANDFUL OF HUGE partitions — the case
+    ``stages/window.py`` explicitly defers (a per-entity shard cannot hold
+    one partition).  pr_ppm = (1_000_000 · |{rows in partition < v}|) //
+    (n_partition − 1), integer ppm so the oracle hash-gates (single-row
+    partitions get 0, matching SQL PERCENT_RANK).
+
+    Shape: instead of a distributed sort per partition, exploit that the
+    VALUE DOMAIN is bounded (doc lengths, scores, ages…): one
+    (key, value) count-combiner groupby shuffles O(distinct pairs), the
+    below-counts prefix-sum runs on that small table, and the ppm lookup
+    broadcasts back through ``ray.put`` into a stateless ``map_batches``
+    join — the same moments-broadcast discipline as
+    ``queries.q_group_outliers``.  Partitioning assumption (SURVEY §2
+    rule): distinct (key, value) pairs fit in one worker (domain-bounded);
+    an unbounded-domain column needs the two-pass distributed-sort
+    variant instead.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    def prep(batch: pa.Table) -> pa.Table:
+        k = batch.column(key).to_numpy(zero_copy_only=False)
+        v = batch.column(val).to_numpy().astype(np.int64)
+        codes, uk = pd.factorize(k)
+        order = np.lexsort((v, codes))
+        ck, cv = codes[order], v[order]
+        first = np.ones(len(ck), dtype=bool)
+        first[1:] = (ck[1:] != ck[:-1]) | (cv[1:] != cv[:-1])
+        starts = np.flatnonzero(first)
+        return pa.table({
+            key: pa.array(uk[ck[starts]], pa.string()),
+            val: pa.array(cv[starts]),
+            "c": pa.array(np.diff(np.append(starts, len(ck))).astype(np.int64)),
+        })
+
+    counts = (ds.map_batches(prep, batch_format="pyarrow")
+              .groupby([key, val]).aggregate(Sum("c", alias_name="c"))
+              .to_pandas())           # domain-bounded small table
+    counts = counts.sort_values([key, val], ignore_index=True)
+    grp = counts.groupby(key)["c"]
+    below = grp.cumsum() - counts["c"]
+    n = grp.transform("sum")
+    lut = counts[[key, val]].copy()
+    lut["pr_ppm"] = np.where(n > 1, (1_000_000 * below.to_numpy(np.int64))
+                             // np.maximum(n.to_numpy(np.int64) - 1, 1),
+                             0).astype(np.int64)
+    lut_ref = ray.put(lut)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        df = batch.select([id_col, key, val]).to_pandas()
+        df[val] = df[val].astype(np.int64)
+        out = df.merge(ray.get(lut_ref), on=[key, val], how="left")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return ds.map_batches(attach, batch_format="pyarrow")
+
+
+def key_spectrum(ds, key: str):
+    """Key-frequency spectrum (count-of-counts): for every multiplicity
+    ``freq``, how many distinct keys occur exactly ``freq`` times — the
+    skew diagnostic that tells a planner whether a groupby/join on ``key``
+    needs salting.  Returns (freq, n_keys).
+
+    Shape: per-block key-count partials → ONE O(distinct-keys) sum-groupby
+    → per-block frequency bincount partials → ONE O(distinct-freqs)
+    sum-groupby.  Nothing materializes; both shuffles are sub-linear.
+    """
+    from ray.data.aggregate import Sum
+
+    def prep(batch: pa.Table) -> pa.Table:
+        k = batch.column(key).to_numpy()
+        codes, uniq = pd.factorize(k)
+        return pa.table({key: pa.array(uniq),
+                         "c": pa.array(np.bincount(codes).astype(np.int64))})
+
+    def spectrum(batch: pa.Table) -> pa.Table:
+        c = batch.column("c").to_numpy()
+        codes, uniq = pd.factorize(c)
+        return pa.table({"freq": pa.array(uniq.astype(np.int64)),
+                         "n": pa.array(np.bincount(codes).astype(np.int64))})
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby(key).aggregate(Sum("c", alias_name="c"))
+            .map_batches(spectrum, batch_format="pyarrow")
+            .groupby("freq").aggregate(Sum("n", alias_name="n_keys")))
+
+
+def triangles(ds, n_items: int = 100, min_pair_users: int = 2):
+    """Per-node triangle counts on the co-click item graph: nodes = items,
+    undirected edges = item pairs co-clicked by ≥ ``min_pair_users`` users
+    (exactly :func:`lift_cooccur`'s survivors).  Returns (node, n_tri) for
+    nodes in ≥1 triangle.
+
+    Shape: the edge list is produced by the fully distributed lift
+    pipeline; the triangle count itself runs on the ≤ n_items²/2-row edge
+    set via one boolean-adjacency matmul (diag(A³)/2) — bounded finish,
+    independent of input size.  At web scale the item vocabulary is the
+    SMALL side by construction (this is a dim-graph operator); a
+    billion-node graph needs the CC-style edge-iteration machinery in
+    ``stages/graph.py`` instead.
+    """
+    edges = lift_cooccur(ds, n_items=n_items, min_pair_users=min_pair_users)
+    a = np.zeros((n_items, n_items), dtype=np.int64)
+    i = edges["i"].to_numpy(np.int64)
+    j = edges["j"].to_numpy(np.int64)
+    a[i, j] = 1
+    a[j, i] = 1
+    per_node = np.diag(a @ a @ a) // 2
+    nodes = np.flatnonzero(per_node)
+    return pd.DataFrame({"node": nodes.astype(np.int64),
+                         "n_tri": per_node[nodes].astype(np.int64)})
