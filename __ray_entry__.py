@@ -122,6 +122,8 @@ _ORACLE_QUERIES = [
     "q_pct_rank",            # huge-partition PERCENT_RANK (integer ppm)
     "q_key_spectrum",        # key-frequency spectrum (count-of-counts)
     "q_triangles",           # per-node triangles on the co-click item graph
+    "q_feature_hash",        # hashing-trick vectorizer (md5 % 4096 features)
+    "q_winsorize",           # winsorized per-group aggregate (p05/p95 clip)
 ]
 
 # rows-only queries (approx algorithms with no exact SQL equivalent)

@@ -2552,3 +2552,36 @@ SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
   UNION ALL SELECT b FROM tr
   UNION ALL SELECT c FROM tr
 ) GROUP BY node ORDER BY node"""
+
+
+def q_feature_hash() -> str:
+    """Hashing-trick vectorizer (stages/text.feature_hash_batch): identical
+    single-space split (empties kept) and md5-upper-half-little-endian
+    feature ids on both sides."""
+    from .stages.text import FEATURE_HASH_DIM
+
+    return f"""WITH fh_t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+)
+SELECT doc_id, CAST(md5_number_lower(tok) % {FEATURE_HASH_DIM} AS BIGINT) AS feat,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM fh_t GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+def q_winsorize() -> str:
+    """Winsorized per-group sum (stages/analytics.winsorize_sum): DuckDB
+    quantile_disc thresholds (rank = ceil(q·n) − 1, the same convention the
+    engine's count-table cumsum realizes), integer cents clip + sum."""
+    return """WITH wz AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+),
+wth AS (
+  SELECT event_type, quantile_disc(cents, 0.05) AS lo,
+         quantile_disc(cents, 0.95) AS hi
+  FROM wz GROUP BY 1
+)
+SELECT w.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       SUM(CASE WHEN w.cents < t.lo THEN t.lo
+                WHEN w.cents > t.hi THEN t.hi ELSE w.cents END) AS wsum_cents
+FROM wz w JOIN wth t ON t.event_type = w.event_type
+GROUP BY 1 ORDER BY 1"""

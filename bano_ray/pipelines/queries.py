@@ -2244,3 +2244,42 @@ def q_triangles(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["user_id", "event_type", "props"])
     return triangles(ds.repartition(8))
+
+
+def q_feature_hash(sf_dir: str):
+    """Hashing-trick vectorizer over documents: per-doc md5 % 4096 feature
+    counts — one stateless map_batches, zero shuffles (a doc's tokens are
+    block-local); md5 runs only on the block's unique tokens
+    (stages/text.feature_hash_batch).  Oracle-gated against DuckDB
+    string_split + md5_number_lower (oracle.q_feature_hash)."""
+    import ray
+
+    from ..stages.text import feature_hash_batch
+
+    ensure_worker_importable()
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(feature_hash_batch, batch_format="pyarrow")
+
+
+def q_winsorize(sf_dir: str):
+    """Winsorized per-event-type aggregate (clip at p05/p95 discrete
+    quantiles, integer cents): the robust-mean building block via the
+    domain-bounded count-combiner + broadcast-threshold shape
+    (stages/analytics.winsorize_sum).  Oracle-gated against DuckDB
+    quantile_disc (oracle.q_winsorize)."""
+    import ray
+
+    from ..stages.analytics import winsorize_sum
+
+    ensure_worker_importable()
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+
+    def cents(batch: pa.Table) -> np.ndarray:
+        return pc.round(pc.multiply(batch.column("value"), 100.0),
+                        round_mode="half_towards_infinity") \
+            .cast(pa.int64()).to_numpy()
+
+    return winsorize_sum(ds.repartition(8), key="event_type",
+                         val_cents=cents)

@@ -449,3 +449,72 @@ def triangles(ds, n_items: int = 100, min_pair_users: int = 2):
     nodes = np.flatnonzero(per_node)
     return pd.DataFrame({"node": nodes.astype(np.int64),
                          "n_tri": per_node[nodes].astype(np.int64)})
+
+
+def winsorize_sum(ds, key: str, val_cents, lo_q: float = 0.05,
+                  hi_q: float = 0.95):
+    """Winsorized (clipped) per-group aggregate: per ``key``, count and the
+    sum of values clipped to the group's [lo_q, hi_q] DISCRETE quantiles —
+    the robust-mean building block (a handful of extreme rows cannot move
+    the total).  ``val_cents`` is a callable batch → int64 cents array, so
+    the quantile ranks are exact integers on both sides (DuckDB
+    ``quantile_disc`` convention: rank = ceil(q·n) − 1, exactly
+    ``queries.q_group_quantiles``).  Returns (key, n, wsum_cents).
+
+    Shape: the SAME domain-bounded (key, value) count-combiner as
+    :func:`pct_rank` (no huge per-group sort); thresholds come from the
+    small count table's cumsum, broadcast via ``ray.put``; a stateless
+    clip + per-block partial sum and ONE tiny groupby finish.
+    Partitioning assumption: distinct (key, cents) pairs fit in one worker.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    def prep(batch: pa.Table) -> pa.Table:
+        k = batch.column(key).to_numpy(zero_copy_only=False)
+        v = val_cents(batch)
+        codes, uk = pd.factorize(k)
+        order = np.lexsort((v, codes))
+        ck, cv = codes[order], v[order]
+        first = np.ones(len(ck), dtype=bool)
+        first[1:] = (ck[1:] != ck[:-1]) | (cv[1:] != cv[:-1])
+        starts = np.flatnonzero(first)
+        return pa.table({
+            key: pa.array(uk[ck[starts]], pa.string()),
+            "cents": pa.array(cv[starts]),
+            "c": pa.array(np.diff(np.append(starts, len(ck))).astype(np.int64)),
+        })
+
+    counts = (ds.map_batches(prep, batch_format="pyarrow")
+              .groupby([key, "cents"]).aggregate(Sum("c", alias_name="c"))
+              .to_pandas()            # domain-bounded small table
+              .sort_values([key, "cents"], ignore_index=True))
+    th = {}
+    for g, sub in counts.groupby(key):
+        cum = sub["c"].cumsum().to_numpy(np.int64)
+        n = int(cum[-1])
+        cents = sub["cents"].to_numpy(np.int64)
+        lo = cents[np.searchsorted(cum, max(1, int(np.ceil(lo_q * n))))]
+        hi = cents[np.searchsorted(cum, max(1, int(np.ceil(hi_q * n))))]
+        th[g] = (lo, hi)
+    th_ref = ray.put(th)
+
+    def clip_partial(batch: pa.Table) -> pa.Table:
+        k = batch.column(key).to_numpy(zero_copy_only=False)
+        v = val_cents(batch)
+        codes, uk = pd.factorize(k)
+        table = ray.get(th_ref)
+        lo = np.asarray([table[g][0] for g in uk], dtype=np.int64)[codes]
+        hi = np.asarray([table[g][1] for g in uk], dtype=np.int64)[codes]
+        w = np.clip(v, lo, hi)
+        return pa.table({
+            key: pa.array(uk, pa.string()),
+            "n": pa.array(np.bincount(codes).astype(np.int64)),
+            "wsum_cents": pa.array(np.bincount(codes, weights=w)
+                                   .astype(np.int64)),
+        })
+
+    return (ds.map_batches(clip_partial, batch_format="pyarrow")
+            .groupby(key).aggregate(Sum("n", alias_name="n"),
+                                    Sum("wsum_cents",
+                                        alias_name="wsum_cents")))

@@ -545,3 +545,46 @@ def char_entropy_batch(batch: pa.Table) -> pa.Table:
         ent[nz] = np.log2(lens[nz].astype(np.float64)) - ent[nz] / lens[nz]
     return pa.table({"doc_id": batch.column("doc_id"),
                      "entropy": pa.array(np.round(ent, 6))})
+
+
+FEATURE_HASH_DIM = 4096
+
+
+def feature_hash_batch(batch: pa.Table, n_features: int = FEATURE_HASH_DIM) -> pa.Table:
+    """Hashing-trick vectorizer (one stateless ``map_batches`` — a doc's
+    text lives in one row, so per-doc counts are block-local and NOTHING
+    shuffles): text → space-split tokens → md5 % n_features → per-doc
+    feature counts (doc_id, feat, cnt).
+
+    Tokens split with the Arrow kernel on a single space (empties kept),
+    exactly DuckDB ``string_split(text, ' ')``; hashing factorizes the
+    batch's tokens and md5s only the uniques (``dedup._md5_u64_many`` —
+    the vectorized kernel the minhash family uses), so the md5 cost is
+    O(vocab per block), not O(tokens).
+    """
+    import pandas as pd
+
+    from .dedup import _md5_u64_many
+
+    doc = batch.column("doc_id").to_numpy()
+    toks = pc.split_pattern(batch.column("text"), pattern=" ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    n_per_doc = np.diff(toks.offsets.to_numpy())
+    codes, uniq = pd.factorize(flat.to_numpy(zero_copy_only=False),
+                               use_na_sentinel=False)
+    feat_of_uniq = (_md5_u64_many(np.asarray(uniq, dtype=object))
+                    % np.uint64(n_features)).astype(np.int64)
+    feat = feat_of_uniq[codes]
+    docidx = np.repeat(np.arange(len(doc), dtype=np.int64), n_per_doc)
+    order = np.lexsort((feat, docidx))
+    di, fe = docidx[order], feat[order]
+    first = np.ones(len(di), dtype=bool)
+    first[1:] = (di[1:] != di[:-1]) | (fe[1:] != fe[:-1])
+    starts = np.flatnonzero(first)
+    return pa.table({
+        "doc_id": pa.array(doc[di[starts]]),
+        "feat": pa.array(fe[starts]),
+        "cnt": pa.array(np.diff(np.append(starts, len(di))).astype(np.int64)),
+    })

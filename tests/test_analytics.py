@@ -220,3 +220,56 @@ class TestTriangles:
                  (4, 0, "click", '{"k": 0}'), (4, 0, "click", '{"k": 3}')]
         out = triangles(ray.data.from_pandas(_ev(rows)))
         assert out.values.tolist() == [[0, 1], [1, 1], [2, 1]]
+
+
+class TestWinsorizeSum:
+    @staticmethod
+    def _cents(batch: pa.Table) -> np.ndarray:
+        return batch.column("cents").to_numpy(zero_copy_only=False)
+
+    def test_hand_case(self, ray_session):
+        """10 values in one group: p05 threshold is the 1st discrete value,
+        p95 the 10th — a single huge outlier is clipped to the 10th? No:
+        quantile_disc(0.95) of n=10 is rank ceil(9.5)-1 = 9 → the 10th
+        (largest) value, so nothing clips at the top with n=10; use n=20."""
+        import ray
+
+        from bano_ray.stages.analytics import winsorize_sum
+
+        vals = list(range(1, 20)) + [10_000]   # n=20, one huge outlier
+        df = pd.DataFrame({"g": ["a"] * 20, "cents": vals})
+        out = (winsorize_sum(
+            ray.data.from_pandas([df.iloc[:7], df.iloc[7:]]),
+            key="g", val_cents=self._cents)
+            .to_pandas())
+        # quantile_disc(.05) rank=ceil(1)-1=0 → 1; (.95) rank=ceil(19)-1=18 → 19
+        want = sum(min(max(v, 1), 19) for v in vals)
+        assert out["wsum_cents"].tolist() == [want]
+        assert out["n"].tolist() == [20]
+
+    def test_matches_duckdb_random(self, ray_session):
+        import ray
+
+        from bano_ray.stages.analytics import winsorize_sum
+
+        rng = np.random.default_rng(7)
+        n = 3000
+        df = pd.DataFrame({
+            "g": rng.choice(["x", "y", "z"], n),
+            "cents": rng.integers(-500, 500, n).astype(np.int64),
+        })
+        got = (winsorize_sum(
+            ray.data.from_pandas([df.iloc[:1000], df.iloc[1000:]]),
+            key="g", val_cents=self._cents)
+            .to_pandas().sort_values("g").reset_index(drop=True))
+        con = duckdb.connect()
+        con.register("t", df)
+        want = con.sql("""
+            WITH th AS (SELECT g, quantile_disc(cents, 0.05) lo,
+                               quantile_disc(cents, 0.95) hi FROM t GROUP BY 1)
+            SELECT t.g, CAST(COUNT(*) AS BIGINT) n,
+                   SUM(CASE WHEN cents < lo THEN lo
+                            WHEN cents > hi THEN hi ELSE cents END) wsum_cents
+            FROM t JOIN th USING (g) GROUP BY 1 ORDER BY 1""").df()
+        pd.testing.assert_frame_equal(got[["g", "n", "wsum_cents"]], want,
+                                      check_dtype=False)

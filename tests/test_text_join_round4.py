@@ -105,3 +105,43 @@ class TestSaltedJoin:
             key="k", dim_key="dk", salt_from="fid",
             dim_cols=["payload"], n_salt=4).to_pandas()
         assert len(got) == 4  # 2 fact rows x 2 dim rows
+
+
+class TestFeatureHash:
+    def test_hand_case(self):
+        from bano_ray.stages.dedup import _md5_u64_many
+        from bano_ray.stages.text import FEATURE_HASH_DIM, feature_hash_batch
+
+        batch = pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["a b a", "a  b"]),   # doc2: empty token kept
+        })
+        out = feature_hash_batch(batch).to_pandas()
+        # NB: uint64 % python-int silently yields float64 — keep the
+        # modulus a np.uint64 exactly as the engine kernel does
+        f = lambda t: int(_md5_u64_many(np.asarray([t], dtype=object))[0]
+                          % np.uint64(FEATURE_HASH_DIM))
+        want = sorted([(1, f("a"), 2), (1, f("b"), 1),
+                       (2, f("a"), 1), (2, f("b"), 1), (2, f(""), 1)])
+        got = sorted(map(tuple, out[["doc_id", "feat", "cnt"]].values.tolist()))
+        assert got == want
+
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+
+        from bano_ray.oracle import q_feature_hash
+        from bano_ray.stages.text import feature_hash_batch
+
+        rng = np.random.default_rng(11)
+        vocab = np.array(["lor", "ips", "dol", "sit", "am", ""])
+        texts = [" ".join(rng.choice(vocab, rng.integers(1, 12)))
+                 for _ in range(400)]
+        df = pd.DataFrame({"doc_id": np.arange(400, dtype=np.int64),
+                           "text": texts})
+        got = (feature_hash_batch(pa.Table.from_pandas(df))
+               .to_pandas().sort_values(["doc_id", "feat"])
+               .reset_index(drop=True))
+        con = duckdb.connect()
+        con.register("documents", df)
+        want = con.sql(q_feature_hash()).df()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
