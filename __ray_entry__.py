@@ -124,6 +124,10 @@ _ORACLE_QUERIES = [
     "q_triangles",           # per-node triangles on the co-click item graph
     "q_feature_hash",        # hashing-trick vectorizer (md5 % 4096 features)
     "q_winsorize",           # winsorized per-group aggregate (p05/p95 clip)
+    "q_transitions",         # per-user event-transition (Markov) counts
+    "q_interval_cover",      # gaps-and-islands interval union per user
+    "q_skyline",             # per-group 2-D Pareto frontier
+    "q_cell_smooth",         # 3x3 k-ring smoothed tile counts (raster conv)
 ]
 
 # rows-only queries (approx algorithms with no exact SQL equivalent)

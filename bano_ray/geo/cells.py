@@ -169,3 +169,40 @@ def tiles_to_cells(z_t, x_t, y_t, cell_res: int) -> np.ndarray:
     if not cells:
         return np.empty(0, dtype=np.int64)
     return np.unique(np.concatenate(cells))
+
+
+def ring_smooth(ds, z: int):
+    """Per-tile 3×3 neighborhood point counts (k-ring smoothing, the
+    raster convolution primitive): every cell's value is the number of
+    points in it and its 8 neighbors — (cell_x, cell_y, n_ring), cells with
+    a nonzero ring included even when empty themselves.
+
+    Shape: per-block PARTIAL cell counts first (the combiner — O(distinct
+    cells), not O(points)), then each partial count SCATTERS to its 9
+    neighbor cells inside the same ``map_batches`` (9× a small table — no
+    self-join, no second shuffle), and ONE groupby-sum finishes.  No
+    boundary clipping on the scattered coordinates, matching the oracle's
+    arithmetic."""
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    def partial_scatter(batch: pa.Table) -> pa.Table:
+        x, y = lonlat_to_tile(batch.column("lon").to_numpy(),
+                              batch.column("lat").to_numpy(), z)
+        key = (x << np.int64(32)) | y            # z ≤ 31 → both halves safe
+        codes, uk = pd.factorize(key)
+        cnt = np.bincount(codes).astype(np.int64)
+        ux, uy = uk >> np.int64(32), uk & np.int64(0xFFFFFFFF)
+        dx = np.repeat(np.array([-1, -1, -1, 0, 0, 0, 1, 1, 1], np.int64),
+                       len(uk))
+        dy = np.repeat(np.array([-1, 0, 1] * 3, np.int64), len(uk))
+        return pa.table({
+            "cell_x": pa.array(np.tile(ux, 9) + dx),
+            "cell_y": pa.array(np.tile(uy, 9) + dy),
+            "n": pa.array(np.tile(cnt, 9)),
+        })
+
+    return (ds.map_batches(partial_scatter, batch_format="pyarrow")
+            .groupby(["cell_x", "cell_y"])
+            .aggregate(Sum("n", alias_name="n_ring")))

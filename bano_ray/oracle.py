@@ -2585,3 +2585,82 @@ SELECT w.event_type, CAST(COUNT(*) AS BIGINT) AS n,
                 WHEN w.cents > t.hi THEN t.hi ELSE w.cents END) AS wsum_cents
 FROM wz w JOIN wth t ON t.event_type = w.event_type
 GROUP BY 1 ORDER BY 1"""
+
+
+def q_transitions() -> str:
+    """First-order transition counts (stages/sessions.transitions): the
+    lead() window over (user, ts, event_id) is the per-user consecutive
+    pair the engine forms after its shard-local lexsort."""
+    return """WITH s AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events
+)
+SELECT event_type AS from_type, nxt AS to_type,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+def q_interval_cover() -> str:
+    """Interval union per user (stages/sessions.interval_cover): the
+    classic exclusive-running-max window; contribution arithmetic is the
+    same clip the engine's vectorized sweep computes, all int64 µs."""
+    return """WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s,
+         epoch_us(ts) + (event_id % 7 + 1) * 300000000 AS e
+  FROM events
+),
+w AS (
+  SELECT user_id, s, e,
+         max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+  FROM iv
+)
+SELECT user_id,
+       CAST(SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END) AS BIGINT) AS n_islands,
+       CAST(SUM(GREATEST(0, e - GREATEST(s, COALESCE(pmax, s)))) AS BIGINT) AS covered_us
+FROM w GROUP BY 1 ORDER BY 1"""
+
+
+def q_skyline() -> str:
+    """2-D Pareto frontier (stages/analytics.skyline), window form: a row
+    survives iff no strictly-greater-qty row has price ≥ it (exclusive
+    value-range max) and no equal-qty row has price strictly above it —
+    exactly NOT-EXISTS dominance, duplicates kept on both sides."""
+    return """WITH t AS (
+  SELECT l_returnflag,
+         CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+  FROM lineitem
+),
+w AS (
+  SELECT l_returnflag, qty_c, price_c,
+         max(price_c) OVER (PARTITION BY l_returnflag ORDER BY qty_c
+                            RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS m1,
+         max(price_c) OVER (PARTITION BY l_returnflag, qty_c) AS m2
+  FROM t
+)
+SELECT l_returnflag, qty_c, price_c FROM w
+WHERE (m1 IS NULL OR price_c > m1) AND price_c = m2
+ORDER BY 1, 2, 3"""
+
+
+def q_cell_smooth(res: int = 12) -> str:
+    """k-ring smoothing (geo/cells.ring_smooth): per-cell counts cross-join
+    the 9 offsets — same tile math as q_cell_counts, no clipping on the
+    shifted coordinates on either side."""
+    n = 1 << res
+    return f"""WITH {base_pts_cte()},
+pc AS (
+  SELECT CAST(floor((lon + 180.0) / 360.0 * {n}.0) AS BIGINT) AS cx,
+         CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0/cos(radians(lat))) / pi()) / 2.0 * {n}.0) AS BIGINT) AS cy,
+         COUNT(*) AS n
+  FROM pts2 GROUP BY 1, 2
+),
+off AS (SELECT a.dx, b.dy
+        FROM (VALUES (-1), (0), (1)) a(dx)
+        CROSS JOIN (VALUES (-1), (0), (1)) b(dy))
+SELECT pc.cx + off.dx AS cell_x, pc.cy + off.dy AS cell_y,
+       CAST(SUM(pc.n) AS BIGINT) AS n_ring
+FROM pc CROSS JOIN off GROUP BY 1, 2 ORDER BY 1, 2"""

@@ -2283,3 +2283,91 @@ def q_winsorize(sf_dir: str):
 
     return winsorize_sum(ds.repartition(8), key="event_type",
                          val_cents=cents)
+
+
+def q_transitions(sf_dir: str):
+    """First-order Markov transition counts over each user's event stream
+    (from_type, to_type, cnt): the sequence-model building block.  One
+    user-hash-shard shuffle + in-shard vectorized sort/pair
+    (stages/sessions.transitions — consecutive-pair semantics cannot be
+    recovered block-locally, so the single shuffle is the honest shape).
+    Oracle-gated against DuckDB lead() (oracle.q_transitions)."""
+    import ray
+
+    from ..stages.sessions import transitions
+
+    ensure_worker_importable()
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "user_id",
+                                        "event_type"])
+    return transitions(ds.repartition(8))
+
+
+def q_interval_cover(sf_dir: str):
+    """Gaps-and-islands interval union per user: each event spans
+    [ts, ts + (event_id % 7 + 1)·5 min); overlaps merge; output
+    (user_id, n_islands, covered_us).  Block-local exact-composition
+    combiner + one O(islands) shuffle (stages/sessions.interval_cover).
+    Oracle-gated against the DuckDB running-max window form
+    (oracle.q_interval_cover)."""
+    import ray
+
+    from ..stages.sessions import interval_cover
+
+    ensure_worker_importable()
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "user_id"])
+
+    def to_iv(batch: pa.Table) -> pa.Table:
+        s = batch.column("ts").cast(pa.int64()).to_numpy()
+        dur = (batch.column("event_id").to_numpy() % 7 + 1) * 300_000_000
+        return pa.table({"user_id": batch.column("user_id"),
+                         "s": pa.array(s), "e": pa.array(s + dur)})
+
+    return interval_cover(ds.repartition(8).map_batches(
+        to_iv, batch_format="pyarrow"))
+
+
+def q_skyline(sf_dir: str):
+    """Per-returnflag 2-D Pareto frontier over (quantity, extendedprice)
+    cents — the multi-objective top-set operator.  Block-local frontier
+    (skyline is a semilattice) → candidate-only shuffle → tiny per-key
+    finish (stages/analytics.skyline).  Oracle-gated against the DuckDB
+    double-window NOT-EXISTS-free form (oracle.q_skyline)."""
+    import ray
+
+    from ..stages.analytics import skyline
+
+    ensure_worker_importable()
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_returnflag", "l_quantity",
+                                        "l_extendedprice"])
+
+    def xy(batch: pa.Table):
+        q = pc.round(pc.multiply(batch.column("l_quantity"), 100.0),
+                     round_mode="half_towards_infinity") \
+            .cast(pa.int64()).to_numpy()
+        p = pc.round(pc.multiply(batch.column("l_extendedprice"), 100.0),
+                     round_mode="half_towards_infinity") \
+            .cast(pa.int64()).to_numpy()
+        return q, p
+
+    out = skyline(ds.repartition(8), key="l_returnflag", xy=xy)
+    # rename via an Arrow batch map — Dataset.rename_columns plants a
+    # Project that chokes on map_groups' pandas blocks
+    return out.map_batches(
+        lambda b: b.rename_columns(["l_returnflag", "qty_c", "price_c"]),
+        batch_format="pyarrow")
+
+
+def q_cell_smooth(sf_dir: str):
+    """3×3 k-ring smoothed tile counts at z12 over the geotagged image
+    points — the raster-convolution primitive (geo/cells.ring_smooth:
+    per-block partial counts scatter to their 9 neighbors inside the same
+    map_batches; ONE groupby-sum, no self-join).  Oracle-gated against the
+    offsets-cross-join SQL (oracle.q_cell_smooth)."""
+    from ..geo.cells import ring_smooth
+
+    ensure_worker_importable()
+    ds = datagen.images_dataset(sf_dir).select_columns(["lon", "lat"])
+    return ring_smooth(ds, 12)

@@ -518,3 +518,62 @@ def winsorize_sum(ds, key: str, val_cents, lo_q: float = 0.05,
             .groupby(key).aggregate(Sum("n", alias_name="n"),
                                     Sum("wsum_cents",
                                         alias_name="wsum_cents")))
+
+
+def _skyline_block(key: np.ndarray, x: np.ndarray, y: np.ndarray):
+    """2-D Pareto frontier (maximize both) of one array triple — returns a
+    boolean keep-mask in the ORIGINAL row order.
+
+    Dominance: q dominates p iff q.x ≥ p.x, q.y ≥ p.y, strict in one.
+    Vectorized: sort (key, x desc); within a key, a row survives iff its y
+    exceeds the max y of every strictly-greater-x row (exclusive running
+    max over x-groups) AND equals the max y of its own x-group — duplicate
+    frontier points all survive, exactly the NOT-EXISTS SQL semantics."""
+    keep = np.zeros(len(x), dtype=bool)
+    if len(x) == 0:
+        return keep
+    order = np.lexsort((-y, -x, key))
+    NEG = np.iinfo(np.int64).min
+    for kf in np.split(np.arange(len(order)),
+                       np.flatnonzero(key[order][1:] != key[order][:-1]) + 1):
+        idx = order[kf]
+        xs, ys = x[idx], y[idx]
+        gf = np.flatnonzero(np.r_[True, xs[1:] != xs[:-1]])
+        gmax = np.maximum.reduceat(ys, gf)
+        m1 = np.r_[NEG, np.maximum.accumulate(gmax)[:-1]]
+        gid = np.cumsum(np.r_[False, xs[1:] != xs[:-1]])
+        keep[idx] = (ys > m1[gid]) & (ys == gmax[gid])
+    return keep
+
+
+def skyline(ds, key: str, xy):
+    """Per-``key`` 2-D Pareto frontier (maximize both coordinates).
+
+    ``xy``: callable batch → (x int64 array, y int64 array).  Returns all
+    non-dominated rows (key, x, y) — duplicates of a frontier point are all
+    kept (SQL NOT-EXISTS dominance semantics).
+
+    Shape: skyline is a semilattice — skyline(A ∪ B) =
+    skyline(skyline(A) ∪ skyline(B)) — so each block keeps only its LOCAL
+    frontier (O(log n) expected rows for independent dims) and the shuffle
+    moves candidates only; one tiny per-key ``map_groups`` finishes.
+    Partitioning assumption: keys are few (a dim-typed column — the
+    per-key python loop in ``_skyline_block`` is over ≤ dozens of keys);
+    one key's CANDIDATE frontier fits in a worker."""
+
+    def local(batch: pa.Table) -> pa.Table:
+        k = batch.column(key).to_numpy(zero_copy_only=False)
+        codes, uk = pd.factorize(k)
+        x, y = xy(batch)
+        keep = _skyline_block(codes, x, y)
+        return pa.table({key: pa.array(uk[codes[keep]], pa.string()),
+                         "x": pa.array(x[keep]), "y": pa.array(y[keep])})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        codes, _ = pd.factorize(df[key].to_numpy())
+        keep = _skyline_block(codes, df["x"].to_numpy(np.int64),
+                              df["y"].to_numpy(np.int64))
+        return df[keep]
+
+    return (ds.map_batches(local, batch_format="pyarrow")
+            .groupby(key).map_groups(final, batch_format="pandas"))

@@ -98,3 +98,146 @@ def sessionize(ds, gap_us: int = SESSION_GAP_US):
 
     return (ds.map_batches(segments, batch_format="pyarrow")
             .groupby("user_id").map_groups(merge, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# Event-transition counts (first-order Markov matrix over event_type)
+# ---------------------------------------------------------------------------
+
+N_ORDER_SHARDS = 256
+
+
+def _add_shard(batch: pa.Table, n_shards: int) -> pa.Table:
+    u = batch.column("user_id").to_numpy()
+    return batch.append_column(
+        "shard", pa.array((u % n_shards).astype(np.int64)))
+
+
+def _shard_transitions(df: pd.DataFrame) -> pd.DataFrame:
+    """One user-hash shard → partial (from_type, to_type, cnt).
+
+    Sorts the shard by (user, ts, event_id) — event_id breaks equal-ts
+    ties so the pair sequence is deterministic and identical to the
+    oracle's ``ORDER BY ts, event_id`` window — then factorizes the
+    consecutive same-user (from, to) pairs and bincounts."""
+    u = df["user_id"].to_numpy(np.int64)
+    ts = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+    eid = df["event_id"].to_numpy(np.int64)
+    et = df["event_type"].to_numpy()
+    order = np.lexsort((eid, ts, u))
+    u, et = u[order], et[order]
+    same = u[1:] == u[:-1]
+    if not same.any():
+        return pd.DataFrame({"from_type": pd.Series([], dtype=object),
+                             "to_type": pd.Series([], dtype=object),
+                             "cnt": pd.Series([], dtype=np.int64)})
+    codes, types = pd.factorize(et)
+    pair = codes[:-1][same] * len(types) + codes[1:][same]
+    cnt = np.bincount(pair, minlength=len(types) * len(types))
+    nz = np.flatnonzero(cnt)
+    return pd.DataFrame({"from_type": types[nz // len(types)],
+                         "to_type": types[nz % len(types)],
+                         "cnt": cnt[nz].astype(np.int64)})
+
+
+def transitions(ds, n_shards: int = N_ORDER_SHARDS):
+    """events Dataset (event_id, ts, user_id, event_type) → global
+    first-order transition counts (from_type, to_type, cnt): for each user,
+    consecutive events ordered by (ts, event_id) contribute one pair.
+
+    Shape: consecutive-pair semantics need the TRUE per-user order, which
+    no block-local combiner can recover (a block's events interleave
+    arbitrarily with other blocks'), so this is the honest ONE-shuffle
+    form: hash users into ``n_shards`` coarse shards (0.3 ms/group
+    dispatch paid 256×, not once per user), sort + pair inside each shard
+    vectorized, then a tiny groupby-sum over the ≤ |types|² partials.
+    Partitioning assumption: one shard's events (≈ rows/n_shards) fit in a
+    worker's heap."""
+    from ray.data.aggregate import Sum
+
+    return (ds.map_batches(lambda b: _add_shard(b, n_shards),
+                           batch_format="pyarrow")
+            .groupby("shard")
+            .map_groups(_shard_transitions, batch_format="pandas")
+            .groupby(["from_type", "to_type"])
+            .aggregate(Sum("cnt", alias_name="cnt")))
+
+
+# ---------------------------------------------------------------------------
+# Interval union coverage (gaps-and-islands merge)
+# ---------------------------------------------------------------------------
+
+_EMPTY_ISLANDS = pa.table({
+    "user_id": pa.array([], pa.int64()),
+    "start": pa.array([], pa.int64()),
+    "end": pa.array([], pa.int64()),
+})
+
+
+def _merge_islands(u: np.ndarray, s: np.ndarray, e: np.ndarray):
+    """Sorted-by-(user, start, end) interval arrays → (new_island mask,
+    per-row exclusive running-max end WITHIN user).  Grouped cummax runs in
+    pandas' C kernel; the shifted value for each user's first row is
+    int64-min so the first interval always opens an island."""
+    run = pd.Series(e).groupby(pd.Series(u), sort=False).cummax().to_numpy()
+    pmax = np.empty(len(u), np.int64)
+    pmax[0] = np.iinfo(np.int64).min
+    pmax[1:] = np.where(u[1:] == u[:-1], run[:-1], np.iinfo(np.int64).min)
+    return s > pmax, pmax
+
+
+def _islands_batch(batch: pa.Table) -> pa.Table:
+    """events block → block-local MERGED intervals per user.
+
+    The union of a set of intervals equals the union of any partition's
+    block-local merges, so partial islands compose exactly — the shuffle
+    that follows moves O(islands), not O(events)."""
+    u = batch.column("user_id").to_numpy().astype(np.int64)
+    if len(u) == 0:
+        return _EMPTY_ISLANDS
+    s = batch.column("s").to_numpy()
+    e = batch.column("e").to_numpy()
+    order = np.lexsort((e, s, u))
+    u, s, e = u[order], s[order], e[order]
+    new, _ = _merge_islands(u, s, e)
+    first = np.flatnonzero(new)
+    return pa.table({
+        "user_id": pa.array(u[first]),
+        "start": pa.array(s[first]),
+        "end": pa.array(np.maximum.reduceat(e, first)),
+    })
+
+
+def _shard_cover(df: pd.DataFrame) -> pd.DataFrame:
+    """One shard of partial islands → (user_id, n_islands, covered_us)."""
+    u = df["user_id"].to_numpy(np.int64)
+    s = df["start"].to_numpy(np.int64)
+    e = df["end"].to_numpy(np.int64)
+    order = np.lexsort((e, s, u))
+    u, s, e = u[order], s[order], e[order]
+    new, pmax = _merge_islands(u, s, e)
+    cov = np.maximum(0, e - np.maximum(s, pmax))
+    cov[new] = e[new] - s[new]
+    ufirst = np.ones(len(u), dtype=bool)
+    ufirst[1:] = u[1:] != u[:-1]
+    uf = np.flatnonzero(ufirst)
+    return pd.DataFrame({
+        "user_id": u[uf],
+        "n_islands": np.add.reduceat(new.astype(np.int64), uf),
+        "covered_us": np.add.reduceat(cov, uf),
+    })
+
+
+def interval_cover(ds, n_shards: int = N_ORDER_SHARDS):
+    """Dataset of intervals (user_id, s, e  —  int64 µs) → per user the
+    merged-union stats (user_id, n_islands, covered_us).
+
+    Shape: block-local merge (``_islands_batch``, the exact-composition
+    combiner) → ONE user-hash-shard shuffle of O(partial islands) →
+    vectorized grouped-cummax sweep per shard.  Partitioning assumption:
+    one shard's partial islands fit in a worker."""
+    return (ds.map_batches(_islands_batch, batch_format="pyarrow")
+            .map_batches(lambda b: _add_shard(b, n_shards),
+                         batch_format="pyarrow")
+            .groupby("shard")
+            .map_groups(_shard_cover, batch_format="pandas"))

@@ -1,0 +1,201 @@
+"""Ordered-scan + frontier operators added late round 4: transitions,
+interval_cover, skyline, ring_smooth."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _events(rng, n, n_users=20):
+    return pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": (rng.integers(0, 10**9, n) * 1000).astype("datetime64[us]"),
+        "user_id": rng.integers(0, n_users, n).astype(np.int64),
+        "event_type": rng.choice(["view", "click", "buy"], n),
+    })
+
+
+class TestTransitions:
+    def test_hand_case(self, ray_session):
+        import ray
+
+        from bano_ray.stages.sessions import transitions
+
+        df = pd.DataFrame({
+            "event_id": [0, 1, 2, 3, 4],
+            "ts": np.array([10, 20, 30, 10, 20], "datetime64[us]"),
+            "user_id": [1, 1, 1, 2, 2],
+            "event_type": ["a", "b", "a", "a", "a"],
+        })
+        got = (transitions(ray.data.from_pandas([df.iloc[:2], df.iloc[2:]]),
+                           n_shards=4)
+               .to_pandas().sort_values(["from_type", "to_type"])
+               .reset_index(drop=True))
+        want = pd.DataFrame({"from_type": ["a", "a", "b"],
+                             "to_type": ["a", "b", "a"],
+                             "cnt": [1, 1, 1]})
+        pd.testing.assert_frame_equal(got[want.columns], want,
+                                      check_dtype=False)
+
+    def test_equal_ts_tiebreak_and_duckdb(self, ray_session):
+        """Equal timestamps within a user must pair in event_id order —
+        the oracle's ORDER BY ts, event_id."""
+        import ray
+
+        from bano_ray.oracle import q_transitions
+        from bano_ray.stages.sessions import transitions
+
+        rng = np.random.default_rng(5)
+        df = _events(rng, 3000)
+        # force heavy ts collisions
+        df["ts"] = (rng.integers(0, 50, 3000) * 1_000_000) \
+            .astype("datetime64[us]")
+        got = (transitions(
+            ray.data.from_pandas([df.iloc[:1000], df.iloc[1000:]]),
+            n_shards=8)
+            .to_pandas().sort_values(["from_type", "to_type"])
+            .reset_index(drop=True))
+        con = duckdb.connect()
+        con.register("events", df)
+        want = con.sql(q_transitions()).df()
+        pd.testing.assert_frame_equal(got[want.columns], want,
+                                      check_dtype=False)
+
+
+class TestIntervalCover:
+    def test_hand_case(self, ray_session):
+        """[0,10) ∪ [5,12) ∪ [20,25) → 2 islands, 17 µs covered; the
+        overlapping pair arrives in DIFFERENT blocks."""
+        import ray
+
+        from bano_ray.stages.sessions import interval_cover
+
+        df = pd.DataFrame({"user_id": [7, 7, 7],
+                           "s": np.array([0, 5, 20], np.int64),
+                           "e": np.array([10, 12, 25], np.int64)})
+        got = interval_cover(
+            ray.data.from_pandas([df.iloc[:1], df.iloc[1:]]),
+            n_shards=4).to_pandas()
+        assert got.values.tolist() == [[7, 2, 17]]
+
+    def test_contained_interval(self, ray_session):
+        """An interval fully inside another adds no coverage."""
+        import ray
+
+        from bano_ray.stages.sessions import interval_cover
+
+        df = pd.DataFrame({"user_id": [1, 1],
+                           "s": np.array([0, 3], np.int64),
+                           "e": np.array([100, 5], np.int64)})
+        got = interval_cover(ray.data.from_pandas(df),
+                             n_shards=2).to_pandas()
+        assert got.values.tolist() == [[1, 1, 100]]
+
+    def test_matches_duckdb(self, ray_session):
+        import ray
+
+        from bano_ray.oracle import q_interval_cover
+        from bano_ray.stages.sessions import interval_cover
+
+        rng = np.random.default_rng(9)
+        ev = _events(rng, 4000, n_users=30)
+        ds = ray.data.from_pandas([ev.iloc[i::7].reset_index(drop=True)
+                                   for i in range(7)])
+
+        def to_iv(batch: pa.Table) -> pa.Table:
+            s = batch.column("ts").cast(pa.int64()).to_numpy()
+            dur = (batch.column("event_id").to_numpy() % 7 + 1) * 300_000_000
+            return pa.table({"user_id": batch.column("user_id"),
+                             "s": pa.array(s), "e": pa.array(s + dur)})
+
+        got = (interval_cover(ds.map_batches(to_iv, batch_format="pyarrow"),
+                              n_shards=8)
+               .to_pandas().sort_values("user_id").reset_index(drop=True))
+        con = duckdb.connect()
+        con.register("events", ev)
+        want = con.sql(q_interval_cover()).df()
+        pd.testing.assert_frame_equal(got[want.columns], want,
+                                      check_dtype=False)
+
+
+class TestSkyline:
+    def test_hand_case_ties_and_duplicates(self, ray_session):
+        """Duplicate frontier points both survive; equal-x dominated-y
+        drops; a point dominated only by a DIFFERENT key survives."""
+        import ray
+
+        from bano_ray.stages.analytics import skyline
+
+        df = pd.DataFrame({
+            "k": ["a", "a", "a", "a", "a", "b"],
+            "x": np.array([5, 5, 5, 3, 6, 9], np.int64),
+            "y": np.array([9, 9, 7, 10, 2, 1], np.int64),
+        })
+        got = (skyline(ray.data.from_pandas([df.iloc[:3], df.iloc[3:]]),
+                       key="k", xy=lambda b: (b.column("x").to_numpy(),
+                                              b.column("y").to_numpy()))
+               .to_pandas().sort_values(["k", "x", "y"])
+               .reset_index(drop=True))
+        # a: (5,9)x2 kept (dupes), (5,7) dominated by (5,9), (3,10) kept,
+        #    (6,2) kept; b: (9,1) kept (other key can't dominate)
+        want = [["a", 3, 10], ["a", 5, 9], ["a", 5, 9], ["a", 6, 2],
+                ["b", 9, 1]]
+        assert got[["k", "x", "y"]].values.tolist() == want
+
+    def test_matches_brute_force(self, ray_session):
+        import ray
+
+        from bano_ray.stages.analytics import skyline
+
+        rng = np.random.default_rng(13)
+        n = 5000
+        df = pd.DataFrame({
+            "k": rng.choice(["p", "q"], n),
+            "x": rng.integers(0, 80, n).astype(np.int64),
+            "y": rng.integers(0, 80, n).astype(np.int64),
+        })
+        got = (skyline(ray.data.from_pandas(
+            [df.iloc[i::9].reset_index(drop=True) for i in range(9)]),
+            key="k", xy=lambda b: (b.column("x").to_numpy(),
+                                   b.column("y").to_numpy()))
+            .to_pandas().sort_values(["k", "x", "y"]).reset_index(drop=True))
+        keep = []
+        for _, r in df.iterrows():
+            dom = ((df["k"] == r["k"]) & (df["x"] >= r["x"])
+                   & (df["y"] >= r["y"])
+                   & ((df["x"] > r["x"]) | (df["y"] > r["y"])))
+            if not dom.any():
+                keep.append((r["k"], r["x"], r["y"]))
+        want = sorted(keep)
+        assert [tuple(v) for v in got[["k", "x", "y"]].values.tolist()] == want
+
+
+class TestRingSmooth:
+    def test_single_point_scatters_to_nine(self, ray_session):
+        import ray
+
+        from bano_ray.geo.cells import lonlat_to_tile, ring_smooth
+
+        ds = ray.data.from_pandas(pd.DataFrame({"lon": [2.35], "lat": [48.85]}))
+        out = ring_smooth(ds, 12).to_pandas()
+        cx, cy = lonlat_to_tile([2.35], [48.85], 12)
+        assert len(out) == 9 and (out["n_ring"] == 1).all()
+        assert set(map(tuple, out[["cell_x", "cell_y"]].values)) == {
+            (cx[0] + dx, cy[0] + dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)}
+
+    def test_two_adjacent_cells_overlap(self, ray_session):
+        """Points in horizontally adjacent cells: the shared 2×3 band sums
+        to 2, the outer flanks to 1."""
+        import ray
+
+        from bano_ray.geo.cells import ring_smooth
+
+        # z=1: cells are 180° wide — lon -90 → x0, lon 90 → x1, same y
+        ds = ray.data.from_pandas(pd.DataFrame(
+            {"lon": [-90.0, 90.0], "lat": [0.01, 0.01]}))
+        out = ring_smooth(ds, 1).to_pandas()
+        m = {(r.cell_x, r.cell_y): r.n_ring for r in out.itertuples()}
+        assert m[(0, 0)] == 2 and m[(1, 0)] == 2       # shared band
+        assert m[(-1, 0)] == 1 and m[(2, 0)] == 1      # flanks
