@@ -128,6 +128,8 @@ _ORACLE_QUERIES = [
     "q_interval_cover",      # gaps-and-islands interval union per user
     "q_skyline",             # per-group 2-D Pareto frontier
     "q_cell_smooth",         # 3x3 k-ring smoothed tile counts (raster conv)
+    "q_scd2",                # SCD2 validity intervals from the event stream
+    "q_weighted_median",     # integer-exact grouped weighted median
 ]
 
 # rows-only queries (approx algorithms with no exact SQL equivalent)

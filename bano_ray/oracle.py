@@ -2664,3 +2664,45 @@ off AS (SELECT a.dx, b.dy
 SELECT pc.cx + off.dx AS cell_x, pc.cy + off.dy AS cell_y,
        CAST(SUM(pc.n) AS BIGINT) AS n_ring
 FROM pc CROSS JOIN off GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+def q_scd2() -> str:
+    """SCD2 rows (stages/sessions.scd2): lag collapses consecutive equal
+    states; lead over the CHANGE rows — ordered by (ts, event_id), the
+    engine's lexsort — supplies valid_to; open rows get int64 max."""
+    return """WITH s AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+),
+c AS (
+  SELECT user_id, event_type, ts_us, event_id FROM s
+  WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, event_type AS state, ts_us AS valid_from,
+       COALESCE(lead(ts_us) OVER (PARTITION BY user_id
+                                  ORDER BY ts_us, event_id),
+                9223372036854775807) AS valid_to
+FROM c ORDER BY 1, 3"""
+
+
+def q_weighted_median() -> str:
+    """Lower weighted median (stages/analytics.weighted_median): the
+    2·cum ≥ tot rank test over the per-(flag, price) weight cumsum — the
+    same integer expression the engine's count-table finish evaluates."""
+    return """WITH t AS (
+  SELECT l_returnflag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+         CAST(round(l_quantity) AS BIGINT) AS w
+  FROM lineitem
+),
+g AS (SELECT l_returnflag, price_c, SUM(w) AS w FROM t GROUP BY 1, 2),
+c AS (
+  SELECT l_returnflag, price_c,
+         SUM(w) OVER (PARTITION BY l_returnflag ORDER BY price_c) AS cum,
+         SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+  FROM g
+)
+SELECT l_returnflag, MIN(price_c) AS wmedian_c
+FROM c WHERE 2 * cum >= tot GROUP BY 1 ORDER BY 1"""

@@ -2371,3 +2371,51 @@ def q_cell_smooth(sf_dir: str):
     ensure_worker_importable()
     ds = datagen.images_dataset(sf_dir).select_columns(["lon", "lat"])
     return ring_smooth(ds, 12)
+
+
+def q_scd2(sf_dir: str):
+    """Type-2 SCD snapshot from the event stream: per user, one row per
+    state change with [valid_from, valid_to) µs validity (open rows carry
+    the int64-max sentinel) — the CDC/dimension-history building block.
+    Same honest one-shuffle user-shard shape as q_transitions
+    (stages/sessions.scd2).  Oracle-gated against DuckDB lag/lead windows
+    (oracle.q_scd2)."""
+    import ray
+
+    from ..stages.sessions import scd2
+
+    ensure_worker_importable()
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "user_id",
+                                        "event_type"])
+    return scd2(ds.repartition(8))
+
+
+def q_weighted_median(sf_dir: str):
+    """Per-returnflag lower weighted median of extendedprice cents,
+    weighted by quantity — integer-exact via the shared 2·cum ≥ tot rank
+    test (stages/analytics.weighted_median: the pct_rank/winsorize
+    domain-bounded count-combiner; the all-to-all moves O(distinct
+    (flag, price)) rows).  Oracle-gated against the DuckDB cumulative-sum
+    window form (oracle.q_weighted_median)."""
+    import ray
+
+    from ..stages.analytics import weighted_median
+
+    ensure_worker_importable()
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_returnflag", "l_quantity",
+                                        "l_extendedprice"])
+
+    def price_c(batch: pa.Table) -> np.ndarray:
+        return pc.round(pc.multiply(batch.column("l_extendedprice"), 100.0),
+                        round_mode="half_towards_infinity") \
+            .cast(pa.int64()).to_numpy()
+
+    def qty(batch: pa.Table) -> np.ndarray:
+        return pc.round(batch.column("l_quantity"),
+                        round_mode="half_towards_infinity") \
+            .cast(pa.int64()).to_numpy()
+
+    return weighted_median(ds.repartition(8), key="l_returnflag",
+                           val_cents=price_c, weight=qty)

@@ -577,3 +577,48 @@ def skyline(ds, key: str, xy):
 
     return (ds.map_batches(local, batch_format="pyarrow")
             .groupby(key).map_groups(final, batch_format="pandas"))
+
+
+def weighted_median(ds, key: str, val_cents, weight):
+    """Per-``key`` lower weighted median: the smallest value v with
+    2·(cumulative weight through v) ≥ total weight — integer-exact (no
+    float tolerance; the 2·cum ≥ tot test is the engine/oracle shared
+    expression).  ``val_cents``/``weight`` are callables batch → int64.
+
+    Shape: the domain-bounded (key, value)→Σweight count-combiner of
+    :func:`pct_rank`/:func:`winsorize_sum`, then the per-key answer reads
+    off the small table's cumsum.  Returns (key, wmedian_c).
+    Partitioning assumption: distinct (key, value) pairs fit in one worker.
+    """
+    from ray.data.aggregate import Sum
+
+    def prep(batch: pa.Table) -> pa.Table:
+        k = batch.column(key).to_numpy(zero_copy_only=False)
+        v = val_cents(batch)
+        w = weight(batch)
+        codes, uk = pd.factorize(k)
+        order = np.lexsort((v, codes))
+        ck, cv, cw = codes[order], v[order], w[order]
+        first = np.ones(len(ck), dtype=bool)
+        first[1:] = (ck[1:] != ck[:-1]) | (cv[1:] != cv[:-1])
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], len(ck))
+        cum = np.concatenate(([0], np.cumsum(cw)))
+        return pa.table({
+            key: pa.array(uk[ck[starts]], pa.string()),
+            "v": pa.array(cv[starts]),
+            "w": pa.array(cum[ends] - cum[starts]),
+        })
+
+    counts = (ds.map_batches(prep, batch_format="pyarrow")
+              .groupby([key, "v"]).aggregate(Sum("w", alias_name="w"))
+              .to_pandas()             # domain-bounded small table
+              .sort_values([key, "v"], ignore_index=True))
+    out_k, out_v = [], []
+    for g, sub in counts.groupby(key, sort=True):
+        cum = sub["w"].cumsum().to_numpy(np.int64)
+        tot = int(cum[-1])
+        i = int(np.searchsorted(2 * cum, tot))
+        out_k.append(g)
+        out_v.append(int(sub["v"].to_numpy(np.int64)[i]))
+    return pd.DataFrame({key: out_k, "wmedian_c": np.array(out_v, np.int64)})

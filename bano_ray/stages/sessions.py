@@ -241,3 +241,46 @@ def interval_cover(ds, n_shards: int = N_ORDER_SHARDS):
                          batch_format="pyarrow")
             .groupby("shard")
             .map_groups(_shard_cover, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# SCD2 validity intervals (change-data-capture snapshot)
+# ---------------------------------------------------------------------------
+
+SCD2_OPEN_END = np.iinfo(np.int64).max   # open-ended current row sentinel
+
+
+def _shard_scd2(df: pd.DataFrame) -> pd.DataFrame:
+    """One user-hash shard → SCD2 rows (user_id, state, valid_from,
+    valid_to): sort by (user, ts, event_id), collapse consecutive equal
+    states, valid_to = next change's ts (open rows get the int64-max
+    sentinel, the oracle's COALESCE)."""
+    u = df["user_id"].to_numpy(np.int64)
+    ts = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+    eid = df["event_id"].to_numpy(np.int64)
+    et = df["event_type"].to_numpy()
+    order = np.lexsort((eid, ts, u))
+    u, ts, et = u[order], ts[order], et[order]
+    change = np.ones(len(u), dtype=bool)
+    change[1:] = (u[1:] != u[:-1]) | (et[1:] != et[:-1])
+    ci = np.flatnonzero(change)
+    cu, cts = u[ci], ts[ci]
+    vto = np.full(len(ci), SCD2_OPEN_END, np.int64)
+    same_next = cu[1:] == cu[:-1]
+    vto[:-1][same_next] = cts[1:][same_next]
+    return pd.DataFrame({"user_id": cu, "state": et[ci],
+                         "valid_from": cts, "valid_to": vto})
+
+
+def scd2(ds, n_shards: int = N_ORDER_SHARDS):
+    """events Dataset (event_id, ts, user_id, event_type) → type-2
+    slowly-changing-dimension rows: one row per STATE CHANGE per user with
+    [valid_from, valid_to) µs validity (valid_to of the current state =
+    int64 max).  Same honest one-shuffle shape as :func:`transitions`
+    (change detection needs the true per-user order); the in-shard sweep is
+    fully vectorized.  Partitioning assumption: one user-hash shard's
+    events fit in a worker."""
+    return (ds.map_batches(lambda b: _add_shard(b, n_shards),
+                           batch_format="pyarrow")
+            .groupby("shard")
+            .map_groups(_shard_scd2, batch_format="pandas"))

@@ -199,3 +199,102 @@ class TestRingSmooth:
         m = {(r.cell_x, r.cell_y): r.n_ring for r in out.itertuples()}
         assert m[(0, 0)] == 2 and m[(1, 0)] == 2       # shared band
         assert m[(-1, 0)] == 1 and m[(2, 0)] == 1      # flanks
+
+
+class TestScd2:
+    def test_hand_case(self, ray_session):
+        """Consecutive equal states collapse; change rows chain validity;
+        the last state per user stays open (int64-max sentinel)."""
+        import ray
+
+        from bano_ray.stages.sessions import SCD2_OPEN_END, scd2
+
+        df = pd.DataFrame({
+            "event_id": [0, 1, 2, 3, 4],
+            "ts": np.array([10, 20, 30, 40, 5], "datetime64[us]"),
+            "user_id": [1, 1, 1, 1, 2],
+            "event_type": ["a", "a", "b", "a", "z"],
+        })
+        got = (scd2(ray.data.from_pandas([df.iloc[:2], df.iloc[2:]]),
+                    n_shards=4)
+               .to_pandas().sort_values(["user_id", "valid_from"])
+               .reset_index(drop=True))
+        assert got.values.tolist() == [
+            [1, "a", 10, 30], [1, "b", 30, 40], [1, "a", 40, SCD2_OPEN_END],
+            [2, "z", 5, SCD2_OPEN_END]]
+
+    def test_matches_duckdb(self, ray_session):
+        import ray
+
+        from bano_ray.oracle import q_scd2
+        from bano_ray.stages.sessions import scd2
+
+        rng = np.random.default_rng(21)
+        df = _events(rng, 3000)
+        df["ts"] = (rng.integers(0, 40, 3000) * 1_000_000) \
+            .astype("datetime64[us]")   # heavy ts collisions
+        got = (scd2(ray.data.from_pandas([df.iloc[:1000], df.iloc[1000:]]),
+                    n_shards=8)
+               .to_pandas().sort_values(["user_id", "valid_from", "state"])
+               .reset_index(drop=True))
+        con = duckdb.connect()
+        con.register("events", df)
+        want = (con.sql(q_scd2()).df()
+                .sort_values(["user_id", "valid_from", "state"])
+                .reset_index(drop=True))
+        pd.testing.assert_frame_equal(got[want.columns], want,
+                                      check_dtype=False)
+
+
+class TestWeightedMedian:
+    @staticmethod
+    def _v(batch: pa.Table):
+        return batch.column("v").to_numpy(zero_copy_only=False)
+
+    @staticmethod
+    def _w(batch: pa.Table):
+        return batch.column("w").to_numpy(zero_copy_only=False)
+
+    def test_hand_case(self, ray_session):
+        """Weights pull the median off the unweighted middle: values
+        1,2,3 with weights 1,1,4 → median 3; equal-split case picks the
+        LOWER value (2·cum == tot counts)."""
+        import ray
+
+        from bano_ray.stages.analytics import weighted_median
+
+        df = pd.DataFrame({
+            "g": ["a"] * 3 + ["b"] * 2,
+            "v": np.array([1, 2, 3, 10, 20], np.int64),
+            "w": np.array([1, 1, 4, 1, 1], np.int64),
+        })
+        got = weighted_median(
+            ray.data.from_pandas([df.iloc[:2], df.iloc[2:]]),
+            key="g", val_cents=self._v, weight=self._w)
+        assert got.values.tolist() == [["a", 3], ["b", 10]]
+
+    def test_matches_duckdb_random(self, ray_session):
+        import ray
+
+        from bano_ray.stages.analytics import weighted_median
+
+        rng = np.random.default_rng(17)
+        n = 4000
+        df = pd.DataFrame({
+            "g": rng.choice(["x", "y", "z"], n),
+            "v": rng.integers(-300, 300, n).astype(np.int64),
+            "w": rng.integers(1, 9, n).astype(np.int64),
+        })
+        got = weighted_median(
+            ray.data.from_pandas([df.iloc[:1500], df.iloc[1500:]]),
+            key="g", val_cents=self._v, weight=self._w)
+        con = duckdb.connect()
+        con.register("t", df)
+        want = con.sql("""
+            WITH g AS (SELECT g, v, SUM(w) w FROM t GROUP BY 1,2),
+            c AS (SELECT g, v, SUM(w) OVER (PARTITION BY g ORDER BY v) cum,
+                         SUM(w) OVER (PARTITION BY g) tot FROM g)
+            SELECT g, MIN(v) AS wmedian_c FROM c WHERE 2*cum >= tot
+            GROUP BY 1 ORDER BY 1""").df()
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want, check_dtype=False)
