@@ -579,46 +579,126 @@ def skyline(ds, key: str, xy):
             .groupby(key).map_groups(final, batch_format="pandas"))
 
 
-def weighted_median(ds, key: str, val_cents, weight):
+def weighted_median(ds, key: str, val_cents, weight,
+                    bins: int = 1024, final_cap: int = 8192):
     """Per-``key`` lower weighted median: the smallest value v with
-    2·(cumulative weight through v) ≥ total weight — integer-exact (no
-    float tolerance; the 2·cum ≥ tot test is the engine/oracle shared
-    expression).  ``val_cents``/``weight`` are callables batch → int64.
+    2·(cumulative weight through v) ≥ total weight — integer-exact (the
+    2·cum ≥ tot test is the engine/oracle shared expression, realized as
+    rank r = (tot+1)//2 in weight space).  ``val_cents``/``weight`` are
+    callables batch → int64.
 
-    Shape: the domain-bounded (key, value)→Σweight count-combiner of
-    :func:`pct_rank`/:func:`winsorize_sum`, then the per-key answer reads
-    off the small table's cumsum.  Returns (key, wmedian_c).
-    Partitioning assumption: distinct (key, value) pairs fit in one worker.
+    Shape — iterative weighted histogram selection (the
+    ``stages/quantile.exact_quantiles`` discipline; values here are
+    INTEGERS so candidate ranges shrink by exact arithmetic, no float-ulp
+    chain needed): one per-key (min, max, Σw) pass pins ranges and ranks;
+    each round ONE histogram pass emits ≤ keys×``bins`` (key, bin, Σw)
+    partials, a tiny groupby-sum merges them, and the driver walks ≤
+    ``bins`` cumulative weights per key to pick the rank-holding bin,
+    shrinking that key's range ~bins×; when every range spans ≤
+    ``final_cap`` integers, one filtered (key, v)→Σw pass finishes with a
+    cumsum over ≤ keys×``final_cap`` rows.  Every shuffle moves
+    histogram-sized data and the driver never holds O(distinct values) —
+    the failure mode of a count-table combiner on an unbounded-domain
+    column (lineitem prices: ~every row distinct).  ~2 rounds for a 10^7
+    cents domain = 4 column-pruned scans, independent of row count.
+    Partitioning assumption: ``key`` is dim-typed (≤ thousands of keys).
+    Returns (key, wmedian_c).
     """
-    from ray.data.aggregate import Sum
+    import ray
+    from ray.data.aggregate import Max, Min, Sum
 
     def prep(batch: pa.Table) -> pa.Table:
         k = batch.column(key).to_numpy(zero_copy_only=False)
-        v = val_cents(batch)
-        w = weight(batch)
+        return pa.table({key: pa.array(k, pa.string()),
+                         "v": pa.array(val_cents(batch)),
+                         "w": pa.array(weight(batch))})
+
+    pre = ds.map_batches(prep, batch_format="pyarrow")
+    # pass 0: per-key range + total weight + rank
+    span0 = (pre.groupby(key)
+             .aggregate(Min("v", alias_name="lo"), Max("v", alias_name="hi"),
+                        Sum("w", alias_name="tot"))
+             .to_pandas())
+    state = {r[key]: {"lo": int(r["lo"]), "hi": int(r["hi"]),
+                      "rank": (int(r["tot"]) + 1) // 2}
+             for _, r in span0.iterrows()}
+
+    def hist_partial(batch: pa.Table, st: dict) -> pa.Table:
+        k = batch.column(key).to_numpy(zero_copy_only=False)
+        v = batch.column("v").to_numpy()
+        w = batch.column("w").to_numpy()
         codes, uk = pd.factorize(k)
+        lo = np.asarray([st[g]["lo"] for g in uk], np.int64)[codes]
+        span = np.asarray([st[g]["hi"] - st[g]["lo"] + 1
+                           for g in uk], np.int64)[codes]
+        m = (v >= lo) & (v < lo + span)
+        codes, v, w, lo, span = codes[m], v[m], w[m], lo[m], span[m]
+        b = (v - lo) * bins // span
+        slot = codes * bins + b
+        wsum = np.bincount(slot, weights=w, minlength=len(uk) * bins)
+        nz = np.flatnonzero(wsum)
+        return pa.table({
+            key: pa.array(uk[nz // bins], pa.string()),
+            "bin": pa.array((nz % bins).astype(np.int64)),
+            "wsum": pa.array(wsum[nz].astype(np.int64)),
+        })
+
+    while True:
+        active = {g: s for g, s in state.items()
+                  if s["hi"] - s["lo"] + 1 > final_cap}
+        if not active:
+            break
+        st_ref = ray.put(dict(state))
+        hist = (pre.map_batches(
+                    lambda batch, _r=st_ref: hist_partial(batch, ray.get(_r)),
+                    batch_format="pyarrow")
+                .groupby([key, "bin"]).aggregate(Sum("wsum", alias_name="wsum"))
+                .to_pandas())
+        for g in active:
+            sub = hist[hist[key] == g].sort_values("bin")
+            cum = sub["wsum"].cumsum().to_numpy(np.int64)
+            i = int(np.searchsorted(cum, state[g]["rank"]))
+            b = int(sub["bin"].to_numpy(np.int64)[i])
+            lo, hi = state[g]["lo"], state[g]["hi"]
+            span = hi - lo + 1
+            state[g]["rank"] -= int(cum[i - 1]) if i else 0
+            state[g]["lo"] = lo + (b * span + bins - 1) // bins
+            state[g]["hi"] = lo + ((b + 1) * span + bins - 1) // bins - 1
+
+    # final: exact (key, v) weights inside the ≤ final_cap candidate ranges
+    st_ref = ray.put(dict(state))
+
+    def final_partial(batch: pa.Table) -> pa.Table:
+        st = ray.get(st_ref)
+        k = batch.column(key).to_numpy(zero_copy_only=False)
+        v = batch.column("v").to_numpy()
+        w = batch.column("w").to_numpy()
+        codes, uk = pd.factorize(k)
+        lo = np.asarray([st[g]["lo"] for g in uk], np.int64)[codes]
+        hi = np.asarray([st[g]["hi"] for g in uk], np.int64)[codes]
+        m = (v >= lo) & (v <= hi)
+        codes, v, w = codes[m], v[m], w[m]
         order = np.lexsort((v, codes))
         ck, cv, cw = codes[order], v[order], w[order]
         first = np.ones(len(ck), dtype=bool)
         first[1:] = (ck[1:] != ck[:-1]) | (cv[1:] != cv[:-1])
         starts = np.flatnonzero(first)
-        ends = np.append(starts[1:], len(ck))
         cum = np.concatenate(([0], np.cumsum(cw)))
+        ends = np.append(starts[1:], len(ck))
         return pa.table({
             key: pa.array(uk[ck[starts]], pa.string()),
             "v": pa.array(cv[starts]),
-            "w": pa.array(cum[ends] - cum[starts]),
+            "w": pa.array((cum[ends] - cum[starts]).astype(np.int64)),
         })
 
-    counts = (ds.map_batches(prep, batch_format="pyarrow")
-              .groupby([key, "v"]).aggregate(Sum("w", alias_name="w"))
-              .to_pandas()             # domain-bounded small table
-              .sort_values([key, "v"], ignore_index=True))
+    cand = (pre.map_batches(final_partial, batch_format="pyarrow")
+            .groupby([key, "v"]).aggregate(Sum("w", alias_name="w"))
+            .to_pandas()              # ≤ keys × final_cap rows
+            .sort_values([key, "v"], ignore_index=True))
     out_k, out_v = [], []
-    for g, sub in counts.groupby(key, sort=True):
+    for g, sub in cand.groupby(key, sort=True):
         cum = sub["w"].cumsum().to_numpy(np.int64)
-        tot = int(cum[-1])
-        i = int(np.searchsorted(2 * cum, tot))
+        i = int(np.searchsorted(cum, state[g]["rank"]))
         out_k.append(g)
         out_v.append(int(sub["v"].to_numpy(np.int64)[i]))
     return pd.DataFrame({key: out_k, "wmedian_c": np.array(out_v, np.int64)})

@@ -298,3 +298,32 @@ class TestWeightedMedian:
             GROUP BY 1 ORDER BY 1""").df()
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want, check_dtype=False)
+
+    def test_histogram_rounds_wide_domain(self, ray_session):
+        """Domain >> final_cap forces ≥2 histogram rounds; equality vs
+        DuckDB proves the rank/range bookkeeping across rounds."""
+        import ray
+
+        from bano_ray.stages.analytics import weighted_median
+
+        rng = np.random.default_rng(23)
+        n = 20000
+        df = pd.DataFrame({
+            "g": rng.choice(["x", "y"], n),
+            "v": rng.integers(-10**9, 10**9, n).astype(np.int64),
+            "w": rng.integers(1, 5, n).astype(np.int64),
+        })
+        got = weighted_median(
+            ray.data.from_pandas([df.iloc[:7000], df.iloc[7000:]]),
+            key="g", val_cents=self._v, weight=self._w,
+            bins=64, final_cap=256)
+        con = duckdb.connect()
+        con.register("t", df)
+        want = con.sql("""
+            WITH g AS (SELECT g, v, SUM(w) w FROM t GROUP BY 1,2),
+            c AS (SELECT g, v, SUM(w) OVER (PARTITION BY g ORDER BY v) cum,
+                         SUM(w) OVER (PARTITION BY g) tot FROM g)
+            SELECT g, MIN(v) AS wmedian_c FROM c WHERE 2*cum >= tot
+            GROUP BY 1 ORDER BY 1""").df()
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want, check_dtype=False)
