@@ -130,6 +130,7 @@ _ORACLE_QUERIES = [
     "q_cell_smooth",         # 3x3 k-ring smoothed tile counts (raster conv)
     "q_scd2",                # SCD2 validity intervals from the event stream
     "q_weighted_median",     # integer-exact grouped weighted median
+    "q_embed_gram",          # Gram matrix via per-block BLAS matmul partials
 ]
 
 # rows-only queries (approx algorithms with no exact SQL equivalent)

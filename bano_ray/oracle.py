@@ -2706,3 +2706,19 @@ c AS (
 )
 SELECT l_returnflag, MIN(price_c) AS wmedian_c
 FROM c WHERE 2 * cum >= tot GROUP BY 1 ORDER BY 1"""
+
+
+def q_embed_gram() -> str:
+    """Gram matrix (queries.q_embed_gram): unnest + subscript self-join on
+    (vec_id, i ≤ j); CAST to DOUBLE makes per-product values identical to
+    the engine's float64 matmul, and round(·, 6) absorbs summation-order
+    drift (q_embed_centroids discipline)."""
+    return """WITH v AS (
+  SELECT vec_id,
+         CAST(unnest(embedding) AS DOUBLE) AS val,
+         generate_subscripts(embedding, 1) - 1 AS i
+  FROM embeddings
+)
+SELECT a.i AS i, b.i AS j, round(SUM(a.val * b.val), 6) AS g
+FROM v a JOIN v b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY 1, 2 ORDER BY 1, 2"""

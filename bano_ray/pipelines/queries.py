@@ -2419,3 +2419,37 @@ def q_weighted_median(sf_dir: str):
 
     return weighted_median(ds.repartition(8), key="l_returnflag",
                            val_cents=price_c, weight=qty)
+
+
+def q_embed_gram(sf_dir: str):
+    """Gram matrix of the embedding corpus (Σ over vectors of eᵢ·eⱼ,
+    upper triangle) — the covariance/PCA building block as a DENSE
+    LINEAR-ALGEBRA combiner: each block stacks its vectors once and runs
+    ONE float64 BLAS matmul (Xᵀ X), emitting 64·65/2 partial rows; the
+    all-to-all carries O(blocks·2080) rows, never O(vectors).  Output
+    (i, j, g) rounded to 1e-6 — products are identical float64 on both
+    sides, summation-order drift ≪ the rounding (the q_embed_centroids
+    float discipline).  Oracle-gated (oracle.q_embed_gram)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ensure_worker_importable()
+    dim = 64
+    iu, ju = np.triu_indices(dim)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        x = emb.flatten().to_numpy().astype(np.float64).reshape(-1, dim)
+        g = x.T @ x
+        return pa.table({"i": pa.array(iu), "j": pa.array(ju),
+                         "s": pa.array(g[iu, ju])})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["i", "j"]).aggregate(Sum("s", alias_name="s"))
+           .to_pandas())                       # 2080 rows
+    out["g"] = np.round(out["s"].to_numpy(), 6)
+    return out[["i", "j", "g"]].sort_values(["i", "j"])

@@ -327,3 +327,21 @@ class TestWeightedMedian:
             GROUP BY 1 ORDER BY 1""").df()
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want, check_dtype=False)
+
+
+class TestEmbedGram:
+    def test_matches_numpy(self, ray_session, sf_dir):
+        import pyarrow.parquet as pq
+
+        from bano_ray.pipelines.queries import q_embed_gram
+
+        got = q_embed_gram(sf_dir).reset_index(drop=True)
+        t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+        emb = t.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        x = emb.flatten().to_numpy().astype(np.float64).reshape(-1, 64)
+        g = x.T @ x
+        iu, ju = np.triu_indices(64)
+        want = pd.DataFrame({"i": iu, "j": ju, "g": np.round(g[iu, ju], 6)})
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
