@@ -131,6 +131,7 @@ _ORACLE_QUERIES = [
     "q_scd2",                # SCD2 validity intervals from the event stream
     "q_weighted_median",     # integer-exact grouped weighted median
     "q_embed_gram",          # Gram matrix via per-block BLAS matmul partials
+    "q_tile_pyramid",        # multi-zoom tile-count pyramid (one pass)
 ]
 
 # rows-only queries (approx algorithms with no exact SQL equivalent)

@@ -206,3 +206,40 @@ def ring_smooth(ds, z: int):
     return (ds.map_batches(partial_scatter, batch_format="pyarrow")
             .groupby(["cell_x", "cell_y"])
             .aggregate(Sum("n", alias_name="n_ring")))
+
+
+def tile_pyramid(ds, z_hi: int, z_lo: int):
+    """Multi-zoom tile-count pyramid (the map-rendering aggregation): point
+    counts per (z, x, y) for every zoom in [z_lo, z_hi] — parent counts are
+    exact sums of their children.
+
+    Shape: ONE pass — per-block partial counts at ``z_hi`` (the combiner),
+    then each partial scatters to its ancestor tile at every coarser zoom
+    (x >> k, y >> k) inside the same ``map_batches``; a single
+    groupby-sum over (z, x, y) finishes.  The scatter factor is
+    ``z_hi - z_lo + 1`` rows per distinct base tile — no per-level
+    iteration, no repeated shuffles."""
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    nlev = z_hi - z_lo + 1
+
+    def partial_scatter(batch: pa.Table) -> pa.Table:
+        x, y = lonlat_to_tile(batch.column("lon").to_numpy(),
+                              batch.column("lat").to_numpy(), z_hi)
+        key = (x << np.int64(32)) | y
+        codes, uk = pd.factorize(key)
+        cnt = np.bincount(codes).astype(np.int64)
+        ux, uy = uk >> np.int64(32), uk & np.int64(0xFFFFFFFF)
+        shifts = np.repeat(np.arange(nlev, dtype=np.int64), len(uk))
+        return pa.table({
+            "z": pa.array(np.int64(z_hi) - shifts),
+            "x": pa.array(np.tile(ux, nlev) >> shifts),
+            "y": pa.array(np.tile(uy, nlev) >> shifts),
+            "n": pa.array(np.tile(cnt, nlev)),
+        })
+
+    return (ds.map_batches(partial_scatter, batch_format="pyarrow")
+            .groupby(["z", "x", "y"])
+            .aggregate(Sum("n", alias_name="n_points")))

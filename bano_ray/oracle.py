@@ -2722,3 +2722,23 @@ def q_embed_gram() -> str:
 SELECT a.i AS i, b.i AS j, round(SUM(a.val * b.val), 6) AS g
 FROM v a JOIN v b ON a.vec_id = b.vec_id AND a.i <= b.i
 GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+def q_tile_pyramid(z_hi: int = 12, z_lo: int = 8) -> str:
+    """Tile pyramid (geo/cells.tile_pyramid): base z12 cells from the same
+    slippy math as q_cell_counts; each coarser zoom is an integer
+    right-shift (floor-div by 2^k — tile coords are non-negative, so
+    // matches >>)."""
+    n = 1 << z_hi
+    levels = ", ".join(f"({z})" for z in range(z_lo, z_hi + 1))
+    return f"""WITH {base_pts_cte()},
+base AS (
+  SELECT CAST(floor((lon + 180.0) / 360.0 * {n}.0) AS BIGINT) AS bx,
+         CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0/cos(radians(lat))) / pi()) / 2.0 * {n}.0) AS BIGINT) AS by
+  FROM pts2
+)
+SELECT lv.z AS z, bx // (1 << ({z_hi} - lv.z)) AS x,
+       by // (1 << ({z_hi} - lv.z)) AS y,
+       CAST(COUNT(*) AS BIGINT) AS n_points
+FROM base CROSS JOIN (VALUES {levels}) lv(z)
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""

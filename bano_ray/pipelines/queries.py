@@ -2453,3 +2453,16 @@ def q_embed_gram(sf_dir: str):
            .to_pandas())                       # 2080 rows
     out["g"] = np.round(out["s"].to_numpy(), 6)
     return out[["i", "j", "g"]].sort_values(["i", "j"])
+
+
+def q_tile_pyramid(sf_dir: str):
+    """Tile-count pyramid z8..z12 over the geotagged image points — the
+    map-rendering aggregation (geo/cells.tile_pyramid: one combiner pass,
+    ancestor scatter in-map, ONE groupby-sum for ALL zoom levels).
+    Oracle-gated against per-level integer right-shifts in SQL
+    (oracle.q_tile_pyramid)."""
+    from ..geo.cells import tile_pyramid
+
+    ensure_worker_importable()
+    ds = datagen.images_dataset(sf_dir).select_columns(["lon", "lat"])
+    return tile_pyramid(ds, z_hi=12, z_lo=8)

@@ -345,3 +345,30 @@ class TestEmbedGram:
         iu, ju = np.triu_indices(64)
         want = pd.DataFrame({"i": iu, "j": ju, "g": np.round(g[iu, ju], 6)})
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+class TestTilePyramid:
+    def test_parent_sums_and_hand_case(self, ray_session):
+        import ray
+
+        from bano_ray.geo.cells import lonlat_to_tile, tile_pyramid
+
+        # two points in different z2 tiles that share a z1 parent
+        ds = ray.data.from_pandas(pd.DataFrame(
+            {"lon": [-170.0, -60.0, 100.0], "lat": [10.0, 10.0, 10.0]}))
+        out = tile_pyramid(ds, z_hi=2, z_lo=0).to_pandas()
+        by_z = {z: g for z, g in out.groupby("z")}
+        assert by_z[0]["n_points"].sum() == 3       # root holds everything
+        assert len(by_z[0]) == 1 and by_z[0]["n_points"].iloc[0] == 3
+        # z2: three distinct tiles of 1
+        assert len(by_z[2]) == 3 and (by_z[2]["n_points"] == 1).all()
+        # every z1 parent equals the sum of its z2 children
+        z2 = by_z[2].copy()
+        z2["px"], z2["py"] = z2["x"] // 2, z2["y"] // 2
+        rolled = (z2.groupby(["px", "py"], as_index=False)["n_points"].sum()
+                  .rename(columns={"px": "x", "py": "y"}))
+        got1 = (by_z[1][["x", "y", "n_points"]]
+                .sort_values(["x", "y"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            got1, rolled.sort_values(["x", "y"]).reset_index(drop=True),
+            check_dtype=False)
