@@ -79,7 +79,12 @@ def run_benchmarks() -> dict:
                                             q_dedup_corpus, q_image_dims,
                                             q_spatial_clusters, q_funnel,
                                             q_cohort_retention,
-                                            q_lift_cooccur, q_profile)
+                                            q_lift_cooccur, q_profile,
+                                            q_feature_hash, q_winsorize,
+                                            q_transitions, q_interval_cover,
+                                            q_skyline, q_cell_smooth,
+                                            q_scd2, q_weighted_median,
+                                            q_embed_gram, q_tile_pyramid)
     from bano_ray.runtime import ensure_worker_importable
     from bano_ray.stages.export import street_json_zone  # noqa: F401
     ensure_worker_importable()
@@ -136,6 +141,16 @@ def run_benchmarks() -> dict:
         "cohort_retention": lambda: q_cohort_retention(SF_DIR).count(),
         "lift_cooccur": lambda: len(q_lift_cooccur(SF_DIR)),
         "profile": lambda: q_profile(SF_DIR).count(),
+        "feature_hash": lambda: q_feature_hash(SF_DIR).count(),
+        "winsorize": lambda: q_winsorize(SF_DIR).count(),
+        "transitions": lambda: q_transitions(SF_DIR).count(),
+        "interval_cover": lambda: q_interval_cover(SF_DIR).count(),
+        "skyline": lambda: q_skyline(SF_DIR).count(),
+        "cell_smooth": lambda: q_cell_smooth(SF_DIR).count(),
+        "scd2": lambda: q_scd2(SF_DIR).count(),
+        "weighted_median": lambda: len(q_weighted_median(SF_DIR)),
+        "embed_gram": lambda: len(q_embed_gram(SF_DIR)),
+        "tile_pyramid": lambda: q_tile_pyramid(SF_DIR).count(),
     }
     # phash near-dup at bench scale (expanded image corpus; banding explodes
     # the stream 4x, so run at a bounded expansion like the image stage)
