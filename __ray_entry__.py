@@ -132,6 +132,10 @@ _ORACLE_QUERIES = [
     "q_weighted_median",     # integer-exact grouped weighted median
     "q_embed_gram",          # Gram matrix via per-block BLAS matmul partials
     "q_tile_pyramid",        # multi-zoom tile-count pyramid (one pass)
+    "q_track_length",        # geo: exact integer polyline length per track
+    "q_track_simplify",      # geo: one-pass Visvalingam polyline thinning
+    "q_bearing_sectors",     # geo: 8-sector segment-heading histogram
+    "q_track_turns",         # geo: signed-cross turn census per track
 ]
 
 # rows-only queries (approx algorithms with no exact SQL equivalent)

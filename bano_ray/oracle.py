@@ -2742,3 +2742,103 @@ SELECT lv.z AS z, bx // (1 << ({z_hi} - lv.z)) AS x,
        CAST(COUNT(*) AS BIGINT) AS n_points
 FROM base CROSS JOIN (VALUES {levels}) lv(z)
 GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+
+
+# --- track-geometry kernels (stages/tracks.py) ------------------------------
+
+_TRACK_XY = """xy AS (
+  SELECT insee, sidx, doc_id,
+         CAST(floor(lon * 1000000.0 + 0.5) AS BIGINT) AS ix,
+         CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT) AS iy
+  FROM pts2
+)"""
+
+_TRACK_TRI = """tri AS (
+  SELECT insee, sidx, doc_id, ix, iy,
+         LAG(ix) OVER w AS px, LAG(iy) OVER w AS py,
+         LEAD(ix) OVER w AS nx, LEAD(iy) OVER w AS ny
+  FROM xy WINDOW w AS (PARTITION BY insee, sidx ORDER BY doc_id)
+)"""
+
+
+def q_track_length() -> str:
+    """Track polyline length (stages/tracks.track_length): micro-degree
+    quantization (floor(lon*1e6+0.5) — identical double on both sides),
+    per-segment BIGINT length floor(sqrt(dx²+dy²)+0.5) (sqrt of an
+    integer-valued double can never be exactly *.5), exact integer SUM."""
+    return f"""WITH {base_pts_cte()},
+{_TRACK_XY},
+seg AS (
+  SELECT insee, sidx, ix, iy,
+         LAG(ix) OVER w AS px, LAG(iy) OVER w AS py
+  FROM xy WINDOW w AS (PARTITION BY insee, sidx ORDER BY doc_id)
+)
+SELECT insee, sidx, CAST(COUNT(*) AS BIGINT) AS n_pts,
+       CAST(COALESCE(SUM(CASE WHEN px IS NULL THEN 0
+         ELSE CAST(floor(sqrt(CAST((ix - px) * (ix - px)
+                                  + (iy - py) * (iy - py) AS DOUBLE))
+                         + 0.5) AS BIGINT) END), 0) AS BIGINT) AS len_u
+FROM seg GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+def q_track_simplify() -> str:
+    """One-pass Visvalingam thinning (stages/tracks.track_simplify):
+    endpoints always kept; interior vertices kept iff the int64
+    neighbor-triangle |2·area| >= SIMPLIFY_AREA2 (coords within one zone
+    box, products <= ~6.2e12 — exact BIGINT on both sides)."""
+    from .stages.tracks import SIMPLIFY_AREA2
+
+    return f"""WITH {base_pts_cte()},
+{_TRACK_XY},
+{_TRACK_TRI}
+SELECT insee, sidx, doc_id,
+       CASE WHEN px IS NULL OR nx IS NULL THEN NULL
+            ELSE abs((ix - px) * (ny - py) - (nx - px) * (iy - py))
+       END AS area2
+FROM tri
+WHERE px IS NULL OR nx IS NULL
+   OR abs((ix - px) * (ny - py) - (nx - px) * (iy - py)) >= {SIMPLIFY_AREA2}
+ORDER BY insee, sidx, doc_id"""
+
+
+def q_bearing_sectors() -> str:
+    """8-sector heading histogram (stages/tracks.bearing_sectors): sector
+    by pure integer sign/magnitude comparisons (0=ENE counter-clockwise
+    to 7=ESE); zero-length quantized segments skipped on both sides."""
+    return f"""WITH {base_pts_cte()},
+{_TRACK_XY},
+seg AS (
+  SELECT insee,
+         ix - LAG(ix) OVER w AS dx,
+         iy - LAG(iy) OVER w AS dy
+  FROM xy WINDOW w AS (PARTITION BY insee, sidx ORDER BY doc_id)
+)
+SELECT insee,
+       CAST(CASE WHEN dy >= 0 THEN
+              CASE WHEN dx >= 0 THEN (CASE WHEN dx >= dy THEN 0 ELSE 1 END)
+                   ELSE (CASE WHEN -dx < dy THEN 2 ELSE 3 END) END
+            ELSE
+              CASE WHEN dx < 0 THEN (CASE WHEN -dx >= -dy THEN 4 ELSE 5 END)
+                   ELSE (CASE WHEN dx < -dy THEN 6 ELSE 7 END) END
+       END AS BIGINT) AS sector,
+       CAST(COUNT(*) AS BIGINT) AS n_segs
+FROM seg
+WHERE dx IS NOT NULL AND NOT (dx = 0 AND dy = 0)
+GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+def q_track_turns() -> str:
+    """Signed-cross turn census (stages/tracks.track_turns): per-track
+    counts of left / right / exactly-collinear interior vertices; tracks
+    without interior vertices report zeros (the GROUP BY runs over every
+    vertex, so 1-2 point tracks still emit a row)."""
+    cross = "((ix - px) * (ny - py) - (nx - px) * (iy - py))"
+    inter = "px IS NOT NULL AND nx IS NOT NULL"
+    return f"""WITH {base_pts_cte()},
+{_TRACK_XY},
+{_TRACK_TRI}
+SELECT insee, sidx,
+       CAST(SUM(CASE WHEN {inter} AND {cross} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_left,
+       CAST(SUM(CASE WHEN {inter} AND {cross} < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_right,
+       CAST(SUM(CASE WHEN {inter} AND {cross} = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_straight
+FROM tri GROUP BY 1, 2 ORDER BY 1, 2"""

@@ -2466,3 +2466,48 @@ def q_tile_pyramid(sf_dir: str):
     ensure_worker_importable()
     ds = datagen.images_dataset(sf_dir).select_columns(["lon", "lat"])
     return tile_pyramid(ds, z_hi=12, z_lo=8)
+
+
+def q_track_length(sf_dir: str):
+    """Per-(zone, street) polyline length in integer micro-degree units
+    (stages/tracks.track_length): pruned doc_id read, coarse-shard + ONE
+    flat lexsort, exact BIGINT segment sums — the per-entity geometry
+    metric the reference only approximates via hull diameter (reference
+    bano/models.py point_par_rue / diameter).  Oracle-gated
+    (oracle.q_track_length)."""
+    from ..stages.tracks import track_length
+
+    ensure_worker_importable()
+    return track_length(sf_dir)
+
+
+def q_track_simplify(sf_dir: str):
+    """One-pass Visvalingam polyline thinning per track
+    (stages/tracks.track_simplify): endpoints + interior vertices whose
+    int64 neighbor-triangle area clears the threshold.  Oracle-gated
+    (oracle.q_track_simplify via LAG/LEAD windows)."""
+    from ..stages.tracks import track_simplify
+
+    ensure_worker_importable()
+    return track_simplify(sf_dir)
+
+
+def q_bearing_sectors(sf_dir: str):
+    """Per-zone 8-sector segment-heading histogram
+    (stages/tracks.bearing_sectors): sectors from pure integer
+    sign/magnitude comparisons, shard partials + one zone×8-sized
+    groupby sum.  Oracle-gated (oracle.q_bearing_sectors)."""
+    from ..stages.tracks import bearing_sectors
+
+    ensure_worker_importable()
+    return bearing_sectors(sf_dir)
+
+
+def q_track_turns(sf_dir: str):
+    """Per-track signed-cross turn census (stages/tracks.track_turns):
+    left / right / exactly-collinear interior-vertex counts.
+    Oracle-gated (oracle.q_track_turns)."""
+    from ..stages.tracks import track_turns
+
+    ensure_worker_importable()
+    return track_turns(sf_dir)

@@ -1,0 +1,260 @@
+"""Track-geometry kernels: polyline length, Visvalingam simplification,
+bearing sectors, and turn counts over per-street point sequences.
+
+The reference engine carries street geometry only as far as a label point
+(reference ``bano/models.py`` point_par_rue) — these are the §2
+"custom operator" geometry extensions a geospatial training-data pipeline
+needs: per-entity polyline metrics (track length, heading distribution,
+turn statistics) and on-the-fly geometry thinning (simplification) before
+rasterization / tiling.
+
+A *track* is the per-(zone, street) point sequence ordered by ``doc_id``
+— the same entity the merge pipeline aggregates, so the partitioning key
+is reused across stages per the one-key discipline.  All four kernels are
+exact-integer: coordinates quantize to micro-degrees
+(``floor(lon*1e6 + 0.5)`` — the double is identical in numpy and DuckDB,
+so the BIGINT is too), segment lengths round to integer micro-degree
+units via ``floor(sqrt(dx²+dy²) + 0.5)`` (sqrt of an integer-valued
+double is correctly rounded on both sides and can never be exactly
+*.5*, so the floor is deterministic), and triangle areas / turn signs
+use int64 cross products (coords within a track span one zone box —
+≤ 1.75e6 µ°, so products stay ≤ ~6.2e12, far inside int64).
+
+Shape (the coarse-shard discipline of ``stages/window.py``): one Ray
+group per track would pay the executor's ~0.3 ms per-group dispatch per
+(zone, street); instead rows shard on a pure function of the track key,
+and every track resolves inside its shard with ONE flat lexsort pass —
+no per-track Python loop.  Partitioning assumption (SURVEY §2
+custom-operator rule): one track's points fit in a worker group (a shard
+holds ~rows/(256·CPUs)); a single track beyond worker memory would need
+the two-pass carry that gap-sessionization (``stages/sessions.py``)
+demonstrates.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .. import datagen
+from .dedup import _coarse_groups
+
+MICRO = 1_000_000.0
+# Visvalingam keep-threshold on twice the triangle area, in (µ°)²: interior
+# vertices whose neighbor triangle is smaller than this are dropped.  Sized
+# so the dense urban cluster (200 µ° grid pitch → areas ~1e10) actually
+# thins while zone-scale rural tracks (areas ~1e12) keep their shape.
+SIMPLIFY_AREA2 = 10_000_000_000
+# street_idx < 1000 always (NSTREET_ALL is ~66), so the packed track key
+# zone*1000 + sidx is collision-free
+_ZID_MULT = 1000
+
+
+def _doc_ids(sf_dir: str):
+    """Pruned doc_id stream — mirrors the read front of
+    ``datagen.images_dataset`` (lance when present, else parquet with
+    data-determined block count) without paying the string synthesis the
+    geometry kernels never read."""
+    import os
+
+    import ray.data
+
+    lance_path = f"{sf_dir}/documents.lance"
+    if os.path.exists(lance_path):
+        try:
+            return ray.data.read_lance(lance_path, columns=["doc_id"])
+        except ImportError:
+            if not os.path.exists(f"{sf_dir}/documents.parquet"):
+                raise
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    nblocks = int(min(1024, max(16, n_docs // 150000)))
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"]).repartition(nblocks)
+
+
+def _shard_fn(C: int):
+    def shard(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy()
+        lon, lat = datagen.lon_lat(d)
+        zid = datagen.zone_of(lon, lat) * _ZID_MULT + datagen.street_idx(d)
+        return pa.table({
+            "doc_id": pa.array(d),
+            "zid": pa.array(zid),
+            "ix": pa.array(np.floor(lon * MICRO + 0.5).astype(np.int64)),
+            "iy": pa.array(np.floor(lat * MICRO + 0.5).astype(np.int64)),
+            "_shard": pa.array(
+                (zid.astype(np.uint64) % np.uint64(C)).astype(np.int64)),
+        })
+
+    return shard
+
+
+def _sharded(sf_dir: str):
+    C = _coarse_groups()
+    return (_doc_ids(sf_dir)
+            .map_batches(_shard_fn(C), batch_format="pyarrow")
+            .groupby("_shard"))
+
+
+def _ordered(df: pd.DataFrame):
+    """One flat lexsort: rows ordered by (zid, doc_id) + track-boundary
+    masks.  Returns (zid, doc_id, ix, iy, first, last)."""
+    z = df["zid"].to_numpy()
+    d = df["doc_id"].to_numpy()
+    order = np.lexsort((d, z))
+    z, d = z[order], d[order]
+    ix = df["ix"].to_numpy()[order]
+    iy = df["iy"].to_numpy()[order]
+    n = len(z)
+    first = np.ones(n, dtype=bool)
+    first[1:] = z[1:] != z[:-1]
+    last = np.ones(n, dtype=bool)
+    last[:-1] = first[1:]
+    return z, d, ix, iy, first, last
+
+
+def _insee_sidx(zid: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    zone = zid // _ZID_MULT
+    insee = np.char.zfill((zone + 1).astype("U"), 5).astype(object)
+    return insee, zid % _ZID_MULT
+
+
+def _seg_lengths(ix, iy, valid):
+    dx = (ix[1:] - ix[:-1]).astype(np.float64)
+    dy = (iy[1:] - iy[:-1]).astype(np.float64)
+    ln = np.floor(np.sqrt(dx * dx + dy * dy) + 0.5)
+    return np.where(valid, ln, 0.0)
+
+
+def lengths_group(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-shard kernel: (insee, sidx, n_pts, len_u) for every track."""
+    z, _, ix, iy, first, _ = _ordered(df)
+    if not len(z):
+        return pd.DataFrame({"insee": [], "sidx": [], "n_pts": [],
+                             "len_u": []})
+    gidx = np.cumsum(first) - 1
+    ntr = int(gidx[-1]) + 1
+    seg_len = _seg_lengths(ix, iy, ~first[1:])
+    # per-track sums stay ≤ ~2.5e10 — exact in the float64 bincount
+    len_u = np.bincount(gidx[1:], weights=seg_len,
+                        minlength=ntr).astype(np.int64)
+    n_pts = np.bincount(gidx, minlength=ntr).astype(np.int64)
+    insee, sidx = _insee_sidx(z[first])
+    return pd.DataFrame({"insee": insee, "sidx": sidx,
+                         "n_pts": n_pts, "len_u": len_u})
+
+
+def track_length(sf_dir: str):
+    """(insee, sidx, n_pts, len_u): vertex count + integer micro-degree
+    polyline length per track."""
+    return _sharded(sf_dir).map_groups(lengths_group, batch_format="pandas")
+
+
+def _cross2(ix, iy, first, last):
+    """|2·area| of each vertex's neighbor triangle (int64); valid only on
+    interior vertices (mask returned alongside)."""
+    n = len(ix)
+    px = np.empty(n, dtype=np.int64)
+    py = np.empty(n, dtype=np.int64)
+    nx = np.empty(n, dtype=np.int64)
+    ny = np.empty(n, dtype=np.int64)
+    px[1:], py[1:] = ix[:-1], iy[:-1]
+    px[0] = py[0] = 0
+    nx[:-1], ny[:-1] = ix[1:], iy[1:]
+    nx[-1] = ny[-1] = 0
+    interior = ~first & ~last
+    cross = (ix - px) * (ny - py) - (nx - px) * (iy - py)
+    return cross, interior
+
+
+def simplify_group(df: pd.DataFrame,
+                   area2_min: int = SIMPLIFY_AREA2) -> pd.DataFrame:
+    """Per-shard kernel: kept vertices (insee, sidx, doc_id, area2)."""
+    z, d, ix, iy, first, last = _ordered(df)
+    if not len(z):
+        return pd.DataFrame({"insee": [], "sidx": [], "doc_id": [],
+                             "area2": pd.array([], dtype="Int64")})
+    cross, interior = _cross2(ix, iy, first, last)
+    area2 = np.abs(cross)
+    keep = ~interior | (area2 >= area2_min)
+    insee, sidx = _insee_sidx(z[keep])
+    a = pd.array(area2[keep], dtype="Int64")
+    a[~interior[keep]] = pd.NA
+    return pd.DataFrame({"insee": insee, "sidx": sidx,
+                         "doc_id": d[keep], "area2": a})
+
+
+def track_simplify(sf_dir: str):
+    """One-pass Visvalingam thinning: keep endpoints plus interior
+    vertices whose neighbor-triangle |2·area| ≥ ``SIMPLIFY_AREA2``.
+    Returns the kept vertices as (insee, sidx, doc_id, area2) with area2
+    null on endpoints — the deterministic single-pass variant (no
+    re-evaluation after removal), which is the streaming-safe form."""
+    return _sharded(sf_dir).map_groups(simplify_group, batch_format="pandas")
+
+
+def sectors_partial(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-shard kernel: partial (insee, sector, n_segs) counts."""
+    z, _, ix, iy, first, _ = _ordered(df)
+    if not len(z):
+        return pd.DataFrame({"insee": [], "sector": [], "n_segs": []})
+    dx = ix[1:] - ix[:-1]
+    dy = iy[1:] - iy[:-1]
+    ok = ~first[1:] & ((dx != 0) | (dy != 0))
+    dx, dy = dx[ok], dy[ok]
+    zseg = z[1:][ok] // _ZID_MULT
+    sector = np.where(
+        dy >= 0,
+        np.where(dx >= 0, np.where(dx >= dy, 0, 1),
+                 np.where(-dx < dy, 2, 3)),
+        np.where(dx < 0, np.where(-dx >= -dy, 4, 5),
+                 np.where(dx < -dy, 6, 7)))
+    key = zseg * 8 + sector
+    uk, cnt = np.unique(key, return_counts=True)
+    insee = np.char.zfill((uk // 8 + 1).astype("U"), 5).astype(object)
+    return pd.DataFrame({"insee": insee, "sector": uk % 8,
+                         "n_segs": cnt.astype(np.int64)})
+
+
+def bearing_sectors(sf_dir: str):
+    """(insee, sector, n_segs): per-zone 8-sector heading histogram over
+    track segments (sector by pure integer sign/magnitude comparisons —
+    0=ENE..7=ESE counter-clockwise).  Zero-length segments (coincident
+    quantized vertices) are skipped on both sides.  Shard partials +
+    one zone×8-sized groupby sum."""
+
+    from ray.data.aggregate import Sum
+
+    parts = _sharded(sf_dir).map_groups(sectors_partial,
+                                        batch_format="pandas")
+    return (parts.groupby(["insee", "sector"])
+            .aggregate(Sum("n_segs", alias_name="n_segs")))
+
+
+def turns_group(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-shard kernel: per-track turn census."""
+    z, _, ix, iy, first, last = _ordered(df)
+    if not len(z):
+        return pd.DataFrame({"insee": [], "sidx": [], "n_left": [],
+                             "n_right": [], "n_straight": []})
+    cross, interior = _cross2(ix, iy, first, last)
+    gidx = np.cumsum(first) - 1
+    ntr = int(gidx[-1]) + 1
+    gi = gidx[interior]
+    ci = cross[interior]
+    n_left = np.bincount(gi[ci > 0], minlength=ntr).astype(np.int64)
+    n_right = np.bincount(gi[ci < 0], minlength=ntr).astype(np.int64)
+    n_straight = np.bincount(gi[ci == 0], minlength=ntr).astype(np.int64)
+    insee, sidx = _insee_sidx(z[first])
+    return pd.DataFrame({"insee": insee, "sidx": sidx, "n_left": n_left,
+                         "n_right": n_right, "n_straight": n_straight})
+
+
+def track_turns(sf_dir: str):
+    """(insee, sidx, n_left, n_right, n_straight): signed-cross turn
+    census per track over interior vertices (left = positive cross in
+    lon/lat axes, straight = exactly collinear)."""
+    return _sharded(sf_dir).map_groups(turns_group, batch_format="pandas")

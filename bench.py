@@ -84,7 +84,9 @@ def run_benchmarks() -> dict:
                                             q_transitions, q_interval_cover,
                                             q_skyline, q_cell_smooth,
                                             q_scd2, q_weighted_median,
-                                            q_embed_gram, q_tile_pyramid)
+                                            q_embed_gram, q_tile_pyramid,
+                                            q_track_length, q_track_simplify,
+                                            q_bearing_sectors, q_track_turns)
     from bano_ray.runtime import ensure_worker_importable
     from bano_ray.stages.export import street_json_zone  # noqa: F401
     ensure_worker_importable()
@@ -151,6 +153,10 @@ def run_benchmarks() -> dict:
         "weighted_median": lambda: len(q_weighted_median(SF_DIR)),
         "embed_gram": lambda: len(q_embed_gram(SF_DIR)),
         "tile_pyramid": lambda: q_tile_pyramid(SF_DIR).count(),
+        "track_length": lambda: q_track_length(SF_DIR).count(),
+        "track_simplify": lambda: q_track_simplify(SF_DIR).count(),
+        "bearing_sectors": lambda: q_bearing_sectors(SF_DIR).count(),
+        "track_turns": lambda: q_track_turns(SF_DIR).count(),
     }
     # phash near-dup at bench scale (expanded image corpus; banding explodes
     # the stream 4x, so run at a bounded expansion like the image stage)
