@@ -136,6 +136,7 @@ _ORACLE_QUERIES = [
     "q_track_simplify",      # geo: one-pass Visvalingam polyline thinning
     "q_bearing_sectors",     # geo: 8-sector segment-heading histogram
     "q_track_turns",         # geo: signed-cross turn census per track
+    "q_track_length_m",      # geo: haversine track length (exact BIGINT mm)
 ]
 
 # rows-only queries (approx algorithms with no exact SQL equivalent)

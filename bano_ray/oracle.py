@@ -2842,3 +2842,25 @@ SELECT insee, sidx,
        CAST(SUM(CASE WHEN {inter} AND {cross} < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_right,
        CAST(SUM(CASE WHEN {inter} AND {cross} = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_straight
 FROM tri GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+def q_track_length_m() -> str:
+    """Geodesic track length (stages/tracks.track_length_m): haversine with
+    R=6371 km, per-segment BIGINT millimetres (identical operation order —
+    numpy and DuckDB libm probed bit-equal over the full corpus), exact
+    integer SUM so distribution order cannot perturb totals."""
+    hav = ("""CAST(floor(2.0 * 6371000.0 * asin(sqrt(
+        sin(radians(lat - plat) / 2.0) * sin(radians(lat - plat) / 2.0)
+      + cos(radians(plat)) * cos(radians(lat))
+        * sin(radians(lon - plon) / 2.0) * sin(radians(lon - plon) / 2.0)
+      )) * 1000.0 + 0.5) AS BIGINT)""")
+    return f"""WITH {base_pts_cte()},
+seg AS (
+  SELECT insee, sidx, lat, lon,
+         LAG(lat) OVER w AS plat, LAG(lon) OVER w AS plon
+  FROM pts2 WINDOW w AS (PARTITION BY insee, sidx ORDER BY doc_id)
+)
+SELECT insee, sidx,
+       CAST(COALESCE(SUM(CASE WHEN plat IS NULL THEN 0 ELSE {hav} END), 0)
+            AS BIGINT) AS len_mm
+FROM seg GROUP BY 1, 2 ORDER BY 1, 2"""

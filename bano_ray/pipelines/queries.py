@@ -2511,3 +2511,14 @@ def q_track_turns(sf_dir: str):
 
     ensure_worker_importable()
     return track_turns(sf_dir)
+
+
+def q_track_length_m(sf_dir: str):
+    """Geodesic (haversine) per-track polyline length in exact integer
+    millimetres (stages/tracks.track_length_m) — the meters-true variant
+    of q_track_length; per-segment BIGINT rounding makes the distributed
+    SUM order-free.  Oracle-gated (oracle.q_track_length_m)."""
+    from ..stages.tracks import track_length_m
+
+    ensure_worker_importable()
+    return track_length_m(sf_dir)

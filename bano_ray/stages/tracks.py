@@ -258,3 +258,68 @@ def track_turns(sf_dir: str):
     census per track over interior vertices (left = positive cross in
     lon/lat axes, straight = exactly collinear)."""
     return _sharded(sf_dir).map_groups(turns_group, batch_format="pandas")
+
+
+def _shard_ll_fn(C: int):
+    """Shard pass carrying raw lon/lat doubles (the geodesic kernel needs
+    them; the planar kernels use the narrower integer shard table)."""
+    def shard(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy()
+        lon, lat = datagen.lon_lat(d)
+        zid = datagen.zone_of(lon, lat) * _ZID_MULT + datagen.street_idx(d)
+        return pa.table({
+            "doc_id": pa.array(d),
+            "zid": pa.array(zid),
+            "lon": pa.array(lon),
+            "lat": pa.array(lat),
+            "_shard": pa.array(
+                (zid.astype(np.uint64) % np.uint64(C)).astype(np.int64)),
+        })
+
+    return shard
+
+
+def geodesic_group(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-shard kernel: (insee, sidx, len_mm) — haversine track length in
+    integer millimetres.
+
+    Determinism: each segment rounds to BIGINT mm via
+    ``floor(2·R·asin(sqrt(a))·1000 + 0.5)`` with the exact operation order
+    of the oracle SQL; numpy's sin/cos/asin/sqrt and DuckDB's libm were
+    probed BIT-EQUAL on every consecutive-pair segment of the full sf0.1
+    corpus (max |diff| = 0.0 mm), and the integer per-segment rounding
+    makes the SUM order-free.  Float64 bincount sums stay exact below
+    2^53 mm ≈ 9e9 km per track — unreachable."""
+    z = df["zid"].to_numpy()
+    d = df["doc_id"].to_numpy()
+    order = np.lexsort((d, z))
+    z = z[order]
+    lon = df["lon"].to_numpy()[order]
+    lat = df["lat"].to_numpy()[order]
+    n = len(z)
+    if not n:
+        return pd.DataFrame({"insee": [], "sidx": [], "len_mm": []})
+    first = np.ones(n, dtype=bool)
+    first[1:] = z[1:] != z[:-1]
+    gidx = np.cumsum(first) - 1
+    ntr = int(gidx[-1]) + 1
+    plat, clat = lat[:-1], lat[1:]
+    plon, clon = lon[:-1], lon[1:]
+    s1 = np.sin(np.radians(clat - plat) / 2.0)
+    s2 = np.sin(np.radians(clon - plon) / 2.0)
+    a = s1 * s1 + np.cos(np.radians(plat)) * np.cos(np.radians(clat)) * s2 * s2
+    mm = np.floor(2.0 * 6371000.0 * np.arcsin(np.sqrt(a)) * 1000.0 + 0.5)
+    len_mm = np.bincount(gidx[1:], weights=np.where(~first[1:], mm, 0.0),
+                         minlength=ntr).astype(np.int64)
+    insee, sidx = _insee_sidx(z[first])
+    return pd.DataFrame({"insee": insee, "sidx": sidx, "len_mm": len_mm})
+
+
+def track_length_m(sf_dir: str):
+    """(insee, sidx, len_mm): geodesic (haversine, R=6371 km) polyline
+    length per track in exact integer millimetres."""
+    C = _coarse_groups()
+    return (_doc_ids(sf_dir)
+            .map_batches(_shard_ll_fn(C), batch_format="pyarrow")
+            .groupby("_shard")
+            .map_groups(geodesic_group, batch_format="pandas"))

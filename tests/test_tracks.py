@@ -127,3 +127,35 @@ class TestEndToEnd:
         want = con.sql(oracle.q_track_length()).df()
         pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
                                       check_dtype=False)
+
+
+class TestGeodesic:
+    def test_known_distance(self):
+        from bano_ray.stages.tracks import geodesic_group
+
+        # one degree of latitude along a meridian ≈ 111.195 km
+        df = pd.DataFrame({
+            "zid": np.array([0, 0], dtype=np.int64),
+            "doc_id": np.array([0, 1], dtype=np.int64),
+            "lon": [2.0, 2.0], "lat": [48.0, 49.0],
+            "_shard": np.zeros(2, dtype=np.int64),
+        })
+        got = geodesic_group(df)
+        km = got["len_mm"].iloc[0] / 1e6
+        assert abs(km - 111.195) < 0.01
+
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+
+        from bano_ray import oracle
+        from bano_ray.pipelines.queries import q_track_length_m
+
+        sf = "/root/testdata/sf0.001"
+        got = (q_track_length_m(sf).to_pandas()
+               .sort_values(["insee", "sidx"]).reset_index(drop=True))
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+        want = con.sql(oracle.q_track_length_m()).df()
+        pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
+                                      check_dtype=False)
