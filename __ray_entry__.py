@@ -137,6 +137,7 @@ _ORACLE_QUERIES = [
     "q_bearing_sectors",     # geo: 8-sector segment-heading histogram
     "q_track_turns",         # geo: signed-cross turn census per track
     "q_track_length_m",      # geo: haversine track length (exact BIGINT mm)
+    "q_wds_export",          # sink: WebDataset tar shards (index oracled)
 ]
 
 # rows-only queries (approx algorithms with no exact SQL equivalent)

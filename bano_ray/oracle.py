@@ -2864,3 +2864,13 @@ SELECT insee, sidx,
        CAST(COALESCE(SUM(CASE WHEN plat IS NULL THEN 0 ELSE {hav} END), 0)
             AS BIGINT) AS len_mm
 FROM seg GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+def q_wds_export(docs_per_shard: int = 64) -> str:
+    """WebDataset shard index (pipelines/sinks.write_wds_shards): shard
+    assignment is doc_id // docs_per_shard; names zero-pad to 6 digits."""
+    return f"""SELECT doc_id // {docs_per_shard} AS shard_id,
+       'shard-' || lpad(CAST(doc_id // {docs_per_shard} AS VARCHAR), 6, '0')
+                || '.tar' AS shard_name,
+       CAST(COUNT(*) AS BIGINT) AS n_samples
+FROM documents GROUP BY 1, 2 ORDER BY 1"""

@@ -2522,3 +2522,20 @@ def q_track_length_m(sf_dir: str):
 
     ensure_worker_importable()
     return track_length_m(sf_dir)
+
+
+def q_wds_export(sf_dir: str):
+    """WebDataset-style multimodal shard export
+    (pipelines/sinks.write_wds_shards): tar shards of (image bytes, JSON
+    metadata) under /tmp, bytes synthesized+encoded AFTER the id-only
+    shuffle so blobs never transit the object store.  Returns the shard
+    index; oracle-gated on (shard_id, shard_name, n_samples)
+    (oracle.q_wds_export); shard CONTENT is pytest-verified
+    (tests/test_wds.py: tar roundtrip, byte determinism, resume)."""
+    import os
+
+    from .sinks import write_wds_shards
+
+    ensure_worker_importable()
+    out_dir = os.path.join("/tmp/bano_ray_wds", os.path.basename(sf_dir))
+    return write_wds_shards(sf_dir, out_dir)
