@@ -138,6 +138,7 @@ _ORACLE_QUERIES = [
     "q_track_turns",         # geo: signed-cross turn census per track
     "q_track_length_m",      # geo: haversine track length (exact BIGINT mm)
     "q_wds_export",          # sink: WebDataset tar shards (index oracled)
+    "q_cell_mode",           # grouped mode: per-cell modal source (argmax)
 ]
 
 # rows-only queries (approx algorithms with no exact SQL equivalent)

@@ -2874,3 +2874,24 @@ def q_wds_export(docs_per_shard: int = 64) -> str:
                 || '.tar' AS shard_name,
        CAST(COUNT(*) AS BIGINT) AS n_samples
 FROM documents GROUP BY 1, 2 ORDER BY 1"""
+
+
+def q_cell_mode(res: int = 12) -> str:
+    """Grouped mode (stages/analytics.grouped_mode): per-cell argmax by
+    count, ties to the lexicographically smallest source."""
+    n = 1 << res
+    return f"""WITH {base_pts_cte()},
+cells AS (
+  SELECT CAST(floor((lon + 180.0) / 360.0 * {n}.0) AS BIGINT) AS cell_x,
+         CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0/cos(radians(lat))) / pi()) / 2.0 * {n}.0) AS BIGINT) AS cell_y,
+         source
+  FROM pts2
+),
+cc AS (
+  SELECT cell_x, cell_y, source, CAST(COUNT(*) AS BIGINT) AS n
+  FROM cells GROUP BY 1, 2, 3
+)
+SELECT cell_x, cell_y, source AS mode_source, n
+FROM (SELECT *, row_number() OVER (PARTITION BY cell_x, cell_y
+                                   ORDER BY n DESC, source) AS rn FROM cc)
+WHERE rn = 1 ORDER BY 1, 2"""

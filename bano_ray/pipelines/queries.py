@@ -2539,3 +2539,24 @@ def q_wds_export(sf_dir: str):
     ensure_worker_importable()
     out_dir = os.path.join("/tmp/bano_ray_wds", os.path.basename(sf_dir))
     return write_wds_shards(sf_dir, out_dir)
+
+
+def q_cell_mode(sf_dir: str):
+    """Per-z12-cell modal source (stages/analytics.grouped_mode): exact
+    grouped mode — map-side (cell, source) pre-count so the shuffle moves
+    distinct pairs, then coarse-shard argmax with a min-value tiebreak.
+    Oracle-gated (oracle.q_cell_mode)."""
+    from ..geo.cells import lonlat_to_tile
+    from ..stages.analytics import grouped_mode
+
+    ensure_worker_importable()
+
+    def add_xy(batch: pa.Table) -> pa.Table:
+        x, y = lonlat_to_tile(batch.column("lon").to_numpy(),
+                              batch.column("lat").to_numpy(), 12)
+        return pa.table({"cell_x": x, "cell_y": y,
+                         "source": batch.column("source")})
+
+    ds = datagen.images_dataset(sf_dir).map_batches(add_xy,
+                                                    batch_format="pyarrow")
+    return grouped_mode(ds, ["cell_x", "cell_y"], "source")

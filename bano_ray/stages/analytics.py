@@ -702,3 +702,51 @@ def weighted_median(ds, key: str, val_cents, weight,
         out_k.append(g)
         out_v.append(int(sub["v"].to_numpy(np.int64)[i]))
     return pd.DataFrame({key: out_k, "wmedian_c": np.array(out_v, np.int64)})
+
+
+def grouped_mode(ds, key_cols, val_col: str):
+    """Exact grouped mode (argmax-by-count): per key, the most frequent
+    value, ties broken to the lexicographically smallest value.
+
+    Two-phase, the 100 TB shape for a categorical mode: phase 1 is a
+    map-side (key, value) pre-count (per-block np.unique — the shuffle
+    moves distinct (key, value) pairs, not rows) into ONE groupby-sum;
+    phase 2 resolves the per-key argmax inside coarse shards (a pure
+    function of the key — no per-key dispatch) with a single flat
+    lexsort + first-of-group cut.  Output: key_cols + (mode_<val>, n).
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from .dedup import _coarse_groups
+
+    key_cols = list(key_cols)
+
+    def precount(batch: pa.Table) -> pa.Table:
+        df = batch.select(key_cols + [val_col]).to_pandas()
+        g = df.groupby(key_cols + [val_col], sort=False,
+                       observed=True).size().reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (ds.map_batches(precount, batch_format="pyarrow")
+              .groupby(key_cols + [val_col])
+              .aggregate(Sum("n", alias_name="n")))
+    C = _coarse_groups()
+
+    def shard(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        h = pd.util.hash_pandas_object(df[key_cols].astype(str).agg(
+            "|".join, axis=1), index=False).to_numpy()
+        df["_shard"] = (h % np.uint64(C)).astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def argmax(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.sort_values(key_cols + ["n", val_col],
+                              ascending=[True] * len(key_cols) + [False, True])
+               .drop_duplicates(subset=key_cols, keep="first")
+               .drop(columns=["_shard"])
+               .rename(columns={val_col: f"mode_{val_col}"}))
+        return out.reset_index(drop=True)
+
+    return (counts.map_batches(shard, batch_format="pyarrow")
+            .groupby("_shard").map_groups(argmax, batch_format="pandas"))

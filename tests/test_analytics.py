@@ -273,3 +273,24 @@ class TestWinsorizeSum:
             FROM t JOIN th USING (g) GROUP BY 1 ORDER BY 1""").df()
         pd.testing.assert_frame_equal(got[["g", "n", "wsum_cents"]], want,
                                       check_dtype=False)
+
+
+class TestGroupedMode:
+    def test_hand_case_with_tie(self, ray_session):
+        import ray
+
+        from bano_ray.stages.analytics import grouped_mode
+
+        df = pd.DataFrame({
+            "k": [1, 1, 1, 2, 2, 2, 2, 3],
+            "v": ["b", "a", "b", "x", "y", "y", "x", "z"],
+        })
+        got = (grouped_mode(ray.data.from_pandas([df.iloc[:4], df.iloc[4:]]),
+                            ["k"], "v")
+               .to_pandas().sort_values("k").reset_index(drop=True))
+        # k=1: b wins 2-1; k=2: tie 2-2 → lexicographically smaller "x";
+        # k=3: singleton
+        want = pd.DataFrame({"k": [1, 2, 3], "mode_v": ["b", "x", "z"],
+                             "n": [2, 2, 1]})
+        pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
+                                      check_dtype=False)
