@@ -139,6 +139,7 @@ _ORACLE_QUERIES = [
     "q_track_length_m",      # geo: haversine track length (exact BIGINT mm)
     "q_wds_export",          # sink: WebDataset tar shards (index oracled)
     "q_cell_mode",           # grouped mode: per-cell modal source (argmax)
+    "q_decay_score",         # recency-decayed engagement (exact int shifts)
 ]
 
 # rows-only queries (approx algorithms with no exact SQL equivalent)

@@ -2895,3 +2895,18 @@ SELECT cell_x, cell_y, source AS mode_source, n
 FROM (SELECT *, row_number() OVER (PARTITION BY cell_x, cell_y
                                    ORDER BY n DESC, source) AS rn FROM cc)
 WHERE rn = 1 ORDER BY 1, 2"""
+
+
+def q_decay_score() -> str:
+    """Recency-decayed engagement score (queries.q_decay_score): the decay
+    is an integer right-shift per elapsed half-life, so SUM order cannot
+    perturb the total; cents expression matches the established
+    round(value*100) parity pin."""
+    from .pipelines.queries import DECAY_ANCHOR_US, DECAY_HALF_LIFE_DAYS
+
+    return f"""SELECT user_id,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)
+                // (1 << (CAST(({DECAY_ANCHOR_US} - epoch_us(ts)) AS BIGINT)
+                          // 86400000000 // {DECAY_HALF_LIFE_DAYS})))
+            AS BIGINT) AS score_c
+FROM events GROUP BY 1 ORDER BY 1"""

@@ -2560,3 +2560,39 @@ def q_cell_mode(sf_dir: str):
     ds = datagen.images_dataset(sf_dir).map_batches(add_xy,
                                                     batch_format="pyarrow")
     return grouped_mode(ds, ["cell_x", "cell_y"], "source")
+
+
+# fixed scoring anchor: 2024-02-01T00:00:00Z (the synthetic event stream
+# spans January 2024) — a pinned "now" keeps the decay deterministic with
+# no corpus pre-pass
+DECAY_ANCHOR_US = 1706745600000000
+DECAY_HALF_LIFE_DAYS = 7
+
+
+def q_decay_score(sf_dir: str):
+    """Recency-decayed engagement score per user: Σ cents >> (age_days //
+    half_life) — exponential half-life decay kept EXACT by integer right
+    shifts (cents are non-negative, so floor-div and >> agree with the
+    oracle's `// (1 << shift)`).  One stateless map-side per-user partial
+    (np.unique + bincount), one user-table-sized groupby sum.
+    Oracle-gated (oracle.q_decay_score)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ensure_worker_importable()
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy()
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        cents = np.round(batch.column("value").to_numpy() * 100.0).astype(np.int64)
+        shift = ((DECAY_ANCHOR_US - ts) // 86400000000) // DECAY_HALF_LIFE_DAYS
+        w = cents >> shift
+        uu, inv = np.unique(u, return_inverse=True)
+        s = np.bincount(inv, weights=w).astype(np.int64)
+        return pa.table({"user_id": pa.array(uu), "score_c": pa.array(s)})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("user_id").aggregate(Sum("score_c",
+                                              alias_name="score_c")))

@@ -294,3 +294,27 @@ class TestGroupedMode:
                              "n": [2, 2, 1]})
         pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
                                       check_dtype=False)
+
+
+class TestDecayScore:
+    def test_hand_case(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from bano_ray.pipelines.queries import (DECAY_ANCHOR_US,
+                                                q_decay_score)
+
+        day_us = 86400000000
+        # ages 1, 8 and 15 days → shifts 0, 1, 2
+        ts = np.array([DECAY_ANCHOR_US - day_us,
+                       DECAY_ANCHOR_US - 8 * day_us,
+                       DECAY_ANCHOR_US - 15 * day_us]).astype("datetime64[us]")
+        df = pd.DataFrame({"event_id": [0, 1, 2], "ts": ts,
+                           "user_id": [7, 7, 7],
+                           "event_type": ["view"] * 3,
+                           "value": [1.00, 1.00, 1.00],
+                           "props": ["{}"] * 3})
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                       str(tmp_path / "events.parquet"))
+        got = q_decay_score(str(tmp_path)).to_pandas()
+        # 100 >> 0 + 100 >> 1 + 100 >> 2 = 100 + 50 + 25
+        assert got["score_c"].tolist() == [175]
