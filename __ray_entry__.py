@@ -140,6 +140,7 @@ _ORACLE_QUERIES = [
     "q_wds_export",          # sink: WebDataset tar shards (index oracled)
     "q_cell_mode",           # grouped mode: per-cell modal source (argmax)
     "q_decay_score",         # recency-decayed engagement (exact int shifts)
+    "q_window_selfjoin",     # stream-stream interval self-join (attribution)
 ]
 
 # rows-only queries (approx algorithms with no exact SQL equivalent)

@@ -2910,3 +2910,17 @@ def q_decay_score() -> str:
                           // 86400000000 // {DECAY_HALF_LIFE_DAYS})))
             AS BIGINT) AS score_c
 FROM events GROUP BY 1 ORDER BY 1"""
+
+
+def q_window_selfjoin(gap_us: int = 30 * 60 * 1000000) -> str:
+    """Stream-stream interval self-join (sessions.window_selfjoin): LEFT
+    events strictly before the right instant, within gap_us; µs-integer
+    comparisons on both sides."""
+    return f"""SELECT b.event_id, b.user_id,
+       CAST(COUNT(a.event_id) AS BIGINT) AS n_prior
+FROM events b LEFT JOIN events a
+  ON a.user_id = b.user_id AND a.event_type = 'view'
+ AND epoch_us(a.ts) >= epoch_us(b.ts) - {gap_us}
+ AND epoch_us(a.ts) < epoch_us(b.ts)
+WHERE b.event_type = 'purchase'
+GROUP BY 1, 2 ORDER BY 1"""

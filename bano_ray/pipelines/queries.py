@@ -2596,3 +2596,20 @@ def q_decay_score(sf_dir: str):
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby("user_id").aggregate(Sum("score_c",
                                               alias_name="score_c")))
+
+
+def q_window_selfjoin(sf_dir: str):
+    """Stream-stream interval self-join (stages/sessions.window_selfjoin):
+    per purchase, the same-user view count in the preceding 30 minutes —
+    the attribution join, output one row per right event (pairs are never
+    materialized; two searchsorted probes per shard).  Oracle-gated
+    (oracle.q_window_selfjoin)."""
+    import ray
+
+    from ..stages.sessions import window_selfjoin
+
+    ensure_worker_importable()
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts",
+                                        "event_type"])
+    return window_selfjoin(ds)

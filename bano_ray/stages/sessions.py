@@ -284,3 +284,71 @@ def scd2(ds, n_shards: int = N_ORDER_SHARDS):
                            batch_format="pyarrow")
             .groupby("shard")
             .map_groups(_shard_scd2, batch_format="pandas"))
+
+
+def window_selfjoin_group(df, gap_us: int, left_type: str, right_type: str):
+    """Per-shard kernel of :func:`window_selfjoin`: for every RIGHT event,
+    count LEFT events of the same user with ts in ``[right.ts - gap_us,
+    right.ts)`` — two searchsorted probes over a composite (user, rel_ts)
+    key, no per-user loop, no pair materialization.
+
+    The composite key uses shard-local DENSE user codes and a rel-ts width
+    sized to the shard's actual span, so arbitrary user ids and stream
+    spans fit int64 (asserted, not assumed)."""
+    import pandas as pd
+
+    u = df["user_id"].to_numpy()
+    ts = df["ts"].to_numpy().astype(np.int64)
+    ev = df["event_id"].to_numpy()
+    et = df["event_type"].to_numpy()
+    codes = np.unique(u, return_inverse=True)[1].astype(np.int64)
+    # +gap offset keeps the lower probe key non-negative in the rel field,
+    # so it can never underflow into the previous user's key range
+    rel = (ts - (ts.min() if len(ts) else 0)) + gap_us
+    nbits = int(rel.max()).bit_length() + 1 if len(rel) else 1
+    assert (int(codes.max()) if len(codes) else 0).bit_length() + nbits < 63
+    key = (codes << nbits) + rel
+    lm = et == left_type
+    rm = et == right_type
+    lkeys = np.sort(key[lm])
+    rkey = key[rm]
+    lo = np.searchsorted(lkeys, rkey - gap_us, side="left")
+    hi = np.searchsorted(lkeys, rkey, side="left")
+    return pd.DataFrame({"event_id": ev[rm], "user_id": u[rm],
+                         "n_prior": (hi - lo).astype(np.int64)})
+
+
+def window_selfjoin(ds, gap_us: int = 30 * 60 * 1000000,
+                    left_type: str = "view", right_type: str = "purchase"):
+    """Stream-stream interval self-join: per RIGHT event, the count of
+    same-user LEFT events in the preceding ``gap_us`` window (exclusive of
+    the right event's own instant) — the attribution join of a streaming
+    pipeline, done WITHOUT materializing pairs.
+
+    Shape: one user-hash coarse-shard shuffle (consecutive-window
+    semantics can't compose block-locally), then two vectorized
+    ``searchsorted`` probes per shard over a composite (user, rel-ts)
+    int64 key.  The output is one row per right event (never |L|x|R|
+    pairs), so a hot user costs O(L log L) sort + O(R log L) probes.
+    Partitioning assumption: one user's events fit in a shard (same as
+    stages/window.py)."""
+    from .dedup import _coarse_groups
+
+    C = _coarse_groups()
+
+    def shard(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy()
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "ts": batch.column("ts").cast(pa.int64()),
+            "event_type": batch.column("event_type"),
+            "_shard": pa.array((u.astype(np.uint64) % np.uint64(C))
+                               .astype(np.int64)),
+        })
+
+    return (ds.map_batches(shard, batch_format="pyarrow")
+            .groupby("_shard")
+            .map_groups(lambda df: window_selfjoin_group(
+                df, gap_us, left_type, right_type),
+                batch_format="pandas"))

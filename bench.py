@@ -88,7 +88,8 @@ def run_benchmarks() -> dict:
                                             q_track_length, q_track_simplify,
                                             q_bearing_sectors, q_track_turns,
                                             q_track_length_m, q_wds_export,
-                                            q_cell_mode, q_decay_score)
+                                            q_cell_mode, q_decay_score,
+                                            q_window_selfjoin)
     from bano_ray.runtime import ensure_worker_importable
     from bano_ray.stages.export import street_json_zone  # noqa: F401
     ensure_worker_importable()
@@ -163,6 +164,7 @@ def run_benchmarks() -> dict:
         "wds_export": lambda: q_wds_export(SF_DIR).count(),
         "cell_mode": lambda: q_cell_mode(SF_DIR).count(),
         "decay_score": lambda: q_decay_score(SF_DIR).count(),
+        "window_selfjoin": lambda: q_window_selfjoin(SF_DIR).count(),
     }
     # phash near-dup at bench scale (expanded image corpus; banding explodes
     # the stream 4x, so run at a bounded expansion like the image stage)

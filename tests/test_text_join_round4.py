@@ -145,3 +145,47 @@ class TestFeatureHash:
         con.register("documents", df)
         want = con.sql(q_feature_hash()).df()
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+class TestWindowSelfjoin:
+    def test_hand_case(self, ray_session):
+        import ray
+
+        from bano_ray.stages.sessions import window_selfjoin
+
+        m = 60 * 1000000
+        df = pd.DataFrame({
+            "event_id": [0, 1, 2, 3, 4, 5],
+            "user_id": [1, 1, 1, 1, 2, 2],
+            "ts": np.array([0, 10 * m, 29 * m, 30 * m, 0, 40 * m],
+                           "datetime64[us]"),
+            "event_type": ["view", "view", "purchase", "purchase",
+                           "view", "purchase"],
+        })
+        got = (window_selfjoin(ray.data.from_pandas([df.iloc[:3], df.iloc[3:]]),
+                               gap_us=30 * m)
+               .to_pandas().sort_values("event_id").reset_index(drop=True))
+        # buy@29m sees views at 0,10m (both within [−30m, 29m)); buy@30m
+        # sees view@10m only (view@0 is exactly gap-distant → included:
+        # a.ts >= b.ts - gap); user 2's buy@40m sees nothing (view 40m ago
+        # is outside the strict window? no: 40m > 30m gap → excluded)
+        want = pd.DataFrame({"event_id": [2, 3, 5], "user_id": [1, 1, 2],
+                             "n_prior": [2, 2, 0]})
+        pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
+                                      check_dtype=False)
+
+    def test_boundary_semantics(self, ray_session):
+        """Left event exactly gap before: included; at the same instant:
+        excluded."""
+        import ray
+
+        from bano_ray.stages.sessions import window_selfjoin
+
+        df = pd.DataFrame({
+            "event_id": [0, 1, 2],
+            "user_id": [1, 1, 1],
+            "ts": np.array([0, 30, 30], "datetime64[us]"),
+            "event_type": ["view", "view", "purchase"],
+        })
+        got = window_selfjoin(ray.data.from_pandas([df]), gap_us=30).to_pandas()
+        assert got["n_prior"].tolist() == [1]
