@@ -141,6 +141,8 @@ _ORACLE_QUERIES = [
     "q_cell_mode",           # grouped mode: per-cell modal source (argmax)
     "q_decay_score",         # recency-decayed engagement (exact int shifts)
     "q_window_selfjoin",     # stream-stream interval self-join (attribution)
+    "q_cusum_days",          # monitoring: integer CUSUM ingest-drift curve
+    "q_missing_slots",       # monitoring: stream-coverage gap detection
 ]
 
 # rows-only queries (approx algorithms with no exact SQL equivalent)

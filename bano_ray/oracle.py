@@ -2924,3 +2924,31 @@ FROM events b LEFT JOIN events a
  AND epoch_us(a.ts) < epoch_us(b.ts)
 WHERE b.event_type = 'purchase'
 GROUP BY 1, 2 ORDER BY 1"""
+
+
+def q_cusum_days() -> str:
+    """Daily-volume CUSUM drift (queries.q_cusum_days): deviation in
+    cross-multiplied integers, no float mean."""
+    return """WITH dc AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS d_cnt, CAST(SUM(n) AS BIGINT) AS total
+  FROM dc
+)
+SELECT day, n,
+       CAST(SUM(n) OVER (ORDER BY day) * d_cnt
+            - (row_number() OVER (ORDER BY day)) * total AS BIGINT) AS dev
+FROM dc, tot ORDER BY day"""
+
+
+def q_missing_slots() -> str:
+    """Coverage gaps (queries.q_missing_slots): 10-minute calendar
+    anti-join between the stream's first and last observed slot."""
+    return """WITH h AS (
+  SELECT DISTINCT epoch_us(ts) // 600000000 AS slot FROM events
+), g AS (
+  SELECT slot, LEAD(slot) OVER (ORDER BY slot) AS nxt FROM h
+)
+SELECT UNNEST(generate_series(slot + 1, nxt - 1)) AS slot
+FROM g WHERE nxt > slot + 1 ORDER BY 1"""

@@ -2613,3 +2613,58 @@ def q_window_selfjoin(sf_dir: str):
                                columns=["event_id", "user_id", "ts",
                                         "event_type"])
     return window_selfjoin(ds)
+
+
+def q_cusum_days(sf_dir: str):
+    """Daily-volume drift curve (CUSUM): per day, the exact integer
+    deviation ``cum_d·D − rank_d·total`` (cross-multiplied so no float
+    mean is ever formed) — the monitoring primitive for ingest-volume
+    drift.  Distributed day-count partials; the day table (≤ stream span)
+    finishes driver-side like the other dim-sized results.  Oracle-gated
+    (oracle.q_cusum_days)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ensure_worker_importable()
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = batch.column("ts").cast(pa.int64()).to_numpy() // 86400000000
+        ud, cnt = np.unique(day, return_counts=True)
+        return pa.table({"day": pa.array(ud),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    days = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("day").aggregate(Sum("n", alias_name="n"))
+            .to_pandas().sort_values("day").reset_index(drop=True))
+    n = days["n"].to_numpy()
+    D = np.int64(len(days))
+    total = np.int64(n.sum())
+    rank = np.arange(1, len(days) + 1, dtype=np.int64)
+    days["dev"] = np.cumsum(n) * D - rank * total
+    return days
+
+
+def q_missing_slots(sf_dir: str):
+    """Stream-coverage gap detection: 10-minute slots between the stream's
+    first and last slot with NO events — the backfill monitor.
+    Distributed distinct-slot partials (the shuffle carries ≤ span/10min
+    rows); the calendar anti-join runs on the slot table driver-side.
+    Oracle-gated (oracle.q_missing_slots)."""
+    import ray
+
+    ensure_worker_importable()
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        slot = batch.column("ts").cast(pa.int64()).to_numpy() // 600000000
+        return pa.table({"slot": pa.array(np.unique(slot))})
+
+    seen = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("slot").count().select_columns(["slot"])
+            .to_pandas()["slot"].to_numpy())
+    cal = np.arange(seen.min(), seen.max() + 1, dtype=np.int64)
+    missing = np.setdiff1d(cal, seen)
+    import pandas as pd
+
+    return pd.DataFrame({"slot": missing})

@@ -89,7 +89,8 @@ def run_benchmarks() -> dict:
                                             q_bearing_sectors, q_track_turns,
                                             q_track_length_m, q_wds_export,
                                             q_cell_mode, q_decay_score,
-                                            q_window_selfjoin)
+                                            q_window_selfjoin, q_cusum_days,
+                                            q_missing_slots)
     from bano_ray.runtime import ensure_worker_importable
     from bano_ray.stages.export import street_json_zone  # noqa: F401
     ensure_worker_importable()
@@ -165,6 +166,8 @@ def run_benchmarks() -> dict:
         "cell_mode": lambda: q_cell_mode(SF_DIR).count(),
         "decay_score": lambda: q_decay_score(SF_DIR).count(),
         "window_selfjoin": lambda: q_window_selfjoin(SF_DIR).count(),
+        "cusum_days": lambda: len(q_cusum_days(SF_DIR)),
+        "missing_slots": lambda: len(q_missing_slots(SF_DIR)),
     }
     # phash near-dup at bench scale (expanded image corpus; banding explodes
     # the stream 4x, so run at a bounded expansion like the image stage)
