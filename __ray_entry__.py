@@ -143,6 +143,8 @@ _ORACLE_QUERIES = [
     "q_window_selfjoin",     # stream-stream interval self-join (attribution)
     "q_cusum_days",          # monitoring: integer CUSUM ingest-drift curve
     "q_missing_slots",       # monitoring: stream-coverage gap detection
+    "q_zone_digest_diff",    # incremental: per-zone snapshot digest diff
+    "q_seq_pack",            # LLM: token-stream sequence packing chunks
 ]
 
 # rows-only queries (approx algorithms with no exact SQL equivalent)

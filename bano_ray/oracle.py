@@ -2952,3 +2952,74 @@ def q_missing_slots() -> str:
 )
 SELECT UNNEST(generate_series(slot + 1, nxt - 1)) AS slot
 FROM g WHERE nxt > slot + 1 ORDER BY 1"""
+
+
+def q_zone_digest_diff() -> str:
+    """Per-zone snapshot digest diff (stages/digest.zone_digest_diff):
+    fingerprint of the first FP_LEN codepoints (prepending '~' shifts the
+    multipliers by one), per-doc term (fp*A + doc_id*B + 1) mod P summed
+    per zone in HUGEINT — bit-for-bit the engine's split-half bincount."""
+    from .stages.digest import (DIFF_MOD, DIFF_RESIDUE, P, TERM_A, TERM_B)
+    from .stages.text import FP_LEN, FP_MOD, FP_MULTS
+
+    mults = "[" + ", ".join(str(m) for m in FP_MULTS) + "]"
+
+    def fp_expr(txt: str) -> str:
+        return (f"CAST(COALESCE(list_sum(list_transform("
+                f"range(least(length({txt}), {FP_LEN})), "
+                f"i -> CAST(unicode(substr({txt}, i + 1, 1)) AS BIGINT)"
+                f" * list_extract({mults}, i + 1))), 0) % {FP_MOD}"
+                f" AS BIGINT)")
+
+    def term(fp: str) -> str:
+        return (f"(CAST({fp} AS HUGEINT) * {TERM_A}"
+                f" + CAST(doc_id AS HUGEINT) * {TERM_B} + 1) % {P}")
+
+    return f"""WITH {base_pts_cte()},
+fp AS (
+  SELECT p.insee, d.doc_id,
+         {fp_expr("d.text")} AS fp_a,
+         {fp_expr("'~' || d.text")} AS fp_m
+  FROM pts2 p JOIN documents d USING (doc_id)
+),
+t AS (
+  SELECT insee, doc_id, fp_a,
+         CASE WHEN doc_id % {DIFF_MOD} = {DIFF_RESIDUE} THEN fp_m
+              ELSE fp_a END AS fp_b
+  FROM fp
+),
+z AS (
+  SELECT insee,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COALESCE(SUM(CASE WHEN doc_id % {DIFF_MOD} = {DIFF_RESIDUE}
+                                THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_changed,
+         CAST(SUM({term("fp_a")}) % {P} AS BIGINT) AS digest_a,
+         CAST(SUM({term("fp_b")}) % {P} AS BIGINT) AS digest_b
+  FROM t GROUP BY insee
+)
+SELECT insee, n_docs, n_changed, digest_a, digest_b,
+       CAST(CASE WHEN digest_a <> digest_b THEN 1 ELSE 0 END AS BIGINT)
+         AS differs
+FROM z ORDER BY insee"""
+
+
+def q_seq_pack() -> str:
+    """Sequence packing (stages/packing.seq_pack): whitespace token counts
+    (_NTOK), exclusive running sum per lang ordered by doc_id, chunk =
+    floor(start / CAP)."""
+    from .stages.packing import CAP
+
+    return f"""WITH tok AS (
+  SELECT doc_id, lang, CAST({_NTOK} AS BIGINT) AS ntok FROM documents
+), off AS (
+  SELECT doc_id, lang, ntok,
+         COALESCE(SUM(ntok) OVER (PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS start_off
+  FROM tok
+)
+SELECT lang, CAST(start_off // {CAP} AS BIGINT) AS chunk_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM off GROUP BY 1, 2 ORDER BY 1, 2"""

@@ -2668,3 +2668,28 @@ def q_missing_slots(sf_dir: str):
     import pandas as pd
 
     return pd.DataFrame({"slot": missing})
+
+
+def q_zone_digest_diff(sf_dir: str):
+    """Per-zone Merkle-style content digest + snapshot diff
+    (stages/digest.zone_digest_diff): order-insensitive mod-P fingerprint
+    sums for the base corpus and a deterministically perturbed next
+    snapshot, reporting which partitions an incremental rebuild must
+    touch (generalizes reference stats_export.sh:7-25's cross-check from
+    counts to content).  Oracle-gated (oracle.q_zone_digest_diff)."""
+    from ..stages.digest import zone_digest_diff
+
+    ensure_worker_importable()
+    return zone_digest_diff(sf_dir)
+
+
+def q_seq_pack(sf_dir: str):
+    """LLM sequence packing: cut each language's doc_id-ordered token
+    stream into fixed-CAP context chunks (stages/packing.seq_pack) — the
+    global ordered prefix sum done as bucket partials + driver prefix
+    carry + ONE range exchange that never moves text.  Oracle-gated
+    (oracle.q_seq_pack via a running-SUM window)."""
+    from ..stages.packing import seq_pack
+
+    ensure_worker_importable()
+    return seq_pack(sf_dir)

@@ -90,7 +90,9 @@ def run_benchmarks() -> dict:
                                             q_track_length_m, q_wds_export,
                                             q_cell_mode, q_decay_score,
                                             q_window_selfjoin, q_cusum_days,
-                                            q_missing_slots)
+                                            q_missing_slots,
+                                            q_zone_digest_diff,
+                                            q_seq_pack)
     from bano_ray.runtime import ensure_worker_importable
     from bano_ray.stages.export import street_json_zone  # noqa: F401
     ensure_worker_importable()
@@ -168,6 +170,8 @@ def run_benchmarks() -> dict:
         "window_selfjoin": lambda: q_window_selfjoin(SF_DIR).count(),
         "cusum_days": lambda: len(q_cusum_days(SF_DIR)),
         "missing_slots": lambda: len(q_missing_slots(SF_DIR)),
+        "zone_digest_diff": lambda: q_zone_digest_diff(SF_DIR).count(),
+        "seq_pack": lambda: q_seq_pack(SF_DIR).count(),
     }
     # phash near-dup at bench scale (expanded image corpus; banding explodes
     # the stream 4x, so run at a bounded expansion like the image stage)
