@@ -145,6 +145,7 @@ _ORACLE_QUERIES = [
     "q_missing_slots",       # monitoring: stream-coverage gap detection
     "q_zone_digest_diff",    # incremental: per-zone snapshot digest diff
     "q_seq_pack",            # LLM: token-stream sequence packing chunks
+    "q_vec_quantize",        # embeddings: int8 scalar-quantization codes
 ]
 
 # rows-only queries (approx algorithms with no exact SQL equivalent)

@@ -3023,3 +3023,34 @@ SELECT lang, CAST(start_off // {CAP} AS BIGINT) AS chunk_id,
        CAST(SUM(ntok) AS BIGINT) AS n_tokens,
        CAST(MIN(doc_id) AS BIGINT) AS first_doc
 FROM off GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+def q_vec_quantize() -> str:
+    """Int8 scalar quantization (stages/quantize.vec_quantize): global
+    per-dim min/max, code = floor((x-mn)*255/(mx-mn)+0.5) — a chain of
+    correctly-rounded double ops, bit-equal numpy vs DuckDB; integer
+    summaries (sum / sum-of-squares / positional 257^j-weighted hash)."""
+    from .stages.quantize import DIM, HASH_W, LEVELS
+
+    w = "[" + ", ".join(str(x) for x in HASH_W) + "]"
+    return f"""WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+u AS (
+  SELECT vec_id, UNNEST(v) AS x,
+         UNNEST(generate_series(1, {DIM})) AS i
+  FROM e
+),
+mm AS (SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM u GROUP BY i),
+codes AS (
+  SELECT vec_id, i,
+         CASE WHEN mx = mn THEN 0
+              ELSE CAST(floor((x - mn) * {LEVELS}.0 / (mx - mn) + 0.5)
+                        AS BIGINT) END AS c
+  FROM u JOIN mm USING (i)
+)
+SELECT vec_id,
+       CAST(SUM(c) AS BIGINT) AS code_sum,
+       CAST(SUM(c * c) AS BIGINT) AS code_sq,
+       CAST(SUM(c * list_extract({w}, i)) AS BIGINT) AS code_hash
+FROM codes GROUP BY vec_id ORDER BY vec_id"""

@@ -2693,3 +2693,14 @@ def q_seq_pack(sf_dir: str):
 
     ensure_worker_importable()
     return seq_pack(sf_dir)
+
+
+def q_vec_quantize(sf_dir: str):
+    """Embedding compression: global-min/max uint8 scalar quantization
+    (stages/quantize.vec_quantize) — two streaming passes (dim-sized
+    min/max reduce, broadcast, vectorized encode) with exact-integer code
+    signatures.  Oracle-gated (oracle.q_vec_quantize)."""
+    from ..stages.quantize import vec_quantize
+
+    ensure_worker_importable()
+    return vec_quantize(sf_dir)

@@ -1,0 +1,85 @@
+"""Int8 scalar quantization of the embedding corpus (vector compression).
+
+The storage-side twin of the ANN family (``stages/ann.py``): before
+shipping a 100 TB embedding corpus to an index, pipelines quantize each
+dimension to uint8 against GLOBAL per-dimension min/max — 4× smaller, and
+the decode is a multiply-add.  Two streaming passes:
+
+1. per-dimension min/max: each batch emits 64 (dim, mn, mx) partial rows,
+   one dim-sized ``groupby`` reduces them (nothing wide moves);
+2. encode: min/max broadcast via ``ray.put``; each batch quantizes its
+   vectors and emits exact-integer summaries of the code vector
+   (sum, sum of squares, and a positional weighted hash) — the compact,
+   order-free signature the oracle can replicate without shipping 64
+   codes per row through the compare.
+
+Exactness: the code ``floor((v - mn)·255/(mx - mn) + 0.5)`` is a chain of
+correctly-rounded double ops on identical operands, so numpy and DuckDB
+agree bit-for-bit; rounding monotonicity bounds every code to [0, 255]
+(the engine clamp is a provable no-op kept for robustness).  The hash
+weights 257^j mod FP_MOD keep the row sum ≤ 64·255·1e9 < 2^53, exact in
+both int64 and DuckDB BIGINT.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .ann import emb_matrix
+from .text import FP_MOD
+
+DIM = 64
+LEVELS = 255
+HASH_W = [pow(257, j, FP_MOD) for j in range(DIM)]
+_HASH_W64 = np.array(HASH_W, dtype=np.int64)
+
+
+def _minmax_partial(batch: pa.Table) -> pa.Table:
+    m = emb_matrix(batch.column("embedding"))
+    if m.shape[0] == 0:
+        return pa.table({"dim": pa.array([], pa.int64()),
+                         "mn": pa.array([], pa.float64()),
+                         "mx": pa.array([], pa.float64())})
+    return pa.table({
+        "dim": pa.array(np.arange(m.shape[1], dtype=np.int64)),
+        "mn": pa.array(m.min(axis=0)),
+        "mx": pa.array(m.max(axis=0)),
+    })
+
+
+def _encode_fn(mnmx_ref):
+    def encode(batch: pa.Table) -> pa.Table:
+        import ray
+
+        mn, mx = ray.get(mnmx_ref)
+        m = emb_matrix(batch.column("embedding"))
+        span = mx - mn
+        ok = span != 0.0
+        scaled = np.where(ok, (m - mn) * float(LEVELS)
+                          / np.where(ok, span, 1.0), 0.0)
+        codes = np.clip(np.floor(scaled + 0.5), 0, LEVELS).astype(np.int64)
+        return pa.table({
+            "vec_id": batch.column("vec_id"),
+            "code_sum": pa.array(codes.sum(axis=1)),
+            "code_sq": pa.array((codes * codes).sum(axis=1)),
+            "code_hash": pa.array(codes @ _HASH_W64[:codes.shape[1]]),
+        })
+    return encode
+
+
+def vec_quantize(sf_dir: str):
+    """(vec_id, code_sum, code_sq, code_hash): global-min/max uint8
+    quantization signatures of every embedding."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Max, Min
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    mm = (ds.map_batches(_minmax_partial, batch_format="pyarrow")
+          .groupby("dim")
+          .aggregate(Min("mn", alias_name="mn"), Max("mx", alias_name="mx"))
+          .to_pandas().sort_values("dim"))
+    mnmx = ray.put((mm["mn"].to_numpy(), mm["mx"].to_numpy()))
+    return ds.map_batches(_encode_fn(mnmx), batch_format="pyarrow")
