@@ -146,6 +146,7 @@ _ORACLE_QUERIES = [
     "q_zone_digest_diff",    # incremental: per-zone snapshot digest diff
     "q_seq_pack",            # LLM: token-stream sequence packing chunks
     "q_vec_quantize",        # embeddings: int8 scalar-quantization codes
+    "q_street_crossings",    # geo: exact segment-intersection join
 ]
 
 # rows-only queries (approx algorithms with no exact SQL equivalent)

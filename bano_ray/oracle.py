@@ -3054,3 +3054,38 @@ SELECT vec_id,
        CAST(SUM(c * c) AS BIGINT) AS code_sq,
        CAST(SUM(c * list_extract({w}, i)) AS BIGINT) AS code_hash
 FROM codes GROUP BY vec_id ORDER BY vec_id"""
+
+
+def q_street_crossings() -> str:
+    """Street-crossing census (stages/crossings.street_crossings): strict
+    integer orientation straddle between segments of different streets in
+    the same zone (coords span ≤ one zone box — cross products ≤ ~6.2e12,
+    exact BIGINT).  The oracle joins per zone without the engine's grid
+    cells — different plan, same proper-intersection set."""
+    return f"""WITH {base_pts_cte()},
+{_TRACK_XY},
+seg AS (
+  SELECT insee, sidx,
+         LAG(ix) OVER w AS ax, LAG(iy) OVER w AS ay,
+         ix AS bx, iy AS by
+  FROM xy WINDOW w AS (PARTITION BY insee, sidx ORDER BY doc_id)
+),
+s AS (SELECT * FROM seg WHERE ax IS NOT NULL),
+hits AS (
+  SELECT s1.insee, s1.sidx AS sidx_a, s2.sidx AS sidx_b,
+         (s1.bx - s1.ax) * (s2.ay - s1.ay)
+           - (s1.by - s1.ay) * (s2.ax - s1.ax) AS o1,
+         (s1.bx - s1.ax) * (s2.by - s1.ay)
+           - (s1.by - s1.ay) * (s2.bx - s1.ax) AS o2,
+         (s2.bx - s2.ax) * (s1.ay - s2.ay)
+           - (s2.by - s2.ay) * (s1.ax - s2.ax) AS o3,
+         (s2.bx - s2.ax) * (s1.by - s2.ay)
+           - (s2.by - s2.ay) * (s1.bx - s2.ax) AS o4
+  FROM s s1 JOIN s s2
+    ON s1.insee = s2.insee AND s1.sidx < s2.sidx
+)
+SELECT insee, sidx_a, sidx_b, CAST(COUNT(*) AS BIGINT) AS n_crossings
+FROM hits
+WHERE ((o1 > 0 AND o2 < 0) OR (o1 < 0 AND o2 > 0))
+  AND ((o3 > 0 AND o4 < 0) OR (o3 < 0 AND o4 > 0))
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""

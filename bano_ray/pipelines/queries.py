@@ -2704,3 +2704,15 @@ def q_vec_quantize(sf_dir: str):
 
     ensure_worker_importable()
     return vec_quantize(sf_dir)
+
+
+def q_street_crossings(sf_dir: str):
+    """Exact segment-intersection join: which street pairs properly cross,
+    per zone (stages/crossings.street_crossings) — grid-cell bucketed
+    candidates with a canonical-cell local dedup (no distinct shuffle),
+    strict int64 orientation tests.  Oracle-gated
+    (oracle.q_street_crossings)."""
+    from ..stages.crossings import street_crossings
+
+    ensure_worker_importable()
+    return street_crossings(sf_dir)
