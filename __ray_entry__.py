@@ -147,6 +147,7 @@ _ORACLE_QUERIES = [
     "q_seq_pack",            # LLM: token-stream sequence packing chunks
     "q_vec_quantize",        # embeddings: int8 scalar-quantization codes
     "q_street_crossings",    # geo: exact segment-intersection join
+    "q_mad_outliers",        # robust stats: median + MAD outlier census
 ]
 
 # rows-only queries (approx algorithms with no exact SQL equivalent)

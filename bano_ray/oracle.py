@@ -3089,3 +3089,42 @@ FROM hits
 WHERE ((o1 > 0 AND o2 < 0) OR (o1 < 0 AND o2 > 0))
   AND ((o3 > 0 AND o4 < 0) OR (o3 < 0 AND o4 > 0))
 GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+
+
+def q_mad_outliers() -> str:
+    """MAD outliers (stages/analytics.mad_outliers): lower median twice
+    via the 2·cum ≥ tot rank test (the q_weighted_median expression),
+    then an exact-integer |c − med| > 3·mad census."""
+    return """WITH t AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events
+),
+g AS (SELECT event_type, c, CAST(COUNT(*) AS BIGINT) AS w
+      FROM t GROUP BY 1, 2),
+cu AS (
+  SELECT event_type, c,
+         SUM(w) OVER (PARTITION BY event_type ORDER BY c) AS cum,
+         SUM(w) OVER (PARTITION BY event_type) AS tot
+  FROM g
+),
+med AS (SELECT event_type, MIN(c) AS med_c
+        FROM cu WHERE 2 * cum >= tot GROUP BY 1),
+d AS (
+  SELECT t.event_type, t.c, abs(t.c - m.med_c) AS dv, m.med_c
+  FROM t JOIN med m USING (event_type)
+),
+g2 AS (SELECT event_type, dv, CAST(COUNT(*) AS BIGINT) AS w
+       FROM d GROUP BY 1, 2),
+cu2 AS (
+  SELECT event_type, dv,
+         SUM(w) OVER (PARTITION BY event_type ORDER BY dv) AS cum,
+         SUM(w) OVER (PARTITION BY event_type) AS tot
+  FROM g2
+),
+mad AS (SELECT event_type, MIN(dv) AS mad_c
+        FROM cu2 WHERE 2 * cum >= tot GROUP BY 1)
+SELECT d.event_type, ANY_VALUE(d.med_c) AS med_c, ANY_VALUE(m.mad_c) AS mad_c,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COALESCE(SUM(CASE WHEN d.dv > 3 * m.mad_c THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_outliers
+FROM d JOIN mad m USING (event_type)
+GROUP BY 1 ORDER BY 1"""

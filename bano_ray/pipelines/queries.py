@@ -2716,3 +2716,14 @@ def q_street_crossings(sf_dir: str):
 
     ensure_worker_importable()
     return street_crossings(sf_dir)
+
+
+def q_mad_outliers(sf_dir: str):
+    """Robust outliers: per-event-type lower median + MAD (exact integer
+    rank selection, stages/analytics.mad_outliers) and the |v−med|>3·MAD
+    census — the 50%-breakdown companion to q_group_outliers' z-scores.
+    Oracle-gated (oracle.q_mad_outliers)."""
+    from ..stages.analytics import mad_outliers
+
+    ensure_worker_importable()
+    return mad_outliers(sf_dir)

@@ -750,3 +750,73 @@ def grouped_mode(ds, key_cols, val_col: str):
 
     return (counts.map_batches(shard, batch_format="pyarrow")
             .groupby("_shard").map_groups(argmax, batch_format="pandas"))
+
+
+def mad_outliers(sf_dir: str, k: int = 3):
+    """Per-event-type robust outlier census: lower median, median absolute
+    deviation (both via :func:`weighted_median`'s iterative
+    weighted-histogram selection — integer cents, exact rank tests), and
+    the count of rows with ``|v − med| > k·MAD``.
+
+    The robust twin of the z-score pass (``stages/outliers.py``): the
+    z-score breaks down when the contamination inflates the variance;
+    MAD has a 50% breakdown point.  Three streaming scans, each shuffling
+    only histogram- / dim-sized partials; the two median maps broadcast
+    as small dicts.  Returns (event_type, med_c, mad_c, n, n_outliers).
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+
+    def cents(batch: pa.Table) -> np.ndarray:
+        return np.round(batch.column("value").to_numpy()
+                        * 100.0).astype(np.int64)
+
+    def ones(batch: pa.Table) -> np.ndarray:
+        return np.ones(batch.num_rows, dtype=np.int64)
+
+    med = weighted_median(ds, "event_type", cents, ones)
+    med_map = {g: int(v) for g, v in zip(med["event_type"],
+                                         med["wmedian_c"])}
+
+    def dev(batch: pa.Table) -> np.ndarray:
+        ks = batch.column("event_type").to_numpy(zero_copy_only=False)
+        codes, uk = pd.factorize(ks)
+        m = np.asarray([med_map[g] for g in uk], np.int64)[codes]
+        return np.abs(cents(batch) - m)
+
+    mad = weighted_median(ds, "event_type", dev, ones)
+    mad_map = {g: int(v) for g, v in zip(mad["event_type"],
+                                         mad["wmedian_c"])}
+
+    def census(batch: pa.Table) -> pa.Table:
+        ks = batch.column("event_type").to_numpy(zero_copy_only=False)
+        codes, uk = pd.factorize(ks)
+        m = np.asarray([med_map[g] for g in uk], np.int64)[codes]
+        md = np.asarray([mad_map[g] for g in uk], np.int64)[codes]
+        out = np.abs(cents(batch) - m) > k * md
+        return pa.table({
+            "event_type": pa.array(uk, pa.string()),
+            "n": pa.array(np.bincount(codes, minlength=len(uk))
+                          .astype(np.int64)),
+            "n_outliers": pa.array(np.bincount(codes[out],
+                                               minlength=len(uk))
+                                   .astype(np.int64)),
+        })
+
+    agg = (ds.map_batches(census, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("n_outliers", alias_name="n_outliers")))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        ks = batch.column("event_type").to_numpy(zero_copy_only=False)
+        return (batch
+                .append_column("med_c", pa.array(
+                    np.asarray([med_map[g] for g in ks], np.int64)))
+                .append_column("mad_c", pa.array(
+                    np.asarray([mad_map[g] for g in ks], np.int64))))
+
+    return agg.map_batches(attach, batch_format="pyarrow")

@@ -93,7 +93,8 @@ def run_benchmarks() -> dict:
                                             q_missing_slots,
                                             q_zone_digest_diff,
                                             q_seq_pack, q_vec_quantize,
-                                            q_street_crossings)
+                                            q_street_crossings,
+                                            q_mad_outliers)
     from bano_ray.runtime import ensure_worker_importable
     from bano_ray.stages.export import street_json_zone  # noqa: F401
     ensure_worker_importable()
@@ -175,6 +176,7 @@ def run_benchmarks() -> dict:
         "seq_pack": lambda: q_seq_pack(SF_DIR).count(),
         "vec_quantize": lambda: q_vec_quantize(SF_DIR).count(),
         "street_crossings": lambda: q_street_crossings(SF_DIR).count(),
+        "mad_outliers": lambda: q_mad_outliers(SF_DIR).count(),
     }
     # phash near-dup at bench scale (expanded image corpus; banding explodes
     # the stream 4x, so run at a bounded expansion like the image stage)
