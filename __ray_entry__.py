@@ -148,6 +148,7 @@ _ORACLE_QUERIES = [
     "q_vec_quantize",        # embeddings: int8 scalar-quantization codes
     "q_street_crossings",    # geo: exact segment-intersection join
     "q_mad_outliers",        # robust stats: median + MAD outlier census
+    "q_top_orders",          # TPC-H Q3 shape: one-shuffle join + top-10
 ]
 
 # rows-only queries (approx algorithms with no exact SQL equivalent)

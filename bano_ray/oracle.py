@@ -3128,3 +3128,24 @@ SELECT d.event_type, ANY_VALUE(d.med_c) AS med_c, ANY_VALUE(m.mad_c) AS mad_c,
             AS BIGINT) AS n_outliers
 FROM d JOIN mad m USING (event_type)
 GROUP BY 1 ORDER BY 1"""
+
+
+def q_top_orders() -> str:
+    """TPC-H Q3 shape (queries.q_top_orders): revenue cents per line via
+    tie-free floor(x+0.5) (the engine's identical double chain — plain
+    round() differs on exact .5 ties: half-even vs half-away),
+    deterministic top-10 via (rev DESC, orderkey)."""
+    from .pipelines.queries import _Q3_DATE_US, _Q3_SEGMENT
+
+    d = _Q3_DATE_US // 1_000_000
+    return f"""SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+       CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS rev_c
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = '{_Q3_SEGMENT}'
+  AND o.o_orderdate < to_timestamp({d})
+  AND l.l_shipdate > to_timestamp({d})
+GROUP BY 1, 2, 3
+ORDER BY rev_c DESC, o.o_orderkey LIMIT 10"""

@@ -2727,3 +2727,96 @@ def q_mad_outliers(sf_dir: str):
 
     ensure_worker_importable()
     return mad_outliers(sf_dir)
+
+
+_Q3_DATE_US = 883_612_800_000_000  # 1998-01-01 in timestamp[us] ticks
+_Q3_SEGMENT = "BUILDING"
+
+
+def q_top_orders(sf_dir: str):
+    """TPC-H Q3 shape in ONE shuffle: top-10 open orders of one market
+    segment by line revenue.  The segment's custkeys broadcast once
+    (``ray.put`` + searchsorted membership — the q_broadcast_join
+    contract); lineitem (shipped after D) pre-aggregates revenue cents
+    per orderkey map-side and orders (placed before D) emit their dim row
+    into the SAME tagged-union schema, so the single groupby(key) Sum/Min
+    merges partials AND performs the inner join (both-sides-present =
+    non-null rev and date — the q_outer_join discipline); the final
+    top-10 runs through the per-block pre-cut so the orderkey table never
+    enters a global sort.  Oracle-gated (oracle.q_top_orders)."""
+    import ray
+    from ray.data.aggregate import Min, Sum
+
+    ensure_worker_importable()
+    seg = (ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_mktsegment"])
+           .filter(expr=f"c_mktsegment == '{_Q3_SEGMENT}'")
+           .to_pandas())          # segment custkeys: dim-sized by contract
+    ckeys = ray.put(np.sort(seg["c_custkey"].to_numpy().astype(np.int64)))
+
+    def line_partial(batch: pa.Table) -> pa.Table:
+        ship = batch.column("l_shipdate").cast(pa.int64()).to_numpy()
+        m = ship > _Q3_DATE_US
+        k = batch.column("l_orderkey").to_numpy()[m]
+        p = batch.column("l_extendedprice").to_numpy()[m]
+        d = batch.column("l_discount").to_numpy()[m]
+        # floor(x+0.5), not round(): the product CAN land exactly on *.5
+        # (discount is a 2-decimal double), and numpy rounds half-even
+        # while DuckDB rounds half-away — floor(+0.5) is tie-free and
+        # bit-identical on both sides
+        cents = np.floor(p * (1.0 - d) * 100.0 + 0.5).astype(np.int64)
+        uk, inv = np.unique(k, return_inverse=True)
+        s = np.bincount(inv, weights=cents.astype(np.float64)).astype(np.int64)
+        n = len(uk)
+        return pa.table({
+            "key": pa.array(uk.astype(np.int64)),
+            "rev_c": pa.array(s),
+            "odate": pa.nulls(n, pa.int64()),
+            "prio": pa.nulls(n, pa.string()),
+        })
+
+    def order_row(batch: pa.Table) -> pa.Table:
+        keys = ray.get(ckeys)
+        od = batch.column("o_orderdate").cast(pa.int64()).to_numpy()
+        ck = batch.column("o_custkey").to_numpy().astype(np.int64)
+        pos = np.searchsorted(keys, ck)
+        pos[pos >= len(keys)] = 0
+        m = (od < _Q3_DATE_US) & (keys[pos] == ck) if len(keys) else \
+            np.zeros(len(ck), dtype=bool)
+        n = int(m.sum())
+        return pa.table({
+            "key": batch.column("o_orderkey").filter(pa.array(m)),
+            "rev_c": pa.nulls(n, pa.int64()),
+            "odate": pa.array(od[m]),
+            "prio": batch.column("o_orderpriority").filter(pa.array(m)),
+        })
+
+    li = (ray.data.read_parquet(
+              f"{sf_dir}/lineitem.parquet",
+              columns=["l_orderkey", "l_extendedprice", "l_discount",
+                       "l_shipdate"])
+          .map_batches(line_partial, batch_format="pyarrow"))
+    od = (ray.data.read_parquet(
+              f"{sf_dir}/orders.parquet",
+              columns=["o_orderkey", "o_custkey", "o_orderdate",
+                       "o_orderpriority"])
+          .map_batches(order_row, batch_format="pyarrow"))
+    def both_sides(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.and_(pc.is_valid(batch.column("rev_c")),
+                       pc.is_valid(batch.column("odate")))
+        return batch.filter(keep)
+
+    joined = (li.union(od).groupby("key")
+              .aggregate(Sum("rev_c", alias_name="rev_c"),
+                         Min("odate", alias_name="odate"),
+                         Min("prio", alias_name="prio"))
+              .map_batches(both_sides, batch_format="pyarrow"))
+    top = _local_topk_cut(joined, ["rev_c", "key"], [True, False], 10)
+    res = (top.sort(["rev_c", "key"], descending=[True, False]).limit(10)
+           .to_pandas())
+    res["o_orderdate"] = pd.to_datetime(res["odate"], unit="us")
+    return (res.rename(columns={"key": "o_orderkey",
+                                "prio": "o_orderpriority"})
+            [["o_orderkey", "o_orderdate", "o_orderpriority", "rev_c"]])

@@ -94,7 +94,7 @@ def run_benchmarks() -> dict:
                                             q_zone_digest_diff,
                                             q_seq_pack, q_vec_quantize,
                                             q_street_crossings,
-                                            q_mad_outliers)
+                                            q_mad_outliers, q_top_orders)
     from bano_ray.runtime import ensure_worker_importable
     from bano_ray.stages.export import street_json_zone  # noqa: F401
     ensure_worker_importable()
@@ -177,6 +177,7 @@ def run_benchmarks() -> dict:
         "vec_quantize": lambda: q_vec_quantize(SF_DIR).count(),
         "street_crossings": lambda: q_street_crossings(SF_DIR).count(),
         "mad_outliers": lambda: q_mad_outliers(SF_DIR).count(),
+        "top_orders": lambda: len(q_top_orders(SF_DIR)),
     }
     # phash near-dup at bench scale (expanded image corpus; banding explodes
     # the stream 4x, so run at a bounded expansion like the image stage)
