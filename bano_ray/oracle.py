@@ -3149,3 +3149,76 @@ WHERE c.c_mktsegment = '{_Q3_SEGMENT}'
   AND l.l_shipdate > to_timestamp({d})
 GROUP BY 1, 2, 3
 ORDER BY rev_c DESC, o.o_orderkey LIMIT 10"""
+
+
+def q_image_patches() -> str:
+    """ViT patch statistics (pipelines/flagship.image_patches): the engine
+    decodes REAL PNG payloads; the oracle replays datagen.pixels_of_batch
+    closed-form — per-channel hash fields (int64 overflow wrap emulated in
+    HUGEINT, numpy's sign-of-divisor %) + bilinear gradient + one cosine
+    (libm probed bit-equal, BASELINE.md) — and aggregates exact integer
+    patch sums.  PNG-only on both sides, so the lossy codec never gates."""
+    from .pipelines.flagship import PATCH
+    from . import datagen as dgm
+
+    U64 = 18446744073709551616
+    S63 = 9223372036854775808
+
+    def s64(e: str) -> str:
+        u = f"((({e}) % {U64} + {U64}) % {U64})"
+        return f"(CASE WHEN {u} >= {S63} THEN {u} - {U64} ELSE {u} END)"
+
+    def pmod(e: str, m: int) -> str:
+        return f"((({e}) % {m} + {m}) % {m})"
+
+    def hof(salt: int) -> str:
+        prod = (f"((CAST(doc_id AS HUGEINT) * 3 + ch) * {dgm.PX_STEP}"
+                f" + {salt}) * {dgm.MULT}")
+        return pmod(s64(prod), dgm.MOD)
+
+    noise_prod = (f"(CAST(doc_id AS HUGEINT) * {dgm.PX_STEP} + k"
+                  f" + {dgm.PX_SALT}) * {dgm.MULT}")
+    noise = (f"CAST({pmod(pmod(s64(noise_prod), dgm.MOD), 2 * dgm.PX_NOISE + 1)}"
+             f" AS DOUBLE) - {dgm.PX_NOISE}.0")
+
+    return f"""WITH img AS (
+  SELECT doc_id,
+         12 + ({H(7)} % 9) AS w,
+         12 + ({H(8)} % 9) AS h
+  FROM documents WHERE doc_id % {dgm.FMT_JPEG_MOD} <> 0
+),
+px AS (
+  SELECT doc_id, w, h,
+         UNNEST(generate_series(0, w * h * 3 - 1)) AS k
+  FROM img
+),
+f AS (
+  SELECT doc_id, w, h, k, (k // 3) AS pix, (k % 3) AS ch FROM px
+),
+g AS (
+  SELECT doc_id, w, pix,
+         CAST(pix % w AS DOUBLE) / CAST(GREATEST(w - 1, 1) AS DOUBLE) AS x,
+         CAST(pix // w AS DOUBLE) / CAST(GREATEST(h - 1, 1) AS DOUBLE) AS y,
+         CAST({hof(11)} % 128 AS DOUBLE) AS b128,
+         CAST({hof(12)} % 129 AS DOUBLE) AS gx129,
+         CAST({hof(13)} % 129 AS DOUBLE) AS gy129,
+         CAST({hof(14)} % 33 AS DOUBLE) AS a33,
+         CAST({hof(15)} % 2 AS DOUBLE) AS f2x,
+         CAST({hof(16)} % 2 AS DOUBLE) AS f2y,
+         {noise} AS nf
+  FROM f
+),
+v AS (
+  SELECT doc_id, (pix // w) AS row_y, (pix % w) AS col_x,
+         (((((gx129 - 64.0) * x) + (64.0 + b128)) + ((gy129 - 64.0) * y))
+           + (cos(((1.0 + f2x) * x + (1.0 + f2y) * y) * (2 * pi()))
+              * (16.0 + a33))) + nf AS val
+  FROM g
+)
+SELECT doc_id,
+       CAST(row_y // {PATCH} AS BIGINT) AS patch_y,
+       CAST(col_x // {PATCH} AS BIGINT) AS patch_x,
+       CAST(SUM(CAST(least(greatest(round_even(val, 0), 0.0), 255.0) AS BIGINT))
+            AS BIGINT) AS psum,
+       CAST(COUNT(*) // 3 AS BIGINT) AS n_px
+FROM v GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""

@@ -506,3 +506,87 @@ def flagship_with_bytes(sf_dir: str, num_partitions: int | None = None):
         return l.merge(r, on="image_id", how="inner")
 
     return both.groupby("image_id").map_groups(join_group, batch_format="pandas")
+
+
+PATCH = 8  # ViT-style patch edge (px)
+
+
+class ImagePatches:
+    """Actor-pool ViT-style patchification: decode each PNG payload and
+    emit one row per PATCH×PATCH patch with the EXACT integer sum of all
+    channel values and the pixel count — the patch-embedding front of a
+    vision-transformer ingest.  Unlike the codec stages this one is
+    value-ORACLED: the synthetic pixel field is closed-form and PNG decode
+    is bit-exact, so DuckDB replays the whole pixel formula
+    (oracle.q_image_patches, int64 wraps emulated in HUGEINT) — the
+    engine still exercises the real decode path on real container bytes.
+    Same pool/batch/memory discipline as :class:`ImageRoundtrip`."""
+
+    def __init__(self):
+        from ..runtime import tune_malloc
+
+        tune_malloc()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..codecs import decode_image_batch
+
+        fmts = batch.column("fmt").to_pylist()
+        blobs = _binary_column_views(batch.column("bytes"))
+        decoded = decode_image_batch(blobs, fmts)
+        ids = batch.column("doc_id").to_numpy()
+        o_id, o_py, o_px, o_sum, o_n = [], [], [], [], []
+        P = PATCH
+        for i, img in enumerate(decoded):
+            h, w, _ = img.shape
+            npx = (w + P - 1) // P
+            npy = (h + P - 1) // P
+            cell = ((np.arange(h) // P)[:, None] * npx
+                    + (np.arange(w) // P)[None, :]).ravel()
+            tot = np.bincount(
+                cell, weights=img.reshape(-1, 3).astype(np.int64)
+                .sum(axis=1).astype(np.float64),
+                minlength=npy * npx).astype(np.int64)
+            cnt = np.bincount(cell, minlength=npy * npx).astype(np.int64)
+            pyv, pxv = np.divmod(np.arange(npy * npx, dtype=np.int64), npx)
+            o_id.append(np.full(npy * npx, ids[i], dtype=np.int64))
+            o_py.append(pyv)
+            o_px.append(pxv)
+            o_sum.append(tot)
+            o_n.append(cnt)
+        cat = (lambda xs: np.concatenate(xs) if xs
+               else np.empty(0, np.int64))
+        return pa.table({
+            "doc_id": pa.array(cat(o_id)),
+            "patch_y": pa.array(cat(o_py)),
+            "patch_x": pa.array(cat(o_px)),
+            "psum": pa.array(cat(o_sum)),
+            "n_px": pa.array(cat(o_n)),
+        })
+
+
+def image_patches(sf_dir: str, concurrency=None):
+    """Patch-statistics pipeline over real PNG payloads (lossless docs
+    only — JPEG rows are excluded on both sides before any bytes are
+    synthesized, so the lossy codec never gates the values)."""
+    import ray.data
+
+    ensure_worker_importable()
+    if concurrency is None:
+        cpus = _cluster_cpus()
+        hi = max(2, cpus - 2)
+        concurrency = (min(max(2, 3 * cpus // 4 - 1), hi), hi)
+
+    def synth_png(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy()
+        keep = d % datagen.FMT_JPEG_MOD != 0
+        sub = pa.table({"doc_id": pa.array(d[keep])})
+        out = datagen.synthesize_batch(sub, with_bytes=True)
+        return out.select(["doc_id", "fmt", "bytes"])
+
+    ds = (ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                columns=["doc_id"])
+          .map_batches(synth_png, batch_format="pyarrow"))
+    ds.context.target_max_block_size = 2 * 1024 * 1024
+    return ds.map_batches(ImagePatches, concurrency=concurrency,
+                          batch_size=512, batch_format="pyarrow",
+                          memory=IMAGE_STAGE_MEMORY)

@@ -2820,3 +2820,16 @@ def q_top_orders(sf_dir: str):
     return (res.rename(columns={"key": "o_orderkey",
                                 "prio": "o_orderpriority"})
             [["o_orderkey", "o_orderdate", "o_orderpriority", "rev_c"]])
+
+
+def q_image_patches(sf_dir: str):
+    """ViT-style patchification over REAL decoded PNG bytes
+    (pipelines/flagship.image_patches): actor-pool decode, one row per
+    8×8 patch with exact integer channel sums — the first VALUE-gated
+    image query (the codec stages are rows-only; here PNG losslessness +
+    the closed-form pixel field let DuckDB replay the whole chain).
+    Oracle-gated (oracle.q_image_patches)."""
+    from .flagship import image_patches
+
+    ensure_worker_importable()
+    return image_patches(sf_dir)

@@ -94,7 +94,8 @@ def run_benchmarks() -> dict:
                                             q_zone_digest_diff,
                                             q_seq_pack, q_vec_quantize,
                                             q_street_crossings,
-                                            q_mad_outliers, q_top_orders)
+                                            q_mad_outliers, q_top_orders,
+                                            q_image_patches)
     from bano_ray.runtime import ensure_worker_importable
     from bano_ray.stages.export import street_json_zone  # noqa: F401
     ensure_worker_importable()
@@ -178,6 +179,7 @@ def run_benchmarks() -> dict:
         "street_crossings": lambda: q_street_crossings(SF_DIR).count(),
         "mad_outliers": lambda: q_mad_outliers(SF_DIR).count(),
         "top_orders": lambda: len(q_top_orders(SF_DIR)),
+        "image_patches": lambda: q_image_patches(SF_DIR).count(),
     }
     # phash near-dup at bench scale (expanded image corpus; banding explodes
     # the stream 4x, so run at a bounded expansion like the image stage)

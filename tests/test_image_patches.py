@@ -1,0 +1,54 @@
+"""ViT patch statistics (pipelines/flagship.ImagePatches): decode-path
+sums must equal direct pixel-field sums; JPEG rows are excluded."""
+import numpy as np
+import pyarrow as pa
+
+from bano_ray import datagen
+from bano_ray.codecs import encode_png
+from bano_ray.pipelines.flagship import PATCH, ImagePatches
+
+
+def _ref_patches(doc_id: int):
+    w, h = datagen.dims_of(np.array([doc_id]))
+    w, h = int(w[0]), int(h[0])
+    px = datagen.pixels_of(doc_id, w, h).astype(np.int64)
+    npx = (w + PATCH - 1) // PATCH
+    npy = (h + PATCH - 1) // PATCH
+    out = {}
+    for py in range(npy):
+        for pxi in range(npx):
+            blk = px[py * PATCH:(py + 1) * PATCH,
+                     pxi * PATCH:(pxi + 1) * PATCH]
+            out[(py, pxi)] = (int(blk.sum()),
+                              blk.shape[0] * blk.shape[1])
+    return w, h, out
+
+
+def test_patch_sums_match_pixel_field():
+    ids = [1, 2, 3, 5, 9, 42]  # non-multiples of FMT_JPEG_MOD → png
+    blobs, fmts = [], []
+    for d in ids:
+        w, h = datagen.dims_of(np.array([d]))
+        blobs.append(encode_png(datagen.pixels_of(d, int(w[0]), int(h[0]))))
+        fmts.append("png")
+    batch = pa.table({
+        "doc_id": pa.array(np.array(ids, dtype=np.int64)),
+        "fmt": pa.array(fmts),
+        "bytes": pa.array(blobs, pa.binary()),
+    })
+    got = ImagePatches()(batch).to_pandas()
+    for d in ids:
+        _, _, ref = _ref_patches(d)
+        sub = got[got["doc_id"] == d]
+        assert len(sub) == len(ref)
+        for r in sub.itertuples():
+            ps, n = ref[(r.patch_y, r.patch_x)]
+            assert (r.psum, r.n_px) == (ps, n)
+
+
+def test_pipeline_excludes_jpeg(ray_session, sf_dir):
+    from bano_ray.pipelines.flagship import image_patches
+
+    df = image_patches(sf_dir).to_pandas()
+    assert (df["doc_id"].to_numpy() % datagen.FMT_JPEG_MOD != 0).all()
+    assert (df["n_px"] > 0).all() and (df["psum"] >= 0).all()
