@@ -150,6 +150,7 @@ _ORACLE_QUERIES = [
     "q_mad_outliers",        # robust stats: median + MAD outlier census
     "q_top_orders",          # TPC-H Q3 shape: one-shuffle join + top-10
     "q_image_patches",       # image: ViT patch sums over real PNG decode
+    "q_quadtree_leaves",     # geo: adaptive quadtree leaf tiles
 ]
 
 # rows-only queries (approx algorithms with no exact SQL equivalent)

@@ -243,3 +243,75 @@ def tile_pyramid(ds, z_hi: int, z_lo: int):
     return (ds.map_batches(partial_scatter, batch_format="pyarrow")
             .groupby(["z", "x", "y"])
             .aggregate(Sum("n", alias_name="n_points")))
+
+
+QT_THRESHOLD = 64
+
+
+def quadtree_leaves(ds, z_hi: int, z_lo: int, threshold: int = QT_THRESHOLD):
+    """Adaptive quadtree build over the point stream: the leaf tiles a
+    density-adaptive spatial index keeps (split while a tile holds more
+    than ``threshold`` points, to at most ``z_hi``).
+
+    The leaf rule is LOCAL — no recursion and no iteration: tile counts
+    are monotone up the tree (a parent's count ≥ any child's), so "every
+    proper ancestor is internal (n > T)" collapses to "the parent is
+    internal", and a tile is a leaf iff
+    ``(z == z_lo OR parent_n > T) AND (n <= T OR z == z_hi)``.
+
+    Shape: one :func:`tile_pyramid` pass (combiner + ancestor scatter +
+    ONE groupby-sum), then the parent join runs as a tagged co-group on a
+    coarse shard of the PARENT key (each pyramid cell emits itself once
+    as a potential parent and once keyed to its parent as a child; a
+    cell's parent always exists in the pyramid, so the lookup is a shard-
+    local searchsorted — no second all-to-all beyond the small pyramid
+    re-key).  Output: (z, x, y, n_points) of the leaf tiles.
+    """
+    import pandas as pd
+    import pyarrow as pa
+
+    pyr = tile_pyramid(ds, z_hi, z_lo)
+    C = 1024
+
+    def tag(batch: pa.Table) -> pa.Table:
+        z = batch.column("z").to_numpy()
+        x = batch.column("x").to_numpy()
+        y = batch.column("y").to_numpy()
+        n = batch.column("n_points").to_numpy()
+        selfkey = (z << np.int64(32)) | (x << np.int64(16)) | y
+        child = z > z_lo
+        pkey = (((z - 1) << np.int64(32))
+                | ((x >> np.int64(1)) << np.int64(16)) | (y >> np.int64(1)))
+        key = np.concatenate([selfkey, pkey[child]])
+        kind = np.concatenate([np.zeros(len(z), np.int64),
+                               np.ones(int(child.sum()), np.int64)])
+        return pa.table({
+            "key": pa.array(key),
+            "kind": pa.array(kind),
+            "z": pa.array(np.concatenate([z, z[child]])),
+            "x": pa.array(np.concatenate([x, x[child]])),
+            "y": pa.array(np.concatenate([y, y[child]])),
+            "n": pa.array(np.concatenate([n, n[child]])),
+            "_shard": pa.array((key % np.int64(C)).astype(np.int64)),
+        })
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        par = df[df["kind"] == 0].sort_values("key")
+        pk = par["key"].to_numpy()
+        pn = par["n"].to_numpy()
+        ch = df[df["kind"] == 1]
+        pos = np.searchsorted(pk, ch["key"].to_numpy())
+        # every child's parent exists in the pyramid and shares the shard
+        parent_n = pn[pos]
+        cn = ch["n"].to_numpy()
+        cz = ch["z"].to_numpy()
+        leaf_c = (parent_n > threshold) & ((cn <= threshold) | (cz == z_hi))
+        root = par[par["z"].to_numpy() == z_lo]
+        rn = root["n"].to_numpy()
+        leaf_r = (rn <= threshold) | (z_lo == z_hi)
+        out = pd.concat([ch[leaf_c], root[leaf_r]], ignore_index=True)
+        return (out[["z", "x", "y", "n"]]
+                .rename(columns={"n": "n_points"}))
+
+    return (pyr.map_batches(tag, batch_format="pyarrow")
+            .groupby("_shard").map_groups(resolve, batch_format="pandas"))

@@ -3222,3 +3222,32 @@ SELECT doc_id,
             AS BIGINT) AS psum,
        CAST(COUNT(*) // 3 AS BIGINT) AS n_px
 FROM v GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+
+
+def q_quadtree_leaves(z_hi: int = 12, z_lo: int = 8) -> str:
+    """Quadtree leaves (geo/cells.quadtree_leaves): pyramid counts (the
+    q_tile_pyramid expression) + LEFT JOIN to the parent tile; leaf iff
+    (z = z_lo OR parent_n > T) AND (n <= T OR z = z_hi)."""
+    from .geo.cells import QT_THRESHOLD as T
+
+    n = 1 << z_hi
+    levels = ", ".join(f"({z})" for z in range(z_lo, z_hi + 1))
+    return f"""WITH {base_pts_cte()},
+base AS (
+  SELECT CAST(floor((lon + 180.0) / 360.0 * {n}.0) AS BIGINT) AS bx,
+         CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0/cos(radians(lat))) / pi()) / 2.0 * {n}.0) AS BIGINT) AS by
+  FROM pts2
+),
+pyr AS (
+  SELECT lv.z AS z, bx // (1 << ({z_hi} - lv.z)) AS x,
+         by // (1 << ({z_hi} - lv.z)) AS y,
+         CAST(COUNT(*) AS BIGINT) AS n_points
+  FROM base CROSS JOIN (VALUES {levels}) lv(z)
+  GROUP BY 1, 2, 3
+)
+SELECT c.z, c.x, c.y, c.n_points
+FROM pyr c LEFT JOIN pyr p
+  ON p.z = c.z - 1 AND p.x = c.x // 2 AND p.y = c.y // 2
+WHERE (c.z = {z_lo} OR p.n_points > {T})
+  AND (c.n_points <= {T} OR c.z = {z_hi})
+ORDER BY 1, 2, 3"""

@@ -2833,3 +2833,16 @@ def q_image_patches(sf_dir: str):
 
     ensure_worker_importable()
     return image_patches(sf_dir)
+
+
+def q_quadtree_leaves(sf_dir: str):
+    """Adaptive quadtree leaves z8..z12 over the geotagged points
+    (geo/cells.quadtree_leaves): split-while-overfull spatial index tiles
+    via a LOCAL leaf rule (count monotonicity collapses the ancestor
+    recursion to one parent join on a coarse shard).  Oracle-gated
+    (oracle.q_quadtree_leaves)."""
+    from ..geo.cells import quadtree_leaves
+
+    ensure_worker_importable()
+    ds = datagen.images_dataset(sf_dir).select_columns(["lon", "lat"])
+    return quadtree_leaves(ds, z_hi=12, z_lo=8)

@@ -95,7 +95,8 @@ def run_benchmarks() -> dict:
                                             q_seq_pack, q_vec_quantize,
                                             q_street_crossings,
                                             q_mad_outliers, q_top_orders,
-                                            q_image_patches)
+                                            q_image_patches,
+                                            q_quadtree_leaves)
     from bano_ray.runtime import ensure_worker_importable
     from bano_ray.stages.export import street_json_zone  # noqa: F401
     ensure_worker_importable()
@@ -180,6 +181,7 @@ def run_benchmarks() -> dict:
         "mad_outliers": lambda: q_mad_outliers(SF_DIR).count(),
         "top_orders": lambda: len(q_top_orders(SF_DIR)),
         "image_patches": lambda: q_image_patches(SF_DIR).count(),
+        "quadtree_leaves": lambda: q_quadtree_leaves(SF_DIR).count(),
     }
     # phash near-dup at bench scale (expanded image corpus; banding explodes
     # the stream 4x, so run at a bounded expansion like the image stage)
