@@ -151,6 +151,8 @@ _ORACLE_QUERIES = [
     "q_top_orders",          # TPC-H Q3 shape: one-shuffle join + top-10
     "q_image_patches",       # image: ViT patch sums over real PNG decode
     "q_quadtree_leaves",     # geo: adaptive quadtree leaf tiles
+    "q_zone_manifest",       # lifecycle: per-partition manifest stats
+    "q_nearest_hub",         # geo: nearest-facility (Voronoi) assignment
 ]
 
 # rows-only queries (approx algorithms with no exact SQL equivalent)

@@ -3251,3 +3251,62 @@ FROM pyr c LEFT JOIN pyr p
 WHERE (c.z = {z_lo} OR p.n_points > {T})
   AND (c.n_points <= {T} OR c.z = {z_hi})
 ORDER BY 1, 2, 3"""
+
+
+def q_zone_manifest() -> str:
+    """Partition manifest (queries.q_zone_manifest): plain per-zone stats
+    over the synthesized columns; micro-degree bbox via the shared
+    floor(coord*1e6+0.5) quantization."""
+    return f"""WITH {base_pts_cte()}
+SELECT insee,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc,
+       CAST(MIN(CAST(floor(lon * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS min_ix,
+       CAST(MAX(CAST(floor(lon * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS max_ix,
+       CAST(MIN(CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS min_iy,
+       CAST(MAX(CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS max_iy,
+       CAST(COUNT(DISTINCT sidx) AS BIGINT) AS n_streets
+FROM pts2 GROUP BY insee ORDER BY insee"""
+
+
+def q_nearest_hub() -> str:
+    """Nearest-facility assignment (queries.q_nearest_hub): hub centers
+    are closed-form integer micro-degree literals (the engine's exact
+    floor expressions evaluated here), distance² in exact BIGINT,
+    (d2, hub_zone) row_number tiebreak."""
+    import numpy as np
+
+    from . import datagen as dgm
+    from .pipelines.queries import HUB_MOD
+
+    zones = np.arange(dgm.NZONES, dtype=np.int64)
+    hubs = zones[zones % HUB_MOD == 0]
+    zx, zy = hubs // dgm.NZY, hubs % dgm.NZY
+    cx = np.floor((dgm.LON0 + (zx + 0.5) * dgm.LON_SPAN
+                   / dgm.NZX) * 1e6 + 0.5).astype(np.int64)
+    cy = np.floor((dgm.LAT0 + (zy + 0.5) * dgm.LAT_SPAN
+                   / dgm.NZY) * 1e6 + 0.5).astype(np.int64)
+    rows = ", ".join(f"({int(z)}, {int(x)}, {int(y)})"
+                     for z, x, y in zip(hubs, cx, cy))
+    return f"""WITH {base_pts_cte()},
+xy AS (
+  SELECT doc_id,
+         CAST(floor(lon * 1000000.0 + 0.5) AS BIGINT) AS ix,
+         CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT) AS iy
+  FROM pts2
+),
+hubs(hub_zone, cx, cy) AS (VALUES {rows}),
+d AS (
+  SELECT doc_id, hub_zone,
+         (ix - cx) * (ix - cx) + (iy - cy) * (iy - cy) AS d2
+  FROM xy CROSS JOIN hubs
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY d2, hub_zone) AS rn
+  FROM d
+)
+SELECT hub_zone, CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(SUM(d2) AS BIGINT) AS sum_d2
+FROM r WHERE rn = 1 GROUP BY 1 ORDER BY 1"""

@@ -2846,3 +2846,141 @@ def q_quadtree_leaves(sf_dir: str):
     ensure_worker_importable()
     ds = datagen.images_dataset(sf_dir).select_columns(["lon", "lat"])
     return quadtree_leaves(ds, z_hi=12, z_lo=8)
+
+
+def q_zone_manifest(sf_dir: str):
+    """Partition manifest: per-zone statistics a table format keeps for
+    file skipping (row count, doc_id range, distinct streets, micro-degree
+    bbox) — the Iceberg/Delta manifest shape over the geo partitioning.
+    Map-side per-zone partials + ONE zone-sized groupby; the distinct
+    street count rides a (zone, sidx)-pair pre-dedup (shuffle carries
+    distinct pairs, not rows).  Oracle-gated (oracle.q_zone_manifest)."""
+    import ray
+    from ray.data.aggregate import Max, Min, Sum
+
+    ensure_worker_importable()
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy()
+        lon, lat = datagen.lon_lat(d)
+        zone = datagen.zone_of(lon, lat)
+        ix = np.floor(lon * 1e6 + 0.5).astype(np.int64)
+        iy = np.floor(lat * 1e6 + 0.5).astype(np.int64)
+        uz, inv = np.unique(zone, return_inverse=True)
+        nz = len(uz)
+
+        def seg(arr, red):
+            out = np.empty(nz, dtype=np.int64)
+            order = np.argsort(inv, kind="stable")
+            so = arr[order]
+            starts = np.searchsorted(inv[order], np.arange(nz))
+            ends = np.append(starts[1:], len(so))
+            for i in range(nz):
+                out[i] = red(so[starts[i]:ends[i]])
+            return out
+
+        insee = np.char.zfill((uz + 1).astype("U"), 5).astype(object)
+        return pa.table({
+            "insee": pa.array(insee, pa.string()),
+            "n": pa.array(np.bincount(inv).astype(np.int64)),
+            "min_doc": pa.array(seg(d, np.min)),
+            "max_doc": pa.array(seg(d, np.max)),
+            "min_ix": pa.array(seg(ix, np.min)),
+            "max_ix": pa.array(seg(ix, np.max)),
+            "min_iy": pa.array(seg(iy, np.min)),
+            "max_iy": pa.array(seg(iy, np.max)),
+        })
+
+    stats = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("insee")
+             .aggregate(Sum("n", alias_name="n"),
+                        Min("min_doc", alias_name="min_doc"),
+                        Max("max_doc", alias_name="max_doc"),
+                        Min("min_ix", alias_name="min_ix"),
+                        Max("max_ix", alias_name="max_ix"),
+                        Min("min_iy", alias_name="min_iy"),
+                        Max("max_iy", alias_name="max_iy")))
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy()
+        lon, lat = datagen.lon_lat(d)
+        zone = datagen.zone_of(lon, lat)
+        sidx = datagen.street_idx(d)
+        pairs = np.unique(zone * 10_000 + sidx)
+        return pa.table({"pair": pa.array(pairs)})
+
+    pairs = (ds.map_batches(pair_partial, batch_format="pyarrow")
+             .groupby("pair").count().to_pandas())
+    zcnt = (pairs["pair"] // 10_000).value_counts()
+    street_map = {str(z + 1).zfill(5): int(c) for z, c in zcnt.items()}
+
+    def attach(batch: pa.Table) -> pa.Table:
+        ks = batch.column("insee").to_numpy(zero_copy_only=False)
+        return batch.append_column("n_streets", pa.array(
+            np.asarray([street_map[k] for k in ks], np.int64)))
+
+    return stats.map_batches(attach, batch_format="pyarrow")
+
+
+HUB_MOD = 4  # zones with zone % 4 == 0 host a hub facility
+
+
+def q_nearest_hub(sf_dir: str):
+    """Nearest-facility assignment: every point routes to the closest hub
+    (hubs sit at the centers of zones with ``zone % HUB_MOD == 0``), with
+    exact integer micro-degree distance² and min-zone tiebreak — the
+    logistics/routing primitive.  Hubs broadcast once via ``ray.put``;
+    each batch computes one points×hubs distance matrix and reduces to
+    per-hub partials (count + Σd²); one hub-sized groupby.  Oracle-gated
+    (oracle.q_nearest_hub)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ensure_worker_importable()
+    zones = np.arange(datagen.NZONES, dtype=np.int64)
+    hubs = zones[zones % HUB_MOD == 0]
+    zx, zy = hubs // datagen.NZY, hubs % datagen.NZY
+    cx = np.floor((datagen.LON0 + (zx + 0.5) * datagen.LON_SPAN
+                   / datagen.NZX) * 1e6 + 0.5).astype(np.int64)
+    cy = np.floor((datagen.LAT0 + (zy + 0.5) * datagen.LAT_SPAN
+                   / datagen.NZY) * 1e6 + 0.5).astype(np.int64)
+    ref = ray.put((hubs, cx, cy))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hz, hx, hy = ray.get(ref)
+        d = batch.column("doc_id").to_numpy()
+        lon, lat = datagen.lon_lat(d)
+        ix = np.floor(lon * 1e6 + 0.5).astype(np.int64)
+        iy = np.floor(lat * 1e6 + 0.5).astype(np.int64)
+        dx = ix[:, None] - hx[None, :]
+        dy = iy[:, None] - hy[None, :]
+        d2 = dx * dx + dy * dy
+        best = np.argmin(d2, axis=1)  # first minimum = smallest hub zone
+        bd2 = d2[np.arange(len(d)), best]
+        nh = len(hz)
+        # exact Σd²: d² < 2^49, so a float64 bincount of the raw values
+        # would lose bits past 2^53 — bincount 25-bit halves (each sum
+        # ≤ 2^46 for any batch ≤ 2^21 rows) and recombine in Python ints
+        lo = np.bincount(best, minlength=nh,
+                         weights=(bd2 & 0x1FFFFFF).astype(np.float64))
+        hi = np.bincount(best, minlength=nh,
+                         weights=(bd2 >> 25).astype(np.float64))
+        sum_d2 = np.fromiter(((int(h) << 25) + int(l)
+                              for h, l in zip(hi, lo)),
+                             dtype=np.int64, count=nh)
+        return pa.table({
+            "hub_zone": pa.array(hz),
+            "n_points": pa.array(np.bincount(best, minlength=nh)
+                                 .astype(np.int64)),
+            "sum_d2": pa.array(sum_d2),
+        })
+
+    return (ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                  columns=["doc_id"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("hub_zone")
+            .aggregate(Sum("n_points", alias_name="n_points"),
+                       Sum("sum_d2", alias_name="sum_d2"))
+            .filter(expr="n_points > 0"))

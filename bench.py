@@ -96,7 +96,8 @@ def run_benchmarks() -> dict:
                                             q_street_crossings,
                                             q_mad_outliers, q_top_orders,
                                             q_image_patches,
-                                            q_quadtree_leaves)
+                                            q_quadtree_leaves,
+                                            q_zone_manifest, q_nearest_hub)
     from bano_ray.runtime import ensure_worker_importable
     from bano_ray.stages.export import street_json_zone  # noqa: F401
     ensure_worker_importable()
@@ -182,6 +183,8 @@ def run_benchmarks() -> dict:
         "top_orders": lambda: len(q_top_orders(SF_DIR)),
         "image_patches": lambda: q_image_patches(SF_DIR).count(),
         "quadtree_leaves": lambda: q_quadtree_leaves(SF_DIR).count(),
+        "zone_manifest": lambda: q_zone_manifest(SF_DIR).count(),
+        "nearest_hub": lambda: q_nearest_hub(SF_DIR).count(),
     }
     # phash near-dup at bench scale (expanded image corpus; banding explodes
     # the stream 4x, so run at a bounded expansion like the image stage)
