@@ -153,6 +153,7 @@ _ORACLE_QUERIES = [
     "q_quadtree_leaves",     # geo: adaptive quadtree leaf tiles
     "q_zone_manifest",       # lifecycle: per-partition manifest stats
     "q_nearest_hub",         # geo: nearest-facility (Voronoi) assignment
+    "q_late_events",         # streaming: watermark-lateness census
 ]
 
 # rows-only queries (approx algorithms with no exact SQL equivalent)

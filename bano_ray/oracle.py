@@ -3310,3 +3310,28 @@ r AS (
 SELECT hub_zone, CAST(COUNT(*) AS BIGINT) AS n_points,
        CAST(SUM(d2) AS BIGINT) AS sum_d2
 FROM r WHERE rn = 1 GROUP BY 1 ORDER BY 1"""
+
+
+def q_late_events() -> str:
+    """Watermark lateness (stages/packing.late_events): running MAX over
+    (proc_ts, event_id) order, strict prior rows only, 5-min allowance."""
+    from .stages.packing import LATE_ALLOWED_US, LATE_DELAY_MOD
+
+    return f"""WITH t AS (
+  SELECT event_id, event_type, epoch_us(ts) AS ets,
+         epoch_us(ts) + ((event_id * 2654435761) % 2147483647)
+           % {LATE_DELAY_MOD} AS pts
+  FROM events
+),
+w AS (
+  SELECT event_type, ets,
+         MAX(ets) OVER (ORDER BY pts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING) AS wm
+  FROM t
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COALESCE(SUM(CASE WHEN wm IS NOT NULL
+                               AND ets < wm - {LATE_ALLOWED_US}
+                              THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_late
+FROM w GROUP BY 1 ORDER BY 1"""

@@ -2984,3 +2984,15 @@ def q_nearest_hub(sf_dir: str):
             .aggregate(Sum("n_points", alias_name="n_points"),
                        Sum("sum_d2", alias_name="sum_d2"))
             .filter(expr="n_points > 0"))
+
+
+def q_late_events(sf_dir: str):
+    """Streaming watermark simulation (stages/packing.late_events): an
+    event is late iff it arrives (deterministic hash-jitter processing
+    time) more than 5 min after the running-max watermark of everything
+    processed before it — the global running MAX done with the seq_pack
+    two-pass range carry.  Oracle-gated (oracle.q_late_events)."""
+    from ..stages.packing import late_events
+
+    ensure_worker_importable()
+    return late_events(sf_dir)

@@ -122,3 +122,88 @@ def seq_pack(sf_dir: str, cap: int = CAP):
             .aggregate(Sum("n_docs", alias_name="n_docs"),
                        Sum("n_tokens", alias_name="n_tokens"),
                        Min("first_doc", alias_name="first_doc")))
+
+
+# --- streaming watermark lateness (the running-MAX twin of seq_pack) -------
+
+LATE_DELAY_MOD = 600_000_000   # synthetic network delay: 0..10 min (µs)
+LATE_ALLOWED_US = 300_000_000  # watermark allowed lateness: 5 min
+LATE_BUCKET_US = 3_600_000_000  # carry buckets: 1 processing-hour
+
+
+def _proc_ts(event_id: np.ndarray, ets: np.ndarray) -> np.ndarray:
+    """Deterministic processing time: event time + hash-jitter delay."""
+    delay = ((event_id * np.int64(2654435761))
+             % np.int64(2147483647)) % np.int64(LATE_DELAY_MOD)
+    return ets + delay
+
+
+def late_events(sf_dir: str):
+    """(event_type, n, n_late): watermark-lateness census.  An event is
+    LATE iff its event time sits more than LATE_ALLOWED_US behind the
+    watermark — the maximum event time among all events that PROCESSED
+    strictly before it (order = (proc_ts, event_id)).
+
+    The watermark is a global running MAX over processing order — the
+    same two-pass carry as :func:`seq_pack` with max in place of sum:
+    per-processing-hour bucket maxima reduce small, the driver takes the
+    exclusive running max over the tiny bucket table, and ONE range
+    exchange on the bucket key lets each group resolve its rows with a
+    local ``np.maximum.accumulate`` + the bucket carry.  The shuffle
+    carries three int64 columns; event payloads never move.
+    """
+    import ray
+    import ray.data
+    from ray.data.aggregate import Max, Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ets = batch.column("ts").cast(pa.int64()).to_numpy()
+        eid = batch.column("event_id").to_numpy()
+        pts = _proc_ts(eid, ets)
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "event_type": batch.column("event_type"),
+            "ets": pa.array(ets),
+            "pts": pa.array(pts),
+            "bucket": pa.array(pts // LATE_BUCKET_US),
+        })
+
+    pre = ds.map_batches(prep, batch_format="pyarrow")
+    bmax = (pre.map_batches(
+                lambda b: pa.table({
+                    "bucket": b.column("bucket"),
+                    "mx": b.column("ets")}),
+                batch_format="pyarrow")
+            .groupby("bucket").aggregate(Max("mx", alias_name="mx"))
+            .to_pandas().sort_values("bucket"))
+    run = bmax["mx"].cummax().shift(1)
+    carry = {int(b): (None if pd.isna(m) else int(m))
+             for b, m in zip(bmax["bucket"], run)}
+    carry_ref = ray.put(carry)
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(carry_ref)
+        df = df.sort_values(["pts", "event_id"], kind="stable")
+        ets = df["ets"].to_numpy()
+        wm = np.empty(len(ets), dtype=np.float64)
+        wm[0] = -np.inf
+        np.maximum.accumulate(ets[:-1].astype(np.float64), out=wm[1:])
+        prior = c.get(int(df["bucket"].iloc[0]))
+        if prior is not None:
+            wm = np.maximum(wm, float(prior))
+        late = ets < wm - LATE_ALLOWED_US
+        out = pd.DataFrame({"event_type": df["event_type"].to_numpy(),
+                            "one": np.ones(len(ets), dtype=np.int64),
+                            "late": late.astype(np.int64)})
+        g = out.groupby("event_type", sort=False).sum().reset_index()
+        return g.rename(columns={"one": "n", "late": "n_late"})
+
+    from ray.data.aggregate import Sum as _Sum
+
+    return (pre.groupby("bucket").map_groups(resolve, batch_format="pandas")
+            .groupby("event_type")
+            .aggregate(_Sum("n", alias_name="n"),
+                       _Sum("n_late", alias_name="n_late")))

@@ -97,7 +97,8 @@ def run_benchmarks() -> dict:
                                             q_mad_outliers, q_top_orders,
                                             q_image_patches,
                                             q_quadtree_leaves,
-                                            q_zone_manifest, q_nearest_hub)
+                                            q_zone_manifest, q_nearest_hub,
+                                            q_late_events)
     from bano_ray.runtime import ensure_worker_importable
     from bano_ray.stages.export import street_json_zone  # noqa: F401
     ensure_worker_importable()
@@ -185,6 +186,7 @@ def run_benchmarks() -> dict:
         "quadtree_leaves": lambda: q_quadtree_leaves(SF_DIR).count(),
         "zone_manifest": lambda: q_zone_manifest(SF_DIR).count(),
         "nearest_hub": lambda: q_nearest_hub(SF_DIR).count(),
+        "late_events": lambda: q_late_events(SF_DIR).count(),
     }
     # phash near-dup at bench scale (expanded image corpus; banding explodes
     # the stream 4x, so run at a bounded expansion like the image stage)

@@ -58,3 +58,20 @@ def test_chunk_capacity_respected():
         cum = np.concatenate([[0], np.cumsum(g["n_tokens"].to_numpy())])
         # each chunk's first doc starts inside [chunk_id*CAP, ...)
         assert (cum[:-1] // CAP == ids).all()
+
+
+def test_late_events_bucket_invariance(ray_session, sf_dir):
+    # carry correctness: result must not depend on the bucket width
+    import bano_ray.stages.packing as pk
+
+    base = (pk.late_events(sf_dir).to_pandas()
+            .sort_values("event_type").reset_index(drop=True))
+    orig = pk.LATE_BUCKET_US
+    try:
+        pk.LATE_BUCKET_US = 600_000_000  # 10-min buckets
+        fine = (pk.late_events(sf_dir).to_pandas()
+                .sort_values("event_type").reset_index(drop=True))
+    finally:
+        pk.LATE_BUCKET_US = orig
+    pd.testing.assert_frame_equal(base, fine)
+    assert base["n_late"].sum() > 0  # the jitter actually produces lateness
