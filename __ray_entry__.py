@@ -154,6 +154,8 @@ _ORACLE_QUERIES = [
     "q_zone_manifest",       # lifecycle: per-partition manifest stats
     "q_nearest_hub",         # geo: nearest-facility (Voronoi) assignment
     "q_late_events",         # streaming: watermark-lateness census
+    "q_dup_cluster_sizes",   # curation QA: duplicate-cluster spectrum
+    "q_ann_recall",          # curation QA: LSH recall@k vs brute exact
 ]
 
 # rows-only queries (approx algorithms with no exact SQL equivalent)

@@ -3335,3 +3335,33 @@ SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
                                AND ets < wm - {LATE_ALLOWED_US}
                               THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_late
 FROM w GROUP BY 1 ORDER BY 1"""
+
+
+def q_dup_cluster_sizes() -> str:
+    """Duplicate-cluster size spectrum (queries.q_dup_cluster_sizes):
+    count-of-counts over the recursive-closure labels."""
+    inner = q_dup_clusters()
+    return f"""WITH labs AS ({inner})
+SELECT sz AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+FROM (SELECT label, CAST(COUNT(*) AS BIGINT) AS sz FROM labs GROUP BY 1) t
+GROUP BY 1 ORDER BY 1"""
+
+
+def q_ann_recall() -> str:
+    """ANN recall@k (queries.q_ann_recall): intersection of the two
+    existing closed-form top-k SQLs, exact integer ppm."""
+    from .pipelines.queries import ANN_K
+
+    return f"""WITH brute AS ({q_ann_topk()}),
+lsh AS ({q_ann_lsh()}),
+hits AS (
+  SELECT b.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM brute b JOIN lsh l
+    ON b.query_id = l.query_id AND b.vec_id = l.vec_id
+  GROUP BY 1
+)
+SELECT q.query_id, COALESCE(h.n_hits, 0) AS n_hits,
+       CAST(COALESCE(h.n_hits, 0) * 1000000 // {ANN_K} AS BIGINT)
+         AS recall_ppm
+FROM (SELECT DISTINCT query_id FROM brute) q
+LEFT JOIN hits h USING (query_id) ORDER BY 1"""

@@ -2996,3 +2996,63 @@ def q_late_events(sf_dir: str):
 
     ensure_worker_importable()
     return late_events(sf_dir)
+
+
+def q_dup_cluster_sizes(sf_dir: str):
+    """Curation QA: the duplicate-cluster size spectrum — how much of the
+    corpus is duplicated and in what clump sizes.  CC labels from the
+    verified minhash pairs (stages/graph.py) → per-label size partials →
+    count-of-counts (the q_key_spectrum shape, one more tiny groupby).
+    Oracle-gated (oracle.q_dup_cluster_sizes over the recursive closure)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..stages.dedup import minhash_candidate_pairs
+    from ..stages.graph import connected_components
+
+    ensure_worker_importable()
+    pairs = minhash_candidate_pairs(_docs(sf_dir), threshold=0.5)
+    cc = connected_components(pairs, "doc_a", "doc_b")
+
+    def size_partial(batch: pa.Table) -> pa.Table:
+        lab = batch.column("label").to_numpy()
+        uk, cnt = np.unique(lab, return_counts=True)
+        return pa.table({"label": pa.array(uk),
+                         "sz": pa.array(cnt.astype(np.int64))})
+
+    sizes = (cc.map_batches(size_partial, batch_format="pyarrow")
+             .groupby("label").aggregate(Sum("sz", alias_name="sz")))
+
+    def spectrum_partial(batch: pa.Table) -> pa.Table:
+        sz = batch.column("sz").to_numpy()
+        uk, cnt = np.unique(sz, return_counts=True)
+        return pa.table({"cluster_size": pa.array(uk),
+                         "n_clusters": pa.array(cnt.astype(np.int64))})
+
+    return (sizes.map_batches(spectrum_partial, batch_format="pyarrow")
+            .groupby("cluster_size")
+            .aggregate(Sum("n_clusters", alias_name="n_clusters")))
+
+
+def q_ann_recall(sf_dir: str):
+    """Index-quality evaluation as a first-class op: recall@k of the LSH
+    ANN against the brute-force exact top-k, per query — the curation
+    metric that decides whether an approximate index is shippable.  Both
+    sides run their existing distributed pipelines; the intersection is
+    a tiny (queries×k) pandas join.  recall_ppm is an exact integer
+    (matches·10⁶ // k).  Oracle-gated (oracle.q_ann_recall joins the two
+    existing closed-form SQLs)."""
+    ensure_worker_importable()
+    brute = q_ann_topk(sf_dir).to_pandas()[["query_id", "vec_id"]]
+    lsh = q_ann_lsh(sf_dir)
+    lsh = (lsh if isinstance(lsh, pd.DataFrame)
+           else lsh.to_pandas())[["query_id", "vec_id"]]
+    hit = brute.merge(lsh, on=["query_id", "vec_id"])
+    n = hit.groupby("query_id").size()
+    qids = sorted(ANN_QUERY_IDS)
+    matches = np.asarray([int(n.get(q, 0)) for q in qids], np.int64)
+    return pd.DataFrame({
+        "query_id": np.asarray(qids, np.int64),
+        "n_hits": matches,
+        "recall_ppm": matches * 1_000_000 // ANN_K,
+    })

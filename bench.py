@@ -98,7 +98,9 @@ def run_benchmarks() -> dict:
                                             q_image_patches,
                                             q_quadtree_leaves,
                                             q_zone_manifest, q_nearest_hub,
-                                            q_late_events)
+                                            q_late_events,
+                                            q_dup_cluster_sizes,
+                                            q_ann_recall)
     from bano_ray.runtime import ensure_worker_importable
     from bano_ray.stages.export import street_json_zone  # noqa: F401
     ensure_worker_importable()
@@ -187,6 +189,8 @@ def run_benchmarks() -> dict:
         "zone_manifest": lambda: q_zone_manifest(SF_DIR).count(),
         "nearest_hub": lambda: q_nearest_hub(SF_DIR).count(),
         "late_events": lambda: q_late_events(SF_DIR).count(),
+        "dup_cluster_sizes": lambda: q_dup_cluster_sizes(SF_DIR).count(),
+        "ann_recall": lambda: len(q_ann_recall(SF_DIR)),
     }
     # phash near-dup at bench scale (expanded image corpus; banding explodes
     # the stream 4x, so run at a bounded expansion like the image stage)
