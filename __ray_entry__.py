@@ -156,6 +156,7 @@ _ORACLE_QUERIES = [
     "q_late_events",         # streaming: watermark-lateness census
     "q_dup_cluster_sizes",   # curation QA: duplicate-cluster spectrum
     "q_ann_recall",          # curation QA: LSH recall@k vs brute exact
+    "q_scene_cuts",          # video: scene-cut census over real decode
 ]
 
 # rows-only queries (approx algorithms with no exact SQL equivalent)

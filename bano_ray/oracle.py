@@ -3365,3 +3365,85 @@ SELECT q.query_id, COALESCE(h.n_hits, 0) AS n_hits,
          AS recall_ppm
 FROM (SELECT DISTINCT query_id FROM brute) q
 LEFT JOIN hits h USING (query_id) ORDER BY 1"""
+
+
+def q_scene_cuts() -> str:
+    """Video scene cuts (pipelines/flagship.SceneCuts): per-frame exact
+    luminance sums of the closed-form pixel field (frame id = video·FPV+i,
+    fixed 10×8 dims), LAG diffs, jumps > SCENE_CUT_T counted per video."""
+    from .pipelines.flagship import (FRAME_H, FRAME_W, FRAMES_PER_VIDEO,
+                                     SCENE_CUT_T)
+    from . import datagen as dgm
+
+    U64 = 18446744073709551616
+    S63 = 9223372036854775808
+    nval = FRAME_W * FRAME_H * 3
+
+    def s64(e: str) -> str:
+        u = f"((({e}) % {U64} + {U64}) % {U64})"
+        return f"(CASE WHEN {u} >= {S63} THEN {u} - {U64} ELSE {u} END)"
+
+    def pmod(e: str, m: int) -> str:
+        return f"((({e}) % {m} + {m}) % {m})"
+
+    def hof(salt: int) -> str:
+        prod = (f"((CAST(fid AS HUGEINT) * 3 + ch) * {dgm.PX_STEP}"
+                f" + {salt}) * {dgm.MULT}")
+        return pmod(s64(prod), dgm.MOD)
+
+    noise_prod = (f"(CAST(fid AS HUGEINT) * {dgm.PX_STEP} + k"
+                  f" + {dgm.PX_SALT}) * {dgm.MULT}")
+    noise = (f"CAST({pmod(pmod(s64(noise_prod), dgm.MOD), 2 * dgm.PX_NOISE + 1)}"
+             f" AS DOUBLE) - {dgm.PX_NOISE}.0")
+
+    return f"""WITH fr AS (
+  SELECT doc_id AS video_id,
+         UNNEST(generate_series(0, {FRAMES_PER_VIDEO - 1})) AS fi
+  FROM documents
+),
+f2 AS (
+  SELECT video_id, fi, video_id * {FRAMES_PER_VIDEO} + fi AS fid FROM fr
+),
+px AS (
+  SELECT video_id, fi, fid,
+         UNNEST(generate_series(0, {nval - 1})) AS k
+  FROM f2
+),
+f AS (
+  SELECT video_id, fi, fid, k,
+         (k // 3) AS pix, (k % 3) AS ch
+  FROM px
+),
+g AS (
+  SELECT video_id, fi, fid, k, pix, ch,
+         CAST(pix % {FRAME_W} AS DOUBLE) / {FRAME_W - 1}.0 AS x,
+         CAST(pix // {FRAME_W} AS DOUBLE) / {FRAME_H - 1}.0 AS y,
+         CAST({hof(11)} % 128 AS DOUBLE) AS b128,
+         CAST({hof(12)} % 129 AS DOUBLE) AS gx129,
+         CAST({hof(13)} % 129 AS DOUBLE) AS gy129,
+         CAST({hof(14)} % 33 AS DOUBLE) AS a33,
+         CAST({hof(15)} % 2 AS DOUBLE) AS f2x,
+         CAST({hof(16)} % 2 AS DOUBLE) AS f2y,
+         {noise} AS nf
+  FROM f
+),
+lum AS (
+  SELECT video_id, fi,
+         CAST(SUM(CAST(least(greatest(round_even(
+           (((((gx129 - 64.0) * x) + (64.0 + b128)) + ((gy129 - 64.0) * y))
+             + (cos(((1.0 + f2x) * x + (1.0 + f2y) * y) * (2 * pi()))
+                * (16.0 + a33))) + nf, 0), 0.0), 255.0) AS BIGINT))
+           AS BIGINT) AS lum
+  FROM g GROUP BY 1, 2
+),
+d AS (
+  SELECT video_id,
+         abs(lum - LAG(lum) OVER (PARTITION BY video_id ORDER BY fi))
+           AS jump
+  FROM lum
+)
+SELECT video_id,
+       CAST(COALESCE(SUM(CASE WHEN jump > {SCENE_CUT_T} THEN 1 ELSE 0 END),
+                     0) AS BIGINT) AS n_cuts,
+       CAST(COALESCE(MAX(jump), 0) AS BIGINT) AS max_jump
+FROM d WHERE jump IS NOT NULL GROUP BY 1 ORDER BY 1"""

@@ -590,3 +590,64 @@ def image_patches(sf_dir: str, concurrency=None):
     return ds.map_batches(ImagePatches, concurrency=concurrency,
                           batch_size=512, batch_format="pyarrow",
                           memory=IMAGE_STAGE_MEMORY)
+
+
+SCENE_CUT_T = 10_000  # luminance-sum jump that counts as a scene cut
+
+
+class SceneCuts:
+    """Actor-pool video scene-cut detector: parse the container index,
+    decode EVERY frame (cut detection needs consecutive frames), reduce
+    each to its exact integer luminance sum, and count jumps above
+    SCENE_CUT_T between consecutive frames.  Value-ORACLED like
+    :class:`ImagePatches`: frames are lossless PNG over the closed-form
+    pixel field, so DuckDB replays the per-frame sums and the LAG diffs
+    (oracle.q_scene_cuts).  Same pool discipline as the other payload
+    stages."""
+
+    def __init__(self):
+        from ..runtime import tune_malloc
+
+        tune_malloc()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import struct
+
+        from ..codecs import decode_png
+
+        blobs = _binary_column_views(batch.column("bytes"))
+        vids = batch.column("video_id").to_numpy()
+        out_v, out_cuts, out_jump = [], [], []
+        for i, blob in enumerate(blobs):
+            mv = memoryview(blob)
+            (nf,) = struct.unpack(">I", mv[:4])
+            off = 4
+            lums = np.empty(nf, dtype=np.int64)
+            for fi in range(nf):
+                (ln,) = struct.unpack(">I", mv[off:off + 4])
+                off += 4
+                lums[fi] = decode_png(bytes(mv[off:off + ln])) \
+                    .astype(np.int64).sum()
+                off += ln
+            jumps = np.abs(np.diff(lums))
+            out_v.append(int(vids[i]))
+            out_cuts.append(int((jumps > SCENE_CUT_T).sum()))
+            out_jump.append(int(jumps.max()) if len(jumps) else 0)
+        return pa.table({
+            "video_id": pa.array(out_v, pa.int64()),
+            "n_cuts": pa.array(out_cuts, pa.int64()),
+            "max_jump": pa.array(out_jump, pa.int64()),
+        })
+
+
+def scene_cuts(sf_dir: str, concurrency=None):
+    """Scene-cut pipeline over the opaque video payloads (same sizing as
+    :func:`frame_sample`)."""
+    ensure_worker_importable()
+    if concurrency is None:
+        cpus = _cluster_cpus()
+        hi = max(2, cpus - 2)
+        concurrency = (min(max(2, 3 * cpus // 4 - 1), hi), hi)
+    return videos_dataset(sf_dir).map_batches(
+        SceneCuts, concurrency=concurrency, batch_size=256,
+        batch_format="pyarrow", memory=IMAGE_STAGE_MEMORY)

@@ -3056,3 +3056,15 @@ def q_ann_recall(sf_dir: str):
         "n_hits": matches,
         "recall_ppm": matches * 1_000_000 // ANN_K,
     })
+
+
+def q_scene_cuts(sf_dir: str):
+    """Video scene-cut detection over REAL container decode
+    (pipelines/flagship.SceneCuts): per-frame exact luminance sums,
+    consecutive-frame jumps above SCENE_CUT_T — the second value-gated
+    multimodal query (oracle.q_scene_cuts replays the pixel field and
+    the LAG diffs in SQL)."""
+    from .flagship import scene_cuts
+
+    ensure_worker_importable()
+    return scene_cuts(sf_dir)

@@ -100,7 +100,7 @@ def run_benchmarks() -> dict:
                                             q_zone_manifest, q_nearest_hub,
                                             q_late_events,
                                             q_dup_cluster_sizes,
-                                            q_ann_recall)
+                                            q_ann_recall, q_scene_cuts)
     from bano_ray.runtime import ensure_worker_importable
     from bano_ray.stages.export import street_json_zone  # noqa: F401
     ensure_worker_importable()
@@ -191,6 +191,7 @@ def run_benchmarks() -> dict:
         "late_events": lambda: q_late_events(SF_DIR).count(),
         "dup_cluster_sizes": lambda: q_dup_cluster_sizes(SF_DIR).count(),
         "ann_recall": lambda: len(q_ann_recall(SF_DIR)),
+        "scene_cuts": lambda: q_scene_cuts(SF_DIR).count(),
     }
     # phash near-dup at bench scale (expanded image corpus; banding explodes
     # the stream 4x, so run at a bounded expansion like the image stage)

@@ -52,3 +52,25 @@ def test_pipeline_excludes_jpeg(ray_session, sf_dir):
     df = image_patches(sf_dir).to_pandas()
     assert (df["doc_id"].to_numpy() % datagen.FMT_JPEG_MOD != 0).all()
     assert (df["n_px"] > 0).all() and (df["psum"] >= 0).all()
+
+
+def test_scene_cuts_match_pixel_field():
+    from bano_ray.pipelines.flagship import (FRAME_H, FRAME_W,
+                                             FRAMES_PER_VIDEO, SCENE_CUT_T,
+                                             SceneCuts, make_video_payload)
+
+    ids = [0, 7, 123]
+    batch = pa.table({
+        "video_id": pa.array(np.array(ids, np.int64)),
+        "n_frames": pa.array(np.full(len(ids), FRAMES_PER_VIDEO, np.int32)),
+        "bytes": pa.array([make_video_payload(v) for v in ids], pa.binary()),
+    })
+    got = SceneCuts()(batch).to_pandas().set_index("video_id")
+    for v in ids:
+        lums = [int(datagen.pixels_of(v * FRAMES_PER_VIDEO + i,
+                                      FRAME_W, FRAME_H)
+                    .astype(np.int64).sum())
+                for i in range(FRAMES_PER_VIDEO)]
+        jumps = np.abs(np.diff(lums))
+        assert got.loc[v, "n_cuts"] == int((jumps > SCENE_CUT_T).sum())
+        assert got.loc[v, "max_jump"] == int(jumps.max())
