@@ -157,6 +157,8 @@ _ORACLE_QUERIES = [
     "q_dup_cluster_sizes",   # curation QA: duplicate-cluster spectrum
     "q_ann_recall",          # curation QA: LSH recall@k vs brute exact
     "q_scene_cuts",          # video: scene-cut census over real decode
+    "q_dhash",               # image: content dHash over real decode
+    "q_langid_confusion",    # curation QA: language-ID confusion matrix
 ]
 
 # rows-only queries (approx algorithms with no exact SQL equivalent)

@@ -3447,3 +3447,100 @@ SELECT video_id,
                      0) AS BIGINT) AS n_cuts,
        CAST(COALESCE(MAX(jump), 0) AS BIGINT) AS max_jump
 FROM d WHERE jump IS NOT NULL GROUP BY 1 ORDER BY 1"""
+
+
+def q_dhash() -> str:
+    """Content dHash (pipelines/flagship.ImageDhash): 9×8 luminance box
+    sums+counts of the closed-form pixel field, cross-multiplied
+    mean comparisons, bits packed in HUGEINT and wrapped to signed 64."""
+    from .pipelines.flagship import DHASH_COLS, DHASH_ROWS
+    from . import datagen as dgm
+
+    U64 = 18446744073709551616
+    S63 = 9223372036854775808
+
+    def s64(e: str) -> str:
+        u = f"((({e}) % {U64} + {U64}) % {U64})"
+        return f"(CASE WHEN {u} >= {S63} THEN {u} - {U64} ELSE {u} END)"
+
+    def pmod(e: str, m: int) -> str:
+        return f"((({e}) % {m} + {m}) % {m})"
+
+    def hof(salt: int) -> str:
+        prod = (f"((CAST(doc_id AS HUGEINT) * 3 + ch) * {dgm.PX_STEP}"
+                f" + {salt}) * {dgm.MULT}")
+        return pmod(s64(prod), dgm.MOD)
+
+    noise_prod = (f"(CAST(doc_id AS HUGEINT) * {dgm.PX_STEP} + k"
+                  f" + {dgm.PX_SALT}) * {dgm.MULT}")
+    noise = (f"CAST({pmod(pmod(s64(noise_prod), dgm.MOD), 2 * dgm.PX_NOISE + 1)}"
+             f" AS DOUBLE) - {dgm.PX_NOISE}.0")
+
+    return f"""WITH img AS (
+  SELECT doc_id,
+         12 + ({H(7)} % 9) AS w,
+         12 + ({H(8)} % 9) AS h
+  FROM documents WHERE doc_id % {dgm.FMT_JPEG_MOD} <> 0
+),
+px AS (
+  SELECT doc_id, w, h,
+         UNNEST(generate_series(0, w * h * 3 - 1)) AS k
+  FROM img
+),
+f AS (
+  SELECT doc_id, w, h, k, (k // 3) AS pix, (k % 3) AS ch FROM px
+),
+g AS (
+  SELECT doc_id, w, h, pix,
+         CAST(pix % w AS DOUBLE) / CAST(GREATEST(w - 1, 1) AS DOUBLE) AS x,
+         CAST(pix // w AS DOUBLE) / CAST(GREATEST(h - 1, 1) AS DOUBLE) AS y,
+         CAST({hof(11)} % 128 AS DOUBLE) AS b128,
+         CAST({hof(12)} % 129 AS DOUBLE) AS gx129,
+         CAST({hof(13)} % 129 AS DOUBLE) AS gy129,
+         CAST({hof(14)} % 33 AS DOUBLE) AS a33,
+         CAST({hof(15)} % 2 AS DOUBLE) AS f2x,
+         CAST({hof(16)} % 2 AS DOUBLE) AS f2y,
+         {noise} AS nf
+  FROM f
+),
+u8 AS (
+  SELECT doc_id, w, h, pix,
+         CAST(least(greatest(round_even(
+           (((((gx129 - 64.0) * x) + (64.0 + b128)) + ((gy129 - 64.0) * y))
+             + (cos(((1.0 + f2x) * x + (1.0 + f2y) * y) * (2 * pi()))
+                * (16.0 + a33))) + nf, 0), 0.0), 255.0) AS BIGINT) AS val
+  FROM g
+),
+cells AS (
+  SELECT doc_id,
+         ((pix // w) * {DHASH_ROWS}) // h AS cy,
+         ((pix % w) * {DHASH_COLS}) // w AS cx,
+         CAST(SUM(val) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM u8 GROUP BY 1, 2, 3
+),
+bits AS (
+  SELECT a.doc_id, a.cy, a.cx,
+         CASE WHEN b.s * a.c > a.s * b.c THEN 1 ELSE 0 END AS bit
+  FROM cells a JOIN cells b
+    ON a.doc_id = b.doc_id AND a.cy = b.cy AND b.cx = a.cx + 1
+  WHERE a.cx < {DHASH_COLS - 1}
+)
+SELECT doc_id,
+       CAST({s64(f"SUM(CAST(bit AS HUGEINT) * (CAST(1 AS HUGEINT) << (cy * {DHASH_COLS - 1} + cx)))")}
+            AS BIGINT) AS dhash
+FROM bits GROUP BY doc_id ORDER BY doc_id"""
+
+
+def q_langid_confusion() -> str:
+    """Language-ID confusion matrix (queries.q_langid_confusion): the
+    q_langid marker heuristic grouped against the labeled lang."""
+    from .stages.text import EN_MARKERS, FR_MARKERS
+
+    en = " + ".join(_occ("lower(text)", p) for p in EN_MARKERS)
+    fr = " + ".join(_occ("lower(text)", p) for p in FR_MARKERS)
+    return f"""SELECT lang,
+       (CASE WHEN ({en}) > ({fr}) THEN 'en'
+             WHEN ({fr}) > ({en}) THEN 'fr' ELSE 'und' END) AS lang_pred,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM documents GROUP BY 1, 2 ORDER BY 1, 2"""

@@ -651,3 +651,82 @@ def scene_cuts(sf_dir: str, concurrency=None):
     return videos_dataset(sf_dir).map_batches(
         SceneCuts, concurrency=concurrency, batch_size=256,
         batch_format="pyarrow", memory=IMAGE_STAGE_MEMORY)
+
+
+DHASH_COLS = 9  # dHash grid: 9 columns × 8 rows of luminance box means
+DHASH_ROWS = 8
+
+
+class ImageDhash:
+    """Actor-pool difference-hash over REAL decoded pixels: 9×8 luminance
+    box means (exact integer sums + counts — no division), bit r,c set
+    iff cell (r,c+1) outweighs cell (r,c) by cross-multiplication, packed
+    into a signed 64-bit hash.  Unlike the synthetic ``phash`` column
+    this fingerprints the actual image content; value-ORACLED like
+    :class:`ImagePatches` (oracle.q_dhash replays the box sums and the
+    cross-multiplied comparisons in SQL)."""
+
+    def __init__(self):
+        from ..runtime import tune_malloc
+
+        tune_malloc()
+
+    @staticmethod
+    def dhash_of(px: np.ndarray) -> int:
+        h, w, _ = px.shape
+        iy = (np.arange(h) * DHASH_ROWS) // h
+        ix = (np.arange(w) * DHASH_COLS) // w
+        cell = (iy[:, None] * DHASH_COLS + ix[None, :]).ravel()
+        flat = px.reshape(-1, 3).astype(np.int64).sum(axis=1)
+        sums = np.bincount(cell, weights=flat.astype(np.float64),
+                           minlength=DHASH_ROWS * DHASH_COLS).astype(np.int64)
+        cnts = (np.bincount(cell, minlength=DHASH_ROWS * DHASH_COLS)
+                .astype(np.int64) * 3)
+        s = sums.reshape(DHASH_ROWS, DHASH_COLS)
+        c = cnts.reshape(DHASH_ROWS, DHASH_COLS)
+        # bit = mean(r,c+1) > mean(r,c), exact by cross-multiplication
+        bits = (s[:, 1:] * c[:, :-1]) > (s[:, :-1] * c[:, 1:])
+        weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+        packed = int((bits.ravel().astype(np.uint64) * weights)
+                     .sum(dtype=np.uint64))
+        return packed - (1 << 64) if packed >= (1 << 63) else packed
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..codecs import decode_image_batch
+
+        fmts = batch.column("fmt").to_pylist()
+        blobs = _binary_column_views(batch.column("bytes"))
+        decoded = decode_image_batch(blobs, fmts)
+        hashes = np.fromiter((self.dhash_of(p) for p in decoded),
+                             dtype=np.int64, count=len(decoded))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "dhash": pa.array(hashes),
+        })
+
+
+def image_dhash(sf_dir: str, concurrency=None):
+    """Content dHash pipeline over the lossless (PNG) payloads — same
+    PNG-only discipline and pool sizing as :func:`image_patches`."""
+    import ray.data
+
+    ensure_worker_importable()
+    if concurrency is None:
+        cpus = _cluster_cpus()
+        hi = max(2, cpus - 2)
+        concurrency = (min(max(2, 3 * cpus // 4 - 1), hi), hi)
+
+    def synth_png(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy()
+        keep = d % datagen.FMT_JPEG_MOD != 0
+        sub = pa.table({"doc_id": pa.array(d[keep])})
+        out = datagen.synthesize_batch(sub, with_bytes=True)
+        return out.select(["doc_id", "fmt", "bytes"])
+
+    ds = (ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                columns=["doc_id"])
+          .map_batches(synth_png, batch_format="pyarrow"))
+    ds.context.target_max_block_size = 2 * 1024 * 1024
+    return ds.map_batches(ImageDhash, concurrency=concurrency,
+                          batch_size=512, batch_format="pyarrow",
+                          memory=IMAGE_STAGE_MEMORY)

@@ -3068,3 +3068,44 @@ def q_scene_cuts(sf_dir: str):
 
     ensure_worker_importable()
     return scene_cuts(sf_dir)
+
+
+def q_dhash(sf_dir: str):
+    """Content difference-hash over REAL decoded PNG pixels
+    (pipelines/flagship.ImageDhash): 9×8 box means compared by exact
+    cross-multiplication, packed to a signed 64-bit fingerprint — the
+    decoded-content twin of the synthetic phash column.  Oracle-gated
+    (oracle.q_dhash)."""
+    from .flagship import image_dhash
+
+    ensure_worker_importable()
+    return image_dhash(sf_dir)
+
+
+def q_langid_confusion(sf_dir: str):
+    """Classifier QA: confusion matrix of the n-gram language-ID heuristic
+    against the labeled lang column — (lang, lang_pred, n).  One stateless
+    vectorized pass + a (langs×preds)-sized groupby.  Oracle-gated
+    (oracle.q_langid_confusion reuses the q_langid marker expression)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..stages.text import langid_batch
+
+    ensure_worker_importable()
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pred = langid_batch(batch).column("lang_pred")
+        df = pd.DataFrame({
+            "lang": batch.column("lang").to_numpy(zero_copy_only=False),
+            "lang_pred": pred.to_numpy(zero_copy_only=False)})
+        g = (df.groupby(["lang", "lang_pred"], sort=False)
+             .size().reset_index(name="n"))
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["lang", "lang_pred"])
+            .aggregate(Sum("n", alias_name="n")))

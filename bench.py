@@ -100,7 +100,8 @@ def run_benchmarks() -> dict:
                                             q_zone_manifest, q_nearest_hub,
                                             q_late_events,
                                             q_dup_cluster_sizes,
-                                            q_ann_recall, q_scene_cuts)
+                                            q_ann_recall, q_scene_cuts,
+                                            q_dhash, q_langid_confusion)
     from bano_ray.runtime import ensure_worker_importable
     from bano_ray.stages.export import street_json_zone  # noqa: F401
     ensure_worker_importable()
@@ -192,6 +193,8 @@ def run_benchmarks() -> dict:
         "dup_cluster_sizes": lambda: q_dup_cluster_sizes(SF_DIR).count(),
         "ann_recall": lambda: len(q_ann_recall(SF_DIR)),
         "scene_cuts": lambda: q_scene_cuts(SF_DIR).count(),
+        "dhash": lambda: q_dhash(SF_DIR).count(),
+        "langid_confusion": lambda: q_langid_confusion(SF_DIR).count(),
     }
     # phash near-dup at bench scale (expanded image corpus; banding explodes
     # the stream 4x, so run at a bounded expansion like the image stage)

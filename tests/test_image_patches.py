@@ -74,3 +74,26 @@ def test_scene_cuts_match_pixel_field():
         jumps = np.abs(np.diff(lums))
         assert got.loc[v, "n_cuts"] == int((jumps > SCENE_CUT_T).sum())
         assert got.loc[v, "max_jump"] == int(jumps.max())
+
+
+def test_dhash_matches_pixel_field():
+    from bano_ray.pipelines.flagship import ImageDhash
+    from bano_ray.codecs import encode_png
+
+    ids = [1, 2, 17, 33]
+    blobs = []
+    for d in ids:
+        w, h = datagen.dims_of(np.array([d]))
+        blobs.append(encode_png(datagen.pixels_of(d, int(w[0]), int(h[0]))))
+    batch = pa.table({
+        "doc_id": pa.array(np.array(ids, np.int64)),
+        "fmt": pa.array(["png"] * len(ids)),
+        "bytes": pa.array(blobs, pa.binary()),
+    })
+    got = ImageDhash()(batch).to_pandas().set_index("doc_id")["dhash"]
+    for d in ids:
+        w, h = datagen.dims_of(np.array([d]))
+        px = datagen.pixels_of(d, int(w[0]), int(h[0]))
+        assert got[d] == ImageDhash.dhash_of(px)
+    # hashes differ across independently-fielded images
+    assert len(set(got)) == len(ids)
