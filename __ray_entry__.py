@@ -159,6 +159,9 @@ _ORACLE_QUERIES = [
     "q_scene_cuts",          # video: scene-cut census over real decode
     "q_dhash",               # image: content dHash over real decode
     "q_langid_confusion",    # curation QA: language-ID confusion matrix
+    "q_image_hist",          # image: luminance histogram over real decode
+    "q_sobel_energy",        # image: gradient energy over real decode
+    "q_snap_points",         # geo: point→nearest-other-street segment snap
 ]
 
 # rows-only queries (approx algorithms with no exact SQL equivalent)

@@ -2827,6 +2827,45 @@ WHERE dx IS NOT NULL AND NOT (dx = 0 AND dy = 0)
 GROUP BY 1, 2 ORDER BY 1, 2"""
 
 
+def q_snap_points() -> str:
+    """Point→segment snap (stages/tracks.snap_points): per point, the
+    nearest segment of a DIFFERENT street in its zone.  Branch conditions
+    are BIGINT comparisons; the interior distance² cross²/len2 evaluates
+    in DOUBLE with the numpy kernel's op order, so the (d2, sidx, sdoc)
+    argmin is deterministic and identical on both sides."""
+    d2 = """CASE WHEN (dx*dx + dy*dy) = 0 OR (dx*dpx + dy*dpy) <= 0
+         THEN CAST(dpx*dpx + dpy*dpy AS DOUBLE)
+         WHEN (dx*dpx + dy*dpy) >= (dx*dx + dy*dy)
+         THEN CAST(dqx*dqx + dqy*dqy AS DOUBLE)
+         ELSE (CAST(dx*dpy - dy*dpx AS DOUBLE)
+               * CAST(dx*dpy - dy*dpx AS DOUBLE))
+              / CAST(dx*dx + dy*dy AS DOUBLE) END"""
+    return f"""WITH {base_pts_cte()},
+{_TRACK_XY},
+seg AS (
+  SELECT insee, sidx, doc_id AS sdoc, ix AS bx, iy AS by2,
+         LAG(ix) OVER w AS ax, LAG(iy) OVER w AS ay
+  FROM xy WINDOW w AS (PARTITION BY insee, sidx ORDER BY doc_id)
+),
+seg2 AS (SELECT * FROM seg WHERE ax IS NOT NULL),
+cand AS (
+  SELECT p.doc_id, p.insee, s.sidx AS snap_sidx, s.sdoc AS snap_doc,
+         (s.bx - s.ax) AS dx, (s.by2 - s.ay) AS dy,
+         (p.ix - s.ax) AS dpx, (p.iy - s.ay) AS dpy,
+         (p.ix - s.bx) AS dqx, (p.iy - s.by2) AS dqy
+  FROM xy p JOIN seg2 s ON s.insee = p.insee AND s.sidx <> p.sidx
+),
+dist AS (
+  SELECT doc_id, insee, snap_sidx, snap_doc, {d2} AS d2,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY {d2}, snap_sidx, snap_doc) AS rn
+  FROM cand
+)
+SELECT doc_id, insee, snap_sidx, snap_doc,
+       CAST(floor(d2 + 0.5) AS BIGINT) AS d2_u
+FROM dist WHERE rn = 1 ORDER BY doc_id"""
+
+
 def q_track_turns() -> str:
     """Signed-cross turn census (stages/tracks.track_turns): per-track
     counts of left / right / exactly-collinear interior vertices; tracks
@@ -3449,34 +3488,39 @@ SELECT video_id,
 FROM d WHERE jump IS NOT NULL GROUP BY 1 ORDER BY 1"""
 
 
-def q_dhash() -> str:
-    """Content dHash (pipelines/flagship.ImageDhash): 9×8 luminance box
-    sums+counts of the closed-form pixel field, cross-multiplied
-    mean comparisons, bits packed in HUGEINT and wrapped to signed 64."""
-    from .pipelines.flagship import DHASH_COLS, DHASH_ROWS
-    from . import datagen as dgm
-
+def _s64(e: str) -> str:
+    """Wrap a HUGEINT expression to signed-64 two's-complement (numpy
+    int64 overflow semantics)."""
     U64 = 18446744073709551616
     S63 = 9223372036854775808
+    u = f"((({e}) % {U64} + {U64}) % {U64})"
+    return f"(CASE WHEN {u} >= {S63} THEN {u} - {U64} ELSE {u} END)"
 
-    def s64(e: str) -> str:
-        u = f"((({e}) % {U64} + {U64}) % {U64})"
-        return f"(CASE WHEN {u} >= {S63} THEN {u} - {U64} ELSE {u} END)"
 
-    def pmod(e: str, m: int) -> str:
-        return f"((({e}) % {m} + {m}) % {m})"
+def _pmod(e: str, m: int) -> str:
+    return f"((({e}) % {m} + {m}) % {m})"
+
+
+def _pixel_u8_cte() -> str:
+    """Shared CTE chain ``img → px → f → g → u8`` replaying
+    datagen.pixels_of_batch's closed-form pixel field for every PNG doc:
+    ``u8(doc_id, w, h, pix, val)`` with val the exact uint8 channel value
+    (op order matches the numpy kernel bit-for-bit; numpy-vs-DuckDB libm
+    cos is bit-equal on this box — see BASELINE.md corpus pins).  Callers
+    append their own CTEs after this fragment."""
+    from . import datagen as dgm
 
     def hof(salt: int) -> str:
         prod = (f"((CAST(doc_id AS HUGEINT) * 3 + ch) * {dgm.PX_STEP}"
                 f" + {salt}) * {dgm.MULT}")
-        return pmod(s64(prod), dgm.MOD)
+        return _pmod(_s64(prod), dgm.MOD)
 
     noise_prod = (f"(CAST(doc_id AS HUGEINT) * {dgm.PX_STEP} + k"
                   f" + {dgm.PX_SALT}) * {dgm.MULT}")
-    noise = (f"CAST({pmod(pmod(s64(noise_prod), dgm.MOD), 2 * dgm.PX_NOISE + 1)}"
+    noise = (f"CAST({_pmod(_pmod(_s64(noise_prod), dgm.MOD), 2 * dgm.PX_NOISE + 1)}"
              f" AS DOUBLE) - {dgm.PX_NOISE}.0")
 
-    return f"""WITH img AS (
+    return f"""img AS (
   SELECT doc_id,
          12 + ({H(7)} % 9) AS w,
          12 + ({H(8)} % 9) AS h
@@ -3510,7 +3554,18 @@ u8 AS (
              + (cos(((1.0 + f2x) * x + (1.0 + f2y) * y) * (2 * pi()))
                 * (16.0 + a33))) + nf, 0), 0.0), 255.0) AS BIGINT) AS val
   FROM g
-),
+)"""
+
+
+def q_dhash() -> str:
+    """Content dHash (pipelines/flagship.ImageDhash): 9×8 luminance box
+    sums+counts of the closed-form pixel field, cross-multiplied
+    mean comparisons, bits packed in HUGEINT and wrapped to signed 64."""
+    from .pipelines.flagship import DHASH_COLS, DHASH_ROWS
+
+    s64 = _s64
+
+    return f"""WITH {_pixel_u8_cte()},
 cells AS (
   SELECT doc_id,
          ((pix // w) * {DHASH_ROWS}) // h AS cy,
@@ -3530,6 +3585,48 @@ SELECT doc_id,
        CAST({s64(f"SUM(CAST(bit AS HUGEINT) * (CAST(1 AS HUGEINT) << (cy * {DHASH_COLS - 1} + cx)))")}
             AS BIGINT) AS dhash
 FROM bits GROUP BY doc_id ORDER BY doc_id"""
+
+
+def q_image_hist() -> str:
+    """Per-image luminance histogram (pipelines/flagship.ImageHist):
+    exact channel-sum luminance per pixel of the closed-form field,
+    HIST_BIN_W-wide integer bins, one row per present (doc_id, bin)."""
+    from .pipelines.flagship import HIST_BIN_W
+
+    return f"""WITH {_pixel_u8_cte()},
+lum AS (
+  SELECT doc_id, pix, CAST(SUM(val) AS BIGINT) AS lum
+  FROM u8 GROUP BY 1, 2
+)
+SELECT doc_id, CAST(lum // {HIST_BIN_W} AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lum GROUP BY 1, 2 ORDER BY doc_id, bin"""
+
+
+def q_sobel_energy() -> str:
+    """Per-image gradient energy (pipelines/flagship.ImageSobel): exact
+    integer Σ|Δlum| along x (same row, pix+1) and along y (pix+w) of the
+    closed-form pixel field, via pixel-index self-joins."""
+    return f"""WITH {_pixel_u8_cte()},
+lum AS (
+  SELECT doc_id, w, pix, CAST(SUM(val) AS BIGINT) AS lum
+  FROM u8 GROUP BY 1, 2, 3
+),
+gx AS (
+  SELECT a.doc_id, CAST(SUM(ABS(b.lum - a.lum)) AS BIGINT) AS gx_energy
+  FROM lum a JOIN lum b
+    ON a.doc_id = b.doc_id AND b.pix = a.pix + 1
+  WHERE (a.pix % a.w) < a.w - 1
+  GROUP BY 1
+),
+gy AS (
+  SELECT a.doc_id, CAST(SUM(ABS(b.lum - a.lum)) AS BIGINT) AS gy_energy
+  FROM lum a JOIN lum b
+    ON a.doc_id = b.doc_id AND b.pix = a.pix + a.w
+  GROUP BY 1
+)
+SELECT gx.doc_id, gx.gx_energy, gy.gy_energy
+FROM gx JOIN gy ON gy.doc_id = gx.doc_id ORDER BY gx.doc_id"""
 
 
 def q_langid_confusion() -> str:

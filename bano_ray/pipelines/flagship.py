@@ -568,28 +568,7 @@ def image_patches(sf_dir: str, concurrency=None):
     """Patch-statistics pipeline over real PNG payloads (lossless docs
     only — JPEG rows are excluded on both sides before any bytes are
     synthesized, so the lossy codec never gates the values)."""
-    import ray.data
-
-    ensure_worker_importable()
-    if concurrency is None:
-        cpus = _cluster_cpus()
-        hi = max(2, cpus - 2)
-        concurrency = (min(max(2, 3 * cpus // 4 - 1), hi), hi)
-
-    def synth_png(batch: pa.Table) -> pa.Table:
-        d = batch.column("doc_id").to_numpy()
-        keep = d % datagen.FMT_JPEG_MOD != 0
-        sub = pa.table({"doc_id": pa.array(d[keep])})
-        out = datagen.synthesize_batch(sub, with_bytes=True)
-        return out.select(["doc_id", "fmt", "bytes"])
-
-    ds = (ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                                columns=["doc_id"])
-          .map_batches(synth_png, batch_format="pyarrow"))
-    ds.context.target_max_block_size = 2 * 1024 * 1024
-    return ds.map_batches(ImagePatches, concurrency=concurrency,
-                          batch_size=512, batch_format="pyarrow",
-                          memory=IMAGE_STAGE_MEMORY)
+    return _png_pool_pipeline(sf_dir, ImagePatches, concurrency)
 
 
 SCENE_CUT_T = 10_000  # luminance-sum jump that counts as a scene cut
@@ -705,9 +684,12 @@ class ImageDhash:
         })
 
 
-def image_dhash(sf_dir: str, concurrency=None):
-    """Content dHash pipeline over the lossless (PNG) payloads — same
-    PNG-only discipline and pool sizing as :func:`image_patches`."""
+def _png_pool_pipeline(sf_dir: str, stage_cls, concurrency=None,
+                       batch_size: int = 512):
+    """Shared scaffold for value-gated decoded-content stages: pruned
+    doc_id read → PNG-only byte synthesis (JPEG rows excluded BEFORE any
+    bytes exist, so the lossy codec never gates values) → small blocks →
+    actor-pool decode stage.  Same pool sizing as :func:`image_patches`."""
     import ray.data
 
     ensure_worker_importable()
@@ -727,6 +709,94 @@ def image_dhash(sf_dir: str, concurrency=None):
                                 columns=["doc_id"])
           .map_batches(synth_png, batch_format="pyarrow"))
     ds.context.target_max_block_size = 2 * 1024 * 1024
-    return ds.map_batches(ImageDhash, concurrency=concurrency,
-                          batch_size=512, batch_format="pyarrow",
+    return ds.map_batches(stage_cls, concurrency=concurrency,
+                          batch_size=batch_size, batch_format="pyarrow",
                           memory=IMAGE_STAGE_MEMORY)
+
+
+def image_dhash(sf_dir: str, concurrency=None):
+    """Content dHash pipeline over the lossless (PNG) payloads — same
+    PNG-only discipline and pool sizing as :func:`image_patches`."""
+    return _png_pool_pipeline(sf_dir, ImageDhash, concurrency)
+
+
+HIST_BIN_W = 48  # luminance (r+g+b in 0..765) // 48 → 16 bins
+
+
+class ImageHist:
+    """Actor-pool per-image luminance histogram over REAL decoded pixels:
+    per-pixel luminance = exact channel sum (no division), binned into
+    765 // HIST_BIN_W + 1 = 16 integer-width bins, one output row per
+    PRESENT (doc_id, bin) — the per-corpus exposure census a curation
+    pipeline cuts over.  Value-ORACLED (oracle.q_image_hist replays the
+    closed-form pixel field + binning in SQL)."""
+
+    def __init__(self):
+        from ..runtime import tune_malloc
+
+        tune_malloc()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..codecs import decode_image_batch
+
+        fmts = batch.column("fmt").to_pylist()
+        blobs = _binary_column_views(batch.column("bytes"))
+        decoded = decode_image_batch(blobs, fmts)
+        dids = batch.column("doc_id").to_numpy()
+        o_d, o_b, o_n = [], [], []
+        nbins = 765 // HIST_BIN_W + 1
+        for did, px in zip(dids, decoded):
+            lum = px.reshape(-1, 3).astype(np.int64).sum(axis=1)
+            cnt = np.bincount(lum // HIST_BIN_W, minlength=nbins)
+            nz = np.flatnonzero(cnt)
+            o_d.append(np.full(len(nz), did, dtype=np.int64))
+            o_b.append(nz.astype(np.int64))
+            o_n.append(cnt[nz].astype(np.int64))
+        cat = np.concatenate
+        return pa.table({
+            "doc_id": pa.array(cat(o_d) if o_d else np.empty(0, np.int64)),
+            "bin": pa.array(cat(o_b) if o_b else np.empty(0, np.int64)),
+            "n": pa.array(cat(o_n) if o_n else np.empty(0, np.int64)),
+        })
+
+
+def image_hist(sf_dir: str, concurrency=None):
+    """Luminance-histogram pipeline over the lossless (PNG) payloads."""
+    return _png_pool_pipeline(sf_dir, ImageHist, concurrency)
+
+
+class ImageSobel:
+    """Actor-pool gradient-energy stage over REAL decoded pixels: exact
+    integer sums of |Δluminance| along x and along y — the cheap
+    sharpness / blur-detection signal an image-curation pipeline filters
+    on.  Value-ORACLED (oracle.q_sobel_energy replays the neighbor
+    differences via pixel-index self-joins in SQL)."""
+
+    def __init__(self):
+        from ..runtime import tune_malloc
+
+        tune_malloc()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..codecs import decode_image_batch
+
+        fmts = batch.column("fmt").to_pylist()
+        blobs = _binary_column_views(batch.column("bytes"))
+        decoded = decode_image_batch(blobs, fmts)
+        n = len(decoded)
+        gx = np.empty(n, dtype=np.int64)
+        gy = np.empty(n, dtype=np.int64)
+        for i, px in enumerate(decoded):
+            lum = px.astype(np.int64).sum(axis=2)
+            gx[i] = np.abs(np.diff(lum, axis=1)).sum()
+            gy[i] = np.abs(np.diff(lum, axis=0)).sum()
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "gx_energy": pa.array(gx),
+            "gy_energy": pa.array(gy),
+        })
+
+
+def image_sobel(sf_dir: str, concurrency=None):
+    """Gradient-energy pipeline over the lossless (PNG) payloads."""
+    return _png_pool_pipeline(sf_dir, ImageSobel, concurrency)

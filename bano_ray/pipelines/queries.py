@@ -2503,6 +2503,20 @@ def q_bearing_sectors(sf_dir: str):
     return bearing_sectors(sf_dir)
 
 
+def q_snap_points(sf_dir: str):
+    """Map-matching lite (stages/tracks.snap_points): snap every point to
+    the nearest segment of a DIFFERENT street in its zone — the
+    Ray-native analog of the reference's address→voie rapprochement
+    (reference bano/models.py point_par_rue).  Zone-co-located shards,
+    vectorized point×segment distance slabs, exact-branch float64
+    distances with a deterministic (d2, sidx, sdoc) argmin.  Oracle-gated
+    (oracle.q_snap_points)."""
+    from ..stages.tracks import snap_points
+
+    ensure_worker_importable()
+    return snap_points(sf_dir)
+
+
 def q_track_turns(sf_dir: str):
     """Per-track signed-cross turn census (stages/tracks.track_turns):
     left / right / exactly-collinear interior-vertex counts.
@@ -3080,6 +3094,29 @@ def q_dhash(sf_dir: str):
 
     ensure_worker_importable()
     return image_dhash(sf_dir)
+
+
+def q_image_hist(sf_dir: str):
+    """Per-image luminance histogram over REAL decoded PNG pixels
+    (pipelines/flagship.ImageHist): exact channel-sum luminance binned
+    into 16 integer-width bins, one row per present (doc_id, bin) — the
+    exposure census an image-curation pipeline cuts over.  Oracle-gated
+    (oracle.q_image_hist)."""
+    from .flagship import image_hist
+
+    ensure_worker_importable()
+    return image_hist(sf_dir)
+
+
+def q_sobel_energy(sf_dir: str):
+    """Per-image gradient energy over REAL decoded PNG pixels
+    (pipelines/flagship.ImageSobel): exact integer Σ|Δluminance| along x
+    and y — the cheap sharpness/blur filter signal.  Oracle-gated
+    (oracle.q_sobel_energy)."""
+    from .flagship import image_sobel
+
+    ensure_worker_importable()
+    return image_sobel(sf_dir)
 
 
 def q_langid_confusion(sf_dir: str):

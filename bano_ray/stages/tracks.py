@@ -323,3 +323,109 @@ def track_length_m(sf_dir: str):
             .map_batches(_shard_ll_fn(C), batch_format="pyarrow")
             .groupby("_shard")
             .map_groups(geodesic_group, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# Point→segment snapping (map-matching lite)
+# ---------------------------------------------------------------------------
+
+SNAP_CHUNK = 4096  # points per distance-matrix slab (bounds P×S memory)
+
+
+def _sharded_zone(sf_dir: str):
+    """Like :func:`_sharded` but co-locating whole ZONES (``zone % C``):
+    snapping needs every candidate segment of a point's zone in the same
+    worker group.  Partitioning assumption (SURVEY §2 custom-operator
+    rule): one zone's points + segments fit in a worker group — at larger
+    per-zone densities the candidate set would sub-bucket by G1's z-cells
+    (a segment enters every cell its bbox overlaps) with the same kernel."""
+    C = _coarse_groups()
+
+    def shard(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy()
+        lon, lat = datagen.lon_lat(d)
+        zone = datagen.zone_of(lon, lat)
+        zid = zone * _ZID_MULT + datagen.street_idx(d)
+        return pa.table({
+            "doc_id": pa.array(d),
+            "zid": pa.array(zid),
+            "ix": pa.array(np.floor(lon * MICRO + 0.5).astype(np.int64)),
+            "iy": pa.array(np.floor(lat * MICRO + 0.5).astype(np.int64)),
+            "_shard": pa.array(
+                (zone.astype(np.uint64) % np.uint64(C)).astype(np.int64)),
+        })
+
+    import ray.data  # noqa: F401  (dataset built by _doc_ids)
+
+    return (_doc_ids(sf_dir)
+            .map_batches(shard, batch_format="pyarrow")
+            .groupby("_shard"))
+
+
+def snap_group(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-shard kernel: for every point, the nearest segment of a
+    DIFFERENT street in its zone — (doc_id, insee, snap_sidx, snap_doc,
+    d2_u).  Exactness: every branch condition (degenerate segment,
+    clamped-to-endpoint projection) is an int64 comparison; the chosen
+    distance² is either an exactly-representable integer (≤ 2·(zone
+    span)² ≈ 6.1e12 < 2⁵³) or cross²/len2 evaluated in float64 with the
+    same op order as the SQL oracle, so the per-point argmin (first-min =
+    lexicographic (d2, sidx, sdoc) because segments arrive sorted) picks
+    the same segment on both sides."""
+    cols = ["doc_id", "insee", "snap_sidx", "snap_doc", "d2_u"]
+    z, d, ix, iy, first, _ = _ordered(df)
+    if not len(z):
+        return pd.DataFrame({c: [] for c in cols})
+    zone = z // _ZID_MULT
+    seg = np.flatnonzero(~first)          # segment i: row (i-1) → row i
+    seg_zone = zone[seg]
+    zb = np.flatnonzero(np.r_[True, zone[1:] != zone[:-1]])
+    zone_end = np.r_[zb[1:], len(zone)]
+    o_doc, o_zone, o_sidx, o_sdoc, o_d2 = [], [], [], [], []
+    for s0, s1 in zip(zb, zone_end):
+        zval = zone[s0]
+        sel = seg[seg_zone == zval]
+        if not len(sel):
+            continue
+        ax, ay = ix[sel - 1], iy[sel - 1]
+        bx, by = ix[sel], iy[sel]
+        szid, sdoc = z[sel], d[sel]
+        dx, dy = bx - ax, by - ay
+        len2 = dx * dx + dy * dy
+        len2f = np.where(len2 == 0, 1, len2).astype(np.float64)
+        for c0 in range(s0, s1, SNAP_CHUNK):
+            c1 = min(s1, c0 + SNAP_CHUNK)
+            px, py = ix[c0:c1, None], iy[c0:c1, None]
+            dpx, dpy = px - ax[None, :], py - ay[None, :]
+            dot = dpx * dx + dpy * dy
+            cross = dx * dpy - dy * dpx
+            d2a = (dpx * dpx + dpy * dpy).astype(np.float64)
+            dqx, dqy = px - bx[None, :], py - by[None, :]
+            d2b = (dqx * dqx + dqy * dqy).astype(np.float64)
+            crf = cross.astype(np.float64)
+            d2 = np.where((len2 == 0) | (dot <= 0), d2a,
+                          np.where(dot >= len2, d2b, (crf * crf) / len2f))
+            d2 = np.where(z[c0:c1, None] == szid[None, :], np.inf, d2)
+            am = np.argmin(d2, axis=1)
+            best = d2[np.arange(c1 - c0), am]
+            ok = np.isfinite(best)
+            o_doc.append(d[c0:c1][ok])
+            o_zone.append(np.full(int(ok.sum()), zval, dtype=np.int64))
+            o_sidx.append((szid[am] % _ZID_MULT)[ok])
+            o_sdoc.append(sdoc[am][ok])
+            o_d2.append(np.floor(best[ok] + 0.5).astype(np.int64))
+    if not o_doc:
+        return pd.DataFrame({c: [] for c in cols})
+    cat = np.concatenate
+    insee = np.char.zfill((cat(o_zone) + 1).astype("U"), 5).astype(object)
+    return pd.DataFrame({"doc_id": cat(o_doc), "insee": insee,
+                         "snap_sidx": cat(o_sidx), "snap_doc": cat(o_sdoc),
+                         "d2_u": cat(o_d2)})
+
+
+def snap_points(sf_dir: str):
+    """Nearest-other-street snap per point — the Ray-native analog of the
+    reference's address→voie rapprochement (reference bano/models.py
+    point_par_rue neighborhoods): zone-co-located shards, vectorized
+    point×segment distance slabs, deterministic (d2, sidx, sdoc) argmin."""
+    return _sharded_zone(sf_dir).map_groups(snap_group, batch_format="pandas")

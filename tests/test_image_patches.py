@@ -97,3 +97,49 @@ def test_dhash_matches_pixel_field():
         assert got[d] == ImageDhash.dhash_of(px)
     # hashes differ across independently-fielded images
     assert len(set(got)) == len(ids)
+
+
+def _png_batch(ids):
+    blobs = []
+    for d in ids:
+        w, h = datagen.dims_of(np.array([d]))
+        blobs.append(encode_png(datagen.pixels_of(d, int(w[0]), int(h[0]))))
+    return pa.table({
+        "doc_id": pa.array(np.array(ids, dtype=np.int64)),
+        "fmt": pa.array(["png"] * len(ids)),
+        "bytes": pa.array(blobs, pa.binary()),
+    })
+
+
+def test_image_hist_matches_pixel_field():
+    from bano_ray.pipelines.flagship import HIST_BIN_W, ImageHist
+
+    ids = [1, 2, 3, 5, 9, 42]
+    got = ImageHist()(_png_batch(ids)).to_pandas()
+    for d in ids:
+        w, h = datagen.dims_of(np.array([d]))
+        px = datagen.pixels_of(d, int(w[0]), int(h[0])).astype(np.int64)
+        lum = px.reshape(-1, 3).sum(axis=1)
+        ref = {}
+        for v in lum:
+            ref[v // HIST_BIN_W] = ref.get(v // HIST_BIN_W, 0) + 1
+        sub = got[got["doc_id"] == d]
+        assert {(r.bin, r.n) for r in sub.itertuples()} == set(ref.items())
+        # histogram is a partition of the pixel grid
+        assert sub["n"].sum() == int(w[0]) * int(h[0])
+
+
+def test_sobel_energy_matches_pixel_field():
+    from bano_ray.pipelines.flagship import ImageSobel
+
+    ids = [1, 2, 3, 5, 9, 42]
+    got = ImageSobel()(_png_batch(ids)).to_pandas().set_index("doc_id")
+    for d in ids:
+        w, h = datagen.dims_of(np.array([d]))
+        px = datagen.pixels_of(d, int(w[0]), int(h[0])).astype(np.int64)
+        lum = px.sum(axis=2)
+        gx = sum(abs(int(lum[y][x + 1]) - int(lum[y][x]))
+                 for y in range(lum.shape[0]) for x in range(lum.shape[1] - 1))
+        gy = sum(abs(int(lum[y + 1][x]) - int(lum[y][x]))
+                 for y in range(lum.shape[0] - 1) for x in range(lum.shape[1]))
+        assert (got.loc[d, "gx_energy"], got.loc[d, "gy_energy"]) == (gx, gy)

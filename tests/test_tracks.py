@@ -159,3 +159,75 @@ class TestGeodesic:
         want = con.sql(oracle.q_track_length_m()).df()
         pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
                                       check_dtype=False)
+
+
+class TestSnap:
+    def _brute(self, df):
+        """O(P·S) python reference: nearest other-street segment."""
+        rows = []
+        pts = df.to_dict("records")
+        segs = []
+        by_track = {}
+        for r in sorted(pts, key=lambda r: (r["zid"], r["doc_id"])):
+            by_track.setdefault(r["zid"], []).append(r)
+        for zid, seq in by_track.items():
+            for a, b in zip(seq, seq[1:]):
+                segs.append((zid, b["doc_id"], a["ix"], a["iy"],
+                             b["ix"], b["iy"]))
+        segs.sort()
+        for p in pts:
+            best = None
+            for (szid, sdoc, ax, ay, bx, by) in segs:
+                if szid // 1000 != p["zid"] // 1000 or szid == p["zid"]:
+                    continue
+                dx, dy = bx - ax, by - ay
+                dpx, dpy = p["ix"] - ax, p["iy"] - ay
+                len2 = dx * dx + dy * dy
+                dot = dx * dpx + dy * dpy
+                if len2 == 0 or dot <= 0:
+                    d2 = float(dpx * dpx + dpy * dpy)
+                elif dot >= len2:
+                    d2 = float((p["ix"] - bx) ** 2 + (p["iy"] - by) ** 2)
+                else:
+                    cr = float(dx * dpy - dy * dpx)
+                    d2 = cr * cr / float(len2)
+                key = (d2, szid % 1000, sdoc)
+                if best is None or key < best[0]:
+                    best = (key, szid, sdoc, d2)
+            if best is not None:
+                rows.append((p["doc_id"], best[1] % 1000, best[2],
+                             int(np.floor(best[3] + 0.5))))
+        return sorted(rows)
+
+    def test_matches_brute_force(self):
+        from bano_ray.stages.tracks import snap_group
+
+        rng = np.random.RandomState(7)
+        n = 120
+        zid = rng.randint(0, 2, n) * 1000 + rng.randint(0, 4, n)  # 2 zones
+        doc = np.arange(n)
+        ix = rng.randint(0, 2_000_000, n)
+        iy = rng.randint(0, 2_000_000, n)
+        df = _df(zid, doc, ix, iy)
+        got = snap_group(df)
+        got_rows = sorted(zip(got["doc_id"].astype(int),
+                              got["snap_sidx"].astype(int),
+                              got["snap_doc"].astype(int),
+                              got["d2_u"].astype(int)))
+        assert got_rows == self._brute(df)
+
+    def test_projection_branches(self):
+        from bano_ray.stages.tracks import snap_group
+
+        # one horizontal segment (street 0), three probes on street 1:
+        # beyond A (clamps to A), interior (perpendicular), beyond B
+        df = _df([1000, 1000, 1001, 1001, 1001],
+                 [0, 1, 10, 11, 12],
+                 [100, 200, 50, 150, 260],
+                 [0, 0, 30, 40, 25])
+        got = snap_group(df).set_index("doc_id")
+        assert got.loc[10, "d2_u"] == 50 * 50 + 30 * 30   # clamp to A
+        assert got.loc[11, "d2_u"] == 40 * 40             # interior drop
+        assert got.loc[12, "d2_u"] == 60 * 60 + 25 * 25   # clamp to B
+        # street-0 points snap to street-1 segments symmetrically
+        assert set(got.index) == {0, 1, 10, 11, 12}
