@@ -162,6 +162,8 @@ _ORACLE_QUERIES = [
     "q_image_hist",          # image: luminance histogram over real decode
     "q_sobel_energy",        # image: gradient energy over real decode
     "q_snap_points",         # geo: point→nearest-other-street segment snap
+    "q_stay_points",         # geo: trajectory dwell (stay-point) detection
+    "q_bfs_levels",          # graph: multi-source BFS hop levels
 ]
 
 # rows-only queries (approx algorithms with no exact SQL equivalent)

@@ -2169,6 +2169,40 @@ r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes),
 SELECT node, ROUND(r, 6) AS pagerank FROM r3 ORDER BY node"""
 
 
+def q_bfs_levels() -> str:
+    """Multi-source BFS levels (queries.q_bfs_levels): recursive
+    UNION-distinct CTE over the same bipartite edge list — (node, lvl)
+    pairs dedupe per iteration so the working set stays nodes×levels;
+    MIN(lvl) per node is the hop distance."""
+    from .pipelines.queries import BFS_MAX_DEPTH, BFS_SEED_MOD
+    from .stages.pagerank import N_ITEMS
+
+    return f"""WITH RECURSIVE ev AS (
+  SELECT user_id,
+         CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)
+           % {N_ITEMS} AS item
+  FROM events
+), nu AS (SELECT MAX(user_id) + 1 AS nu FROM ev),
+edges AS (
+  SELECT user_id AS src, (SELECT nu FROM nu) + item AS dst FROM ev
+  UNION ALL
+  SELECT (SELECT nu FROM nu) + item AS src, user_id AS dst FROM ev
+),
+seeds AS (
+  SELECT DISTINCT user_id AS node FROM ev
+  WHERE user_id % {BFS_SEED_MOD} = 0
+),
+bfs(node, lvl) AS (
+  SELECT node, 0 FROM seeds
+  UNION
+  SELECT e.dst, b.lvl + 1
+  FROM bfs b JOIN edges e ON e.src = b.node
+  WHERE b.lvl < {BFS_MAX_DEPTH}
+)
+SELECT node, CAST(MIN(lvl) AS BIGINT) AS lvl
+FROM bfs GROUP BY node ORDER BY node"""
+
+
 def q_fuzzy_streets() -> str:
     """Blocked fuzzy street-key pairs (queries.q_fuzzy_streets /
     stages/fuzzy.py): distinct normalized street keys, 4-char-prefix
@@ -2825,6 +2859,37 @@ SELECT insee,
 FROM seg
 WHERE dx IS NOT NULL AND NOT (dx = 0 AND dy = 0)
 GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+def q_stay_points() -> str:
+    """Stay-point detection (stages/tracks.stay_points): maximal runs of
+    consecutive track points with step distance² < STAY_T2, ≥ STAY_MIN_PTS
+    points — gaps-and-islands via a cumulative break-count window."""
+    from .stages.tracks import STAY_MIN_PTS, STAY_T2
+
+    return f"""WITH {base_pts_cte()},
+{_TRACK_XY},
+seg AS (
+  SELECT insee, sidx, doc_id,
+         LAG(doc_id) OVER w AS pdoc,
+         (ix - LAG(ix) OVER w) AS dx,
+         (iy - LAG(iy) OVER w) AS dy
+  FROM xy WINDOW w AS (PARTITION BY insee, sidx ORDER BY doc_id)
+),
+flag AS (
+  SELECT insee, sidx, doc_id, pdoc,
+         (dx IS NOT NULL AND dx*dx + dy*dy < {STAY_T2}) AS close_step,
+         SUM(CASE WHEN dx IS NULL OR dx*dx + dy*dy >= {STAY_T2}
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY insee, sidx ORDER BY doc_id) AS run_id
+  FROM seg
+)
+SELECT insee, sidx, MIN(pdoc) AS start_doc, MAX(doc_id) AS end_doc,
+       CAST(COUNT(*) + 1 AS BIGINT) AS n_pts
+FROM flag WHERE close_step
+GROUP BY insee, sidx, run_id
+HAVING COUNT(*) + 1 >= {STAY_MIN_PTS}
+ORDER BY insee, sidx, start_doc"""
 
 
 def q_snap_points() -> str:

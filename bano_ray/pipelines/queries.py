@@ -1675,6 +1675,56 @@ def q_pagerank(sf_dir: str):
     return pagerank(edges, n_nodes=n_users + N_ITEMS)
 
 
+BFS_SEED_MOD = 53    # seed users: user_id % 53 == 0 (among users w/ events)
+BFS_MAX_DEPTH = 4
+
+
+def q_bfs_levels(sf_dir: str):
+    """Multi-source BFS hop levels over the bipartite user<->item click
+    graph (stages/graph.bfs_levels): synchronous Bellman-Ford rounds —
+    the edge stream is re-read per round emitting node-sized integer
+    min-partials, the level vector broadcasts via ray.put.  Seeds are
+    event-observed users with user_id % BFS_SEED_MOD == 0.  Exact-integer;
+    oracle-gated (oracle.q_bfs_levels via a recursive UNION-distinct CTE)."""
+    import ray
+
+    from ..stages.graph import bfs_levels
+    from ..stages.pagerank import N_ITEMS
+
+    ensure_worker_importable()
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "props"])
+    n_users = int(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id"]).max("user_id")) + 1
+
+    def edges_fn(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy()
+        ks = pc.extract_regex(batch.column("props"),
+                              pattern='"k": (?P<k>[0-9]+)')
+        k = pc.cast(pc.struct_field(ks, "k"), pa.int64()).to_numpy()
+        item = n_users + (k % N_ITEMS)
+        return pa.table({
+            "src": pa.array(np.concatenate([u, item]), pa.int64()),
+            "dst": pa.array(np.concatenate([item, u]), pa.int64()),
+        })
+
+    edges = ds.map_batches(edges_fn, batch_format="pyarrow")
+
+    # seed mask: users OBSERVED in events (deg > 0) with id % mod == 0 —
+    # one tiny distinct-users aggregate, node-table-sized
+    def users_partial(batch: pa.Table) -> pa.Table:
+        u = np.unique(batch.column("user_id").to_numpy())
+        return pa.table({"user_id": pa.array(u)})
+
+    seen = (ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                  columns=["user_id"])
+            .map_batches(users_partial, batch_format="pyarrow")
+            .groupby("user_id").count().to_pandas()["user_id"].to_numpy())
+    seed_mask = np.zeros(n_users + N_ITEMS, dtype=bool)
+    seed_mask[seen[seen % BFS_SEED_MOD == 0]] = True
+    return bfs_levels(edges, seed_mask, max_depth=BFS_MAX_DEPTH)
+
+
 def q_fuzzy_streets(sf_dir: str):
     """Blocked edit-distance fuzzy street-key matching
     (stages/fuzzy.fuzzy_key_pairs): pairs of DISTINCT normalized street
@@ -2501,6 +2551,18 @@ def q_bearing_sectors(sf_dir: str):
 
     ensure_worker_importable()
     return bearing_sectors(sf_dir)
+
+
+def q_stay_points(sf_dir: str):
+    """Trajectory dwell detection (stages/tracks.stay_points): maximal
+    runs of consecutive track points with step² < STAY_T2 and ≥
+    STAY_MIN_PTS points — the stop/stay primitive of GPS-trace curation.
+    Exact int64 comparisons, vectorized gaps-and-islands.  Oracle-gated
+    (oracle.q_stay_points)."""
+    from ..stages.tracks import stay_points
+
+    ensure_worker_importable()
+    return stay_points(sf_dir)
 
 
 def q_snap_points(sf_dir: str):

@@ -165,3 +165,71 @@ def connected_components(pairs_ds, a_col: str = "a", b_col: str = "b",
     raise RuntimeError(
         f"connected_components did not converge in {max_rounds} rounds "
         "(raise max_rounds)")
+
+
+# ---------------------------------------------------------------------------
+# Multi-source BFS hop levels
+# ---------------------------------------------------------------------------
+
+_BFS_INF = np.iinfo(np.int64).max
+
+
+class _HopPass:
+    """Actor-pool pass: edge batches → per-block dst min-level partials
+    (synchronous Bellman-Ford step over the broadcast level vector)."""
+
+    def __init__(self, state_ref):
+        import ray
+
+        self.lvl = (ray.get(state_ref)
+                    if not isinstance(state_ref, np.ndarray) else state_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        src = batch.column("src").to_numpy()
+        dst = batch.column("dst").to_numpy()
+        cand = np.full(len(self.lvl), _BFS_INF, dtype=np.int64)
+        m = self.lvl[src] < _BFS_INF
+        np.minimum.at(cand, dst[m], self.lvl[src[m]] + 1)
+        nz = np.flatnonzero(cand < _BFS_INF)
+        return pa.table({"node": pa.array(nz.astype(np.int64)),
+                         "lvl": pa.array(cand[nz])})
+
+
+def bfs_levels(edges_ds, seed_mask: np.ndarray, max_depth: int = 4,
+               concurrency: int | None = None):
+    """edges Dataset (src, dst int64 in [0, n_nodes)) + boolean seed mask
+    → pandas (node, lvl) with lvl = BFS hop distance from the seed SET,
+    capped at ``max_depth``.
+
+    Same regime split as :func:`~bano_ray.stages.pagerank.pagerank`: the
+    EDGE stream is the big thing and is read once per round in streaming
+    ``map_batches`` passes emitting node-table-sized min partials; the
+    level vector is node-sized and broadcast via ``ray.put``.  All-integer
+    min-scatter — exact, no float pinning needed.  Early exit when a round
+    changes nothing."""
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Min
+
+    if concurrency is None:
+        cpus = (int(ray.cluster_resources().get("CPU", 8))
+                if ray.is_initialized() else 8)
+        concurrency = max(1, min(8, cpus - 1))
+
+    edges = edges_ds.materialize()   # iterative: read the stream once
+    lvl = np.where(seed_mask, 0, _BFS_INF).astype(np.int64)
+    for _ in range(max_depth):
+        ref = ray.put(lvl)
+        agg = (edges.map_batches(_HopPass, batch_format="pyarrow",
+                                 concurrency=concurrency,
+                                 fn_constructor_kwargs={"state_ref": ref})
+               .groupby("node").aggregate(Min("lvl", alias_name="l"))
+               .to_pandas())
+        nodes = agg["node"].to_numpy()
+        nxt = np.minimum(lvl[nodes], agg["l"].to_numpy())
+        if (nxt == lvl[nodes]).all():
+            break
+        lvl[nodes] = nxt
+    reached = np.flatnonzero(lvl < _BFS_INF)
+    return pd.DataFrame({"node": reached.astype(np.int64),
+                         "lvl": lvl[reached]})

@@ -429,3 +429,54 @@ def snap_points(sf_dir: str):
     point_par_rue neighborhoods): zone-co-located shards, vectorized
     point×segment distance slabs, deterministic (d2, sidx, sdoc) argmin."""
     return _sharded_zone(sf_dir).map_groups(snap_group, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Stay-point (dwell) detection
+# ---------------------------------------------------------------------------
+
+STAY_T2 = 1000 * 1000  # squared step threshold, (µ°)²: urban grid pitch
+STAY_MIN_PTS = 3       # a stay needs ≥ 3 consecutive close points
+
+
+def stay_group(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-shard kernel: maximal runs of consecutive track points whose
+    step distance² stays under ``STAY_T2`` — the trajectory dwell /
+    stop-detection primitive.  Gaps-and-islands fully vectorized: run ids
+    from a cumsum over break flags; exact int64 step comparisons."""
+    cols = ["insee", "sidx", "start_doc", "end_doc", "n_pts"]
+    z, d, ix, iy, first, _ = _ordered(df)
+    if not len(z):
+        return pd.DataFrame({c: [] for c in cols})
+    dx = np.empty(len(z), dtype=np.int64)
+    dy = np.empty(len(z), dtype=np.int64)
+    dx[1:], dy[1:] = ix[1:] - ix[:-1], iy[1:] - iy[:-1]
+    dx[0] = dy[0] = 0
+    close = ~first & (dx * dx + dy * dy < STAY_T2)
+    # a run = a close row chain; run id advances on every non-close row
+    run = np.cumsum(~close)
+    if not close.any():
+        return pd.DataFrame({c: [] for c in cols})
+    r = run[close]
+    uniq, inv, cnt = np.unique(r, return_inverse=True, return_counts=True)
+    # close row i extends the run that STARTS at row i-1 of its track, so
+    # a run with cnt close rows covers cnt+1 points
+    keep = cnt + 1 >= STAY_MIN_PTS
+    if not keep.any():
+        return pd.DataFrame({c: [] for c in cols})
+    close_idx = np.flatnonzero(close)
+    starts = np.full(len(uniq), np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(starts, inv, close_idx)
+    ends = np.zeros(len(uniq), dtype=np.int64)
+    np.maximum.at(ends, inv, close_idx)
+    starts, ends, cnt = starts[keep], ends[keep], cnt[keep]
+    insee, sidx = _insee_sidx(z[starts])
+    return pd.DataFrame({"insee": insee, "sidx": sidx,
+                         "start_doc": d[starts - 1], "end_doc": d[ends],
+                         "n_pts": (cnt + 1).astype(np.int64)})
+
+
+def stay_points(sf_dir: str):
+    """(insee, sidx, start_doc, end_doc, n_pts): maximal dwell runs per
+    track — same shard/lexsort scaffold as the other geometry kernels."""
+    return _sharded(sf_dir).map_groups(stay_group, batch_format="pandas")

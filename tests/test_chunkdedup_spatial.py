@@ -158,3 +158,31 @@ class TestDedupCorpusFilter:
         out = (tagged.groupby("doc_id").aggregate(Sum("drop", alias_name="d"))
                .filter(expr="d == 0").select_columns(["doc_id"]).to_pandas())
         assert sorted(out["doc_id"]) == [0, 3, 4]
+
+
+class TestBfsLevels:
+    def _run(self, edges, seed_ids, n_nodes, max_depth=4):
+        import ray
+
+        from bano_ray.stages.graph import bfs_levels
+
+        ds = ray.data.from_items([{"src": a, "dst": b} for a, b in edges]
+                                 + [{"src": b, "dst": a} for a, b in edges])
+        mask = np.zeros(n_nodes, dtype=bool)
+        mask[seed_ids] = True
+        out = bfs_levels(ds, mask, max_depth=max_depth)
+        return dict(zip(out["node"].astype(int), out["lvl"].astype(int)))
+
+    def test_chain_and_cap(self, ray_session):
+        # chain 0-1-2-3-4-5-6: levels cap at max_depth
+        got = self._run([(i, i + 1) for i in range(6)], [0], 7, max_depth=4)
+        assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}
+
+    def test_multi_source_min(self, ray_session):
+        # seeds at both ends of a chain: levels meet in the middle
+        got = self._run([(i, i + 1) for i in range(4)], [0, 4], 5)
+        assert got == {0: 0, 1: 1, 2: 2, 3: 1, 4: 0}
+
+    def test_disconnected_and_early_exit(self, ray_session):
+        got = self._run([(0, 1), (5, 6)], [0], 7, max_depth=4)
+        assert got == {0: 0, 1: 1}

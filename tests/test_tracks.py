@@ -231,3 +231,32 @@ class TestSnap:
         assert got.loc[12, "d2_u"] == 60 * 60 + 25 * 25   # clamp to B
         # street-0 points snap to street-1 segments symmetrically
         assert set(got.index) == {0, 1, 10, 11, 12}
+
+
+class TestStay:
+    def test_runs_and_boundaries(self):
+        from bano_ray.stages.tracks import stay_group
+
+        # track 1000: 4 tight points (one stay), jump, 3 tight points
+        # (second stay); track 1001: 2 tight points only (below min)
+        ix = [0, 100, 220, 300, 900000, 900100, 900150,
+              0, 50]
+        iy = [0] * 7 + [0, 0]
+        zid = [1000] * 7 + [1001] * 2
+        doc = list(range(7)) + [10, 11]
+        got = stay_group(_df(zid, doc, ix, iy))
+        rows = sorted(zip(got["sidx"].astype(int),
+                          got["start_doc"].astype(int),
+                          got["end_doc"].astype(int),
+                          got["n_pts"].astype(int)))
+        assert rows == [(0, 0, 3, 4), (0, 4, 6, 3)]
+
+    def test_threshold_is_strict(self):
+        from bano_ray.stages.tracks import STAY_T2, stay_group
+
+        t = int(np.sqrt(STAY_T2))  # step == threshold → NOT close
+        got = stay_group(_df([1000] * 3, [0, 1, 2], [0, t, 2 * t], [0, 0, 0]))
+        assert len(got) == 0
+        got = stay_group(_df([1000] * 3, [0, 1, 2],
+                             [0, t - 1, 2 * (t - 1)], [0, 0, 0]))
+        assert len(got) == 1 and int(got["n_pts"].iloc[0]) == 3
