@@ -164,6 +164,8 @@ _ORACLE_QUERIES = [
     "q_snap_points",         # geo: point→nearest-other-street segment snap
     "q_stay_points",         # geo: trajectory dwell (stay-point) detection
     "q_bfs_levels",          # graph: multi-source BFS hop levels
+    "q_tile_overlap",        # geo: zone×tile rectangle-intersection areas
+    "q_image_mips",          # image: mip-pyramid census over real decode
 ]
 
 # rows-only queries (approx algorithms with no exact SQL equivalent)

@@ -1947,6 +1947,57 @@ SELECT query_id, vec_id, sim, rank FROM fin WHERE rank <= {ANN_K}
 ORDER BY query_id, rank"""
 
 
+def q_tile_overlap() -> str:
+    """Zone×tile rectangle-intersection areas (queries.q_tile_overlap):
+    zone boxes from the grid formula, tile edges exact integers in
+    Mercator tile-unit space, fractional edges via the same
+    ln/tan/cos op order as the numpy kernel."""
+    from .pipelines.queries import TILE_OVERLAP_Z
+
+    n = float(1 << TILE_OVERLAP_Z)
+
+    def fy(lat: str) -> str:
+        return (f"(1.0 - ln(tan(({lat}) * (pi() / 180.0))"
+                f" + 1.0 / cos(({lat}) * (pi() / 180.0))) / pi())"
+                f" / 2.0 * {n!r}")
+
+    return f"""WITH z AS (
+  SELECT zi, lpad(CAST(zi + 1 AS VARCHAR), 5, '0') AS insee,
+         ({dg.LON0!r} + {dg.LON_SPAN!r} * (zi // {dg.NZY}) / {dg.NZX}) AS x0,
+         ({dg.LON0!r} + {dg.LON_SPAN!r} * ((zi // {dg.NZY}) + 1) / {dg.NZX}) AS x1,
+         ({dg.LAT0!r} + {dg.LAT_SPAN!r} * (zi % {dg.NZY}) / {dg.NZY}) AS y0,
+         ({dg.LAT0!r} + {dg.LAT_SPAN!r} * ((zi % {dg.NZY}) + 1) / {dg.NZY}) AS y1
+  FROM (SELECT UNNEST(generate_series(0, {dg.NZONES - 1})) AS zi)
+),
+fr AS (
+  SELECT insee,
+         (x0 + 180.0) / 360.0 * {n!r} AS fx0,
+         (x1 + 180.0) / 360.0 * {n!r} AS fx1,
+         {fy('y1')} AS fya,
+         {fy('y0')} AS fyb
+  FROM z
+),
+tx AS (
+  SELECT fr.*, UNNEST(generate_series(
+    CAST(floor(fx0) AS BIGINT), CAST(ceil(fx1) AS BIGINT) - 1)) AS tile_x
+  FROM fr
+),
+txy AS (
+  SELECT tx.*, UNNEST(generate_series(
+    CAST(floor(fya) AS BIGINT), CAST(ceil(fyb) AS BIGINT) - 1)) AS tile_y
+  FROM tx
+),
+ov AS (
+  SELECT insee, tile_x, tile_y,
+         (least(fx1, tile_x + 1.0) - greatest(fx0, CAST(tile_x AS DOUBLE))) AS w,
+         (least(fyb, tile_y + 1.0) - greatest(fya, CAST(tile_y AS DOUBLE))) AS h
+  FROM txy
+)
+SELECT insee, tile_x, tile_y, ROUND(w * h, 9) AS area
+FROM ov WHERE w > 0 AND h > 0
+ORDER BY insee, tile_x, tile_y"""
+
+
 def q_pii_redact() -> str:
     """PII scan/redaction (queries.q_pii_redact): the SAME RE2 literals and
     the same every-third-doc plant, as pure SQL."""
@@ -3666,6 +3717,33 @@ lum AS (
 SELECT doc_id, CAST(lum // {HIST_BIN_W} AS BIGINT) AS bin,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM lum GROUP BY 1, 2 ORDER BY doc_id, bin"""
+
+
+def q_image_mips() -> str:
+    """Mip-pyramid census (pipelines/flagship.ImageMips): per (doc,
+    level) the 2^L-box cell count and the exact integer sum of per-cell
+    floor-averaged luminance of the closed-form pixel field."""
+    from .pipelines.flagship import MIP_LEVELS
+
+    lvls = " UNION ALL ".join(f"SELECT {v} AS lvl" for v in MIP_LEVELS)
+    return f"""WITH {_pixel_u8_cte()},
+lum AS (
+  SELECT doc_id, w, pix, CAST(SUM(val) AS BIGINT) AS lum
+  FROM u8 GROUP BY 1, 2, 3
+),
+lev AS ({lvls}),
+cells AS (
+  SELECT doc_id, lvl,
+         (pix // w) // (1 << lvl) AS cy,
+         (pix % w) // (1 << lvl) AS cx,
+         CAST(SUM(lum) AS BIGINT) AS cs,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lum CROSS JOIN lev
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_id, lvl, CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(cs // cnt) AS BIGINT) AS s_avg
+FROM cells GROUP BY 1, 2 ORDER BY doc_id, lvl"""
 
 
 def q_sobel_energy() -> str:

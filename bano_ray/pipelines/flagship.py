@@ -765,6 +765,58 @@ def image_hist(sf_dir: str, concurrency=None):
     return _png_pool_pipeline(sf_dir, ImageHist, concurrency)
 
 
+MIP_LEVELS = (1, 2)  # 2×2 and 4×4 box-filter mip levels
+
+
+class ImageMips:
+    """Actor-pool mip-pyramid census over REAL decoded pixels: at each
+    level L the image grid partitions into 2^L×2^L boxes (ragged edges
+    keep partial boxes); per (doc, level) we emit the cell count and the
+    exact integer sum of per-cell floor-averaged luminance — the
+    downsample-correctness signature a thumbnail/mosaic stage is audited
+    by.  Value-ORACLED (oracle.q_image_mips groups the closed-form pixel
+    field by the same box indices in SQL)."""
+
+    def __init__(self):
+        from ..runtime import tune_malloc
+
+        tune_malloc()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..codecs import decode_image_batch
+
+        fmts = batch.column("fmt").to_pylist()
+        blobs = _binary_column_views(batch.column("bytes"))
+        decoded = decode_image_batch(blobs, fmts)
+        dids = batch.column("doc_id").to_numpy()
+        o_d, o_l, o_n, o_s = [], [], [], []
+        for did, px in zip(dids, decoded):
+            h, w, _ = px.shape
+            lum = px.astype(np.int64).sum(axis=2)
+            for lvl in MIP_LEVELS:
+                step = 1 << lvl
+                ncx = (w + step - 1) >> lvl
+                cell = ((np.arange(h) >> lvl)[:, None] * ncx
+                        + (np.arange(w) >> lvl)[None, :]).ravel()
+                sums = np.bincount(cell, weights=lum.ravel()).astype(np.int64)
+                cnts = np.bincount(cell)
+                o_d.append(did)
+                o_l.append(lvl)
+                o_n.append(len(cnts))
+                o_s.append(int((sums // cnts).sum()))
+        return pa.table({
+            "doc_id": pa.array(np.asarray(o_d, dtype=np.int64)),
+            "lvl": pa.array(np.asarray(o_l, dtype=np.int64)),
+            "n_cells": pa.array(np.asarray(o_n, dtype=np.int64)),
+            "s_avg": pa.array(np.asarray(o_s, dtype=np.int64)),
+        })
+
+
+def image_mips(sf_dir: str, concurrency=None):
+    """Mip-pyramid census pipeline over the lossless (PNG) payloads."""
+    return _png_pool_pipeline(sf_dir, ImageMips, concurrency)
+
+
 class ImageSobel:
     """Actor-pool gradient-energy stage over REAL decoded pixels: exact
     integer sums of |Δluminance| along x and along y — the cheap

@@ -1356,6 +1356,59 @@ def q_zone_raster(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+TILE_OVERLAP_Z = 10  # zoom for the zone×tile area join (~30 tiles/zone)
+
+
+def q_tile_overlap(sf_dir: str):
+    """Raster↔vector rectangle-intersection area join: every (zone, z10
+    slippy tile) pair with positive overlap, area in Mercator tile
+    units² — the coverage-weighting primitive behind tile-pyramid
+    mosaicing and zonal statistics.  Computed in TILE-UNIT space so tile
+    edges are exact integers; the fractional zone edges use the same
+    ln/tan/cos op order as the SQL oracle (bit-equal libm, BASELINE.md
+    corpus pins).  Oracle-gated (oracle.q_tile_overlap)."""
+    import ray
+
+    ensure_worker_importable()
+    n = float(1 << TILE_OVERLAP_Z)
+    ds = ray.data.from_items(
+        [{"zi": zi, "insee": str(zi + 1).zfill(5)}
+         for zi in range(datagen.NZONES)])
+
+    def fy(lat: float) -> float:
+        r = lat * (np.pi / 180.0)
+        return (1.0 - np.log(np.tan(r) + 1.0 / np.cos(r)) / np.pi) / 2.0 * n
+
+    def f(batch: pa.Table) -> pa.Table:
+        o_ins, o_x, o_y, o_a = [], [], [], []
+        for zi, insee in zip(batch.column("zi").to_pylist(),
+                             batch.column("insee").to_pylist()):
+            x0, x1, y0, y1 = datagen.zone_box(zi)
+            fx0, fx1 = (x0 + 180.0) / 360.0 * n, (x1 + 180.0) / 360.0 * n
+            fya, fyb = fy(y1), fy(y0)        # tile y grows southward
+            xs = np.arange(int(np.floor(fx0)), int(np.ceil(fx1)),
+                           dtype=np.int64)
+            ys = np.arange(int(np.floor(fya)), int(np.ceil(fyb)),
+                           dtype=np.int64)
+            w = np.minimum(fx1, xs + 1.0) - np.maximum(fx0, xs)
+            h = np.minimum(fyb, ys + 1.0) - np.maximum(fya, ys)
+            area = np.round(w[:, None] * h[None, :], 9)
+            keep = (w[:, None] > 0) & (h[None, :] > 0)
+            kx, ky = np.nonzero(keep)
+            o_ins.append(np.full(len(kx), insee, dtype=object))
+            o_x.append(xs[kx])
+            o_y.append(ys[ky])
+            o_a.append(area[kx, ky])
+        return pa.table({
+            "insee": pa.array(np.concatenate(o_ins), pa.string()),
+            "tile_x": pa.array(np.concatenate(o_x)),
+            "tile_y": pa.array(np.concatenate(o_y)),
+            "area": pa.array(np.concatenate(o_a)),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def q_pii_redact(sf_dir: str):
     """PII scan/redaction over documents (stages/text.py pii_redact_batch):
     plant the deterministic contact line on every third doc, then one
@@ -3168,6 +3221,18 @@ def q_image_hist(sf_dir: str):
 
     ensure_worker_importable()
     return image_hist(sf_dir)
+
+
+def q_image_mips(sf_dir: str):
+    """Mip-pyramid census over REAL decoded PNG pixels
+    (pipelines/flagship.ImageMips): per (doc, level) cell count + exact
+    integer sum of per-cell floor-averaged luminance for 2×2 and 4×4
+    boxes — the downsample-correctness signature.  Oracle-gated
+    (oracle.q_image_mips)."""
+    from .flagship import image_mips
+
+    ensure_worker_importable()
+    return image_mips(sf_dir)
 
 
 def q_sobel_energy(sf_dir: str):

@@ -24,7 +24,13 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import bench  # noqa: E402
 
-OUT = "/tmp/scaling_pairs_r4.jsonl"
+PIPELINE = os.environ.get("GRAFT_BENCH_PIPELINE", "flagship")
+# image rows are ~300× heavier per row than flagship rows — default the
+# corpus so an 8-CPU leg stays ~1-2 min for either pipeline
+_DEF_EXPAND = {"flagship": bench.SCALE_EXPAND, "image": 800}
+EXPAND = int(os.environ.get("GRAFT_SCALE_EXPAND", _DEF_EXPAND[PIPELINE]))
+OUT = ("/tmp/scaling_pairs_r4.jsonl" if PIPELINE == "flagship"
+       else f"/tmp/scaling_pairs_r4_{PIPELINE}.jsonl")
 FLAG = "/tmp/scaling_measuring.flag"
 MAX_PAIRS = int(sys.argv[1]) if len(sys.argv) > 1 else 8
 MAX_HOURS = float(sys.argv[2]) if len(sys.argv) > 2 else 5.0
@@ -45,8 +51,8 @@ def probe_quiet() -> tuple[bool, float, float]:
 def one(cpus: int) -> dict:
     env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus),
                GRAFT_SF_DIR=os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1"),
-               GRAFT_BENCH_EXPAND=str(bench.SCALE_EXPAND),
-               GRAFT_BENCH_PIPELINE="flagship")
+               GRAFT_BENCH_EXPAND=str(EXPAND),
+               GRAFT_BENCH_PIPELINE=PIPELINE)
     out = subprocess.run(
         [sys.executable, os.path.join(os.path.dirname(bench.__file__), "bench.py"),
          "--single"],

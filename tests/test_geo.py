@@ -154,3 +154,31 @@ def test_cell_sharded_index_matches_broadcast_index():
                 return slot
 
             assert (resolve(ref) == resolve(shd)).all()
+
+
+class TestTileOverlap:
+    def test_partition_of_zone(self, ray_session):
+        """Per zone, overlap areas must sum to the zone's exact Mercator
+        tile-unit area, and every tile must contain its slice."""
+        import numpy as np
+
+        from bano_ray import datagen
+        from bano_ray.pipelines.queries import TILE_OVERLAP_Z, q_tile_overlap
+
+        n = float(1 << TILE_OVERLAP_Z)
+
+        def fy(lat):
+            r = lat * (np.pi / 180.0)
+            return (1.0 - np.log(np.tan(r) + 1.0 / np.cos(r)) / np.pi) / 2.0 * n
+
+        df = q_tile_overlap("/root/testdata/sf0.001").to_pandas()
+        assert (df["area"] > 0).all()
+        for zi in (0, 27, 55):
+            insee = str(zi + 1).zfill(5)
+            x0, x1, y0, y1 = datagen.zone_box(zi)
+            zone_area = ((x1 + 180.0) / 360.0 * n - (x0 + 180.0) / 360.0 * n) \
+                * (fy(y0) - fy(y1))
+            got = df[df["insee"] == insee]["area"].sum()
+            assert abs(got - zone_area) < 1e-6
+            sub = df[df["insee"] == insee]
+            assert (sub["area"] <= 1.0 + 1e-12).all()

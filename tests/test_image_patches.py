@@ -143,3 +143,25 @@ def test_sobel_energy_matches_pixel_field():
         gy = sum(abs(int(lum[y + 1][x]) - int(lum[y][x]))
                  for y in range(lum.shape[0] - 1) for x in range(lum.shape[1]))
         assert (got.loc[d, "gx_energy"], got.loc[d, "gy_energy"]) == (gx, gy)
+
+
+def test_image_mips_matches_pixel_field():
+    from bano_ray.pipelines.flagship import MIP_LEVELS, ImageMips
+
+    ids = [1, 2, 3, 5, 9, 42]
+    got = ImageMips()(_png_batch(ids)).to_pandas().set_index(["doc_id", "lvl"])
+    for d in ids:
+        w, h = datagen.dims_of(np.array([d]))
+        w, h = int(w[0]), int(h[0])
+        lum = datagen.pixels_of(d, w, h).astype(np.int64).sum(axis=2)
+        for lvl in MIP_LEVELS:
+            step = 1 << lvl
+            cells = {}
+            for y in range(h):
+                for x in range(w):
+                    cells.setdefault((y // step, x // step),
+                                     []).append(int(lum[y][x]))
+            n_cells = len(cells)
+            s_avg = sum(sum(v) // len(v) for v in cells.values())
+            assert (got.loc[(d, lvl), "n_cells"],
+                    got.loc[(d, lvl), "s_avg"]) == (n_cells, s_avg)
