@@ -166,6 +166,8 @@ _ORACLE_QUERIES = [
     "q_bfs_levels",          # graph: multi-source BFS hop levels
     "q_tile_overlap",        # geo: zone×tile rectangle-intersection areas
     "q_image_mips",          # image: mip-pyramid census over real decode
+    "q_geohash",             # geo: 6-char geohash cell encoding
+    "q_pq_codes",            # similarity: product-quantization codes
 ]
 
 # rows-only queries (approx algorithms with no exact SQL equivalent)

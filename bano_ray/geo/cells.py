@@ -315,3 +315,36 @@ def quadtree_leaves(ds, z_hi: int, z_lo: int, threshold: int = QT_THRESHOLD):
 
     return (pyr.map_batches(tag, batch_format="pyarrow")
             .groupby("_shard").map_groups(resolve, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# Geohash encoding
+# ---------------------------------------------------------------------------
+
+GEOHASH_CHARS = "0123456789bcdefghjkmnpqrstuvwxyz"
+GEOHASH_BITS = 15        # per axis → 6 base32 chars (30 bits)
+
+
+def geohash6(lon, lat) -> np.ndarray:
+    """Vectorized 6-char geohash: 15 quantized bits per axis interleaved
+    lon-first (standard geohash bit order), 5-bit groups → base32.  The
+    quantization ``floor((lon+180)/360 · 2^15)`` is a chain of
+    correctly-rounded double ops, so the SQL oracle reproduces the codes
+    bit-for-bit."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    n = float(1 << GEOHASH_BITS)
+    ix = np.minimum(np.floor((lon + 180.0) / 360.0 * n),
+                    n - 1).astype(np.int64)
+    iy = np.minimum(np.floor((lat + 90.0) / 180.0 * n),
+                    n - 1).astype(np.int64)
+    g = np.zeros(len(ix), dtype=np.int64)
+    for k in range(2 * GEOHASH_BITS):
+        src, b = (ix, GEOHASH_BITS - 1 - k // 2) if k % 2 == 0 \
+            else (iy, GEOHASH_BITS - 1 - (k - 1) // 2)
+        g |= ((src >> b) & 1) << (2 * GEOHASH_BITS - 1 - k)
+    chars = np.frombuffer(GEOHASH_CHARS.encode(), dtype=np.uint8)
+    out = np.empty((len(g), 6), dtype=np.uint8)
+    for i in range(6):
+        out[:, i] = chars[(g >> (25 - 5 * i)) & 31]
+    return out.view(dtype="S6").ravel().astype("U6").astype(object)

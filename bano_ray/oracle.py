@@ -1998,6 +1998,72 @@ FROM ov WHERE w > 0 AND h > 0
 ORDER BY insee, tile_x, tile_y"""
 
 
+def q_geohash() -> str:
+    """Geohash encoding (queries.q_geohash / geo/cells.geohash6): the
+    30-bit lon-first interleave unrolled as an OR-of-shifts expression,
+    base32 chars via substr on the alphabet constant."""
+    from .geo.cells import GEOHASH_BITS, GEOHASH_CHARS
+
+    n = float(1 << GEOHASH_BITS)
+    terms = []
+    for k in range(2 * GEOHASH_BITS):
+        src = "ix" if k % 2 == 0 else "iy"
+        b = GEOHASH_BITS - 1 - (k // 2 if k % 2 == 0 else (k - 1) // 2)
+        p = 2 * GEOHASH_BITS - 1 - k
+        terms.append(f"((({src} >> {b}) & 1) << {p})")
+    g = " | ".join(terms)
+    chars = " || ".join(
+        f"substr('{GEOHASH_CHARS}', CAST(((g >> {25 - 5 * i}) & 31) AS INTEGER) + 1, 1)"
+        for i in range(6))
+    return f"""WITH {base_pts_cte()},
+q AS (
+  SELECT doc_id,
+         CAST(least(floor((lon + 180.0) / 360.0 * {n!r}), {n - 1!r}) AS BIGINT) AS ix,
+         CAST(least(floor((lat + 90.0) / 180.0 * {n!r}), {n - 1!r}) AS BIGINT) AS iy
+  FROM pts2
+),
+m AS (SELECT doc_id, ({g}) AS g FROM q)
+SELECT doc_id, ({chars}) AS gh FROM m ORDER BY doc_id"""
+
+
+def q_pq_codes() -> str:
+    """Product-quantization codes (stages/quantize.pq_codes): the
+    closed-form codebook embedded as VALUES literals; per (vector,
+    subspace) distance² written as the same left-associated 8-term sum
+    the numpy kernel accumulates, argmin via (d2, code) row_number."""
+    from .stages.quantize import PQ_DIM, pq_centroids
+
+    cents = pq_centroids()
+    rows = []
+    for s in range(cents.shape[0]):
+        for c in range(cents.shape[1]):
+            vec = ", ".join(repr(float(x)) for x in cents[s, c])
+            rows.append(f"({s}, {c}, [{vec}])")
+    vals = ",\n    ".join(rows)
+    terms = " + ".join(
+        f"((v[s*{PQ_DIM} + {j + 1}] - cv[{j + 1}])"
+        f" * (v[s*{PQ_DIM} + {j + 1}] - cv[{j + 1}]))"
+        for j in range(PQ_DIM))
+    return f"""WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cent(s, c, cv) AS (
+  VALUES {vals}
+),
+d AS (
+  SELECT vec_id, s, c, ({terms}) AS d2
+  FROM e CROSS JOIN cent
+),
+r AS (
+  SELECT vec_id, s, c, d2,
+         row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rn
+  FROM d
+)
+SELECT vec_id, CAST(s AS BIGINT) AS sub, CAST(c AS BIGINT) AS code,
+       ROUND(d2, 9) AS err
+FROM r WHERE rn = 1 ORDER BY vec_id, sub"""
+
+
 def q_pii_redact() -> str:
     """PII scan/redaction (queries.q_pii_redact): the SAME RE2 literals and
     the same every-third-doc plant, as pure SQL."""

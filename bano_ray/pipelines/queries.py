@@ -1356,6 +1356,40 @@ def q_zone_raster(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def q_geohash(sf_dir: str):
+    """Geohash encoding (geo/cells.geohash6): standard lon-first bit
+    interleave → 6-char base32 cell per point, the string-keyed sibling
+    of the morton/H3-style integer cells — one stateless vectorized pass.
+    Oracle-gated (oracle.q_geohash unrolls the 30-bit interleave)."""
+    import ray
+
+    from ..geo.cells import geohash6
+
+    ensure_worker_importable()
+
+    def f(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy()
+        lon, lat = datagen.lon_lat(d)
+        return pa.table({"doc_id": pa.array(d),
+                         "gh": pa.array(geohash6(lon, lat), pa.string())})
+
+    return (ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                  columns=["doc_id"])
+            .map_batches(f, batch_format="pyarrow"))
+
+
+def q_pq_codes(sf_dir: str):
+    """Product-quantization code assignment over the embedding corpus
+    (stages/quantize.pq_codes): 8 subspaces × 16 closed-form centroids,
+    argmin in matched-op-order float64 — the codebook side of an IVF-PQ
+    index; embarrassingly parallel (no shuffle).  Oracle-gated
+    (oracle.q_pq_codes embeds the codebook as VALUES literals)."""
+    from ..stages.quantize import pq_codes
+
+    ensure_worker_importable()
+    return pq_codes(sf_dir)
+
+
 TILE_OVERLAP_Z = 10  # zoom for the zone×tile area join (~30 tiles/zone)
 
 

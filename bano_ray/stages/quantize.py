@@ -83,3 +83,64 @@ def vec_quantize(sf_dir: str):
           .to_pandas().sort_values("dim"))
     mnmx = ray.put((mm["mn"].to_numpy(), mm["mx"].to_numpy()))
     return ds.map_batches(_encode_fn(mnmx), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (fixed closed-form codebook)
+# ---------------------------------------------------------------------------
+
+PQ_SUBS = 8    # 64 dims → 8 subspaces × 8 dims
+PQ_DIM = 8
+PQ_CENTS = 16  # 4-bit codes
+
+
+def pq_centroids() -> np.ndarray:
+    """(PQ_SUBS, PQ_CENTS, PQ_DIM) float64 codebook — CLOSED-FORM (a
+    Knuth-multiplier hash grid over [-1, 1)), so the oracle can embed it
+    as SQL literals; a trained k-means codebook would slot into the same
+    pipeline (the IVF family holds the trained-variant precedent)."""
+    idx = np.arange(PQ_SUBS * PQ_CENTS * PQ_DIM, dtype=np.int64)
+    vals = ((idx * 2654435761) % 1000) / 500.0 - 1.0
+    return vals.reshape(PQ_SUBS, PQ_CENTS, PQ_DIM)
+
+
+def _pq_pass(batch: pa.Table) -> pa.Table:
+    """Stateless vectorized pass: per (vector, subspace) the argmin
+    centroid code and the (rounded) residual distance².  The inner
+    accumulation is an explicit left-assoc loop over the 8 dims, matching
+    the SQL oracle's expression order term for term (float64 adds are
+    order-sensitive; np.sum's pairwise order would NOT match)."""
+    cents = pq_centroids()
+    m = emb_matrix(batch.column("embedding"))
+    vid = batch.column("vec_id").to_numpy()
+    n = m.shape[0]
+    o_v, o_s, o_c, o_e = [], [], [], []
+    for s in range(PQ_SUBS):
+        x = m[:, s * PQ_DIM:(s + 1) * PQ_DIM]
+        d2 = np.zeros((n, PQ_CENTS), dtype=np.float64)
+        for j in range(PQ_DIM):
+            diff = x[:, j][:, None] - cents[s, :, j][None, :]
+            d2 = d2 + diff * diff
+        code = np.argmin(d2, axis=1)          # first-min = lowest code
+        err = d2[np.arange(n), code]
+        o_v.append(vid)
+        o_s.append(np.full(n, s, dtype=np.int64))
+        o_c.append(code.astype(np.int64))
+        o_e.append(np.round(err, 9))
+    return pa.table({
+        "vec_id": pa.array(np.concatenate(o_v)),
+        "sub": pa.array(np.concatenate(o_s)),
+        "code": pa.array(np.concatenate(o_c)),
+        "err": pa.array(np.concatenate(o_e)),
+    })
+
+
+def pq_codes(sf_dir: str):
+    """(vec_id, sub, code, err): product-quantization code assignment —
+    one stateless streaming pass, codebook baked per task (no shuffle at
+    all; the 100 TB shape is embarrassingly parallel)."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return ds.map_batches(_pq_pass, batch_format="pyarrow")

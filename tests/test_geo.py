@@ -182,3 +182,23 @@ class TestTileOverlap:
             assert abs(got - zone_area) < 1e-6
             sub = df[df["insee"] == insee]
             assert (sub["area"] <= 1.0 + 1e-12).all()
+
+
+class TestGeohash:
+    def test_known_cities(self):
+        import numpy as np
+
+        from bano_ray.geo.cells import geohash6
+
+        got = geohash6(np.array([-0.1278, 2.3522, -74.0060]),
+                       np.array([51.5074, 48.8566, 40.7128]))
+        # canonical geohashes: London gcpvj..., Paris u09tv..., NYC dr5re...
+        assert list(got) == ["gcpvj0", "u09tvw", "dr5regy"[:6]]
+
+    def test_prefix_locality(self):
+        import numpy as np
+
+        from bano_ray.geo.cells import geohash6
+
+        a = geohash6(np.array([2.0, 2.0001]), np.array([45.0, 45.0001]))
+        assert a[0][:4] == a[1][:4]

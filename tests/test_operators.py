@@ -965,3 +965,29 @@ class TestVocabTopk:
             SELECT bg, COUNT(*) c FROM bg GROUP BY 1 ORDER BY c DESC, bg LIMIT 1""").df()
         assert out.iloc[0]["bg"] == top1.iloc[0]["bg"]
         assert out.iloc[0]["c"] == top1.iloc[0]["c"]
+
+
+class TestPQCodes:
+    def test_codes_are_argmin_and_reconstruction_bound(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from bano_ray.stages.quantize import (PQ_CENTS, PQ_DIM, PQ_SUBS,
+                                              _pq_pass, pq_centroids)
+
+        rng = np.random.RandomState(3)
+        n, dim = 40, PQ_SUBS * PQ_DIM
+        m = rng.uniform(-1, 1, (n, dim))
+        batch = pa.table({
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(list(m), pa.list_(pa.float64())),
+        })
+        out = _pq_pass(batch).to_pandas()
+        assert len(out) == n * PQ_SUBS
+        assert out["code"].between(0, PQ_CENTS - 1).all()
+        cents = pq_centroids()
+        for r in out.sample(60, random_state=0).itertuples():
+            x = m[r.vec_id, r.sub * PQ_DIM:(r.sub + 1) * PQ_DIM]
+            d2 = ((x[None, :] - cents[r.sub]) ** 2).sum(axis=1)
+            assert r.code == int(np.argmin(d2))
+            assert abs(r.err - d2[r.code]) < 1e-6
