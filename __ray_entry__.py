@@ -85,6 +85,8 @@ _ORACLE_QUERIES = [
     "q_broadcast_join",      # explicit broadcast fact-to-dim join
     "q_salted_join",         # skew-proof salted repartition join
     "q_quantiles",           # exact quantiles via distributed selection
+    "q_percentile_cont",     # interpolated quantiles (rank-pair selection)
+    "q_event_paths",         # ordered string_agg: first-8-events path/user
     "q_lineitem_pricing",    # relational baseline (TPC-H Q1 shape)
     "q_ann_topk",            # similarity search: brute cosine top-k
     "q_display_expand",      # M15 display-name expansion

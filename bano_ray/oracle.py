@@ -1726,6 +1726,52 @@ def q_quantiles() -> str:
     return "\nUNION ALL\n".join(parts)
 
 
+def q_percentile_cont() -> str:
+    """Interpolated percentiles: the oracle computes the interpolation
+    ITSELF (window row_number → the two bracketing order statistics →
+    ``lo + (hi − lo) · frac``) rather than trusting quantile_cont's
+    internal float formula, so both sides evaluate the identical double
+    expression and the hash gate is exact."""
+    from .pipelines.queries import CONT_QS
+
+    qs = ", ".join(f"(CAST({q} AS DOUBLE))" for q in CONT_QS)
+    return f"""WITH nn AS (SELECT COUNT(*) AS n FROM lineitem),
+ranked AS (
+  SELECT l_extendedprice AS x,
+         row_number() OVER (ORDER BY l_extendedprice) AS rn
+  FROM lineitem),
+qs(q) AS (VALUES {qs}),
+kf AS (
+  SELECT q,
+         CAST(floor(q * (n - 1)) AS BIGINT) AS k,
+         q * (n - 1) - floor(q * (n - 1)) AS frac,
+         n
+  FROM qs, nn)
+SELECT kf.q AS q,
+       lo.x + (hi.x - lo.x) * kf.frac AS value
+FROM kf
+JOIN ranked lo ON lo.rn = kf.k + 1
+JOIN ranked hi ON hi.rn = least(kf.k + 2, kf.n)
+ORDER BY q"""
+
+
+def q_event_paths() -> str:
+    """First-8-events path signature per user (see queries.q_event_paths);
+    (ts, event_id) totally orders each user's stream on both sides."""
+    from .pipelines.queries import PATH_K
+
+    return f"""WITH ranked AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events)
+SELECT user_id,
+       string_agg(event_type, '|' ORDER BY rn) AS path,
+       CAST(COUNT(*) AS BIGINT) AS n8
+FROM ranked WHERE rn <= {PATH_K}
+GROUP BY user_id"""
+
+
 def q_tfidf() -> str:
     """Per-doc top-3 TF-IDF terms (stages/text.py tfidf_topk): single-space
     split on both sides; rank by UNROUNDED score desc then term asc (exact

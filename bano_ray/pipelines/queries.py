@@ -1117,6 +1117,92 @@ def q_quantiles(sf_dir: str):
                            bins=1024, final_cap=4096)
 
 
+CONT_QS = [0.25, 0.5, 0.9, 0.99]
+
+
+def q_percentile_cont(sf_dir: str):
+    """Interpolated (continuous) percentiles of lineitem.l_extendedprice —
+    the ``quantile_cont`` sibling of q_quantiles, built on the same
+    iterative-histogram rank selection (stages/quantile.select_ranks):
+    each q needs the two bracketing order statistics at 1-based ranks
+    floor(q·(n−1))+1 and +2, fetched in ONE selection job (shuffles move
+    histogram-sized data, never the rows), then interpolated as
+    ``lo + (hi − lo) · frac`` — the identical double expression the
+    oracle's window-function SQL evaluates, so the value gate is exact
+    with no float tolerance.  No global sort anywhere."""
+    import math
+
+    import ray
+
+    from ..stages.quantile import column_stats, select_ranks
+
+    ensure_worker_importable()
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_extendedprice"])
+    lo0, hi0, n = column_stats(ds, "l_extendedprice")
+    pos = [q * (n - 1) for q in CONT_QS]           # double, matches SQL
+    ks = [int(math.floor(p)) for p in pos]
+    fracs = [p - k for p, k in zip(pos, ks)]
+    # bracketing ranks, deduped so the selection job does minimal work
+    want = sorted({r for k in ks for r in (k + 1, min(k + 2, n))})
+    got = select_ranks(ds, "l_extendedprice", want, lo0, hi0, n,
+                       bins=1024, final_cap=4096)
+    at = dict(zip(want, got))
+    vals = [at[k + 1] + (at[min(k + 2, n)] - at[k + 1]) * f
+            for k, f in zip(ks, fracs)]
+    return pd.DataFrame({"q": pd.Series(CONT_QS, dtype="float64"),
+                         "value": pd.Series(vals, dtype="float64")})
+
+
+PATH_K = 8   # events per user kept in the path signature
+
+
+def q_event_paths(sf_dir: str):
+    """Ordered string aggregation: each user's first-8-events path
+    signature ('view|click|…'), the behavioral-sequence feature behind
+    session modeling.  Combiner shape: every block lexsorts once on
+    (user, ts, event_id) and keeps ≤8 rows per user (a per-block partial
+    top-k — the shuffle carries ≤ 8·users·blocks rows, not the event
+    stream), then one coarse-shard groupby re-sorts each shard flat and
+    string_agg's per user.  Oracle: window row_number ≤ 8 +
+    string_agg(... ORDER BY rn); (ts, event_id) is a total order so the
+    path is deterministic on both sides."""
+    import ray
+
+    ensure_worker_importable()
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "user_id",
+                                        "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy()
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        eid = batch.column("event_id").to_numpy()
+        order = np.lexsort((eid, ts, u))
+        us = u[order]
+        # per-user running index within the sorted block (vectorized)
+        starts = np.flatnonzero(np.r_[True, us[1:] != us[:-1]])
+        idx = np.arange(len(us)) - np.repeat(starts, np.diff(np.r_[starts, len(us)]))
+        keep = order[idx < PATH_K]
+        t = batch.take(pa.array(keep, pa.int64()))
+        return t.append_column("_shard", pa.array(
+            (t.column("user_id").to_numpy() % 509).astype(np.int64)))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        idx = df.groupby("user_id", sort=False).cumcount()
+        df = df[idx.to_numpy() < PATH_K]
+        g = df.groupby("user_id", sort=False)
+        out = g["event_type"].agg("|".join).rename("path").reset_index()
+        out["n8"] = g.size().to_numpy().astype(np.int64)
+        return out
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("_shard")
+            .map_groups(finish, batch_format="pandas")
+            .select_columns(["user_id", "path", "n8"]))
+
+
 def q_events_hourly(sf_dir: str):
     """Windowed aggregate: per-user hourly event counts + value sums."""
     import ray

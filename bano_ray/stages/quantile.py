@@ -68,23 +68,42 @@ def _member(x: np.ndarray, chain: list[tuple[float, float, int]],
 def exact_quantiles(ds, col: str, qs: list[float], bins: int = 4096,
                     final_cap: int = 65536, max_rounds: int = 10) -> pd.DataFrame:
     """Dataset → DataFrame (q, value): exact ``quantile_disc`` values."""
-    from ray.data.aggregate import Count, Max, Min, Sum
-
-    st = ds.aggregate(Min(col), Max(col), Count(col))
-    lo0, hi0 = float(st[f"min({col})"]), float(st[f"max({col})"])
-    n = int(st[f"count({col})"])
-    if n == 0:
+    st = column_stats(ds, col)
+    if st is None:
         return pd.DataFrame({"q": pd.Series(qs, dtype="float64"),
                              "value": pd.Series([np.nan] * len(qs))})
-    if lo0 == hi0:        # single-point range: every quantile is that value
-        return pd.DataFrame({"q": pd.Series(qs, dtype="float64"),
-                             "value": pd.Series([lo0] * len(qs),
-                                                dtype="float64")})
+    lo0, hi0, n = st
+    vals = select_ranks(ds, col, _ranks(qs, n), lo0, hi0, n,
+                        bins=bins, final_cap=final_cap, max_rounds=max_rounds)
+    return pd.DataFrame({"q": pd.Series(qs, dtype="float64"),
+                         "value": pd.Series(vals, dtype="float64")})
+
+
+def column_stats(ds, col: str) -> tuple[float, float, int] | None:
+    """One Min/Max/Count aggregate → (lo, hi, n); None on an empty column."""
+    from ray.data.aggregate import Count, Max, Min
+
+    st = ds.aggregate(Min(col), Max(col), Count(col))
+    n = int(st[f"count({col})"])
+    if n == 0:
+        return None
+    return float(st[f"min({col})"]), float(st[f"max({col})"]), n
+
+
+def select_ranks(ds, col: str, ranks: list[int], lo0: float, hi0: float,
+                 n: int, bins: int = 4096, final_cap: int = 65536,
+                 max_rounds: int = 10) -> list[float]:
+    """Exact order statistics at the given 1-based ``ranks`` (the selection
+    core shared by discrete and continuous quantiles — see module doc)."""
+    from ray.data.aggregate import Sum
+
+    if lo0 == hi0:        # single-point range: every rank is that value
+        return [lo0] * len(ranks)
 
     # per-target: constraint chain, current scaling bounds, rank within
     # the candidate set, candidate-set size, resolve mode
     tgt = [{"chain": [], "lo": lo0, "hi": hi0, "rank": r, "n": n,
-            "mode": "hist"} for r in _ranks(qs, n)]
+            "mode": "hist"} for r in ranks]
 
     def col_vals(batch: pa.Table) -> np.ndarray:
         return batch.column(col).to_numpy().astype(np.float64)
@@ -204,5 +223,4 @@ def exact_quantiles(ds, col: str, qs: list[float], bins: int = 4096,
             v = got.loc[got["t"] == i, "v"].to_numpy()
             k = tgt[i]["rank"] - 1
             vals[i] = float(np.partition(v, k)[k])
-    return pd.DataFrame({"q": pd.Series(qs, dtype="float64"),
-                         "value": pd.Series(vals, dtype="float64")})
+    return vals

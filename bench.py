@@ -101,7 +101,13 @@ def run_benchmarks() -> dict:
                                             q_late_events,
                                             q_dup_cluster_sizes,
                                             q_ann_recall, q_scene_cuts,
-                                            q_dhash, q_langid_confusion)
+                                            q_dhash, q_langid_confusion,
+                                            q_image_hist, q_sobel_energy,
+                                            q_snap_points, q_stay_points,
+                                            q_bfs_levels, q_tile_overlap,
+                                            q_image_mips, q_geohash,
+                                            q_pq_codes, q_percentile_cont,
+                                            q_event_paths)
     from bano_ray.runtime import ensure_worker_importable
     from bano_ray.stages.export import street_json_zone  # noqa: F401
     ensure_worker_importable()
@@ -195,6 +201,17 @@ def run_benchmarks() -> dict:
         "scene_cuts": lambda: q_scene_cuts(SF_DIR).count(),
         "dhash": lambda: q_dhash(SF_DIR).count(),
         "langid_confusion": lambda: q_langid_confusion(SF_DIR).count(),
+        "image_hist": lambda: q_image_hist(SF_DIR).count(),
+        "sobel_energy": lambda: q_sobel_energy(SF_DIR).count(),
+        "snap_points": lambda: q_snap_points(SF_DIR).count(),
+        "stay_points": lambda: q_stay_points(SF_DIR).count(),
+        "bfs_levels": lambda: len(q_bfs_levels(SF_DIR)),
+        "tile_overlap": lambda: q_tile_overlap(SF_DIR).count(),
+        "image_mips": lambda: q_image_mips(SF_DIR).count(),
+        "geohash": lambda: q_geohash(SF_DIR).count(),
+        "pq_codes": lambda: q_pq_codes(SF_DIR).count(),
+        "percentile_cont": lambda: len(q_percentile_cont(SF_DIR)),
+        "event_paths": lambda: q_event_paths(SF_DIR).count(),
     }
     # phash near-dup at bench scale (expanded image corpus; banding explodes
     # the stream 4x, so run at a bounded expansion like the image stage)
