@@ -162,6 +162,8 @@ _ORACLE_QUERIES = [
     "q_dhash",               # image: content dHash over real decode
     "q_langid_confusion",    # curation QA: language-ID confusion matrix
     "q_image_hist",          # image: luminance histogram over real decode
+    "q_image_entropy",       # image: histogram entropy over real decode
+    "q_bm25",                # retrieval: BM25 top-20 (broadcast stats)
     "q_sobel_energy",        # image: gradient energy over real decode
     "q_snap_points",         # geo: point→nearest-other-street segment snap
     "q_stay_points",         # geo: trajectory dwell (stay-point) detection
@@ -169,6 +171,8 @@ _ORACLE_QUERIES = [
     "q_tile_overlap",        # geo: zone×tile rectangle-intersection areas
     "q_image_mips",          # image: mip-pyramid census over real decode
     "q_geohash",             # geo: 6-char geohash cell encoding
+    "q_lambert93",           # geo: WGS84→Lambert-93 projection (int mm)
+    "q_phash_clusters",      # image: near-dup cluster size census (CC)
     "q_pq_codes",            # similarity: product-quantization codes
 ]
 

@@ -2072,6 +2072,59 @@ m AS (SELECT doc_id, ({g}) AS g FROM q)
 SELECT doc_id, ({chars}) AS gh FROM m ORDER BY doc_id"""
 
 
+def q_lambert93() -> str:
+    """Lambert-93 projection (geo/proj.py): identical sin/tan/ln/exp
+    chain with the module's pinned double constants as full-precision
+    literals; integer-mm output makes the gate tolerance-free."""
+    from .geo import proj
+
+    E, N, AF, R0 = proj.E, proj.N, proj.AF, proj.R0
+    X0, Y0, LON0 = proj.X0, proj.Y0, proj.LON0
+    return f"""WITH {base_pts_cte()},
+tr AS (
+  SELECT doc_id, radians(lat) AS latr, radians(lon) AS lonr FROM pts2
+),
+tt AS (
+  SELECT doc_id, lonr,
+         tan(pi() / 4.0 - latr / 2.0)
+           / exp(({E!r} / 2.0)
+                 * ln((1.0 - {E!r} * sin(latr)) / (1.0 + {E!r} * sin(latr))))
+           AS t
+  FROM tr
+),
+rt AS (
+  SELECT doc_id,
+         {AF!r} * exp({N!r} * ln(t)) AS r,
+         {N!r} * (lonr - {LON0!r}) AS theta
+  FROM tt
+)
+SELECT doc_id,
+       CAST(floor(({X0!r} + r * sin(theta)) * 1000.0 + 0.5) AS BIGINT) AS x_mm,
+       CAST(floor(({Y0!r} + {R0!r} - r * cos(theta)) * 1000.0 + 0.5) AS BIGINT) AS y_mm
+FROM rt ORDER BY doc_id"""
+
+
+def q_phash_clusters() -> str:
+    """Image near-dup cluster sizes: recursive transitive closure over
+    the exact q_phash_neardup pair SQL, then a per-label count."""
+    inner = q_phash_neardup()
+    return f"""WITH RECURSIVE cc_p AS (
+  SELECT a, b FROM ({inner}) ph
+),
+cc_e AS (
+  SELECT a, b FROM cc_p UNION SELECT b, a FROM cc_p
+  UNION SELECT a, a FROM cc_p UNION SELECT b, b FROM cc_p
+),
+cc_r AS (
+  SELECT a AS node, b AS r FROM cc_e
+  UNION
+  SELECT cc_r.node, e.b FROM cc_r JOIN cc_e e ON cc_r.r = e.a
+),
+lab AS (SELECT node, MIN(r) AS label FROM cc_r GROUP BY node)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_images
+FROM lab GROUP BY label ORDER BY label"""
+
+
 def q_pq_codes() -> str:
     """Product-quantization codes (stages/quantize.pq_codes): the
     closed-form codebook embedded as VALUES literals; per (vector,
@@ -3829,6 +3882,90 @@ lum AS (
 SELECT doc_id, CAST(lum // {HIST_BIN_W} AS BIGINT) AS bin,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM lum GROUP BY 1, 2 ORDER BY doc_id, bin"""
+
+
+def q_image_entropy() -> str:
+    """Per-image histogram entropy (pipelines/flagship.ImageEntropy):
+    exact integer 16-bin counts of the closed-form pixel field, then a
+    FIXED 16-term left-assoc entropy chain (the engine's left-fold in
+    ascending bin order) rounded to 6 dp on both sides."""
+    from .pipelines.flagship import HIST_BIN_W
+
+    nbins = 765 // HIST_BIN_W + 1
+    cs = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN bin = {b} THEN n ELSE 0 END) AS BIGINT) AS c{b}"
+        for b in range(nbins))
+    es = " + ".join(
+        f"(CASE WHEN c{b} > 0 THEN -((c{b} / nn) * log2(c{b} / nn)) "
+        f"ELSE 0.0 END)" for b in range(nbins))
+    return f"""WITH {_pixel_u8_cte()},
+lum AS (
+  SELECT doc_id, pix, CAST(SUM(val) AS BIGINT) AS lum
+  FROM u8 GROUP BY 1, 2
+),
+hist AS (
+  SELECT doc_id, CAST(lum // {HIST_BIN_W} AS BIGINT) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM lum GROUP BY 1, 2
+),
+piv AS (
+  SELECT doc_id,
+         CAST(SUM(n) AS DOUBLE) AS nn,
+         {cs}
+  FROM hist GROUP BY 1
+)
+SELECT doc_id, round({es}, 6) AS entropy
+FROM piv ORDER BY doc_id"""
+
+
+def q_bm25() -> str:
+    """BM25 top-20 (queries.q_bm25): same single-space tokenization,
+    same Okapi expression in the same left-assoc term order, same
+    round-6 and (score DESC, doc_id) cut."""
+    from .pipelines.queries import BM25_B, BM25_K1, BM25_TERMS, BM25_TOPK
+
+    tl = _slist(BM25_TERMS)
+    k1 = f"CAST({BM25_K1} AS DOUBLE)"
+    b = f"CAST({BM25_B} AS DOUBLE)"
+    score = " + ".join(
+        f"(idf{j} * (tf{j} * ({k1} + 1.0)) / "
+        f"(tf{j} + {k1} * (1.0 - {b} + {b} * dl / avgdl)))"
+        for j in range(len(BM25_TERMS)))
+    tfs = ",\n         ".join(
+        f"CAST(len(list_filter(toks, x -> x = {_q(t)})) AS DOUBLE) AS tf{j}"
+        for j, t in enumerate(BM25_TERMS))
+    dfs = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN tf{j} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df{j}"
+        for j in range(len(BM25_TERMS)))
+    idfs = ",\n         ".join(
+        f"ln(1.0 + (n_docs - df{j} + 0.5) / (df{j} + 0.5)) AS idf{j}"
+        for j in range(len(BM25_TERMS)))
+    anytf = " OR ".join(f"tf{j} > 0" for j in range(len(BM25_TERMS)))
+    return f"""WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(len(toks) AS DOUBLE) AS dl,
+         {tfs}
+  FROM tok
+),
+corpus AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         SUM(dl) / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+         {dfs}
+  FROM per_doc
+),
+consts AS (
+  SELECT n_docs, avgdl,
+         {idfs}
+  FROM corpus
+)
+SELECT doc_id, round({score}, 6) AS score
+FROM per_doc, consts
+WHERE {anytf}
+ORDER BY round({score}, 6) DESC, doc_id
+LIMIT {BM25_TOPK}"""
 
 
 def q_image_mips() -> str:

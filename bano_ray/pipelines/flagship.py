@@ -852,3 +852,51 @@ class ImageSobel:
 def image_sobel(sf_dir: str, concurrency=None):
     """Gradient-energy pipeline over the lossless (PNG) payloads."""
     return _png_pool_pipeline(sf_dir, ImageSobel, concurrency)
+
+
+class ImageEntropy:
+    """Actor-pool per-image Shannon entropy of the 16-bin luminance
+    histogram over REAL decoded pixels — the flat-image / synthetic-image
+    detector an image-curation pipeline thresholds on.  The bin counts
+    are the exact integers of :class:`ImageHist`; the entropy is
+    ``-Σ (c/n)·log2(c/n)`` accumulated in ASCENDING bin order (a
+    left-fold, the same order the oracle's fixed 16-term expression
+    evaluates) and rounded to 6 dp on both sides — ulp-level libm skew
+    cannot move a 6-dp digit except on a rounding boundary, and the
+    corpus pins none (asserted by the parity gate).  Value-ORACLED
+    (oracle.q_image_entropy)."""
+
+    def __init__(self):
+        from ..runtime import tune_malloc
+
+        tune_malloc()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..codecs import decode_image_batch
+
+        fmts = batch.column("fmt").to_pylist()
+        blobs = _binary_column_views(batch.column("bytes"))
+        decoded = decode_image_batch(blobs, fmts)
+        nbins = 765 // HIST_BIN_W + 1
+        nimg = len(decoded)
+        counts = np.zeros((nimg, nbins), dtype=np.int64)
+        for i, px in enumerate(decoded):
+            lum = px.reshape(-1, 3).astype(np.int64).sum(axis=1)
+            counts[i] = np.bincount(lum // HIST_BIN_W, minlength=nbins)
+        n = counts.sum(axis=1).astype(np.float64)
+        ent = np.zeros(nimg, dtype=np.float64)
+        for b in range(nbins):         # left-fold in bin order == oracle
+            c = counts[:, b].astype(np.float64)
+            p = c / n
+            with np.errstate(divide="ignore", invalid="ignore"):
+                term = -(p * np.log2(p))
+            ent = ent + np.where(counts[:, b] > 0, term, 0.0)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "entropy": pa.array(np.round(ent, 6)),
+        })
+
+
+def image_entropy(sf_dir: str, concurrency=None):
+    """Histogram-entropy pipeline over the lossless (PNG) payloads."""
+    return _png_pool_pipeline(sf_dir, ImageEntropy, concurrency)

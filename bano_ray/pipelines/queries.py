@@ -1464,6 +1464,60 @@ def q_geohash(sf_dir: str):
             .map_batches(f, batch_format="pyarrow"))
 
 
+def q_lambert93(sf_dir: str):
+    """CRS projection: WGS84 → Lambert-93 (EPSG:2154, the reference's
+    native French cadastre CRS) in integer millimetres — the planar
+    reprojection a tiling/rasterizing stage runs first (geo/proj.py;
+    reference bano imports Lambert-93 cadastre data).  One stateless
+    vectorized pass; exact-integer output so the value gate is
+    tolerance-free.  Oracle-gated (oracle.q_lambert93 runs the identical
+    sin/tan/ln/exp chain with the same pinned double constants)."""
+    import ray
+
+    from ..geo.proj import lambert93_mm
+
+    ensure_worker_importable()
+
+    def f(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy()
+        lon, lat = datagen.lon_lat(d)
+        x_mm, y_mm = lambert93_mm(lon, lat)
+        return pa.table({"doc_id": pa.array(d),
+                         "x_mm": pa.array(x_mm),
+                         "y_mm": pa.array(y_mm)})
+
+    return (ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                  columns=["doc_id"])
+            .map_batches(f, batch_format="pyarrow"))
+
+
+def q_phash_clusters(sf_dir: str):
+    """Image near-dup cluster spectrum: connected components over the
+    Hamming-≤3 phash pairs (stages/dedup.phash_neardup → stages/graph
+    min-label propagation) → (label, n_images) per duplicate cluster —
+    the image-side how-much-is-duplicated curation census, twin of
+    q_dup_cluster_sizes.  Oracle-gated (recursive-CTE closure over the
+    exact q_phash_neardup SQL)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..stages.dedup import phash_neardup
+    from ..stages.graph import connected_components
+
+    ensure_worker_importable()
+    ds = datagen.images_dataset(sf_dir).select_columns(["doc_id", "phash"])
+    cc = connected_components(phash_neardup(ds, k=3), "a", "b")
+
+    def size_partial(batch: pa.Table) -> pa.Table:
+        lab = batch.column("label").to_numpy()
+        uk, cnt = np.unique(lab, return_counts=True)
+        return pa.table({"label": pa.array(uk),
+                         "sz": pa.array(cnt.astype(np.int64))})
+
+    return (cc.map_batches(size_partial, batch_format="pyarrow")
+            .groupby("label").aggregate(Sum("sz", alias_name="n_images")))
+
+
 def q_pq_codes(sf_dir: str):
     """Product-quantization code assignment over the embedding corpus
     (stages/quantize.pq_codes): 8 subspaces × 16 closed-form centroids,
@@ -3364,6 +3418,110 @@ def q_sobel_energy(sf_dir: str):
 
     ensure_worker_importable()
     return image_sobel(sf_dir)
+
+
+def q_image_entropy(sf_dir: str):
+    """Per-image Shannon entropy of the 16-bin luminance histogram over
+    REAL decoded PNG pixels (pipelines/flagship.ImageEntropy) — the
+    flat/synthetic-image detector.  Exact integer bin counts; the float
+    entropy is a fixed-order left-fold rounded to 6 dp on both sides.
+    Oracle-gated (oracle.q_image_entropy)."""
+    from .flagship import image_entropy
+
+    ensure_worker_importable()
+    return image_entropy(sf_dir)
+
+
+# BM25 retrieval scoring: fixed 3-term query, Okapi constants
+BM25_TERMS = ["hash", "window", "vector"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+
+
+def q_bm25(sf_dir: str):
+    """BM25 retrieval: score every document against the fixed 3-term
+    query and return the global top-20 — the lexical-retrieval sibling of
+    the ANN family.  Two streaming passes, no row-stream shuffle:
+
+    1. one combiner pass emits a single row per block (n_docs, Σ token
+       count, per-term distinct-doc df — exact, a document is atomic in
+       its row) → a Sum aggregate → the corpus stats broadcast via
+       ``ray.put``;
+    2. a second pass tokenizes batch-locally (single-space split, the
+       q_tfidf convention), computes the Okapi score as the identical
+       fixed-order double expression the oracle evaluates
+       (``(s1 + s2) + s3``; ln/÷ per term), rounds to 6 dp, and pre-cuts
+       a per-block top-20 so the driver finish sorts blocks×20 rows.
+
+    Ties at the k boundary are pinned by (score DESC, doc_id ASC) on
+    both sides.  Oracle: oracle.q_bm25."""
+    import ray
+
+    ensure_worker_importable()
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    terms = BM25_TERMS
+
+    def _term_tfs(batch: pa.Table):
+        """Vectorized (dl, [tf per query term]) via ONE Arrow split —
+        no per-row Python in the hot path."""
+        lists = pc.split_pattern(batch.column("text"), " ")
+        lens = pc.list_value_length(lists).to_numpy().astype(np.int64)
+        flat = pc.list_flatten(lists)
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        tfs = []
+        for term in terms:
+            m = pc.equal(flat, term).to_numpy(zero_copy_only=False)
+            tfs.append(np.bincount(doc_idx[m], minlength=len(lens))
+                       .astype(np.int64))
+        return lens, tfs
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        dl, tfs = _term_tfs(batch)
+        row = {"n_docs": pa.array([len(dl)], pa.int64()),
+               "sum_dl": pa.array([int(dl.sum())], pa.int64())}
+        for j, tf in enumerate(tfs):
+            row[f"df{j}"] = pa.array([int((tf > 0).sum())], pa.int64())
+        return pa.table(row)
+
+    from ray.data.aggregate import Sum
+
+    st = (ds.map_batches(stats_partial, batch_format="pyarrow")
+          .aggregate(Sum("n_docs", alias_name="n_docs"),
+                     Sum("sum_dl", alias_name="sum_dl"),
+                     *[Sum(f"df{j}", alias_name=f"df{j}")
+                       for j in range(len(terms))]))
+    n_docs = float(st["n_docs"])
+    avgdl = float(st["sum_dl"]) / n_docs
+    dfs = [float(st[f"df{j}"]) for j in range(len(terms))]
+    # idf_t = ln(1 + (N - df + 0.5)/(df + 0.5)) — same expression in SQL
+    idfs = [float(np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)))
+            for df in dfs]
+    k1, b = BM25_K1, BM25_B
+
+    def score_cut(batch: pa.Table) -> pa.Table:
+        dids = batch.column("doc_id").to_numpy()
+        dl_i, tfs = _term_tfs(batch)
+        dl = dl_i.astype(np.float64)
+        denom_tail = k1 * (1.0 - b + b * dl / avgdl)
+        score = np.zeros(len(dids), dtype=np.float64)
+        any_tf = np.zeros(len(dids), dtype=bool)
+        for tf_i, idf in zip(tfs, idfs):       # left-fold == SQL s1+s2+s3
+            tf = tf_i.astype(np.float64)
+            score = score + idf * (tf * (k1 + 1.0)) / (tf + denom_tail)
+            any_tf |= tf_i > 0
+        score = np.round(score, 6)
+        keep = np.flatnonzero(any_tf)
+        order = keep[np.lexsort((dids[keep], -score[keep]))][:BM25_TOPK]
+        return pa.table({"doc_id": pa.array(dids[order]),
+                         "score": pa.array(score[order])})
+
+    got = ds.map_batches(score_cut, batch_format="pyarrow").to_pandas()
+    got = (got.sort_values(["score", "doc_id"], ascending=[False, True],
+                           kind="stable")
+           .head(BM25_TOPK).reset_index(drop=True))
+    return got
 
 
 def q_langid_confusion(sf_dir: str):

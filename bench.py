@@ -107,7 +107,8 @@ def run_benchmarks() -> dict:
                                             q_bfs_levels, q_tile_overlap,
                                             q_image_mips, q_geohash,
                                             q_pq_codes, q_percentile_cont,
-                                            q_event_paths)
+                                            q_event_paths, q_bm25,
+                                            q_image_entropy)
     from bano_ray.runtime import ensure_worker_importable
     from bano_ray.stages.export import street_json_zone  # noqa: F401
     ensure_worker_importable()
@@ -212,6 +213,8 @@ def run_benchmarks() -> dict:
         "pq_codes": lambda: q_pq_codes(SF_DIR).count(),
         "percentile_cont": lambda: len(q_percentile_cont(SF_DIR)),
         "event_paths": lambda: q_event_paths(SF_DIR).count(),
+        "bm25": lambda: len(q_bm25(SF_DIR)),
+        "image_entropy": lambda: q_image_entropy(SF_DIR).count(),
     }
     # phash near-dup at bench scale (expanded image corpus; banding explodes
     # the stream 4x, so run at a bounded expansion like the image stage)
