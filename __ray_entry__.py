@@ -151,6 +151,8 @@ _ORACLE_QUERIES = [
     "q_street_crossings",    # geo: exact segment-intersection join
     "q_mad_outliers",        # robust stats: median + MAD outlier census
     "q_top_orders",          # TPC-H Q3 shape: one-shuffle join + top-10
+    "q_tpch_q5",             # TPC-H Q5 shape: two-exchange star join
+    "q_json_props",          # semi-structured JSON column extraction
     "q_image_patches",       # image: ViT patch sums over real PNG decode
     "q_quadtree_leaves",     # geo: adaptive quadtree leaf tiles
     "q_zone_manifest",       # lifecycle: per-partition manifest stats
@@ -168,6 +170,8 @@ _ORACLE_QUERIES = [
     "q_snap_points",         # geo: point→nearest-other-street segment snap
     "q_stay_points",         # geo: trajectory dwell (stay-point) detection
     "q_bfs_levels",          # graph: multi-source BFS hop levels
+    "q_sssp",                # graph: weighted shortest paths (3 rounds)
+    "q_unpivot",             # schema transform: distributed melt
     "q_tile_overlap",        # geo: zone×tile rectangle-intersection areas
     "q_image_mips",          # image: mip-pyramid census over real decode
     "q_geohash",             # geo: 6-char geohash cell encoding

@@ -3884,6 +3884,102 @@ SELECT doc_id, CAST(lum // {HIST_BIN_W} AS BIGINT) AS bin,
 FROM lum GROUP BY 1, 2 ORDER BY doc_id, bin"""
 
 
+def q_sssp() -> str:
+    """Multi-source weighted shortest paths (queries.q_sssp): unrolled
+    Bellman-Ford — exactly SSSP_ROUNDS relaxation CTEs over the exact
+    lift-pair edge SQL with integer weights 1_000_000 // c_ab."""
+    from .pipelines.queries import SSSP_ROUNDS, SSSP_SEED_MOD, SSSP_W_NUM
+    from .stages.pagerank import N_ITEMS
+
+    ctes = []
+    prev = "d0"
+    for k in range(1, SSSP_ROUNDS + 1):
+        ctes.append(f"""d{k} AS (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM {prev}
+    UNION ALL
+    SELECT e.d AS node, p.dist + e.w AS dist
+    FROM {prev} p JOIN e ON e.s = p.node
+  ) GROUP BY node)""")
+        prev = f"d{k}"
+    chain = ",\n".join(ctes)
+    return f"""WITH ui AS (
+  SELECT DISTINCT user_id,
+         CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)
+           % {N_ITEMS} AS item
+  FROM events WHERE event_type = 'click'
+),
+pr AS (
+  SELECT a.item AS i, b.item AS j, CAST(COUNT(*) AS BIGINT) AS c_ab
+  FROM ui a JOIN ui b ON b.user_id = a.user_id AND b.item > a.item
+  GROUP BY 1, 2
+),
+e AS (
+  SELECT i AS s, j AS d, {SSSP_W_NUM} // c_ab AS w FROM pr WHERE c_ab >= 2
+  UNION ALL
+  SELECT j, i, {SSSP_W_NUM} // c_ab FROM pr WHERE c_ab >= 2
+),
+d0 AS (
+  SELECT CAST(unnest(range(0, {N_ITEMS}, {SSSP_SEED_MOD})) AS BIGINT) AS node,
+         CAST(0 AS BIGINT) AS dist
+),
+{chain}
+SELECT node AS item, dist FROM {prev} ORDER BY item"""
+
+
+def q_unpivot() -> str:
+    """Distributed melt (queries.q_unpivot): UNION-ALL unpivot of the
+    three integer-cents lineitem measures per return flag."""
+    return """WITH base AS (
+  SELECT l_returnflag,
+         CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qty_c,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+              AS BIGINT) AS rev_c
+  FROM lineitem)
+SELECT l_returnflag, 'qty_c' AS measure,
+       CAST(SUM(qty_c) AS BIGINT) AS value_c FROM base GROUP BY 1
+UNION ALL
+SELECT l_returnflag, 'price_c', CAST(SUM(price_c) AS BIGINT)
+FROM base GROUP BY 1
+UNION ALL
+SELECT l_returnflag, 'rev_c', CAST(SUM(rev_c) AS BIGINT)
+FROM base GROUP BY 1"""
+
+
+def q_tpch_q5() -> str:
+    """TPC-H Q5 shape (queries.q_tpch_q5): plain five-table SQL with the
+    tie-free floor(x·100+0.5) integer-cents revenue convention."""
+    from .pipelines.queries import _Q5_D0_US, _Q5_D1_US, _Q5_REGION
+
+    d0, d1 = _Q5_D0_US // 1_000_000, _Q5_D1_US // 1_000_000
+    return f"""SELECT n.n_name AS n_name,
+       CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS rev_c
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+              AND s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = {_q(_Q5_REGION)}
+  AND o.o_orderdate >= to_timestamp({d0})
+  AND o.o_orderdate < to_timestamp({d1})
+GROUP BY 1 ORDER BY rev_c DESC, n_name"""
+
+
+def q_json_props() -> str:
+    """JSON props extraction (queries.q_json_props): DuckDB's real JSON
+    parser vs the engine's RE2 pass — an independent implementation."""
+    return """SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY 1 ORDER BY 1"""
+
+
 def q_image_entropy() -> str:
     """Per-image histogram entropy (pipelines/flagship.ImageEntropy):
     exact integer 16-bin counts of the closed-form pixel field, then a

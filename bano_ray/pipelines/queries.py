@@ -3420,6 +3420,354 @@ def q_sobel_energy(sf_dir: str):
     return image_sobel(sf_dir)
 
 
+def q_time_weighted(sf_dir: str):
+    """Time-weighted aggregation over irregular samples: per user, the
+    exact integer numerator Σ cents·Δms and total duration of the
+    value step-function between consecutive events — the
+    billing/telemetry TWA primitive a plain AVG gets wrong.  Consecutive
+    pairs can't compose block-locally, so rows take ONE user-shard
+    shuffle and each shard resolves with a flat lexsort + diff (the
+    stages/sessions.transitions shape).  All-integer (half-away cents ×
+    floor-div milliseconds) — tolerance-free gate.  Oracle:
+    oracle.q_time_weighted via LEAD windows."""
+    import ray
+
+    ensure_worker_importable()
+    C = np.int64(509)
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "user_id",
+                                        "value"])
+
+    def shard(batch: pa.Table) -> pa.Table:
+        c = pc.round(pc.multiply(batch.column("value"), 100.0),
+                     round_mode="half_towards_infinity").cast(pa.int64())
+        u = batch.column("user_id").to_numpy()
+        return pa.table({"user_id": batch.column("user_id"),
+                         "t": batch.column("ts").cast(pa.int64()),
+                         "event_id": batch.column("event_id"),
+                         "c": c,
+                         "_shard": pa.array(u % C)})
+
+    def twa(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].to_numpy(np.int64)
+        t = df["t"].to_numpy(np.int64)
+        eid = df["event_id"].to_numpy(np.int64)
+        c = df["c"].to_numpy(np.int64)
+        order = np.lexsort((eid, t, u))
+        u, t, c = u[order], t[order], c[order]
+        same = u[1:] == u[:-1]              # interval (i, i+1) within user
+        dms = (t[1:] - t[:-1]) // 1000
+        num = c[:-1] * dms
+        uk, inv = np.unique(u[:-1][same], return_inverse=True)
+        # int64 scatter-adds (not float bincount): Σ cents·ms can pass
+        # 2^53 at scale, and the gate is exact-integer
+        s_num = np.zeros(len(uk), dtype=np.int64)
+        s_dur = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(s_num, inv, num[same])
+        np.add.at(s_dur, inv, dms[same])
+        return pd.DataFrame({
+            "user_id": uk,
+            "num_c_ms": s_num,
+            "dur_ms": s_dur,
+            "n_iv": np.bincount(inv).astype(np.int64),
+        })
+
+    return (ds.map_batches(shard, batch_format="pyarrow")
+            .groupby("_shard").map_groups(twa, batch_format="pandas")
+            .select_columns(["user_id", "num_c_ms", "dur_ms", "n_iv"]))
+
+
+RESAMPLE_M = 5   # points per resampled track (fractions k/M, k=0..M-1)
+
+
+def q_track_resample(sf_dir: str):
+    """Uniform arc-length polyline resampling: every track re-sampled at
+    fractions k/5 of its total integer micro-degree length — the
+    fixed-size geometry embedding a track-similarity / map-matching
+    stage consumes (stages/tracks.resample_group).  Exact-integer
+    parameterization (the q_track_length segment metric); the
+    interpolated coordinate is ``ix0 + floor(num/len)`` where the float64
+    quotient is provably exact-floored (|num| ≤ 4.4e12, quotients ≥4e-7
+    from integers unless divisible).  Oracle-gated
+    (oracle.q_track_resample)."""
+    from ..stages.tracks import track_resample
+
+    ensure_worker_importable()
+    return track_resample(sf_dir)
+
+
+SSSP_ROUNDS = 3
+SSSP_SEED_MOD = 25
+SSSP_W_NUM = 1_000_000
+
+
+def q_sssp(sf_dir: str):
+    """Weighted single-source shortest paths (multi-source, 3-round
+    Bellman-Ford) over the co-click item graph — the weighted sibling of
+    q_bfs_levels.  Edges come out of the fully distributed lift pipeline
+    (pairs co-clicked by ≥2 distinct users); the weight is the exact
+    integer ``1_000_000 // c_ab`` (rarer co-click = longer edge), so the
+    whole relaxation is integer arithmetic and the gate tolerance-free.
+    Each round re-reads the edge stream emitting node-table-sized min
+    partials (stages/graph.sssp); seeds are items ≡ 0 (mod 25).
+    Oracle-gated (oracle.q_sssp unrolls the 3 relaxations as CTEs over
+    the exact lift-pair SQL)."""
+    import ray
+
+    from ..stages.analytics import lift_cooccur
+    from ..stages.graph import sssp
+    from ..stages.pagerank import N_ITEMS
+
+    ensure_worker_importable()
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type", "props"])
+    pairs = lift_cooccur(ds, n_items=N_ITEMS)
+    i = pairs["i"].to_numpy(np.int64)
+    j = pairs["j"].to_numpy(np.int64)
+    w = (SSSP_W_NUM // pairs["c_ab"].to_numpy(np.int64)).astype(np.int64)
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array(np.concatenate([i, j])),
+        "dst": pa.array(np.concatenate([j, i])),
+        "w": pa.array(np.concatenate([w, w])),
+    }))
+    seeds = (np.arange(N_ITEMS) % SSSP_SEED_MOD) == 0
+    out = sssp(edges, seeds, rounds=SSSP_ROUNDS)
+    return out.rename(columns={"node": "item"})
+
+
+def q_unpivot(sf_dir: str):
+    """Distributed UNPIVOT (wide→long melt): lineitem's three measures
+    (quantity, extended price, discounted revenue — all integer cents)
+    become (l_returnflag, measure, value_c) rows.  The melt happens
+    INSIDE the combiner pass — each block emits 3 partial rows per
+    present flag, so the shuffle carries flags×3 rows and the long
+    format never materializes per row.  Oracle: UNION ALL of the three
+    aggregates (the SQL UNPIVOT of the same wide aggregate)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ensure_worker_importable()
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_returnflag", "l_quantity",
+                                        "l_extendedprice", "l_discount"])
+
+    def melt_partial(batch: pa.Table) -> pa.Table:
+        fl = batch.column("l_returnflag").to_numpy(zero_copy_only=False)
+        q = batch.column("l_quantity").to_numpy()
+        p = batch.column("l_extendedprice").to_numpy()
+        d = batch.column("l_discount").to_numpy()
+        uf, inv = np.unique(fl, return_inverse=True)
+        mats = {
+            "qty_c": np.floor(q * 100.0 + 0.5).astype(np.int64),
+            "price_c": np.floor(p * 100.0 + 0.5).astype(np.int64),
+            "rev_c": np.floor(p * (1.0 - d) * 100.0 + 0.5).astype(np.int64),
+        }
+        flags, meas, vals = [], [], []
+        for mname, cents in mats.items():
+            s = (np.bincount(inv, weights=cents.astype(np.float64))
+                 .astype(np.int64))
+            flags.append(uf)
+            meas.append(np.full(len(uf), mname, dtype=object))
+            vals.append(s)
+        return pa.table({
+            "l_returnflag": pa.array(np.concatenate(flags), pa.string()),
+            "measure": pa.array(np.concatenate(meas), pa.string()),
+            "value_c": pa.array(np.concatenate(vals)),
+        })
+
+    return (ds.map_batches(melt_partial, batch_format="pyarrow")
+            .groupby(["l_returnflag", "measure"])
+            .aggregate(Sum("value_c", alias_name="value_c")))
+
+
+_Q5_REGION = "ASIA"
+_Q5_D0_US = 820_454_400_000_000   # 1996-01-01 in timestamp[us] ticks
+_Q5_D1_US = 852_076_800_000_000   # 1997-01-01
+
+
+def q_tpch_q5(sf_dir: str):
+    """TPC-H Q5 shape — per-nation revenue where the customer's and the
+    supplier's nation coincide inside one region — the multi-dim star
+    join over TWO big-big exchanges, each combiner-reduced:
+
+    1. orders (date window) ⋈ customer (region's nations) resolve each
+       order's customer nation in one tagged-union groupby on a custkey
+       coarse shard (orders emit (custkey, orderkey); customers emit
+       (custkey, nation) — dim row count per shard, never a cross
+       product);
+    2. lineitem pre-aggregates revenue cents per (orderkey, supplier
+       nation) map-side (supplier→nation broadcast via ``ray.put`` —
+       suppliers are fact/10⁴; at 100 TB this side would become a third
+       tagged-union exchange, same shape) and meets stage 1's
+       (orderkey, cust-nation) rows in an orderkey-shard groupby where
+       cnation == snation pairs fold into per-nation partials.
+
+    Revenue follows the tie-free ``floor(x·100+0.5)`` integer-cents
+    convention of q_top_orders, so sums are order-free and the oracle
+    gate exact.  Oracle: oracle.q_tpch_q5 (plain five-table SQL)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ensure_worker_importable()
+    C = np.int64(509)
+
+    # region → nation keys (tiny dims, driver-side by contract)
+    nat = ray.data.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+    reg = ray.data.read_parquet(f"{sf_dir}/region.parquet").to_pandas()
+    rk = int(reg.loc[reg["r_name"] == _Q5_REGION, "r_regionkey"].iloc[0])
+    nat_in = nat[nat["n_regionkey"] == rk]
+    nkeys = np.sort(nat_in["n_nationkey"].to_numpy().astype(np.int64))
+    nname = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    # supplier → nation (broadcast; see docstring for the 100 TB shape)
+    sup = ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
+                                columns=["s_suppkey", "s_nationkey"]
+                                ).to_pandas()
+    smap_keys = np.sort(sup["s_suppkey"].to_numpy().astype(np.int64))
+    smap_nat = (sup.sort_values("s_suppkey")["s_nationkey"]
+                .to_numpy().astype(np.int64))
+    sup_ref = ray.put((smap_keys, smap_nat))
+    nk_ref = ray.put(nkeys)
+
+    # ---- stage 1: orderkey → customer nation ----------------------------
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey",
+                                            "o_orderdate"])
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_nationkey"])
+
+    def o_rows(batch: pa.Table) -> pa.Table:
+        od = batch.column("o_orderdate").cast(pa.int64()).to_numpy()
+        m = (od >= _Q5_D0_US) & (od < _Q5_D1_US)
+        ck = batch.column("o_custkey").to_numpy().astype(np.int64)[m]
+        ok = batch.column("o_orderkey").to_numpy().astype(np.int64)[m]
+        return pa.table({"ck": pa.array(ck), "ok": pa.array(ok),
+                         "nk": pa.nulls(len(ck), pa.int64()),
+                         "_shard": pa.array(ck % C)})
+
+    def c_rows(batch: pa.Table) -> pa.Table:
+        keys = ray.get(nk_ref)
+        ck = batch.column("c_custkey").to_numpy().astype(np.int64)
+        nk = batch.column("c_nationkey").to_numpy().astype(np.int64)
+        pos = np.searchsorted(keys, nk)
+        pos[pos >= len(keys)] = 0
+        m = keys[pos] == nk if len(keys) else np.zeros(len(ck), bool)
+        return pa.table({"ck": pa.array(ck[m]),
+                         "ok": pa.nulls(int(m.sum()), pa.int64()),
+                         "nk": pa.array(nk[m]),
+                         "_shard": pa.array(ck[m] % C)})
+
+    def resolve_cnation(df: pd.DataFrame) -> pd.DataFrame:
+        dim = df[df["nk"].notna()][["ck", "nk"]]
+        fact = df[df["ok"].notna()][["ck", "ok"]]
+        j = fact.merge(dim, on="ck", how="inner")
+        return pd.DataFrame({"ok": j["ok"].astype(np.int64),
+                             "cnat": j["nk"].astype(np.int64)})
+
+    onat = (orders.map_batches(o_rows, batch_format="pyarrow")
+            .union(cust.map_batches(c_rows, batch_format="pyarrow"))
+            .groupby("_shard")
+            .map_groups(resolve_cnation, batch_format="pandas"))
+
+    # ---- stage 2: lineitem revenue per (orderkey, supplier nation) ------
+    line = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                                 columns=["l_orderkey", "l_suppkey",
+                                          "l_extendedprice", "l_discount"])
+
+    def l_partial(batch: pa.Table) -> pa.Table:
+        sk_keys, sk_nat = ray.get(sup_ref)
+        ok = batch.column("l_orderkey").to_numpy().astype(np.int64)
+        sk = batch.column("l_suppkey").to_numpy().astype(np.int64)
+        p = batch.column("l_extendedprice").to_numpy()
+        d = batch.column("l_discount").to_numpy()
+        pos = np.searchsorted(sk_keys, sk)
+        pos[pos >= len(sk_keys)] = 0
+        snat = sk_nat[pos]
+        cents = np.floor(p * (1.0 - d) * 100.0 + 0.5).astype(np.int64)
+        key = ok * np.int64(64) + snat          # nationkey < 64 by schema
+        uk, inv = np.unique(key, return_inverse=True)
+        s = (np.bincount(inv, weights=cents.astype(np.float64))
+             .astype(np.int64))
+        uok = uk // np.int64(64)
+        return pa.table({"ok": pa.array(uok),
+                         "snat": pa.array(uk % np.int64(64)),
+                         "rev_c": pa.array(s),
+                         "cnat": pa.nulls(len(uk), pa.int64()),
+                         "_shard": pa.array(uok % C)})
+
+    def tag_cnat(batch: pa.Table) -> pa.Table:
+        ok = batch.column("ok").to_numpy().astype(np.int64)
+        return pa.table({"ok": pa.array(ok),
+                         "snat": pa.nulls(len(ok), pa.int64()),
+                         "rev_c": pa.nulls(len(ok), pa.int64()),
+                         "cnat": batch.column("cnat").cast(pa.int64()),
+                         "_shard": pa.array(ok % C)})
+
+    def fold_nation(df: pd.DataFrame) -> pd.DataFrame:
+        left = df[df["cnat"].notna()][["ok", "cnat"]]
+        right = df[df["rev_c"].notna()][["ok", "snat", "rev_c"]]
+        j = right.merge(left, on="ok", how="inner")
+        j = j[j["snat"].astype(np.int64) == j["cnat"].astype(np.int64)]
+        if not len(j):
+            return pd.DataFrame({"nk": pd.Series([], dtype=np.int64),
+                                 "rev_c": pd.Series([], dtype=np.int64)})
+        g = (j.groupby(j["snat"].astype(np.int64))["rev_c"].sum()
+             .astype(np.int64))
+        return pd.DataFrame({"nk": g.index.to_numpy(np.int64),
+                             "rev_c": g.to_numpy(np.int64)})
+
+    per_nat = (line.map_batches(l_partial, batch_format="pyarrow")
+               .union(onat.map_batches(tag_cnat, batch_format="pyarrow"))
+               .groupby("_shard")
+               .map_groups(fold_nation, batch_format="pandas")
+               .groupby("nk").aggregate(Sum("rev_c", alias_name="rev_c"))
+               .to_pandas())
+    per_nat["n_name"] = per_nat["nk"].map(nname)
+    per_nat = (per_nat.sort_values(["rev_c", "n_name"],
+                                   ascending=[False, True])
+               .reset_index(drop=True))
+    return per_nat[["n_name", "rev_c"]]
+
+
+def q_json_props(sf_dir: str):
+    """Semi-structured ETL: extract the integer ``k`` from the events
+    JSON ``props`` column with ONE vectorized RE2 pass
+    (pyarrow.compute.extract_regex — no per-row json.loads) and fold
+    per-event-type stats map-side; the shuffle carries one partial row
+    per (block, event_type).  Oracle: DuckDB json_extract on the same
+    column (independent parser — a regex bug shows up as a mismatch)."""
+    import ray
+    from ray.data.aggregate import Max, Min, Sum
+
+    ensure_worker_importable()
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "props"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(batch.column("props"), r'"k": (?P<k>\d+)')
+        k = pc.struct_field(ex, "k").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        ue, inv = np.unique(et, return_inverse=True)
+        cnt = np.bincount(inv)
+        ks = k[np.argsort(inv, kind="stable")]
+        starts = np.r_[0, np.cumsum(cnt)[:-1]]
+        return pa.table({
+            "event_type": pa.array(ue),
+            "n": pa.array(cnt.astype(np.int64)),
+            "sum_k": pa.array(np.bincount(
+                inv, weights=k.astype(np.float64)).astype(np.int64)),
+            "min_k": pa.array(np.minimum.reduceat(ks, starts)),
+            "max_k": pa.array(np.maximum.reduceat(ks, starts)),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("sum_k", alias_name="sum_k"),
+                       Min("min_k", alias_name="min_k"),
+                       Max("max_k", alias_name="max_k")))
+
+
 def q_image_entropy(sf_dir: str):
     """Per-image Shannon entropy of the 16-bin luminance histogram over
     REAL decoded PNG pixels (pipelines/flagship.ImageEntropy) — the

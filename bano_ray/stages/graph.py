@@ -233,3 +233,68 @@ def bfs_levels(edges_ds, seed_mask: np.ndarray, max_depth: int = 4,
     reached = np.flatnonzero(lvl < _BFS_INF)
     return pd.DataFrame({"node": reached.astype(np.int64),
                          "lvl": lvl[reached]})
+
+
+class _RelaxPass:
+    """Actor-pool pass: weighted edge batches → per-block dst min-distance
+    partials (one synchronous Bellman-Ford relaxation over the broadcast
+    distance vector) — the weighted twin of :class:`_HopPass`."""
+
+    def __init__(self, state_ref):
+        import ray
+
+        self.dist = (ray.get(state_ref)
+                     if not isinstance(state_ref, np.ndarray) else state_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        src = batch.column("src").to_numpy()
+        dst = batch.column("dst").to_numpy()
+        w = batch.column("w").to_numpy()
+        cand = np.full(len(self.dist), _BFS_INF, dtype=np.int64)
+        m = self.dist[src] < _BFS_INF
+        np.minimum.at(cand, dst[m], self.dist[src[m]] + w[m])
+        nz = np.flatnonzero(cand < _BFS_INF)
+        return pa.table({"node": pa.array(nz.astype(np.int64)),
+                         "dist": pa.array(cand[nz])})
+
+
+def sssp(edges_ds, seed_mask: np.ndarray, rounds: int = 3,
+         concurrency: int | None = None):
+    """edges Dataset (src, dst, w — int64, node ids in [0, n_nodes),
+    w ≥ 0) + boolean seed mask → pandas (node, dist) after EXACTLY
+    ``rounds`` synchronous Bellman-Ford relaxations (≤ ``rounds``-hop
+    shortest paths from the seed set — the semantics the oracle's
+    unrolled-CTE relaxation chain replays; a reached fixpoint may exit
+    early, which cannot change the round-``rounds`` state).
+
+    Same regime split as :func:`bfs_levels`: the edge stream is read once
+    per round in streaming ``map_batches`` passes emitting
+    node-table-sized min partials; the distance vector is node-sized and
+    broadcast via ``ray.put``.  All-integer — exact, no float pinning."""
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Min
+
+    if concurrency is None:
+        cpus = (int(ray.cluster_resources().get("CPU", 8))
+                if ray.is_initialized() else 8)
+        concurrency = max(1, min(8, cpus - 1))
+
+    edges = edges_ds.materialize()   # iterative: read the stream once
+    dist = np.where(seed_mask, 0, _BFS_INF).astype(np.int64)
+    for _ in range(rounds):
+        ref = ray.put(dist)
+        agg = (edges.map_batches(_RelaxPass, batch_format="pyarrow",
+                                 concurrency=concurrency,
+                                 fn_constructor_kwargs={"state_ref": ref})
+               .groupby("node").aggregate(Min("dist", alias_name="d"))
+               .to_pandas())
+        nodes = agg["node"].to_numpy()
+        nxt = np.minimum(dist[nodes], agg["d"].to_numpy())
+        if len(nodes) and (nxt == dist[nodes]).all():
+            break
+        if len(nodes):
+            dist[nodes] = nxt
+    reached = np.flatnonzero(dist < _BFS_INF)
+    return pd.DataFrame({"node": reached.astype(np.int64),
+                         "dist": dist[reached]})

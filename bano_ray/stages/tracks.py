@@ -480,3 +480,77 @@ def stay_points(sf_dir: str):
     """(insee, sidx, start_doc, end_doc, n_pts): maximal dwell runs per
     track — same shard/lexsort scaffold as the other geometry kernels."""
     return _sharded(sf_dir).map_groups(stay_group, batch_format="pandas")
+
+
+RESAMPLE_M = 5   # sample fractions k/M, k = 0..M-1 (no endpoint target)
+
+
+def resample_group(df: pd.DataFrame, m: int = RESAMPLE_M) -> pd.DataFrame:
+    """Per-shard kernel: (insee, sidx, k, x_u, y_u) — each track
+    re-sampled at arc-length fractions k/m of its total integer
+    micro-degree length.
+
+    Determinism: the parameterization is the exact-integer segment metric
+    of :func:`lengths_group`; the target offset is ``(k·L) // m`` (both
+    sides BIGINT floor on non-negatives); the bracketing segment is the
+    unique positive-length segment with ``cum ≤ t < cum+len`` (engine:
+    ``searchsorted(cum, t, side='right') − 1``, which lands past any
+    zero-length duplicates — exactly the SQL join predicate); the
+    interpolated coordinate is ``ix0 + floor(num/len)`` where the float64
+    quotient of |num| ≤ ~4.4e12 by len ≤ ~2.5e6 is exactly floored: a
+    non-divisible true quotient sits ≥ 1/len ≥ 4e-7 from any integer,
+    5000× the double's ulp there.  Zero-length tracks (single point /
+    all-duplicate vertices) emit their first vertex at every k."""
+    z, _, ix, iy, first, _ = _ordered(df)
+    if not len(z):
+        return pd.DataFrame({"insee": [], "sidx": [], "k": [],
+                             "x_u": [], "y_u": []})
+    gidx = np.cumsum(first) - 1
+    ntr = int(gidx[-1]) + 1
+    seg_len = _seg_lengths(ix, iy, ~first[1:]).astype(np.int64)
+    starts = np.flatnonzero(first)
+    L = np.bincount(gidx[1:], weights=seg_len.astype(np.float64),
+                    minlength=ntr).astype(np.int64)
+    # global cumulative offset within each track, aligned to vertices:
+    # cum[i] = distance from track start to vertex i
+    cum = np.zeros(len(z), dtype=np.int64)
+    cs = np.cumsum(seg_len)
+    cum[1:] = cs
+    base = np.zeros(len(z), dtype=np.int64)
+    base[starts] = np.r_[0, cs[starts[1:] - 1]]
+    np.maximum.accumulate(base, out=base)
+    cum -= base
+
+    o_tr, o_k, o_x, o_y = [], [], [], []
+    ks = np.arange(m, dtype=np.int64)
+    ends = np.r_[starts[1:], len(z)]
+    for tr in range(ntr):                 # per-track finish: m rows each
+        a, b = int(starts[tr]), int(ends[tr])
+        c = cum[a:b]
+        if L[tr] == 0:
+            o_tr.append(np.full(m, tr)); o_k.append(ks)
+            o_x.append(np.full(m, ix[a], dtype=np.int64))
+            o_y.append(np.full(m, iy[a], dtype=np.int64))
+            continue
+        t = (ks * L[tr]) // m
+        s = np.searchsorted(c, t, side="right") - 1
+        ln = (c[s + 1] - c[s])
+        off = t - c[s]
+        vx, vy = ix[a:b], iy[a:b]
+        nx = (vx[s + 1] - vx[s]) * off
+        ny = (vy[s + 1] - vy[s]) * off
+        o_x.append(vx[s] + np.floor(nx / ln).astype(np.int64))
+        o_y.append(vy[s] + np.floor(ny / ln).astype(np.int64))
+        o_tr.append(np.full(m, tr)); o_k.append(ks)
+    insee, sidx = _insee_sidx(z[starts])
+    tr = np.concatenate(o_tr)
+    return pd.DataFrame({"insee": insee[tr], "sidx": sidx[tr],
+                         "k": np.concatenate(o_k),
+                         "x_u": np.concatenate(o_x),
+                         "y_u": np.concatenate(o_y)})
+
+
+def track_resample(sf_dir: str):
+    """Uniform arc-length resampling pipeline (see resample_group)."""
+    return _sharded(sf_dir).map_groups(resample_group,
+                                       batch_format="pandas")

@@ -108,7 +108,9 @@ def run_benchmarks() -> dict:
                                             q_image_mips, q_geohash,
                                             q_pq_codes, q_percentile_cont,
                                             q_event_paths, q_bm25,
-                                            q_image_entropy)
+                                            q_image_entropy, q_lambert93,
+                                            q_phash_clusters, q_tpch_q5,
+                                            q_json_props, q_sssp, q_unpivot)
     from bano_ray.runtime import ensure_worker_importable
     from bano_ray.stages.export import street_json_zone  # noqa: F401
     ensure_worker_importable()
@@ -215,6 +217,12 @@ def run_benchmarks() -> dict:
         "event_paths": lambda: q_event_paths(SF_DIR).count(),
         "bm25": lambda: len(q_bm25(SF_DIR)),
         "image_entropy": lambda: q_image_entropy(SF_DIR).count(),
+        "lambert93": lambda: q_lambert93(SF_DIR).count(),
+        "phash_clusters": lambda: q_phash_clusters(SF_DIR).count(),
+        "tpch_q5": lambda: len(q_tpch_q5(SF_DIR)),
+        "json_props": lambda: q_json_props(SF_DIR).count(),
+        "sssp": lambda: len(q_sssp(SF_DIR)),
+        "unpivot": lambda: q_unpivot(SF_DIR).count(),
     }
     # phash near-dup at bench scale (expanded image corpus; banding explodes
     # the stream 4x, so run at a bounded expansion like the image stage)
