@@ -139,6 +139,8 @@ _ORACLE_QUERIES = [
     "q_bearing_sectors",     # geo: 8-sector segment-heading histogram
     "q_track_turns",         # geo: signed-cross turn census per track
     "q_track_length_m",      # geo: haversine track length (exact BIGINT mm)
+    "q_track_resample",      # geo: uniform arc-length polyline resampling
+    "q_time_weighted",       # streaming: time-weighted value integral/user
     "q_wds_export",          # sink: WebDataset tar shards (index oracled)
     "q_cell_mode",           # grouped mode: per-cell modal source (argmax)
     "q_decay_score",         # recency-decayed engagement (exact int shifts)

@@ -3884,6 +3884,83 @@ SELECT doc_id, CAST(lum // {HIST_BIN_W} AS BIGINT) AS bin,
 FROM lum GROUP BY 1, 2 ORDER BY doc_id, bin"""
 
 
+def q_time_weighted() -> str:
+    """Time-weighted aggregation (queries.q_time_weighted): LEAD window
+    per user, half-away cents, floor-div milliseconds — all-integer."""
+    return """WITH o AS (
+  SELECT user_id,
+         epoch_us(ts) AS t,
+         CAST(round(value * 100) AS BIGINT) AS c,
+         LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS t2
+  FROM events)
+SELECT user_id,
+       CAST(SUM(c * ((t2 - t) // 1000)) AS BIGINT) AS num_c_ms,
+       CAST(SUM((t2 - t) // 1000) AS BIGINT) AS dur_ms,
+       CAST(COUNT(*) AS BIGINT) AS n_iv
+FROM o WHERE t2 IS NOT NULL GROUP BY 1 ORDER BY 1"""
+
+
+def q_track_resample() -> str:
+    """Uniform arc-length resampling (stages/tracks.resample_group):
+    segment metric and floor(num/len) interpolation replayed via LEAD
+    windows + a bracket join; zero-length tracks fall back to their
+    first vertex (see the kernel docstring for the exact-floor bound)."""
+    from .stages.tracks import RESAMPLE_M
+
+    return f"""WITH {base_pts_cte()},
+{_TRACK_XY},
+seg0 AS (
+  SELECT insee, sidx, doc_id, ix, iy,
+         LEAD(ix) OVER w AS nx, LEAD(iy) OVER w AS ny
+  FROM xy WINDOW w AS (PARTITION BY insee, sidx ORDER BY doc_id)
+),
+seg AS (
+  SELECT insee, sidx, doc_id, ix, iy, nx, ny,
+         CASE WHEN nx IS NULL THEN 0
+              ELSE CAST(floor(sqrt(CAST((nx - ix) * (nx - ix)
+                                       + (ny - iy) * (ny - iy) AS DOUBLE))
+                              + 0.5) AS BIGINT) END AS len,
+         COALESCE(CAST(SUM(CASE WHEN nx IS NULL THEN 0
+              ELSE CAST(floor(sqrt(CAST((nx - ix) * (nx - ix)
+                                       + (ny - iy) * (ny - iy) AS DOUBLE))
+                              + 0.5) AS BIGINT) END)
+           OVER (PARTITION BY insee, sidx ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS BIGINT), 0) AS cum
+  FROM seg0
+),
+tot AS (
+  SELECT insee, sidx,
+         CAST(SUM(len) AS BIGINT) AS L,
+         MIN(doc_id) AS d0
+  FROM seg GROUP BY 1, 2
+),
+fv AS (
+  SELECT t.insee, t.sidx, t.L, s.ix AS fx, s.iy AS fy
+  FROM tot t JOIN seg s
+    ON s.insee = t.insee AND s.sidx = t.sidx AND s.doc_id = t.d0
+),
+ks AS (SELECT CAST(unnest(range(0, {RESAMPLE_M})) AS BIGINT) AS k),
+tt AS (
+  SELECT insee, sidx, k, L, fx, fy, (k * L) // {RESAMPLE_M} AS t
+  FROM fv CROSS JOIN ks
+)
+SELECT tt.insee, tt.sidx, tt.k,
+       s.ix + CAST(floor(((s.nx - s.ix) * (tt.t - s.cum)) / s.len)
+                   AS BIGINT) AS x_u,
+       s.iy + CAST(floor(((s.ny - s.iy) * (tt.t - s.cum)) / s.len)
+                   AS BIGINT) AS y_u
+FROM tt JOIN seg s
+  ON s.insee = tt.insee AND s.sidx = tt.sidx
+ AND s.cum <= tt.t AND tt.t < s.cum + s.len
+WHERE tt.L > 0
+UNION ALL
+SELECT insee, sidx, k, fx AS x_u, fy AS y_u
+FROM tt WHERE L = 0
+ORDER BY insee, sidx, k"""
+
+
 def q_sssp() -> str:
     """Multi-source weighted shortest paths (queries.q_sssp): unrolled
     Bellman-Ford — exactly SSSP_ROUNDS relaxation CTEs over the exact

@@ -110,7 +110,9 @@ def run_benchmarks() -> dict:
                                             q_event_paths, q_bm25,
                                             q_image_entropy, q_lambert93,
                                             q_phash_clusters, q_tpch_q5,
-                                            q_json_props, q_sssp, q_unpivot)
+                                            q_json_props, q_sssp, q_unpivot,
+                                            q_time_weighted,
+                                            q_track_resample)
     from bano_ray.runtime import ensure_worker_importable
     from bano_ray.stages.export import street_json_zone  # noqa: F401
     ensure_worker_importable()
@@ -223,6 +225,8 @@ def run_benchmarks() -> dict:
         "json_props": lambda: q_json_props(SF_DIR).count(),
         "sssp": lambda: len(q_sssp(SF_DIR)),
         "unpivot": lambda: q_unpivot(SF_DIR).count(),
+        "time_weighted": lambda: q_time_weighted(SF_DIR).count(),
+        "track_resample": lambda: q_track_resample(SF_DIR).count(),
     }
     # phash near-dup at bench scale (expanded image corpus; banding explodes
     # the stream 4x, so run at a bounded expansion like the image stage)
