@@ -180,6 +180,11 @@ _ORACLE_QUERIES = [
     "q_lambert93",           # geo: WGS84→Lambert-93 projection (int mm)
     "q_phash_clusters",      # image: near-dup cluster size census (CC)
     "q_pq_codes",            # similarity: product-quantization codes
+    "q_od_matrix",           # geo: origin→destination track flow matrix
+    "q_speed_spikes",        # geo: GPS implausible-jump census
+    "q_hex_cells",           # geo: H3-style axial hex binning
+    "q_big_orders",          # TPC-H Q18 shape: HAVING cut + broadcast join-back
+    "q_pad_waste",           # LLM: pow-2 length-bucket padding-waste census
 ]
 
 # rows-only queries (approx algorithms with no exact SQL equivalent)

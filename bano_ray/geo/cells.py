@@ -348,3 +348,42 @@ def geohash6(lon, lat) -> np.ndarray:
     for i in range(6):
         out[:, i] = chars[(g >> (25 - 5 * i)) & 31]
     return out.view(dtype="S6").ravel().astype("U6").astype(object)
+
+
+# --- axial hexagon binning (H3-style hex cells, flat math) -----------------
+
+HEX_SIZE = 0.25   # hex circumradius in degrees
+# pointy-top axial basis constants, pinned as the exact doubles used on
+# both sides (the SQL oracle embeds their repr)
+HEX_A = 0.5773502691896257   # sqrt(3)/3
+HEX_B = 0.3333333333333333   # 1/3
+HEX_C = 0.6666666666666666   # 2/3
+
+
+def hex_qr(lon, lat, size: float = HEX_SIZE) -> tuple[np.ndarray, np.ndarray]:
+    """Axial hex-cell coordinates (q, r) for pointy-top hexagons of
+    circumradius ``size`` degrees — the H3-style hex binning primitive
+    (the north-star's hex-cell replacement for square tiles; hexes have
+    uniform neighbor distance, so k-ring smoothing is isotropic).
+
+    Fractional axial coords use the standard basis, cube rounding uses
+    the tie-free floor(v+0.5) convention, and the largest-residual fixup
+    runs as strict-> comparisons — every op is an IEEE double op in a
+    pinned order, so the SQL oracle (oracle.q_hex_cells) reproduces the
+    integer cells bit-for-bit."""
+    x = np.asarray(lon, dtype=np.float64)
+    y = np.asarray(lat, dtype=np.float64)
+    q = ((x * HEX_A) - (y * HEX_B)) / size
+    r = (y * HEX_C) / size
+    s = (0.0 - q) - r
+    rq = np.floor(q + 0.5)
+    rr = np.floor(r + 0.5)
+    rs = np.floor(s + 0.5)
+    dq = np.abs(rq - q)
+    dr = np.abs(rr - r)
+    ds = np.abs(rs - s)
+    fix_q = (dq > dr) & (dq > ds)
+    fix_r = ~fix_q & (dr > ds)
+    hq = np.where(fix_q, (0.0 - rr) - rs, rq)
+    hr = np.where(fix_r, (0.0 - rq) - rs, rr)
+    return hq.astype(np.int64), hr.astype(np.int64)

@@ -4206,3 +4206,129 @@ def q_langid_confusion() -> str:
              WHEN ({fr}) > ({en}) THEN 'fr' ELSE 'und' END) AS lang_pred,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM documents GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+def q_od_matrix() -> str:
+    """OD flow matrix (stages/tracks.od_matrix): per-track endpoints via
+    arg_min/arg_max over doc_id (unique per row → deterministic), cells
+    as the identical clamp-then-scale BIGINT chain (nonneg, so // is
+    floor on both sides)."""
+    from .stages.tracks import (OD_RES, _LAT0_U, _LON0_U, _SPANX_U,
+                                _SPANY_U)
+
+    def cell(ix: str, iy: str) -> str:
+        cx = (f"((least(greatest({ix} - ({_LON0_U}), 0), {_SPANX_U - 1})"
+              f" * {OD_RES}) // {_SPANX_U})")
+        cy = (f"((least(greatest({iy} - ({_LAT0_U}), 0), {_SPANY_U - 1})"
+              f" * {OD_RES}) // {_SPANY_U})")
+        return f"({cx} * {OD_RES} + {cy})"
+
+    return f"""WITH {base_pts_cte()},
+{_TRACK_XY},
+tr AS (
+  SELECT insee, sidx,
+         arg_min(ix, doc_id) AS oix, arg_min(iy, doc_id) AS oiy,
+         arg_max(ix, doc_id) AS dix, arg_max(iy, doc_id) AS diy
+  FROM xy GROUP BY 1, 2
+)
+SELECT {cell('oix', 'oiy')} AS o_cell, {cell('dix', 'diy')} AS d_cell,
+       CAST(COUNT(*) AS BIGINT) AS n_tracks
+FROM tr GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+def q_speed_spikes() -> str:
+    """GPS spike census (stages/tracks.speed_spikes): exact int64
+    squared-step comparison for the spike flag; reported max step uses
+    the shared floor(sqrt+0.5) integer metric."""
+    from .stages.tracks import _SPIKE_T2
+
+    return f"""WITH {base_pts_cte()},
+{_TRACK_XY},
+seg AS (
+  SELECT insee, sidx,
+         (ix - LAG(ix) OVER w) AS dx, (iy - LAG(iy) OVER w) AS dy
+  FROM xy WINDOW w AS (PARTITION BY insee, sidx ORDER BY doc_id)
+)
+SELECT insee, sidx,
+       CAST(SUM(CASE WHEN dx*dx + dy*dy > {_SPIKE_T2} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_spikes,
+       CAST(MAX(CAST(floor(sqrt(CAST(dx*dx + dy*dy AS DOUBLE)) + 0.5)
+                     AS BIGINT)) AS BIGINT) AS max_step_u
+FROM seg WHERE dx IS NOT NULL
+GROUP BY 1, 2
+HAVING SUM(CASE WHEN dx*dx + dy*dy > {_SPIKE_T2} THEN 1 ELSE 0 END) > 0
+ORDER BY 1, 2"""
+
+
+def q_hex_cells() -> str:
+    """Axial hex binning (geo/cells.hex_qr): the identical pinned-double
+    chain — basis constants embedded by repr, cube rounding with
+    floor(v+0.5), largest-residual fixup as the same strict-> CASE."""
+    from .geo.cells import HEX_A, HEX_B, HEX_C, HEX_SIZE
+
+    return f"""WITH {base_pts_cte()},
+hf AS (
+  SELECT doc_id,
+         ((lon * {HEX_A!r}) - (lat * {HEX_B!r})) / {HEX_SIZE!r} AS q,
+         (lat * {HEX_C!r}) / {HEX_SIZE!r} AS r
+  FROM pts2
+),
+hs AS (SELECT doc_id, q, r, ((0.0 - q) - r) AS s FROM hf),
+hr AS (
+  SELECT doc_id, q, r, s,
+         floor(q + 0.5) AS rq, floor(r + 0.5) AS rr, floor(s + 0.5) AS rs
+  FROM hs
+),
+hd AS (
+  SELECT doc_id, rq, rr, rs,
+         abs(rq - q) AS dq, abs(rr - r) AS dr, abs(rs - s) AS ds
+  FROM hr
+),
+hx AS (
+  SELECT doc_id,
+         CAST(CASE WHEN dq > dr AND dq > ds THEN (0.0 - rr) - rs
+                   ELSE rq END AS BIGINT) AS hexq,
+         CAST(CASE WHEN NOT (dq > dr AND dq > ds) AND dr > ds
+                   THEN (0.0 - rq) - rs ELSE rr END AS BIGINT) AS hexr
+  FROM hd
+)
+SELECT hexq, hexr, CAST(COUNT(*) AS BIGINT) AS n_points
+FROM hx GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+def q_big_orders() -> str:
+    """TPC-H Q18 shape (queries.q_big_orders): integral-double quantities
+    sum as exact BIGINTs; order total price to tie-free cents."""
+    from .pipelines.queries import _Q18_MIN_QTY
+
+    return f"""WITH oq AS (
+  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+  FROM lineitem GROUP BY 1 HAVING SUM(CAST(l_quantity AS BIGINT)) > {_Q18_MIN_QTY}
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT) AS total_c,
+       oq.sum_qty
+FROM oq JOIN orders o ON o.o_orderkey = oq.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o.o_orderkey"""
+
+
+def q_pad_waste() -> str:
+    """Padding-waste census (queries.q_pad_waste): next-pow2 bucket as an
+    integer CASE chain (the engine's frexp bit-length is exact, so the
+    chain matches bit-for-bit)."""
+    from .pipelines.queries import _PAD_MAX_POW
+
+    chain = " ".join(
+        f"WHEN n <= {1 << p} THEN {1 << p}"
+        for p in range(_PAD_MAX_POW + 1))
+    return f"""WITH tok AS (
+  SELECT doc_id, CAST({_NTOK} AS BIGINT) AS n FROM documents
+),
+bk AS (
+  SELECT n, (CASE {chain} ELSE {1 << _PAD_MAX_POW} END) AS bucket FROM tok
+)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS sum_tokens,
+       CAST(bucket * COUNT(*) - SUM(n) AS BIGINT) AS pad_waste
+FROM bk GROUP BY 1 ORDER BY 1"""

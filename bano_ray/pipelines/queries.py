@@ -3899,3 +3899,179 @@ def q_langid_confusion(sf_dir: str):
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby(["lang", "lang_pred"])
             .aggregate(Sum("n", alias_name="n")))
+
+
+def q_od_matrix(sf_dir: str):
+    """Origin→destination flow matrix over the per-(zone, street) tracks
+    (stages/tracks.od_matrix): per-track endpoints resolve inside the
+    coarse shards, so the only post-shard shuffle moves the sparse
+    (o_cell, d_cell) support — the mobility-flow primitive (where do
+    trips start and end).  Exact-integer 64×64 grid cells from the
+    micro-degree coordinates.  Oracle-gated (oracle.q_od_matrix via
+    arg_min/arg_max endpoint windows)."""
+    from ..stages.tracks import od_matrix
+
+    ensure_worker_importable()
+    return od_matrix(sf_dir)
+
+
+def q_speed_spikes(sf_dir: str):
+    """GPS implausible-jump census (stages/tracks.speed_spikes): per
+    track, the count of steps longer than SPIKE_LEN_U plus the max
+    integer step length — the trace-cleaning signal that decides whether
+    a trajectory is usable.  Exact int64 squared-step comparisons; same
+    shard/lexsort scaffold as the other geometry kernels.  Oracle-gated
+    (oracle.q_speed_spikes via LAG windows)."""
+    from ..stages.tracks import speed_spikes
+
+    ensure_worker_importable()
+    return speed_spikes(sf_dir)
+
+
+def q_hex_cells(sf_dir: str):
+    """H3-style axial hex binning (geo/cells.hex_qr): pointy-top hexagons
+    of 0.25° circumradius, cube rounding with the tie-free floor(v+0.5)
+    convention — the north-star's hex-cell partitioning primitive (hexes
+    have uniform neighbor distance, unlike square tiles).  One stateless
+    vectorized pass + a hex-support-sized groupby.  Oracle-gated
+    (oracle.q_hex_cells mirrors the double chain op-for-op)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..geo.cells import hex_qr
+
+    ensure_worker_importable()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy()
+        lon, lat = datagen.lon_lat(d)
+        hq, hr = hex_qr(lon, lat)
+        key = hq * 1_000_000 + hr     # |q|,|r| < 500k: collision-free pack
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({"hexq": pa.array(uk // 1_000_000),
+                         "hexr": pa.array(uk - (uk // 1_000_000) * 1_000_000),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    return (ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                  columns=["doc_id"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(["hexq", "hexr"]).aggregate(Sum("n", alias_name="n_points")))
+
+
+_Q18_MIN_QTY = 150   # HAVING cut: orders with > 150 total units
+
+
+def q_big_orders(sf_dir: str):
+    """TPC-H Q18 shape — large-volume orders: lineitem pre-aggregates
+    quantity per order map-side (bincount partials), ONE groupby merges
+    them, the HAVING cut (> _Q18_MIN_QTY units) leaves an
+    orderkey set bounded by the cut's selectivity which broadcasts via
+    ``ray.put`` (the q_broadcast_join contract) to filter the orders
+    stream; the customer dim attaches driver-free via the same broadcast
+    discipline.  Quantities are integral doubles → exact int64 sums.
+    Oracle-gated (oracle.q_big_orders)."""
+    import ray
+
+    ensure_worker_importable()
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        k = batch.column("l_orderkey").to_numpy()
+        q = batch.column("l_quantity").to_numpy().astype(np.int64)
+        uk, inv = np.unique(k, return_inverse=True)
+        s = np.bincount(inv, weights=q.astype(np.float64)).astype(np.int64)
+        return pa.table({"l_orderkey": pa.array(uk), "q": pa.array(s)})
+
+    from ray.data.aggregate import Sum
+
+    big = (ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                                 columns=["l_orderkey", "l_quantity"])
+           .map_batches(qty_partial, batch_format="pyarrow")
+           .groupby("l_orderkey").aggregate(Sum("q", alias_name="sum_qty"))
+           .filter(expr=f"sum_qty > {_Q18_MIN_QTY}")
+           .to_pandas())   # bounded by the HAVING selectivity by contract
+    qty_map = dict(zip(big["l_orderkey"].astype(np.int64), big["sum_qty"]))
+    keys_ref = ray.put(np.sort(big["l_orderkey"].to_numpy().astype(np.int64)))
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_name"]).to_pandas()
+    cust_ref = ray.put(dict(zip(cust["c_custkey"].astype(np.int64),
+                                cust["c_name"])))
+    qty_ref = ray.put(qty_map)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        ok = batch.column("o_orderkey").to_numpy()
+        pos = np.searchsorted(keys, ok)
+        pos = np.minimum(pos, len(keys) - 1) if len(keys) else pos
+        m = (len(keys) > 0) & (keys[pos] == ok) if len(keys) else \
+            np.zeros(len(ok), dtype=bool)
+        sub = batch.filter(pa.array(m))
+        ok2 = sub.column("o_orderkey").to_numpy()
+        ck = sub.column("o_custkey").to_numpy().astype(np.int64)
+        cmap, qmap = ray.get(cust_ref), ray.get(qty_ref)
+        price = sub.column("o_totalprice").to_numpy()
+        return pa.table({
+            "c_name": pa.array([cmap[c] for c in ck], pa.string()),
+            "c_custkey": pa.array(ck),
+            "o_orderkey": pa.array(ok2),
+            "o_orderdate": sub.column("o_orderdate"),
+            "total_c": pa.array(np.floor(price * 100.0 + 0.5).astype(np.int64)),
+            "sum_qty": pa.array(np.asarray([qmap[k] for k in ok2], np.int64)),
+        })
+
+    return (ray.data.read_parquet(
+                f"{sf_dir}/orders.parquet",
+                columns=["o_orderkey", "o_custkey", "o_orderdate",
+                         "o_totalprice"])
+            .map_batches(attach, batch_format="pyarrow"))
+
+
+# power-of-two padding buckets up to 64k tokens (CASE chain in the oracle)
+_PAD_MAX_POW = 16
+
+
+def q_pad_waste(sf_dir: str):
+    """LLM batch-packing efficiency census: bucket every document by the
+    next power of two of its whitespace token count, and report per
+    bucket the doc count, true token sum and the padding waste a
+    pad-to-bucket-max batcher would pay (n_docs·bucket − sum_tokens) —
+    the measurement that motivates q_seq_pack.  Stateless token counting
+    (stages/text.token_count_batch) + per-batch np.unique partials; the
+    shuffle moves ≤ 17 bucket rows per block.  Oracle-gated
+    (oracle.q_pad_waste)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..stages.text import token_count_batch
+
+    ensure_worker_importable()
+    # exact next-pow2 lookup (clamped to 2^_PAD_MAX_POW)
+    lut_max = 1 << _PAD_MAX_POW
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = token_count_batch(batch).column("n_tokens").to_numpy() \
+            .astype(np.int64)
+        b = np.maximum(n, 1)
+        # next-pow2 via frexp (exact: bit_length(b-1) = frexp exponent)
+        _, e = np.frexp((b - 1).astype(np.float64))
+        bucket = np.minimum(np.int64(1) << e.astype(np.int64), lut_max)
+        uk, inv = np.unique(bucket, return_inverse=True)
+        cnt = np.bincount(inv).astype(np.int64)
+        tok = np.bincount(inv, weights=n.astype(np.float64)).astype(np.int64)
+        return pa.table({"bucket": pa.array(uk), "n_docs": pa.array(cnt),
+                         "sum_tokens": pa.array(tok)})
+
+    agg = (ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("bucket")
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("sum_tokens", alias_name="sum_tokens")))
+
+    def waste(batch: pa.Table) -> pa.Table:
+        b = batch.column("bucket").to_numpy()
+        nd = batch.column("n_docs").to_numpy()
+        st = batch.column("sum_tokens").to_numpy()
+        return batch.append_column(
+            "pad_waste", pa.array((b * nd - st).astype(np.int64)))
+
+    return agg.map_batches(waste, batch_format="pyarrow")

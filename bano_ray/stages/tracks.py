@@ -554,3 +554,97 @@ def track_resample(sf_dir: str):
     """Uniform arc-length resampling pipeline (see resample_group)."""
     return _sharded(sf_dir).map_groups(resample_group,
                                        batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Origin→destination flow matrix
+# ---------------------------------------------------------------------------
+
+# OD flow cells: a 64×64 integer grid over the corpus bbox, computed from
+# the micro-degree ints so the assignment is pure BIGINT on both sides.
+OD_RES = 64
+_LON0_U = int(datagen.LON0 * 1_000_000)
+_LAT0_U = int(datagen.LAT0 * 1_000_000)
+_SPANX_U = int(datagen.LON_SPAN * 1_000_000)
+_SPANY_U = int(datagen.LAT_SPAN * 1_000_000)
+
+
+def _od_cell(ix: np.ndarray, iy: np.ndarray) -> np.ndarray:
+    """Packed OD cell id cx*OD_RES + cy from micro-degree coordinates —
+    clamp-then-scale in exact int64 (nonneg throughout, so // is floor on
+    both numpy and DuckDB)."""
+    nx = np.clip(ix - _LON0_U, 0, _SPANX_U - 1)
+    ny = np.clip(iy - _LAT0_U, 0, _SPANY_U - 1)
+    cx = (nx * OD_RES) // _SPANX_U
+    cy = (ny * OD_RES) // _SPANY_U
+    return cx * OD_RES + cy
+
+
+def od_partial(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-shard kernel: partial (o_cell, d_cell, n_tracks) flow counts.
+    Origin = the track's first point (min doc_id), destination = its last
+    — each track lives whole in its shard, so per-track endpoints are
+    final here and only the (cells², in practice sparse) flow table ever
+    shuffles."""
+    z, _, ix, iy, first, last = _ordered(df)
+    if not len(z):
+        return pd.DataFrame({"o_cell": [], "d_cell": [], "n_tracks": []})
+    o_cell = _od_cell(ix[first], iy[first])
+    d_cell = _od_cell(ix[last], iy[last])
+    key = o_cell * (OD_RES * OD_RES) + d_cell
+    uk, cnt = np.unique(key, return_counts=True)
+    return pd.DataFrame({"o_cell": uk // (OD_RES * OD_RES),
+                         "d_cell": uk % (OD_RES * OD_RES),
+                         "n_tracks": cnt.astype(np.int64)})
+
+
+def od_matrix(sf_dir: str):
+    """(o_cell, d_cell, n_tracks): origin→destination flow matrix over the
+    per-(zone, street) tracks — the mobility-analytics primitive (flows
+    between grid cells).  Shuffle #2 moves only distinct (o, d) pairs —
+    bounded by OD_RES⁴ but in practice the sparse support — regardless of
+    corpus size."""
+    from ray.data.aggregate import Sum
+
+    return (_sharded(sf_dir).map_groups(od_partial, batch_format="pandas")
+            .groupby(["o_cell", "d_cell"])
+            .aggregate(Sum("n_tracks", alias_name="n_tracks")))
+
+
+# ---------------------------------------------------------------------------
+# GPS spike (implausible-jump) census
+# ---------------------------------------------------------------------------
+
+SPIKE_LEN_U = 1_000_000          # spike threshold: step > 1e6 µ° (~1°)
+_SPIKE_T2 = SPIKE_LEN_U * SPIKE_LEN_U
+
+
+def spikes_group(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-shard kernel: (insee, sidx, n_spikes, max_step_u) for tracks
+    with ≥ 1 implausible jump — the GPS-trace cleaning census (a spike =
+    a step longer than ``SPIKE_LEN_U``; comparison on the exact int64
+    squared step, reported max on the rounded integer step length)."""
+    cols = ["insee", "sidx", "n_spikes", "max_step_u"]
+    z, _, ix, iy, first, _ = _ordered(df)
+    if not len(z):
+        return pd.DataFrame({c: [] for c in cols})
+    gidx = np.cumsum(first) - 1
+    ntr = int(gidx[-1]) + 1
+    dx = (ix[1:] - ix[:-1])
+    dy = (iy[1:] - iy[:-1])
+    valid = ~first[1:]
+    spike = valid & (dx * dx + dy * dy > _SPIKE_T2)
+    n_spikes = np.bincount(gidx[1:][spike], minlength=ntr).astype(np.int64)
+    step = _seg_lengths(ix, iy, valid).astype(np.int64)
+    max_step = np.zeros(ntr, dtype=np.int64)
+    np.maximum.at(max_step, gidx[1:][valid], step[valid])
+    keep = n_spikes > 0
+    insee, sidx = _insee_sidx(z[first][keep])
+    return pd.DataFrame({"insee": insee, "sidx": sidx,
+                         "n_spikes": n_spikes[keep],
+                         "max_step_u": max_step[keep]})
+
+
+def speed_spikes(sf_dir: str):
+    """Implausible-jump census per track (see spikes_group)."""
+    return _sharded(sf_dir).map_groups(spikes_group, batch_format="pandas")

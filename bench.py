@@ -112,7 +112,9 @@ def run_benchmarks() -> dict:
                                             q_phash_clusters, q_tpch_q5,
                                             q_json_props, q_sssp, q_unpivot,
                                             q_time_weighted,
-                                            q_track_resample)
+                                            q_track_resample, q_od_matrix,
+                                            q_speed_spikes, q_hex_cells,
+                                            q_big_orders, q_pad_waste)
     from bano_ray.runtime import ensure_worker_importable
     from bano_ray.stages.export import street_json_zone  # noqa: F401
     ensure_worker_importable()
@@ -227,6 +229,11 @@ def run_benchmarks() -> dict:
         "unpivot": lambda: q_unpivot(SF_DIR).count(),
         "time_weighted": lambda: q_time_weighted(SF_DIR).count(),
         "track_resample": lambda: q_track_resample(SF_DIR).count(),
+        "od_matrix": lambda: q_od_matrix(SF_DIR).count(),
+        "speed_spikes": lambda: q_speed_spikes(SF_DIR).count(),
+        "hex_cells": lambda: q_hex_cells(SF_DIR).count(),
+        "big_orders": lambda: q_big_orders(SF_DIR).count(),
+        "pad_waste": lambda: q_pad_waste(SF_DIR).count(),
     }
     # phash near-dup at bench scale (expanded image corpus; banding explodes
     # the stream 4x, so run at a bounded expansion like the image stage)

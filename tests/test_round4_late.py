@@ -1,0 +1,120 @@
+"""Late round-4 operators: OD matrix, GPS spikes, hex binning, Q18 shape,
+padding-waste census."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _oracle(sf, sql):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * "
+                f"FROM read_parquet('{sf}/{t}.parquet')")
+    return con.sql(sql).df()
+
+
+class TestHexQr:
+    def test_origin_and_neighbors(self):
+        from bano_ray.geo.cells import HEX_SIZE, hex_qr
+
+        q, r = hex_qr(np.array([0.0]), np.array([0.0]))
+        assert (q[0], r[0]) == (0, 0)
+        # a point one hex-width east lands in an adjacent column
+        q2, r2 = hex_qr(np.array([HEX_SIZE * 1.7320508]), np.array([0.0]))
+        assert (q2[0], r2[0]) == (1, 0)
+
+    def test_cube_constraint_holds_after_rounding(self):
+        from bano_ray.geo.cells import hex_qr
+
+        rng = np.random.default_rng(7)
+        lon = rng.uniform(-5, 9, 5000)
+        lat = rng.uniform(41, 51, 5000)
+        q, r = hex_qr(lon, lat)
+        # axial (q, r) always defines a valid cube cell; centers must be
+        # within one circumradius of the input in axial space
+        from bano_ray.geo.cells import HEX_A, HEX_B, HEX_C, HEX_SIZE
+
+        qf = ((lon * HEX_A) - (lat * HEX_B)) / HEX_SIZE
+        rf = (lat * HEX_C) / HEX_SIZE
+        assert np.all(np.abs(q - qf) <= 1.0)
+        assert np.all(np.abs(r - rf) <= 1.0)
+        # the rounded cell's center is the nearest hex center in the
+        # cartesian plane (cube rounding == containing hexagon)
+        sq3 = np.sqrt(3.0)
+
+        def center(cq, cr):
+            return (HEX_SIZE * sq3 * (cq + cr / 2.0),
+                    HEX_SIZE * 1.5 * cr)
+
+        px = HEX_SIZE * sq3 * (qf + rf / 2.0)
+        py = HEX_SIZE * 1.5 * rf
+        cx, cy = center(q, r)
+        own = (px - cx) ** 2 + (py - cy) ** 2
+        for dq_ in (-1, 0, 1):
+            for dr_ in (-1, 0, 1):
+                if dq_ == dr_ == 0:
+                    continue
+                nx, ny = center(q + dq_, r + dr_)
+                other = (px - nx) ** 2 + (py - ny) ** 2
+                assert np.all(own <= other + 1e-9)
+
+
+class TestTrackOdSpikes:
+    def _df(self):
+        # two tracks in one shard: zid 1001 (3 pts), zid 2002 (2 pts)
+        return pd.DataFrame({
+            "zid": [1001, 1001, 1001, 2002, 2002],
+            "doc_id": [3, 1, 2, 10, 11],
+            "ix": [2_000_000, 0, 1_000_000, -5_000_000, 9_000_000],
+            "iy": [45_000_000, 41_000_000, 43_000_000,
+                   41_000_000, 50_999_999],
+        })
+
+    def test_od_partial_endpoints(self):
+        from bano_ray.stages.tracks import _od_cell, od_partial
+
+        out = od_partial(self._df()).sort_values(
+            ["o_cell", "d_cell"]).reset_index(drop=True)
+        # track 1001: origin = doc 1 (0, 41e6), dest = doc 3 (2e6, 45e6)
+        o1 = _od_cell(np.array([0]), np.array([41_000_000]))[0]
+        d1 = _od_cell(np.array([2_000_000]), np.array([45_000_000]))[0]
+        o2 = _od_cell(np.array([-5_000_000]), np.array([41_000_000]))[0]
+        d2 = _od_cell(np.array([9_000_000]), np.array([50_999_999]))[0]
+        got = set(zip(out["o_cell"], out["d_cell"], out["n_tracks"]))
+        assert got == {(o1, d1, 1), (o2, d2, 1)}
+        assert o2 == 0                      # clamp at the bbox corner
+        assert d2 == 64 * 64 - 1            # clamp at the far corner
+
+    def test_spike_kernel(self):
+        from bano_ray.stages.tracks import spikes_group
+
+        out = spikes_group(self._df())
+        # track 1001 steps: (1e6,2e6) len>1e6 spike; (1e6,2e6) spike
+        # track 2002 step: (14e6, ~10e6) one giant spike
+        out = out.sort_values("sidx").reset_index(drop=True)
+        assert list(out["n_spikes"]) == [2, 1]
+        assert out.loc[1, "max_step_u"] == int(
+            np.floor(np.sqrt(14_000_000.0**2 + 9_999_999.0**2) + 0.5))
+
+
+@pytest.mark.parametrize("name", ["q_od_matrix", "q_speed_spikes",
+                                  "q_hex_cells", "q_big_orders",
+                                  "q_pad_waste"])
+def test_oracle_parity_sf0001(ray_session, name):
+    import bano_ray.oracle as O
+    import bano_ray.pipelines.queries as Q
+
+    res = getattr(Q, name)(SF)
+    df_r = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+    df_o = _oracle(SF, getattr(O, name)())
+    cols = sorted(df_o.columns)
+    a = df_r[cols].sort_values(cols).reset_index(drop=True)
+    b = df_o[cols].sort_values(cols).reset_index(drop=True)
+    assert len(a) == len(b) and len(a) > 0
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
