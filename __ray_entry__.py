@@ -185,6 +185,9 @@ _ORACLE_QUERIES = [
     "q_hex_cells",           # geo: H3-style axial hex binning
     "q_big_orders",          # TPC-H Q18 shape: HAVING cut + broadcast join-back
     "q_pad_waste",           # LLM: pow-2 length-bucket padding-waste census
+    "q_knn_graph",           # geo: bounded-radius exact kNN graph
+    "q_rolling_window",      # window: bounded ROWS frame sum per user
+    "q_pmi_assoc",           # stats: PMI association census (lang × source)
 ]
 
 # rows-only queries (approx algorithms with no exact SQL equivalent)
@@ -193,6 +196,7 @@ _ROWSONLY_QUERIES = [
     "q_image_roundtrip",     # image payload decode/validate stage
     "q_image_thumbs",        # multimodal decode → resize → feature stage
     "q_frame_sample",        # multimodal video frame-sampling stage
+    "q_compress_ratio",      # text: DEFLATE compressibility quality signal
 ]
 
 

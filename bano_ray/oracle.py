@@ -4332,3 +4332,77 @@ SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n) AS BIGINT) AS sum_tokens,
        CAST(bucket * COUNT(*) - SUM(n) AS BIGINT) AS pad_waste
 FROM bk GROUP BY 1 ORDER BY 1"""
+
+
+def q_knn_graph() -> str:
+    """Bounded-radius kNN graph (stages/spatial.knn_graph): exact int64 µ°
+    distances; rank = ROW_NUMBER over (d2, nbr_id) — total order, so the
+    grid-bucketed engine matches bit-for-bit."""
+    from .pipelines.queries import KNN_GRAPH_K, KNN_GRAPH_R_U
+
+    r2 = KNN_GRAPH_R_U * KNN_GRAPH_R_U
+    return f"""WITH {base_pts_cte()},
+xy AS (
+  SELECT doc_id,
+         CAST(floor(lon * 1000000.0 + 0.5) AS BIGINT) AS ix,
+         CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT) AS iy
+  FROM pts2
+),
+pairs AS (
+  SELECT a.doc_id AS doc_id, b.doc_id AS nbr_id,
+         (a.ix - b.ix) * (a.ix - b.ix)
+         + (a.iy - b.iy) * (a.iy - b.iy) AS d2_u
+  FROM xy a JOIN xy b
+    ON b.doc_id <> a.doc_id
+   AND abs(a.ix - b.ix) <= {KNN_GRAPH_R_U}
+   AND abs(a.iy - b.iy) <= {KNN_GRAPH_R_U}
+  WHERE (a.ix - b.ix) * (a.ix - b.ix)
+        + (a.iy - b.iy) * (a.iy - b.iy) <= {r2}
+),
+r AS (
+  SELECT doc_id, nbr_id, d2_u,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY d2_u, nbr_id) AS rank
+  FROM pairs
+)
+SELECT doc_id, rank, nbr_id, d2_u FROM r
+WHERE rank <= {KNN_GRAPH_K} ORDER BY doc_id, rank"""
+
+
+def q_rolling_window() -> str:
+    """Bounded window frame (stages/window.rolling_frame): tie-free cents,
+    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW sum + frame row count."""
+    from .stages.window import ROLL_FRAME
+
+    return f"""WITH ev AS (
+  SELECT event_id, user_id, ts,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN {ROLL_FRAME - 1} PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS roll_c,
+       CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN {ROLL_FRAME - 1} PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_frame
+FROM ev ORDER BY user_id, event_id"""
+
+
+def q_pmi_assoc() -> str:
+    """PMI association (queries.q_pmi_assoc): identical double chain —
+    (n·N)/(n_lang·n_src) then ln, round 6."""
+    return """WITH ct AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2
+),
+m AS (
+  SELECT lang, source, n,
+         CAST(SUM(n) OVER () AS DOUBLE) AS nn,
+         CAST(SUM(n) OVER (PARTITION BY lang) AS DOUBLE) AS nl,
+         CAST(SUM(n) OVER (PARTITION BY source) AS DOUBLE) AS ns
+  FROM ct
+)
+SELECT lang, source, n,
+       round(ln((CAST(n AS DOUBLE) * nn) / (nl * ns)), 6) AS pmi
+FROM m ORDER BY lang, source"""

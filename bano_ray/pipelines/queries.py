@@ -4075,3 +4075,135 @@ def q_pad_waste(sf_dir: str):
             "pad_waste", pa.array((b * nd - st).astype(np.int64)))
 
     return agg.map_batches(waste, batch_format="pyarrow")
+
+
+KNN_GRAPH_R_U = 100_000   # bounded kNN radius: 0.1° in micro-degrees
+KNN_GRAPH_K = 3
+
+
+def q_knn_graph(sf_dir: str):
+    """Bounded-radius exact kNN graph (stages/spatial.knn_graph): every
+    point's 3 nearest other points within 0.1° — the neighborhood-graph
+    primitive under spatial smoothing / local outlier detection.  Grid
+    cells at the radius + 3×3 probe fan-out make each point's candidate
+    set cell-local, so the per-point top-k finishes inside the one cell
+    groupby.  Exact int64 µ° distances, (d2, nbr_id) tie-break.
+    Oracle-gated (oracle.q_knn_graph ROW_NUMBER)."""
+    import ray
+
+    from ..stages.spatial import knn_graph
+
+    ensure_worker_importable()
+
+    def to_u(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy()
+        lon, lat = datagen.lon_lat(d)
+        return pa.table({
+            "doc_id": pa.array(d),
+            "ix": pa.array(np.floor(lon * 1e6 + 0.5).astype(np.int64)),
+            "iy": pa.array(np.floor(lat * 1e6 + 0.5).astype(np.int64)),
+        })
+
+    pts = (ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+           .map_batches(to_u, batch_format="pyarrow"))
+    return knn_graph(pts, KNN_GRAPH_R_U, k=KNN_GRAPH_K)
+
+
+def q_rolling_window(sf_dir: str):
+    """Bounded window-frame aggregate (stages/window.rolling_frame):
+    SUM(cents) OVER (... ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) per
+    user — the frame member of the window family (running sums are the
+    UNBOUNDED PRECEDING case, q_window_funcs).  Coarse-shard + one flat
+    lexsort; the frame sum is a clamped cumsum difference.  Oracle-gated
+    (oracle.q_rolling_window)."""
+    import ray
+
+    from ..stages.window import rolling_frame
+
+    ensure_worker_importable()
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "user_id",
+                                        "value"])
+    return rolling_frame(ds)
+
+
+def q_pmi_assoc(sf_dir: str):
+    """Categorical association census: pointwise mutual information of
+    (lang, source) over documents — pmi = ln(n·N / (n_lang·n_src)),
+    rounded to 6 places.  One contingency combiner (per-block np.unique
+    partials → a langs×sources-sized groupby) + a margins broadcast-free
+    finish: the contingency IS the margins source, so the finish is a
+    single in-batch normalization over the tiny aggregate.  Oracle-gated
+    (oracle.q_pmi_assoc evaluates the identical double expression)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ensure_worker_importable()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "lang": batch.column("lang").to_numpy(zero_copy_only=False),
+            "source": batch.column("source").to_numpy(zero_copy_only=False)})
+        g = (df.groupby(["lang", "source"], sort=False)
+             .size().reset_index(name="n"))
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["lang", "source"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby(["lang", "source"]).aggregate(Sum("n", alias_name="n")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        # the contingency is category²-sized: margins resolve in-batch
+        df = batch.to_pandas()
+        N = float(df["n"].sum())
+        nl = df.groupby("lang")["n"].transform("sum").to_numpy().astype(np.float64)
+        ns = df.groupby("source")["n"].transform("sum").to_numpy().astype(np.float64)
+        n = df["n"].to_numpy().astype(np.float64)
+        pmi = np.round(np.log((n * N) / (nl * ns)), 6)
+        return pa.table({"lang": pa.array(df["lang"], pa.string()),
+                         "source": pa.array(df["source"], pa.string()),
+                         "n": pa.array(df["n"].to_numpy()),
+                         "pmi": pa.array(pmi)})
+
+    # one block by construction (category² rows) → the finish sees the
+    # whole contingency
+    return agg.repartition(1).map_batches(finish, batch_format="pyarrow")
+
+
+def q_compress_ratio(sf_dir: str):
+    """Compressibility quality signal (rows-only: no SQL zlib): per-doc
+    DEFLATE-compressed length over raw length — the standard
+    low-information-content filter in corpus curation (highly repetitive
+    boilerplate compresses far below natural text).  zlib level 6, ratio
+    in exact integer permille (comp·1000 // raw) so the output is
+    deterministic across platforms; the per-row C call is the same
+    per-row-hash shape as md5 — no Python-level inner loop beyond the
+    dispatch.  Round-trip + planted-ordering tests carry correctness
+    (tests/test_round4_late.py)."""
+    import zlib
+
+    import ray
+
+    ensure_worker_importable()
+
+    def f(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        raw = np.fromiter((len(t.encode("utf-8")) for t in texts),
+                          dtype=np.int64, count=len(texts))
+        comp = np.fromiter(
+            (len(zlib.compress(t.encode("utf-8"), 6)) for t in texts),
+            dtype=np.int64, count=len(texts))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "raw_len": pa.array(raw),
+            "comp_len": pa.array(comp),
+            "ratio_pm": pa.array(np.where(raw > 0, (comp * 1000) // np.maximum(raw, 1),
+                                          1000).astype(np.int64)),
+        })
+
+    return (ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                  columns=["doc_id", "text"])
+            .map_batches(f, batch_format="pyarrow"))

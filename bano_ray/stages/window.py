@@ -151,3 +151,60 @@ def window_ranks(ds, n_tiles: int = 4):
 
     return (ds.map_batches(shard, batch_format="pyarrow")
             .groupby("_shard").map_groups(ranks, batch_format="pandas"))
+
+
+ROLL_FRAME = 3   # ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+
+
+def rolling_frame(ds, frame: int = ROLL_FRAME):
+    """events Dataset → (event_id, user_id, roll_c, n_frame): bounded
+    window FRAME aggregation — SUM(cents) OVER (PARTITION BY user_id
+    ORDER BY ts, event_id ROWS BETWEEN frame-1 PRECEDING AND CURRENT ROW)
+    plus the frame's actual row count.
+
+    The bounded frame is the window family member running sums can't
+    express: the kernel is the same coarse-shard + ONE flat lexsort as
+    :func:`window_user_events`, the frame sum a cumsum difference
+    ``cs[i] − cs[i−frame]`` clamped at each user's start — still no
+    per-user loop and integer cents throughout.
+    """
+    C = _coarse_groups()
+
+    def shard(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy()
+        val = batch.column("value").to_numpy()
+        cents = np.floor(val * 100.0 + 0.5).astype(np.int64)
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "ts": batch.column("ts").cast(pa.int64()),
+            "cents": pa.array(cents),
+            "_shard": pa.array((u.astype(np.uint64)
+                                % np.uint64(C)).astype(np.int64)),
+        })
+
+    def roll(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].to_numpy()
+        ts = df["ts"].to_numpy()
+        ev = df["event_id"].to_numpy()
+        cents = df["cents"].to_numpy()
+        order = np.lexsort((ev, ts, u))
+        u, ts, ev, cents = u[order], ts[order], ev[order], cents[order]
+        n = len(u)
+        first = np.ones(n, dtype=bool)
+        first[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(first)
+        sizes = np.diff(np.append(starts, n))
+        row_start = np.repeat(starts, sizes)          # user start per row
+        rn0 = np.arange(n, dtype=np.int64) - row_start
+        lo = np.maximum(np.arange(n) - (frame - 1), row_start)
+        cs = np.concatenate([[0], np.cumsum(cents)])  # cs[i] = sum(< i)
+        roll_c = cs[np.arange(n) + 1] - cs[lo]
+        return pd.DataFrame({
+            "event_id": ev, "user_id": u,
+            "roll_c": roll_c.astype(np.int64),
+            "n_frame": (np.minimum(rn0, frame - 1) + 1).astype(np.int64),
+        })
+
+    return (ds.map_batches(shard, batch_format="pyarrow")
+            .groupby("_shard").map_groups(roll, batch_format="pandas"))

@@ -114,7 +114,9 @@ def run_benchmarks() -> dict:
                                             q_time_weighted,
                                             q_track_resample, q_od_matrix,
                                             q_speed_spikes, q_hex_cells,
-                                            q_big_orders, q_pad_waste)
+                                            q_big_orders, q_pad_waste,
+                                            q_knn_graph, q_rolling_window,
+                                            q_pmi_assoc, q_compress_ratio)
     from bano_ray.runtime import ensure_worker_importable
     from bano_ray.stages.export import street_json_zone  # noqa: F401
     ensure_worker_importable()
@@ -234,6 +236,10 @@ def run_benchmarks() -> dict:
         "hex_cells": lambda: q_hex_cells(SF_DIR).count(),
         "big_orders": lambda: q_big_orders(SF_DIR).count(),
         "pad_waste": lambda: q_pad_waste(SF_DIR).count(),
+        "knn_graph": lambda: q_knn_graph(SF_DIR).count(),
+        "rolling_window": lambda: q_rolling_window(SF_DIR).count(),
+        "pmi_assoc": lambda: q_pmi_assoc(SF_DIR).count(),
+        "compress_ratio": lambda: q_compress_ratio(SF_DIR).count(),
     }
     # phash near-dup at bench scale (expanded image corpus; banding explodes
     # the stream 4x, so run at a bounded expansion like the image stage)

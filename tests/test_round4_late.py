@@ -118,3 +118,87 @@ def test_oracle_parity_sf0001(ray_session, name):
     b = df_o[cols].sort_values(cols).reset_index(drop=True)
     assert len(a) == len(b) and len(a) > 0
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+class TestKnnGraphKernel:
+    def test_hand_case(self, ray_session):
+        import ray
+
+        from bano_ray.stages.spatial import knn_graph
+
+        # 4 points on a line, spacing 10; radius 25 → each sees ±2
+        import pyarrow as pa
+        tbl = pa.table({"doc_id": [1, 2, 3, 4],
+                        "ix": [0, 10, 20, 30],
+                        "iy": [0, 0, 0, 0]})
+        out = (knn_graph(ray.data.from_arrow(tbl), 25, k=2)
+               .to_pandas().sort_values(["doc_id", "rank"])
+               .reset_index(drop=True))
+        got = {(r.doc_id, r.rank): (r.nbr_id, r.d2_u)
+               for r in out.itertuples()}
+        assert got[(1, 1)] == (2, 100) and got[(1, 2)] == (3, 400)
+        assert got[(2, 1)] == (1, 100) or got[(2, 1)] == (3, 100)
+        # tie at d2=100 for point 2 breaks to the smaller id
+        assert got[(2, 1)] == (1, 100) and got[(2, 2)] == (3, 100)
+        assert got[(4, 1)] == (3, 100) and got[(4, 2)] == (2, 400)
+
+
+class TestRollingFrame:
+    def test_hand_case(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from bano_ray.pipelines.queries import q_rolling_window
+
+        ts = np.array([0, 1, 2, 3, 0], "datetime64[us]")
+        df = pd.DataFrame({
+            "event_id": np.arange(5, dtype=np.int64),
+            "ts": ts,
+            "user_id": np.array([1, 1, 1, 1, 2], dtype=np.int64),
+            "event_type": "view", "props": "",
+            "value": [1.0, 2.0, 3.0, 4.0, 9.0],
+        })
+        pq.write_table(pa.Table.from_pandas(df), tmp_path / "events.parquet")
+        got = (q_rolling_window(str(tmp_path)).to_pandas()
+               .sort_values("event_id").reset_index(drop=True))
+        assert list(got["roll_c"]) == [100, 300, 600, 900, 900]
+        assert list(got["n_frame"]) == [1, 2, 3, 3, 1]
+
+
+class TestCompressRatio:
+    def test_roundtrip_and_ordering(self, ray_session, tmp_path):
+        import zlib
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from bano_ray.pipelines.queries import q_compress_ratio
+
+        rep = "spam " * 200             # highly compressible
+        rng = np.random.default_rng(3)
+        rand = "".join(chr(c) for c in rng.integers(33, 1000, 1000))
+        df = pd.DataFrame({"doc_id": [1, 2], "text": [rep, rand],
+                           "lang": "en", "source": "x", "n_chars": 0})
+        pq.write_table(pa.Table.from_pandas(df), tmp_path / "documents.parquet")
+        got = (q_compress_ratio(str(tmp_path)).to_pandas()
+               .set_index("doc_id"))
+        # exact against an independent zlib call
+        assert got.loc[1, "comp_len"] == len(zlib.compress(rep.encode(), 6))
+        assert got.loc[1, "ratio_pm"] < 100 < got.loc[2, "ratio_pm"]
+        assert got.loc[2, "raw_len"] == len(rand.encode("utf-8"))
+
+
+@pytest.mark.parametrize("name", ["q_knn_graph", "q_rolling_window",
+                                  "q_pmi_assoc"])
+def test_oracle_parity_sf0001_batch2(ray_session, name):
+    import bano_ray.oracle as O
+    import bano_ray.pipelines.queries as Q
+
+    res = getattr(Q, name)(SF)
+    df_r = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+    df_o = _oracle(SF, getattr(O, name)())
+    cols = sorted(df_o.columns)
+    a = df_r[cols].sort_values(cols).reset_index(drop=True)
+    b = df_o[cols].sort_values(cols).reset_index(drop=True)
+    assert len(a) == len(b) and len(a) > 0
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
