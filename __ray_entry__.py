@@ -188,6 +188,8 @@ _ORACLE_QUERIES = [
     "q_knn_graph",           # geo: bounded-radius exact kNN graph
     "q_rolling_window",      # window: bounded ROWS frame sum per user
     "q_pmi_assoc",           # stats: PMI association census (lang × source)
+    "q_range_frame",         # window: RANGE 1h value-frame burst counts
+    "q_knn_classify",        # geo/ML: kNN majority-vote zone classifier
 ]
 
 # rows-only queries (approx algorithms with no exact SQL equivalent)

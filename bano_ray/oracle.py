@@ -4406,3 +4406,69 @@ m AS (
 SELECT lang, source, n,
        round(ln((CAST(n AS DOUBLE) * nn) / (nl * ns)), 6) AS pmi
 FROM m ORDER BY lang, source"""
+
+
+def q_range_frame() -> str:
+    """RANGE value-window frame (stages/window.range_frame): numeric RANGE
+    over epoch-µs — peers with equal ts are all in-frame on both sides."""
+    from .stages.window import RANGE_FRAME_US
+
+    return f"""WITH ev AS (
+  SELECT event_id, user_id, epoch_us(ts) AS tus FROM events
+)
+SELECT event_id, user_id,
+       CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY tus
+            RANGE BETWEEN {RANGE_FRAME_US} PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_1h
+FROM ev ORDER BY user_id, event_id"""
+
+
+def q_knn_classify() -> str:
+    """kNN majority-vote zone classifier (queries.q_knn_classify): the
+    exact q_knn_graph candidate set, neighbor zones re-derived from pts2,
+    mode via (count DESC, insee ASC) ROW_NUMBER — total tie order."""
+    from .pipelines.queries import KNN_GRAPH_K, KNN_GRAPH_R_U
+
+    r2 = KNN_GRAPH_R_U * KNN_GRAPH_R_U
+    return f"""WITH {base_pts_cte()},
+xy AS (
+  SELECT doc_id, insee,
+         CAST(floor(lon * 1000000.0 + 0.5) AS BIGINT) AS ix,
+         CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT) AS iy
+  FROM pts2
+),
+pairs AS (
+  SELECT a.doc_id AS doc_id, a.insee AS own_insee,
+         b.doc_id AS nbr_id, b.insee AS nbr_insee,
+         (a.ix - b.ix) * (a.ix - b.ix)
+         + (a.iy - b.iy) * (a.iy - b.iy) AS d2_u
+  FROM xy a JOIN xy b
+    ON b.doc_id <> a.doc_id
+   AND abs(a.ix - b.ix) <= {KNN_GRAPH_R_U}
+   AND abs(a.iy - b.iy) <= {KNN_GRAPH_R_U}
+  WHERE (a.ix - b.ix) * (a.ix - b.ix)
+        + (a.iy - b.iy) * (a.iy - b.iy) <= {r2}
+),
+r AS (
+  SELECT doc_id, own_insee, nbr_insee, d2_u,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY d2_u, nbr_id) AS rnk
+  FROM pairs
+),
+cnts AS (
+  SELECT doc_id, own_insee, nbr_insee, COUNT(*) AS c
+  FROM r WHERE rnk <= {KNN_GRAPH_K}
+  GROUP BY 1, 2, 3
+),
+pick AS (
+  SELECT doc_id, own_insee, nbr_insee, c,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY c DESC, nbr_insee) AS rn,
+         SUM(c) OVER (PARTITION BY doc_id) AS n_nbrs
+  FROM cnts
+)
+SELECT doc_id, nbr_insee AS pred_insee,
+       CAST(n_nbrs AS BIGINT) AS n_nbrs,
+       CAST(CASE WHEN nbr_insee = own_insee THEN 1 ELSE 0 END AS BIGINT)
+         AS self_match
+FROM pick WHERE rn = 1 ORDER BY doc_id"""

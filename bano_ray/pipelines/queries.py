@@ -4207,3 +4207,91 @@ def q_compress_ratio(sf_dir: str):
     return (ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                   columns=["doc_id", "text"])
             .map_batches(f, batch_format="pyarrow"))
+
+
+def q_range_frame(sf_dir: str):
+    """RANGE (value-window) frame aggregate (stages/window.range_frame):
+    per event, COUNT(*) OVER (PARTITION BY user ORDER BY ts RANGE 1 HOUR
+    PRECEDING) — the burst-rate signal, and the window-family member ROWS
+    frames can't express (peer rows with equal ts are all in-frame, per
+    SQL RANGE semantics).  Both frame bounds come from two global
+    searchsorteds over a composite monotone key — no per-user loop.
+    Oracle-gated (oracle.q_range_frame)."""
+    import ray
+
+    from ..stages.window import range_frame
+
+    ensure_worker_importable()
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "user_id"])
+    return range_frame(ds)
+
+
+def q_knn_classify(sf_dir: str):
+    """kNN majority-vote classifier over the spatial neighbor graph:
+    predict each point's zone as the modal zone of its ≤3 bounded-radius
+    nearest neighbors (ties → smallest insee), and flag agreement with
+    the point's own zone — the label-spreading / geo-imputation
+    primitive.  Neighbor zones derive closed-form from neighbor ids (no
+    corpus-side join); the vote is one np.unique over (doc, insee) codes
+    inside a knn-output-sized coarse-shard groupby.  Oracle-gated
+    (oracle.q_knn_classify)."""
+    from ..stages.dedup import _coarse_groups
+    from ..stages.spatial import knn_graph
+
+    ensure_worker_importable()
+    import ray
+
+    def to_u(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy()
+        lon, lat = datagen.lon_lat(d)
+        return pa.table({
+            "doc_id": pa.array(d),
+            "ix": pa.array(np.floor(lon * 1e6 + 0.5).astype(np.int64)),
+            "iy": pa.array(np.floor(lat * 1e6 + 0.5).astype(np.int64)),
+        })
+
+    pts = (ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+           .map_batches(to_u, batch_format="pyarrow"))
+    knn = knn_graph(pts, KNN_GRAPH_R_U, k=KNN_GRAPH_K)
+    C = _coarse_groups()
+
+    def shard(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy()
+        nbr = batch.column("nbr_id").to_numpy()
+        nz = datagen.zone_of(*datagen.lon_lat(nbr))
+        return pa.table({
+            "doc_id": pa.array(d),
+            "nbr_zone": pa.array(nz),
+            "_shard": pa.array((d.astype(np.uint64)
+                                % np.uint64(C)).astype(np.int64)),
+        })
+
+    def vote(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].to_numpy()
+        z = df["nbr_zone"].to_numpy()
+        key = d * 1000 + z            # zones < 1000: collision-free pack
+        uk, cnt = np.unique(key, return_counts=True)
+        ud, uz = uk // 1000, uk % 1000
+        # per doc: max count, tie → smallest zone ⇒ lexsort on
+        # (zone asc, -cnt, doc) and take first per doc
+        order = np.lexsort((uz, -cnt, ud))
+        ud, uz, cnt = ud[order], uz[order], cnt[order]
+        firsts = np.ones(len(ud), dtype=bool)
+        firsts[1:] = ud[1:] != ud[:-1]
+        n_nbrs = np.bincount(
+            np.cumsum(firsts) - 1, weights=cnt.astype(np.float64)
+        ).astype(np.int64)
+        d_out = ud[firsts]
+        z_pred = uz[firsts]
+        own = datagen.zone_of(*datagen.lon_lat(d_out))
+        return pd.DataFrame({
+            "doc_id": d_out,
+            "pred_insee": datagen.insee_of_zone(z_pred).astype(object),
+            "n_nbrs": n_nbrs,
+            "self_match": (own == z_pred).astype(np.int64),
+        })
+
+    return (knn.map_batches(shard, batch_format="pyarrow")
+            .groupby("_shard").map_groups(vote, batch_format="pandas"))

@@ -208,3 +208,55 @@ def rolling_frame(ds, frame: int = ROLL_FRAME):
 
     return (ds.map_batches(shard, batch_format="pyarrow")
             .groupby("_shard").map_groups(roll, batch_format="pandas"))
+
+
+RANGE_FRAME_US = 3_600_000_000   # RANGE frame width: 1 hour in µs
+
+
+def range_frame(ds, width_us: int = RANGE_FRAME_US):
+    """events Dataset → (event_id, n_1h): COUNT(*) OVER (PARTITION BY
+    user_id ORDER BY ts RANGE BETWEEN width PRECEDING AND CURRENT ROW)
+    — the RANGE (value-window) member of the window family; ROWS frames
+    (:func:`rolling_frame`) bound by row count, RANGE frames by the
+    order-key VALUE, and SQL peer semantics include every row sharing
+    the current ts.
+
+    Kernel: one flat lexsort (u, ts, event_id), then both frame
+    boundaries come from TWO global searchsorteds over a composite
+    monotone key ``u_idx·K + (ts − min_ts)`` (K > max span + width, so
+    user segments can't alias) — lo = first row with ts ≥ ts−width in
+    the user, hi = last peer of ts.  No per-user loop, no per-row scan.
+    """
+    C = _coarse_groups()
+
+    def shard(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy()
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "ts": batch.column("ts").cast(pa.int64()),
+            "_shard": pa.array((u.astype(np.uint64)
+                                % np.uint64(C)).astype(np.int64)),
+        })
+
+    def frame(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].to_numpy()
+        ts = df["ts"].to_numpy()
+        ev = df["event_id"].to_numpy()
+        order = np.lexsort((ev, ts, u))
+        u, ts, ev = u[order], ts[order], ev[order]
+        n = len(u)
+        first = np.ones(n, dtype=bool)
+        first[1:] = u[1:] != u[:-1]
+        # dense user index so the composite key can't overflow int64
+        uidx = np.cumsum(first) - 1
+        t0 = ts - ts.min()
+        K = np.int64(int(t0.max()) + int(width_us) + 2)
+        key = uidx * K + t0
+        lo = np.searchsorted(key, key - width_us, side="left")
+        hi = np.searchsorted(key, key, side="right")
+        return pd.DataFrame({"event_id": ev, "user_id": u,
+                             "n_1h": (hi - lo).astype(np.int64)})
+
+    return (ds.map_batches(shard, batch_format="pyarrow")
+            .groupby("_shard").map_groups(frame, batch_format="pandas"))

@@ -116,7 +116,8 @@ def run_benchmarks() -> dict:
                                             q_speed_spikes, q_hex_cells,
                                             q_big_orders, q_pad_waste,
                                             q_knn_graph, q_rolling_window,
-                                            q_pmi_assoc, q_compress_ratio)
+                                            q_pmi_assoc, q_compress_ratio,
+                                            q_range_frame, q_knn_classify)
     from bano_ray.runtime import ensure_worker_importable
     from bano_ray.stages.export import street_json_zone  # noqa: F401
     ensure_worker_importable()
@@ -240,6 +241,8 @@ def run_benchmarks() -> dict:
         "rolling_window": lambda: q_rolling_window(SF_DIR).count(),
         "pmi_assoc": lambda: q_pmi_assoc(SF_DIR).count(),
         "compress_ratio": lambda: q_compress_ratio(SF_DIR).count(),
+        "range_frame": lambda: q_range_frame(SF_DIR).count(),
+        "knn_classify": lambda: q_knn_classify(SF_DIR).count(),
     }
     # phash near-dup at bench scale (expanded image corpus; banding explodes
     # the stream 4x, so run at a bounded expansion like the image stage)

@@ -202,3 +202,41 @@ def test_oracle_parity_sf0001_batch2(ray_session, name):
     b = df_o[cols].sort_values(cols).reset_index(drop=True)
     assert len(a) == len(b) and len(a) > 0
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+class TestRangeFrame:
+    def test_peer_semantics(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from bano_ray.pipelines.queries import q_range_frame
+
+        # user 1: events at t=0, 30min, 30min (peers!), 90min
+        m = 60_000_000
+        ts = np.array([0, 30 * m, 30 * m, 90 * m], "datetime64[us]")
+        df = pd.DataFrame({
+            "event_id": np.arange(4, dtype=np.int64),
+            "ts": ts, "user_id": np.int64(1),
+            "event_type": "view", "props": "", "value": 1.0,
+        })
+        pq.write_table(pa.Table.from_pandas(df), tmp_path / "events.parquet")
+        got = (q_range_frame(str(tmp_path)).to_pandas()
+               .sort_values("event_id").reset_index(drop=True))
+        # t=0: itself; t=30m rows: BOTH peers + t=0 → 3 each (RANGE peer
+        # rule); t=90m: both 30m rows + itself (0 is out of the 1h frame)
+        assert list(got["n_1h"]) == [1, 3, 3, 3]
+
+
+@pytest.mark.parametrize("name", ["q_range_frame", "q_knn_classify"])
+def test_oracle_parity_sf0001_batch3(ray_session, name):
+    import bano_ray.oracle as O
+    import bano_ray.pipelines.queries as Q
+
+    res = getattr(Q, name)(SF)
+    df_r = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+    df_o = _oracle(SF, getattr(O, name)())
+    cols = sorted(df_o.columns)
+    a = df_r[cols].sort_values(cols).reset_index(drop=True)
+    b = df_o[cols].sort_values(cols).reset_index(drop=True)
+    assert len(a) == len(b) and len(a) > 0
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
