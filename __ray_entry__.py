@@ -190,6 +190,7 @@ _ORACLE_QUERIES = [
     "q_pmi_assoc",           # stats: PMI association census (lang × source)
     "q_range_frame",         # window: RANGE 1h value-frame burst counts
     "q_knn_classify",        # geo/ML: kNN majority-vote zone classifier
+    "q_ab_ztest",            # stats: two-sample Welch z census per event type
 ]
 
 # rows-only queries (approx algorithms with no exact SQL equivalent)

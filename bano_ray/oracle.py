@@ -4472,3 +4472,38 @@ SELECT doc_id, nbr_insee AS pred_insee,
        CAST(CASE WHEN nbr_insee = own_insee THEN 1 ELSE 0 END AS BIGINT)
          AS self_match
 FROM pick WHERE rn = 1 ORDER BY doc_id"""
+
+
+def q_ab_ztest() -> str:
+    """Welch z census (queries.q_ab_ztest): identical pinned double chain
+    over exact integer moments; complement side via window totals."""
+    return """WITH mom AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS s,
+         CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                  * CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS s2
+  FROM events GROUP BY 1
+),
+tot AS (
+  SELECT event_type, n, s, s2,
+         CAST(SUM(n) OVER () AS DOUBLE) - CAST(n AS DOUBLE) AS n2,
+         CAST(SUM(s) OVER () AS DOUBLE) - CAST(s AS DOUBLE) AS s2_,
+         CAST(SUM(s2) OVER () AS DOUBLE) - CAST(s2 AS DOUBLE) AS q2
+  FROM mom
+),
+fin AS (
+  SELECT event_type, n,
+         CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m1,
+         s2_ / n2 AS m2,
+         CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+           - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS v1,
+         q2 / n2 - (s2_ / n2) * (s2_ / n2) AS v2,
+         CAST(n AS DOUBLE) AS n1d, n2
+  FROM tot
+)
+SELECT event_type, n,
+       round(m1, 6) AS mean_c,
+       round((m1 - m2) / sqrt(v1 / n1d + v2 / n2), 6) AS z
+FROM fin ORDER BY event_type"""

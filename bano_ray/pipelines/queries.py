@@ -4295,3 +4295,64 @@ def q_knn_classify(sf_dir: str):
 
     return (knn.map_batches(shard, batch_format="pyarrow")
             .groupby("_shard").map_groups(vote, batch_format="pandas"))
+
+
+def q_ab_ztest(sf_dir: str):
+    """Two-sample Welch z-test census: for every event_type (treatment)
+    vs all other events (control), the z statistic of the mean-cents
+    difference — the A/B-readout primitive, computed entirely from the
+    q_group_moments mergeable integer partials (count, Σcents, Σcents²),
+    so the row stream shuffles nothing but the key-table-sized moment
+    rows.  The double chain (m = s/n; v = s2/n − m·m;
+    z = (m1 − m2)/sqrt(v1/n1 + v2/n2)) is pinned op-for-op on both
+    sides, inputs exact ints.  Oracle-gated (oracle.q_ab_ztest)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ensure_worker_importable()
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = pc.dictionary_encode(batch.column("event_type"))
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        codes = g.indices.to_numpy().astype(np.int64)
+        cents = np.floor(batch.column("value").to_numpy() * 100.0
+                         + 0.5).astype(np.int64)
+        nbins = len(g.dictionary)
+        n = np.bincount(codes, minlength=nbins)
+        s = np.bincount(codes, weights=cents.astype(np.float64),
+                        minlength=nbins).astype(np.int64)
+        s2 = np.bincount(codes, weights=(cents * cents).astype(np.float64),
+                         minlength=nbins).astype(np.int64)
+        return pa.table({"event_type": g.dictionary,
+                         "n": pa.array(n.astype(np.int64)),
+                         "s": pa.array(s), "s2": pa.array(s2)})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+                      Sum("s2", alias_name="s2")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        n1 = df["n"].to_numpy().astype(np.float64)
+        s1 = df["s"].to_numpy().astype(np.float64)
+        q1 = df["s2"].to_numpy().astype(np.float64)
+        n2 = float(df["n"].sum()) - n1
+        s2_ = float(df["s"].sum()) - s1
+        q2 = float(df["s2"].sum()) - q1
+        m1, m2 = s1 / n1, s2_ / n2
+        v1 = q1 / n1 - m1 * m1
+        v2 = q2 / n2 - m2 * m2
+        z = (m1 - m2) / np.sqrt(v1 / n1 + v2 / n2)
+        return pa.table({
+            "event_type": pa.array(df["event_type"], pa.string()),
+            "n": pa.array(df["n"].to_numpy()),
+            "mean_c": pa.array(np.round(m1, 6)),
+            "z": pa.array(np.round(z, 6)),
+        })
+
+    # event-type table is tiny: the finish sees the whole moment table
+    return agg.repartition(1).map_batches(finish, batch_format="pyarrow")

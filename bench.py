@@ -117,7 +117,8 @@ def run_benchmarks() -> dict:
                                             q_big_orders, q_pad_waste,
                                             q_knn_graph, q_rolling_window,
                                             q_pmi_assoc, q_compress_ratio,
-                                            q_range_frame, q_knn_classify)
+                                            q_range_frame, q_knn_classify,
+                                            q_ab_ztest)
     from bano_ray.runtime import ensure_worker_importable
     from bano_ray.stages.export import street_json_zone  # noqa: F401
     ensure_worker_importable()
@@ -243,6 +244,7 @@ def run_benchmarks() -> dict:
         "compress_ratio": lambda: q_compress_ratio(SF_DIR).count(),
         "range_frame": lambda: q_range_frame(SF_DIR).count(),
         "knn_classify": lambda: q_knn_classify(SF_DIR).count(),
+        "ab_ztest": lambda: q_ab_ztest(SF_DIR).count(),
     }
     # phash near-dup at bench scale (expanded image corpus; banding explodes
     # the stream 4x, so run at a bounded expansion like the image stage)

