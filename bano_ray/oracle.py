@@ -4507,3 +4507,119 @@ SELECT event_type, n,
        round(m1, 6) AS mean_c,
        round((m1 - m2) / sqrt(v1 / n1d + v2 / n2), 6) AS z
 FROM fin ORDER BY event_type"""
+
+
+def q_track_hausdorff() -> str:
+    """Stride-sampled symmetric Hausdorff between adjacent street tracks
+    (stages/tracks.hausdorff_pairs): per-track row_number stride sample,
+    LEAD-paired consecutive sidx per zone, MIN/MAX on exact BIGINT squared
+    distances, floor(sqrt+0.5) applied once at the end (it commutes with
+    the monotone reductions — the engine relies on the same identity)."""
+    from .stages.tracks import HAUSDORFF_STRIDE
+
+    return f"""WITH {base_pts_cte()},
+{_TRACK_XY},
+rn AS (
+  SELECT insee, sidx, doc_id, ix, iy,
+         row_number() OVER (PARTITION BY insee, sidx ORDER BY doc_id) - 1
+           AS rn
+  FROM xy
+),
+samp AS (SELECT insee, sidx, doc_id, ix, iy FROM rn
+         WHERE rn % {HAUSDORFF_STRIDE} = 0),
+streets AS (SELECT DISTINCT insee, sidx FROM samp),
+pairs AS (
+  SELECT insee, sidx AS sidx_a,
+         LEAD(sidx) OVER (PARTITION BY insee ORDER BY sidx) AS sidx_b
+  FROM streets
+),
+p2 AS (SELECT * FROM pairs WHERE sidx_b IS NOT NULL),
+ab AS (
+  SELECT p.insee, p.sidx_a, p.sidx_b, a.doc_id,
+         MIN((a.ix - b.ix) * (a.ix - b.ix)
+           + (a.iy - b.iy) * (a.iy - b.iy)) AS m2
+  FROM p2 p
+  JOIN samp a ON a.insee = p.insee AND a.sidx = p.sidx_a
+  JOIN samp b ON b.insee = p.insee AND b.sidx = p.sidx_b
+  GROUP BY 1, 2, 3, 4
+),
+ba AS (
+  SELECT p.insee, p.sidx_a, p.sidx_b, b.doc_id,
+         MIN((a.ix - b.ix) * (a.ix - b.ix)
+           + (a.iy - b.iy) * (a.iy - b.iy)) AS m2
+  FROM p2 p
+  JOIN samp a ON a.insee = p.insee AND a.sidx = p.sidx_a
+  JOIN samp b ON b.insee = p.insee AND b.sidx = p.sidx_b
+  GROUP BY 1, 2, 3, 4
+),
+hab AS (SELECT insee, sidx_a, sidx_b, MAX(m2) AS h2 FROM ab GROUP BY 1, 2, 3),
+hba AS (SELECT insee, sidx_a, sidx_b, MAX(m2) AS h2 FROM ba GROUP BY 1, 2, 3)
+SELECT hab.insee, hab.sidx_a, hab.sidx_b,
+       CAST(floor(sqrt(CAST(hab.h2 AS DOUBLE)) + 0.5) AS BIGINT) AS h_ab_u,
+       CAST(floor(sqrt(CAST(hba.h2 AS DOUBLE)) + 0.5) AS BIGINT) AS h_ba_u,
+       CAST(floor(sqrt(CAST(greatest(hab.h2, hba.h2) AS DOUBLE)) + 0.5)
+         AS BIGINT) AS haus_u
+FROM hab JOIN hba ON hab.insee = hba.insee AND hab.sidx_a = hba.sidx_a
+                 AND hab.sidx_b = hba.sidx_b
+ORDER BY hab.insee, hab.sidx_a"""
+
+
+def q_geofence() -> str:
+    """Geofence enter/exit transitions (stages/tracks.geofence_events):
+    exact BIGINT circle membership against the zone-center fence (center
+    = floor((LON0 + (zx+0.5)·SPAN/N)·1e6 + 0.5), the numpy op order),
+    LAG over (insee, sidx, doc_id) for the transition rows."""
+    from .stages.tracks import GEOFENCE_R_U
+
+    r2 = GEOFENCE_R_U * GEOFENCE_R_U
+    cx = (f"CAST(floor(({dg.LON0!r} + ((CAST(insee AS BIGINT) - 1)"
+          f" // {dg.NZY} + 0.5) * {dg.LON_SPAN!r} / {dg.NZX})"
+          f" * 1000000.0 + 0.5) AS BIGINT)")
+    cy = (f"CAST(floor(({dg.LAT0!r} + ((CAST(insee AS BIGINT) - 1)"
+          f" % {dg.NZY} + 0.5) * {dg.LAT_SPAN!r} / {dg.NZY})"
+          f" * 1000000.0 + 0.5) AS BIGINT)")
+    return f"""WITH {base_pts_cte()},
+{_TRACK_XY},
+flg AS (
+  SELECT insee, sidx, doc_id,
+         ((ix - {cx}) * (ix - {cx}) + (iy - {cy}) * (iy - {cy})
+           <= {r2}) AS inside
+  FROM xy
+),
+tr AS (
+  SELECT insee, sidx, doc_id, inside,
+         LAG(inside) OVER (PARTITION BY insee, sidx ORDER BY doc_id)
+           AS pinside
+  FROM flg
+)
+SELECT insee, sidx, doc_id,
+       CASE WHEN inside THEN 'enter' ELSE 'exit' END AS event
+FROM tr WHERE pinside IS NOT NULL AND inside <> pinside
+ORDER BY insee, sidx, doc_id"""
+
+
+def q_aspect_buckets() -> str:
+    """Aspect-ratio bucketing (stages/imagemeta.aspect_buckets): the
+    engine parses dims from real PNG/JPEG bytes; the oracle replays the
+    generative dims closed-form, snaps by the exact integer
+    cross-multiplication metric with ties to the lowest bucket_id."""
+    from .stages.imagemeta import ASPECT_BUCKETS
+
+    vals = ", ".join(f"({i}, {bw}, {bh})" for i, bw, bh in ASPECT_BUCKETS)
+    return f"""WITH dims AS (
+  SELECT doc_id, CAST(12 + ({H(7)} % 9) AS BIGINT) AS w,
+         CAST(12 + ({H(8)} % 9) AS BIGINT) AS h
+  FROM documents
+),
+b(bucket_id, bw, bh) AS (VALUES {vals}),
+scored AS (
+  SELECT d.doc_id, b.bucket_id, b.bw, b.bh, d.w * d.h AS px,
+         row_number() OVER (PARTITION BY d.doc_id
+                            ORDER BY abs(d.w * b.bh - b.bw * d.h),
+                                     b.bucket_id) AS rnk
+  FROM dims d CROSS JOIN b
+)
+SELECT CAST(bucket_id AS BIGINT) AS bucket_id, CAST(bw AS BIGINT) AS bw,
+       CAST(bh AS BIGINT) AS bh, CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(SUM(px) AS BIGINT) AS sum_pixels
+FROM scored WHERE rnk = 1 GROUP BY 1, 2, 3 ORDER BY bucket_id"""

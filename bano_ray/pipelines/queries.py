@@ -4356,3 +4356,39 @@ def q_ab_ztest(sf_dir: str):
 
     # event-type table is tiny: the finish sees the whole moment table
     return agg.repartition(1).map_batches(finish, batch_format="pyarrow")
+
+
+def q_track_hausdorff(sf_dir: str):
+    """Stride-sampled symmetric Hausdorff similarity between adjacent
+    street tracks per zone (stages/tracks.hausdorff_pairs): exact int64
+    squared-distance reductions, rounding applied once after min/max
+    (they commute with the monotone floor(sqrt+0.5)).  Value-gated:
+    oracle.q_track_hausdorff replays the pair join + reductions in SQL."""
+    from ..stages.tracks import hausdorff_pairs
+
+    return hausdorff_pairs(sf_dir)
+
+
+def q_geofence(sf_dir: str):
+    """Geofence enter/exit transition extraction per track
+    (stages/tracks.geofence_events): exact int64 circle membership
+    against the zone-center fence, LAG-style transition detection in one
+    flat vectorized pass per shard (oracle.q_geofence via LAG)."""
+    from ..stages.tracks import geofence_events
+
+    return geofence_events(sf_dir)
+
+
+def q_aspect_buckets(sf_dir: str):
+    """Aspect-ratio bucketing for batched vision training
+    (stages/imagemeta.aspect_buckets): dims parsed from the REAL encoded
+    bytes (PNG IHDR / JPEG SOF walk), bucket snap by the exact integer
+    cross-multiplication distance, batch-local bincount partials + one
+    bucket-table-sized groupby.  The oracle replays the generative dims
+    closed-form, so the driver value-checks the byte parsing too."""
+    from ..stages.imagemeta import aspect_buckets, image_dims_batch
+
+    ds = (datagen.images_dataset(sf_dir, with_bytes=True)
+          .select_columns(["doc_id", "bytes"])
+          .map_batches(image_dims_batch, batch_format="pyarrow"))
+    return aspect_buckets(ds)

@@ -93,3 +93,61 @@ def image_dims_batch(batch: pa.Table) -> pa.Table:
                      "fmt_parsed": pa.array(fmt, pa.string()),
                      "width": pa.array(w),
                      "height": pa.array(h)})
+
+
+# ---------------------------------------------------------------------------
+# Aspect-ratio bucketing (vision-training batch grouping)
+# ---------------------------------------------------------------------------
+
+# (bucket_id, bw, bh) — the canonical aspect targets a vision trainer
+# groups variable-sized images into before batching (landscape → portrait;
+# ratios sized to straddle the corpus's dim distribution so every bucket
+# is populated — the generative (w, h) pairs cluster near 1.05–1.17 and
+# 0.60–0.65, so the targets split those clusters).
+ASPECT_BUCKETS = ((0, 7, 6), (1, 9, 8), (2, 16, 15), (3, 21, 20), (4, 2, 3))
+_AB_ID = np.asarray([b[0] for b in ASPECT_BUCKETS], dtype=np.int64)
+_AB_W = np.asarray([b[1] for b in ASPECT_BUCKETS], dtype=np.int64)
+_AB_H = np.asarray([b[2] for b in ASPECT_BUCKETS], dtype=np.int64)
+
+
+def aspect_partial(batch: pa.Table) -> pa.Table:
+    """(doc_id, fmt_parsed, width, height) → per-batch partial
+    (bucket_id, n_images, sum_pixels).  Bucket = argmin over the exact
+    integer cross-multiplication distance |w·bh − bw·h| (no float ratio),
+    ties to the lowest bucket_id (np.argmin picks the first minimum —
+    the same rule the oracle's ORDER BY metric, bucket_id encodes).  The
+    shuffle then carries ≤ len(ASPECT_BUCKETS) rows per block."""
+    w = batch.column("width").to_numpy().astype(np.int64)
+    h = batch.column("height").to_numpy().astype(np.int64)
+    m = np.abs(w[:, None] * _AB_H[None, :] - _AB_W[None, :] * h[:, None])
+    bid = _AB_ID[np.argmin(m, axis=1)]
+    n = np.bincount(bid, minlength=len(_AB_ID))
+    px = np.bincount(bid, weights=(w * h).astype(np.float64),
+                     minlength=len(_AB_ID)).astype(np.int64)
+    keep = n > 0
+    return pa.table({"bucket_id": pa.array(_AB_ID[keep]),
+                     "n_images": pa.array(n[keep].astype(np.int64)),
+                     "sum_pixels": pa.array(px[keep])})
+
+
+def aspect_buckets(ds):
+    """(bucket_id, bw, bh, n_images, sum_pixels) over a parsed-dims
+    dataset: batch-local bincount partials + one bucket-table-sized
+    groupby sum, then the (bw, bh) columns restored from the constant
+    table — zero rows shuffled beyond #buckets per block."""
+    from ray.data.aggregate import Sum
+
+    agg = (ds.map_batches(aspect_partial, batch_format="pyarrow")
+             .groupby("bucket_id")
+             .aggregate(Sum("n_images", alias_name="n_images"),
+                        Sum("sum_pixels", alias_name="sum_pixels")))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        bid = batch.column("bucket_id").to_numpy()
+        return pa.table({"bucket_id": pa.array(bid),
+                         "bw": pa.array(_AB_W[bid]),
+                         "bh": pa.array(_AB_H[bid]),
+                         "n_images": batch.column("n_images"),
+                         "sum_pixels": batch.column("sum_pixels")})
+
+    return agg.map_batches(attach, batch_format="pyarrow")

@@ -648,3 +648,159 @@ def spikes_group(df: pd.DataFrame) -> pd.DataFrame:
 def speed_spikes(sf_dir: str):
     """Implausible-jump census per track (see spikes_group)."""
     return _sharded(sf_dir).map_groups(spikes_group, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Stride-sampled Hausdorff track-similarity join
+# ---------------------------------------------------------------------------
+
+HAUSDORFF_STRIDE = 16            # keep every 16th vertex per track
+
+
+def _zone_shard_fn(C: int):
+    """Shard pass keyed on ZONE (not zone×street): the Hausdorff join
+    pairs tracks of the same zone, so all of a zone's tracks must resolve
+    inside one shard."""
+    def shard(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy()
+        lon, lat = datagen.lon_lat(d)
+        zone = datagen.zone_of(lon, lat)
+        zid = zone * _ZID_MULT + datagen.street_idx(d)
+        return pa.table({
+            "doc_id": pa.array(d),
+            "zid": pa.array(zid),
+            "ix": pa.array(np.floor(lon * MICRO + 0.5).astype(np.int64)),
+            "iy": pa.array(np.floor(lat * MICRO + 0.5).astype(np.int64)),
+            "_shard": pa.array(
+                (zone.astype(np.uint64) % np.uint64(C)).astype(np.int64)),
+        })
+
+    return shard
+
+
+def hausdorff_group(df: pd.DataFrame,
+                    stride: int = HAUSDORFF_STRIDE) -> pd.DataFrame:
+    """Per-shard kernel: symmetric Hausdorff distance between ADJACENT
+    street tracks of each zone (adjacent = consecutive distinct sidx), on
+    every stride-th vertex of each track (per-track doc_id order).
+
+    min/max commute with the monotone floor(sqrt(s)+0.5), so both sides
+    reduce on exact int64 SQUARED distances and round once at the end.
+    The loop below is over track PAIRS (dim-bounded per zone: #streets-1),
+    never over rows; each pair is one numpy distance-matrix reduction.
+    Partitioning assumption: one zone's stride-sampled vertices fit in a
+    worker group (sampling caps them at n_vertices/stride)."""
+    cols = ["insee", "sidx_a", "sidx_b", "h_ab_u", "h_ba_u", "haus_u"]
+    z, d, ix, iy, first, _ = _ordered(df)
+    if not len(z):
+        return pd.DataFrame({c: pd.Series(dtype="int64" if c != "insee"
+                                          else "object") for c in cols})
+    # per-track ordinal, then the stride sample (contiguous by construction)
+    starts = np.flatnonzero(first)
+    gidx = np.cumsum(first) - 1
+    rn = np.arange(len(z)) - starts[gidx]
+    samp = rn % stride == 0
+    zs, ixs, iys = z[samp], ix[samp], iy[samp]
+    sfirst = np.ones(len(zs), dtype=bool)
+    sfirst[1:] = zs[1:] != zs[:-1]
+    tstart = np.flatnonzero(sfirst)
+    tend = np.append(tstart[1:], len(zs))
+    tzid = zs[tstart]
+    rows_insee, rows_a, rows_b = [], [], []
+    rows_hab, rows_hba, rows_h = [], [], []
+    for t in range(len(tzid) - 1):
+        za, zb = tzid[t], tzid[t + 1]
+        if za // _ZID_MULT != zb // _ZID_MULT:
+            continue            # zone boundary — no pair across zones
+        a0, a1 = tstart[t], tend[t]
+        b0, b1 = tstart[t + 1], tend[t + 1]
+        dx = ixs[a0:a1, None] - ixs[None, b0:b1]
+        dy = iys[a0:a1, None] - iys[None, b0:b1]
+        s2 = dx * dx + dy * dy          # exact int64 (≤ ~6.2e12)
+        h2_ab = s2.min(axis=1).max()
+        h2_ba = s2.min(axis=0).max()
+        insee, sidx = _insee_sidx(np.asarray([za, zb]))
+        rows_insee.append(insee[0])
+        rows_a.append(int(sidx[0]))
+        rows_b.append(int(sidx[1]))
+        rows_hab.append(int(h2_ab))
+        rows_hba.append(int(h2_ba))
+        rows_h.append(int(max(h2_ab, h2_ba)))
+
+    def _r(v):
+        return np.floor(np.sqrt(np.asarray(v, dtype=np.float64))
+                        + 0.5).astype(np.int64)
+
+    return pd.DataFrame({"insee": np.asarray(rows_insee, dtype=object),
+                         "sidx_a": np.asarray(rows_a, dtype=np.int64),
+                         "sidx_b": np.asarray(rows_b, dtype=np.int64),
+                         "h_ab_u": _r(rows_hab), "h_ba_u": _r(rows_hba),
+                         "haus_u": _r(rows_h)})
+
+
+def hausdorff_pairs(sf_dir: str):
+    """(insee, sidx_a, sidx_b, h_ab_u, h_ba_u, haus_u): symmetric
+    Hausdorff similarity between adjacent street tracks per zone — the
+    trajectory-similarity join a geospatial curation pipeline runs to
+    find redundant traces (reference scope: BANO stops at per-street
+    label points, ``bano/models.py`` point_par_rue; this is the §2
+    custom-operator geometry extension).  Stride sampling bounds the
+    per-pair cost at any corpus size; zone-keyed shards reuse the
+    pipeline's one partitioning key."""
+    C = _coarse_groups()
+    return (_doc_ids(sf_dir)
+            .map_batches(_zone_shard_fn(C), batch_format="pyarrow")
+            .groupby("_shard")
+            .map_groups(hausdorff_group, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# Geofence enter/exit event extraction
+# ---------------------------------------------------------------------------
+
+GEOFENCE_R_U = 600_000           # circle radius in µ° around the zone center
+_GEO_R2 = GEOFENCE_R_U * GEOFENCE_R_U
+
+
+def _zone_centers_u(zone: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Integer µ° center of each zone's box — op order replicated verbatim
+    by oracle.q_geofence."""
+    zx = zone // datagen.NZY
+    zy = zone % datagen.NZY
+    cx = np.floor((datagen.LON0 + (zx + 0.5) * datagen.LON_SPAN
+                   / datagen.NZX) * MICRO + 0.5).astype(np.int64)
+    cy = np.floor((datagen.LAT0 + (zy + 0.5) * datagen.LAT_SPAN
+                   / datagen.NZY) * MICRO + 0.5).astype(np.int64)
+    return cx, cy
+
+
+def geofence_group(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-shard kernel: (insee, sidx, doc_id, event) transition rows —
+    'enter' when a track's point sequence crosses INTO the zone-center
+    circle, 'exit' when it leaves.  Membership is the exact int64 test
+    (ix-cx)² + (iy-cy)² ≤ R²; the first point of a track emits nothing
+    (no prior state)."""
+    cols = ["insee", "sidx", "doc_id", "event"]
+    z, d, ix, iy, first, _ = _ordered(df)
+    if not len(z):
+        return pd.DataFrame({c: pd.Series(dtype="int64" if c == "doc_id"
+                                          else "object") for c in cols})
+    cx, cy = _zone_centers_u(z // _ZID_MULT)
+    dx, dy = ix - cx, iy - cy
+    inside = dx * dx + dy * dy <= _GEO_R2
+    trans = np.zeros(len(z), dtype=bool)
+    trans[1:] = ~first[1:] & (inside[1:] != inside[:-1])
+    insee, sidx = _insee_sidx(z[trans])
+    return pd.DataFrame({"insee": insee, "sidx": sidx,
+                         "doc_id": d[trans],
+                         "event": np.where(inside[trans], "enter",
+                                           "exit").astype(object)})
+
+
+def geofence_events(sf_dir: str):
+    """Geofence transition extraction per track (see geofence_group) —
+    the location-analytics primitive (dwell/visit detection against a
+    fence set; here the fence is the per-zone center circle so the fence
+    table needs no broadcast).  Same shard discipline as every track
+    kernel: one flat lexsort per shard, zero per-row Python."""
+    return _sharded(sf_dir).map_groups(geofence_group, batch_format="pandas")

@@ -118,7 +118,8 @@ def run_benchmarks() -> dict:
                                             q_knn_graph, q_rolling_window,
                                             q_pmi_assoc, q_compress_ratio,
                                             q_range_frame, q_knn_classify,
-                                            q_ab_ztest)
+                                            q_ab_ztest, q_track_hausdorff,
+                                            q_geofence, q_aspect_buckets)
     from bano_ray.runtime import ensure_worker_importable
     from bano_ray.stages.export import street_json_zone  # noqa: F401
     ensure_worker_importable()
@@ -245,6 +246,9 @@ def run_benchmarks() -> dict:
         "range_frame": lambda: q_range_frame(SF_DIR).count(),
         "knn_classify": lambda: q_knn_classify(SF_DIR).count(),
         "ab_ztest": lambda: q_ab_ztest(SF_DIR).count(),
+        "track_hausdorff": lambda: q_track_hausdorff(SF_DIR).count(),
+        "geofence": lambda: q_geofence(SF_DIR).count(),
+        "aspect_buckets": lambda: q_aspect_buckets(SF_DIR).count(),
     }
     # phash near-dup at bench scale (expanded image corpus; banding explodes
     # the stream 4x, so run at a bounded expansion like the image stage)
