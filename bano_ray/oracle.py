@@ -4623,3 +4623,49 @@ SELECT CAST(bucket_id AS BIGINT) AS bucket_id, CAST(bw AS BIGINT) AS bw,
        CAST(bh AS BIGINT) AS bh, CAST(COUNT(*) AS BIGINT) AS n_images,
        CAST(SUM(px) AS BIGINT) AS sum_pixels
 FROM scored WHERE rnk = 1 GROUP BY 1, 2, 3 ORDER BY bucket_id"""
+
+
+def q_raster_components() -> str:
+    """Raster→vector blobs (stages/rastervec.raster_components): the
+    zone_of-style floor/clip cell id at raster resolution, occupancy with
+    the threshold, right/down 4-adjacency edges, recursive min-label
+    closure (the q_dup_clusters pattern), COALESCE self-label for
+    singleton cells, per-component bbox aggregate."""
+    from .stages.rastervec import RV_GX, RV_GY, RV_MIN_COUNT
+
+    gx = (f"CAST(least(greatest(floor((lon - {dg.LON0}) / {dg.LON_SPAN}"
+          f" * {RV_GX}), 0), {RV_GX - 1}) AS BIGINT)")
+    gy = (f"CAST(least(greatest(floor((lat - {dg.LAT0}) / {dg.LAT_SPAN}"
+          f" * {RV_GY}), 0), {RV_GY - 1}) AS BIGINT)")
+    return f"""WITH RECURSIVE {base_pts_cte()},
+gc AS (SELECT {gx} * {RV_GY} + {gy} AS cell FROM pts2),
+occ AS (
+  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n FROM gc
+  GROUP BY 1 HAVING COUNT(*) >= {RV_MIN_COUNT}
+),
+e0 AS (
+  SELECT a.cell AS a, b.cell AS b FROM occ a
+  JOIN occ b ON b.cell = a.cell + 1 WHERE a.cell % {RV_GY} <> {RV_GY - 1}
+  UNION ALL
+  SELECT a.cell AS a, b.cell AS b FROM occ a
+  JOIN occ b ON b.cell = a.cell + {RV_GY}
+),
+cc_e AS (
+  SELECT a, b FROM e0 UNION SELECT b, a FROM e0
+  UNION SELECT a, a FROM e0 UNION SELECT b, b FROM e0
+),
+cc_r AS (
+  SELECT a AS node, b AS r FROM cc_e
+  UNION
+  SELECT cc_r.node, e.b FROM cc_r JOIN cc_e e ON cc_r.r = e.a
+),
+labels AS (SELECT node, MIN(r) AS label FROM cc_r GROUP BY node),
+lab2 AS (
+  SELECT occ.cell, occ.n, COALESCE(l.label, occ.cell) AS label
+  FROM occ LEFT JOIN labels l ON l.node = occ.cell
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(n) AS BIGINT) AS n_points,
+       MIN(cell // {RV_GY}) AS gx_min, MAX(cell // {RV_GY}) AS gx_max,
+       MIN(cell % {RV_GY}) AS gy_min, MAX(cell % {RV_GY}) AS gy_max
+FROM lab2 GROUP BY 1 ORDER BY label"""

@@ -4392,3 +4392,16 @@ def q_aspect_buckets(sf_dir: str):
           .select_columns(["doc_id", "bytes"])
           .map_batches(image_dims_batch, batch_format="pyarrow"))
     return aspect_buckets(ds)
+
+
+def q_raster_components(sf_dir: str):
+    """Raster → vector blob extraction (stages/rastervec.py): occupancy
+    grid from bincount partials (ONE grid-bounded shuffle), 4-connected
+    adjacency, distributed min-label connected components, per-component
+    bbox/count aggregate.  The inverse of q_zone_raster's vector→raster
+    direction.  Oracle: recursive-CTE min-label closure over the same
+    closed-form grid arithmetic."""
+    from ..stages.rastervec import raster_components
+
+    ensure_worker_importable()
+    return raster_components(sf_dir)
