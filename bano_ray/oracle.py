@@ -4669,3 +4669,62 @@ SELECT label, CAST(COUNT(*) AS BIGINT) AS n_cells,
        MIN(cell // {RV_GY}) AS gx_min, MAX(cell // {RV_GY}) AS gx_max,
        MIN(cell % {RV_GY}) AS gy_min, MAX(cell % {RV_GY}) AS gy_max
 FROM lab2 GROUP BY 1 ORDER BY label"""
+
+
+def q_map_match() -> str:
+    """Viterbi map-matching (stages/mapmatch.py): OFFSET-shifted BIGINT
+    coords (so SUM // COUNT floor-divides identically in numpy and
+    DuckDB), per-zone candidate centroids, emission lists ordered by
+    candidate sidx, and the DP as a recursive CTE over cost lists —
+    new_costs[i] = emis[i] + least(prev[i], list_min(prev) + P).
+    First-occurrence list_position = numpy first-min argmin."""
+    from .stages.mapmatch import MM_OFF, MM_SWITCH_P
+
+    return f"""WITH RECURSIVE {base_pts_cte()},
+{_TRACK_XY},
+u AS (
+  SELECT insee, sidx, doc_id, ix + {MM_OFF} AS ux, iy + {MM_OFF} AS uy
+  FROM xy
+),
+cen AS (
+  SELECT insee, sidx, SUM(ux) // COUNT(*) AS cx, SUM(uy) // COUNT(*) AS cy
+  FROM u GROUP BY 1, 2
+),
+ptr AS (
+  SELECT insee, sidx, ux, uy,
+         row_number() OVER (PARTITION BY insee, sidx ORDER BY doc_id) AS t
+  FROM u
+),
+emis AS (
+  SELECT p.insee, p.sidx, p.t, c.sidx AS s,
+         (p.ux - c.cx) * (p.ux - c.cx)
+           + (p.uy - c.cy) * (p.uy - c.cy) AS e
+  FROM ptr p JOIN cen c ON c.insee = p.insee
+),
+el AS (
+  SELECT insee, sidx, t, list(e ORDER BY s) AS ev, list(s ORDER BY s) AS sl
+  FROM emis GROUP BY 1, 2, 3
+),
+rec AS (
+  SELECT insee, sidx, t, ev AS costs FROM el WHERE t = 1
+  UNION ALL
+  SELECT e.insee, e.sidx, e.t,
+         list_transform(range(1, len(e.ev) + 1),
+           i -> e.ev[i] + least(r.costs[i],
+                                list_min(r.costs) + {MM_SWITCH_P}))
+  FROM rec r JOIN el e
+    ON e.insee = r.insee AND e.sidx = r.sidx AND e.t = r.t + 1
+),
+fin AS (SELECT insee, sidx, MAX(t) AS n_pts FROM rec GROUP BY 1, 2),
+last AS (
+  SELECT r.insee, r.sidx, f.n_pts, r.costs
+  FROM rec r JOIN fin f
+    ON f.insee = r.insee AND f.sidx = r.sidx AND f.n_pts = r.t
+)
+SELECT l.insee, l.sidx, CAST(l.n_pts AS BIGINT) AS n_pts,
+       CAST(list_min(l.costs) AS BIGINT) AS best_cost,
+       CAST(e.sl[list_position(l.costs, list_min(l.costs))] AS BIGINT)
+         AS match_sidx
+FROM last l JOIN el e
+  ON e.insee = l.insee AND e.sidx = l.sidx AND e.t = l.n_pts
+ORDER BY l.insee, l.sidx"""

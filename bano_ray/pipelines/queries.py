@@ -4405,3 +4405,16 @@ def q_raster_components(sf_dir: str):
 
     ensure_worker_importable()
     return raster_components(sf_dir)
+
+
+def q_map_match(sf_dir: str):
+    """HMM (Viterbi) map-matching per track (stages/mapmatch.py): integer
+    emission (squared distance to candidate-street centroid) + uniform
+    integer switch penalty; the DP loop runs over track ordinals with
+    every (track × state) lane vectorized.  Value-gated:
+    oracle.q_map_match replays the DP as a recursive CTE over per-state
+    cost LISTS (the uniform penalty collapses the inner min to
+    least(stay, list_min + P), so one self-reference suffices)."""
+    from ..stages.mapmatch import map_match
+
+    return map_match(sf_dir)

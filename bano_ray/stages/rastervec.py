@@ -11,10 +11,11 @@ already-scale-shaped pieces:
    shuffle carries ≤ GRID cells per block),
 2. ONE grid-bounded groupby sum → the occupied-cell table (dim-sized:
    ≤ ``RV_GX·RV_GY`` rows regardless of corpus size),
-3. 4-connected adjacency edges + the distributed min-label
-   connected-components of ``stages/graph.py``, then a dim-bounded
-   driver finish (merge + per-component aggregate — the same bounded
-   finish discipline as the other dim-sized reduces).
+3. 4-connected adjacency edges + min-label connected components by
+   union-find on the GRID-bounded cell graph, then the per-component
+   aggregate — a dim-bounded driver finish (the same bounded-finish
+   discipline as the other dim-sized reduces; the distributed CC of
+   ``stages/graph.py`` is for corpus-sized node sets).
 
 Cell arithmetic mirrors ``datagen.zone_of`` (floor-scale-clip, identical
 double op order in numpy and DuckDB) so the oracle replays it closed-form.
@@ -66,15 +67,38 @@ def _adjacency_edges(cells: np.ndarray) -> pd.DataFrame:
     return pd.DataFrame({"a": a, "b": b})
 
 
+def _min_label_components(cells: np.ndarray, ea: np.ndarray,
+                          eb: np.ndarray) -> np.ndarray:
+    """Union-find over the (dim-bounded) occupied-cell graph; returns the
+    MIN cell id of each cell's component, aligned with ``cells``."""
+    idx = {int(c): i for i, c in enumerate(cells)}
+    parent = np.arange(len(cells), dtype=np.int64)
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for a, b in zip(ea, eb):
+        ra, rb = find(idx[int(a)]), find(idx[int(b)])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    roots = np.fromiter((find(i) for i in range(len(cells))),
+                        dtype=np.int64, count=len(cells))
+    # label = min cell id in the component (cells may be unsorted)
+    lab = np.full(len(cells), np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(lab, roots, cells)
+    return lab[roots]
+
+
 def raster_components(sf_dir: str, min_count: int = RV_MIN_COUNT):
     """(label, n_cells, n_points, gx_min, gx_max, gy_min, gy_max): the
     vectorized blobs of the occupancy raster — label = min cell id in the
     component, bbox in grid coordinates.  Returns a pyarrow Table (the
     component table is dim-bounded by the grid)."""
-    import ray
     from ray.data.aggregate import Sum
 
-    from .graph import connected_components
     from .tracks import _doc_ids
 
     occ = (_doc_ids(sf_dir)
@@ -85,15 +109,13 @@ def raster_components(sf_dir: str, min_count: int = RV_MIN_COUNT):
     cells = occ_df["cell"].to_numpy().astype(np.int64)
 
     edges = _adjacency_edges(cells)
-    if len(edges):
-        lab = connected_components(
-            ray.data.from_pandas(edges)).to_pandas()
-    else:
-        lab = pd.DataFrame({"node": pd.Series(dtype="int64"),
-                            "label": pd.Series(dtype="int64")})
-    merged = occ_df.merge(lab, left_on="cell", right_on="node", how="left")
-    # singleton cells (no adjacent occupied neighbor) label themselves
-    merged["label"] = merged["label"].fillna(merged["cell"]).astype(np.int64)
+    # the occupied-cell graph is GRID-bounded (≤ RV_GX·RV_GY nodes) no
+    # matter the corpus size, so union-find here is the scale-correct
+    # finish — the distributed CC of stages/graph.py is for corpus-sized
+    # node sets (its fixed per-round shuffle cost dwarfs this table)
+    merged = occ_df.copy()
+    merged["label"] = _min_label_components(
+        cells, edges["a"].to_numpy(), edges["b"].to_numpy())
     merged["gx"] = merged["cell"] // RV_GY
     merged["gy"] = merged["cell"] % RV_GY
     agg = (merged.groupby("label")

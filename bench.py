@@ -119,7 +119,8 @@ def run_benchmarks() -> dict:
                                             q_pmi_assoc, q_compress_ratio,
                                             q_range_frame, q_knn_classify,
                                             q_ab_ztest, q_track_hausdorff,
-                                            q_geofence, q_aspect_buckets)
+                                            q_geofence, q_aspect_buckets,
+                                            q_raster_components, q_map_match)
     from bano_ray.runtime import ensure_worker_importable
     from bano_ray.stages.export import street_json_zone  # noqa: F401
     ensure_worker_importable()
@@ -249,6 +250,8 @@ def run_benchmarks() -> dict:
         "track_hausdorff": lambda: q_track_hausdorff(SF_DIR).count(),
         "geofence": lambda: q_geofence(SF_DIR).count(),
         "aspect_buckets": lambda: q_aspect_buckets(SF_DIR).count(),
+        "raster_components": lambda: q_raster_components(SF_DIR).num_rows,
+        "map_match": lambda: q_map_match(SF_DIR).count(),
     }
     # phash near-dup at bench scale (expanded image corpus; banding explodes
     # the stream 4x, so run at a bounded expansion like the image stage)
