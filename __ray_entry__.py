@@ -187,6 +187,8 @@ _ORACLE_QUERIES = [
     "q_aspect_buckets",      # image: aspect-ratio bucketing from real bytes
     "q_raster_components",   # geo: raster→vector occupancy-blob extraction
     "q_map_match",           # geo: HMM Viterbi map-matching per track
+    "q_source_diversity",    # curation: per-zone source-mix Gini census
+    "q_iou_eval",            # vision-eval: bbox IoU match census
     "q_hex_cells",           # geo: H3-style axial hex binning
     "q_big_orders",          # TPC-H Q18 shape: HAVING cut + broadcast join-back
     "q_pad_waste",           # LLM: pow-2 length-bucket padding-waste census

@@ -4728,3 +4728,60 @@ SELECT l.insee, l.sidx, CAST(l.n_pts AS BIGINT) AS n_pts,
 FROM last l JOIN el e
   ON e.insee = l.insee AND e.sidx = l.sidx AND e.t = l.n_pts
 ORDER BY l.insee, l.sidx"""
+
+
+def q_source_diversity() -> str:
+    """Per-zone source-mix diversity (queries.q_source_diversity): HUGEINT
+    intermediates for n² (the engine finish uses Python ints — both exact
+    past int64), `//` floor division on non-negative values."""
+    return f"""WITH {base_pts_cte()},
+sc AS (
+  SELECT insee, (doc_id % 4) AS src, CAST(COUNT(*) AS BIGINT) AS c
+  FROM pts2 GROUP BY 1, 2
+),
+z AS (
+  SELECT insee, SUM(c) AS n, SUM(CAST(c AS HUGEINT) * c) AS sq,
+         COUNT(*) AS n_sources, MAX(c) AS mx
+  FROM sc GROUP BY 1
+)
+SELECT insee, CAST(n AS BIGINT) AS n_points,
+       CAST(n_sources AS BIGINT) AS n_sources,
+       CAST((CAST(n AS HUGEINT) * n - sq) * 1000000
+              // (CAST(n AS HUGEINT) * n) AS BIGINT) AS gini_ppm,
+       CAST(CAST(mx AS HUGEINT) * 1000000 // n AS BIGINT) AS top_share_ppm
+FROM z ORDER BY insee"""
+
+
+def q_iou_eval() -> str:
+    """Detection-eval census (queries.q_iou_eval): the same closed-form
+    hash boxes, the exact 2·inter ≥ union half-IoU test, floor'd
+    iou_milli — all BIGINT."""
+    from .pipelines.queries import IOU_GRID
+
+    g = IOU_GRID
+    return f"""WITH {base_pts_cte()},
+bx AS (
+  SELECT insee,
+         {H(11)} % {g} AS xg, {H(12)} % {g} AS yg,
+         20 + {H(13)} % 30 AS wg, 20 + {H(14)} % 30 AS hg,
+         ({H(11)} % {g}) + {H(15)} % 21 - 10 AS xp,
+         ({H(12)} % {g}) + {H(16)} % 21 - 10 AS yp,
+         20 + {H(17)} % 30 AS wp, 20 + {H(18)} % 30 AS hp
+  FROM pts2
+),
+m AS (
+  SELECT insee, wg, hg, wp, hp,
+         greatest(0, least(xg + wg, xp + wp) - greatest(xg, xp)) AS iw,
+         greatest(0, least(yg + hg, yp + hp) - greatest(yg, yp)) AS ih
+  FROM bx
+),
+i2 AS (
+  SELECT insee, iw * ih AS inter,
+         wg * hg + wp * hp - iw * ih AS uni
+  FROM m
+)
+SELECT insee, CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(SUM(CASE WHEN 2 * inter >= uni THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_match,
+       CAST(SUM(inter * 1000 // uni) AS BIGINT) AS sum_iou_milli
+FROM i2 GROUP BY 1 ORDER BY insee"""

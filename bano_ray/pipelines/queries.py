@@ -4418,3 +4418,122 @@ def q_map_match(sf_dir: str):
     from ..stages.mapmatch import map_match
 
     return map_match(sf_dir)
+
+
+def q_source_diversity(sf_dir: str):
+    """Per-zone source-mix diversity census — the curation-QA signal for
+    a multi-source corpus (is a region dominated by one provider?).  All
+    metrics are EXACT integers: gini_ppm = floor((n² − Σnₛ²)·10⁶ / n²)
+    (Gini impurity in parts-per-million), top_share_ppm = floor(max nₛ ·
+    10⁶ / n).  Shape: per-batch (zone, src) bincount partials → ONE
+    (zones×4)-bounded groupby sum → dim-bounded driver-style finish in
+    arbitrary-precision Python ints (matching SQL HUGEINT — int64 n²
+    would overflow past ~3e9 points per zone).  Oracle:
+    oracle.q_source_diversity."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.tracks import _doc_ids
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy()
+        lon, lat = datagen.lon_lat(d)
+        key = datagen.zone_of(lon, lat) * 4 + (d % 4)
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({"k": pa.array(uk),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    agg = (_doc_ids(sf_dir)
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("k").aggregate(Sum("n", alias_name="n")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["zone"] = df["k"] // 4
+        rows = []
+        for zone, g in df.groupby("zone"):
+            cs = [int(x) for x in g["n"]]          # Python ints: no overflow
+            n = sum(cs)
+            sq = sum(c * c for c in cs)
+            rows.append({
+                "insee": str(int(zone) + 1).zfill(5),
+                "n_points": n,
+                "n_sources": len(cs),
+                "gini_ppm": (n * n - sq) * 1_000_000 // (n * n),
+                "top_share_ppm": max(cs) * 1_000_000 // n,
+            })
+        out = pd.DataFrame(rows).sort_values("insee")
+        return pa.table({
+            "insee": pa.array(out["insee"], pa.string()),
+            "n_points": pa.array(out["n_points"].astype(np.int64)),
+            "n_sources": pa.array(out["n_sources"].astype(np.int64)),
+            "gini_ppm": pa.array(out["gini_ppm"].astype(np.int64)),
+            "top_share_ppm": pa.array(out["top_share_ppm"].astype(np.int64)),
+        })
+
+    # zones×4 rows total: the finish sees the whole (dim-bounded) table
+    return agg.repartition(1).map_batches(finish, batch_format="pyarrow")
+
+
+# deterministic synthetic detection boxes (exact ints; oracle replays them)
+IOU_GRID = 200
+
+
+def _iou_boxes(d: np.ndarray):
+    """Per-image GT and predicted boxes as pure hash functions of doc_id
+    (x0, y0, w, h); the pred box is the GT box jittered by ±10 px.
+    Constants sized so the corpus carries a real mix (~38% of pairs pass
+    the IoU ≥ 0.5 gate)."""
+    s = datagen.stream
+    x0g, y0g = s(d, 11) % IOU_GRID, s(d, 12) % IOU_GRID
+    wg, hg = 20 + s(d, 13) % 30, 20 + s(d, 14) % 30
+    x0p = x0g + s(d, 15) % 21 - 10
+    y0p = y0g + s(d, 16) % 21 - 10
+    wp, hp = 20 + s(d, 17) % 30, 20 + s(d, 18) % 30
+    return (x0g, y0g, wg, hg), (x0p, y0p, wp, hp)
+
+
+def q_iou_eval(sf_dir: str):
+    """Detection-eval census: per zone, bbox IoU between each image's
+    ground-truth and predicted box — n_images, n_match (IoU ≥ 0.5, tested
+    EXACTLY as 2·inter ≥ union on ints), sum_iou_milli (floor(inter·1000
+    / union)).  The evaluation primitive a vision-training pipeline runs
+    over a labeled corpus; boxes here are deterministic synthetic columns
+    (the decode seam carries real payloads elsewhere — q_image_*).  One
+    stateless vectorized pass + a zone-bounded groupby sum."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.tracks import _doc_ids
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy()
+        lon, lat = datagen.lon_lat(d)
+        zone = datagen.zone_of(lon, lat)
+        (xg, yg, wg, hg), (xp, yp, wp, hp) = _iou_boxes(d)
+        iw = np.maximum(0, np.minimum(xg + wg, xp + wp) - np.maximum(xg, xp))
+        ih = np.maximum(0, np.minimum(yg + hg, yp + hp) - np.maximum(yg, yp))
+        inter = iw * ih
+        union = wg * hg + wp * hp - inter
+        match = (2 * inter >= union).astype(np.int64)
+        iou_milli = inter * 1000 // union
+        nz = datagen.NZONES
+        n = np.bincount(zone, minlength=nz)
+        nm = np.bincount(zone, weights=match.astype(np.float64),
+                         minlength=nz).astype(np.int64)
+        si = np.bincount(zone, weights=iou_milli.astype(np.float64),
+                         minlength=nz).astype(np.int64)
+        keep = n > 0
+        zidx = np.flatnonzero(keep)
+        return pa.table({
+            "insee": pa.array(np.char.zfill((zidx + 1).astype("U"), 5)
+                              .astype(object), pa.string()),
+            "n_images": pa.array(n[keep].astype(np.int64)),
+            "n_match": pa.array(nm[keep]),
+            "sum_iou_milli": pa.array(si[keep]),
+        })
+
+    return (_doc_ids(sf_dir)
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("insee")
+            .aggregate(Sum("n_images", alias_name="n_images"),
+                       Sum("n_match", alias_name="n_match"),
+                       Sum("sum_iou_milli", alias_name="sum_iou_milli")))
