@@ -189,6 +189,7 @@ _ORACLE_QUERIES = [
     "q_map_match",           # geo: HMM Viterbi map-matching per track
     "q_source_diversity",    # curation: per-zone source-mix Gini census
     "q_iou_eval",            # vision-eval: bbox IoU match census
+    "q_track_frechet",       # geo: discrete Fréchet track-pair distance
     "q_hex_cells",           # geo: H3-style axial hex binning
     "q_big_orders",          # TPC-H Q18 shape: HAVING cut + broadcast join-back
     "q_pad_waste",           # LLM: pow-2 length-bucket padding-waste census

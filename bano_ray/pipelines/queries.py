@@ -4537,3 +4537,16 @@ def q_iou_eval(sf_dir: str):
             .aggregate(Sum("n_images", alias_name="n_images"),
                        Sum("n_match", alias_name="n_match"),
                        Sum("sum_iou_milli", alias_name="sum_iou_milli")))
+
+
+def q_track_frechet(sf_dir: str):
+    """Discrete Fréchet distance between adjacent street tracks
+    (stages/tracks.frechet_pairs): the order-aware trajectory-similarity
+    join (Hausdorff's sibling), exact int64 squared-distance DP with one
+    final rounding.  Value-gated: oracle.q_track_frechet replays the DP
+    as a recursive CTE whose rows carry the Fréchet table row as a LIST,
+    advanced with list_reduce (DuckDB's sequential fold mirrors the
+    in-row recurrence the engine prefix-scans)."""
+    from ..stages.tracks import frechet_pairs
+
+    return frechet_pairs(sf_dir)

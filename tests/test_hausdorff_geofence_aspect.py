@@ -131,3 +131,82 @@ class TestEndToEnd:
         a = got[cols].sort_values(cols).reset_index(drop=True)
         b = want[cols].sort_values(cols).reset_index(drop=True)
         assert a.astype(str).equals(b.astype(str))
+
+
+class TestFrechet:
+    def test_matches_brute_force_dp(self):
+        from bano_ray.stages.tracks import frechet_group
+
+        def brute(A, B):
+            m, n = len(A), len(B)
+            d = [[(A[i][0] - B[j][0]) ** 2 + (A[i][1] - B[j][1]) ** 2
+                  for j in range(n)] for i in range(m)]
+            c = [[0] * n for _ in range(m)]
+            for i in range(m):
+                for j in range(n):
+                    if i == 0 and j == 0:
+                        c[i][j] = d[0][0]
+                    elif i == 0:
+                        c[i][j] = max(c[0][j - 1], d[0][j])
+                    elif j == 0:
+                        c[i][j] = max(c[i - 1][0], d[i][0])
+                    else:
+                        c[i][j] = max(d[i][j], min(c[i - 1][j],
+                                                   c[i - 1][j - 1],
+                                                   c[i][j - 1]))
+            return int(np.floor(np.sqrt(float(c[-1][-1])) + 0.5))
+
+        rng = np.random.RandomState(11)
+        zids, docs, xs, ys, tracks = [], [], [], [], {}
+        doc = 0
+        for zone in [2, 9]:
+            for s in [0, 1, 4]:
+                pts = []
+                for _ in range(rng.randint(1, 9)):
+                    x = int(rng.randint(-2_000_000, 2_000_000))
+                    y = int(rng.randint(41_000_000, 43_000_000))
+                    zids.append(zone * 1000 + s)
+                    docs.append(doc); doc += 1
+                    xs.append(x); ys.append(y); pts.append((x, y))
+                tracks[(zone, s)] = pts
+        df = _df(zids, docs, xs, ys)
+        got = frechet_group(df, stride=1).set_index(
+            ["insee", "sidx_a", "sidx_b"])
+        for zone in [2, 9]:
+            for a, b in [(0, 1), (1, 4)]:
+                insee = str(zone + 1).zfill(5)
+                assert int(got.loc[(insee, a, b)]["frechet_u"]) == \
+                    brute(tracks[(zone, a)], tracks[(zone, b)])
+
+    def test_order_sensitivity_vs_hausdorff(self):
+        from bano_ray.stages.tracks import frechet_group, hausdorff_group
+
+        # B = A reversed: Hausdorff is 0, Fréchet must pay the traversal
+        pts = [(0, 0), (100, 0), (200, 0)]
+        zids = [5000] * 3 + [5001] * 3
+        docs = list(range(6))
+        xs = [p[0] for p in pts] + [p[0] for p in reversed(pts)]
+        ys = [p[1] for p in pts] + [p[1] for p in reversed(pts)]
+        df = _df(zids, docs, xs, ys)
+        h = hausdorff_group(df, stride=1)
+        f = frechet_group(df, stride=1)
+        assert h.iloc[0]["haus_u"] == 0
+        assert f.iloc[0]["frechet_u"] == 200
+
+    def test_frechet_endtoend_matches_duckdb(self, ray_session):
+        import duckdb
+
+        from bano_ray import oracle
+        from bano_ray.pipelines.queries import q_track_frechet
+
+        sf = "/root/testdata/sf0.001"
+        got = q_track_frechet(sf).to_pandas()
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+        want = con.sql(oracle.q_track_frechet()).df()
+        cols = sorted(want.columns)
+        a = got[cols].sort_values(cols).reset_index(drop=True)
+        b = want[cols].sort_values(cols).reset_index(drop=True)
+        assert len(a) == len(b) and len(a) > 0
+        assert a.astype(str).equals(b.astype(str))
