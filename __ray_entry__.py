@@ -190,6 +190,7 @@ _ORACLE_QUERIES = [
     "q_source_diversity",    # curation: per-zone source-mix Gini census
     "q_iou_eval",            # vision-eval: bbox IoU match census
     "q_track_frechet",       # geo: discrete Fréchet track-pair distance
+    "q_track_dtw",           # geo: DTW alignment cost between track pairs
     "q_hex_cells",           # geo: H3-style axial hex binning
     "q_big_orders",          # TPC-H Q18 shape: HAVING cut + broadcast join-back
     "q_pad_waste",           # LLM: pow-2 length-bucket padding-waste census

@@ -4550,3 +4550,14 @@ def q_track_frechet(sf_dir: str):
     from ..stages.tracks import frechet_pairs
 
     return frechet_pairs(sf_dir)
+
+
+def q_track_dtw(sf_dir: str):
+    """DTW alignment cost between adjacent street tracks
+    (stages/tracks.dtw_pairs): exact int64 min-plus DP — the ordered
+    CUMULATIVE member of the trajectory-similarity suite.  Value-gated:
+    oracle.q_track_dtw advances the DP row as a LIST via list_reduce,
+    exactly like q_track_frechet but with addition in place of max."""
+    from ..stages.tracks import dtw_pairs
+
+    return dtw_pairs(sf_dir)

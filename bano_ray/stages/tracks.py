@@ -926,3 +926,121 @@ def frechet_pairs(sf_dir: str):
             .map_batches(_zone_shard_fn(C), batch_format="pyarrow")
             .groupby("_shard")
             .map_groups(frechet_group, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# DTW (dynamic time warping) between adjacent street tracks
+# ---------------------------------------------------------------------------
+
+
+def _minplus_prefix_scan(A: np.ndarray, D: np.ndarray) -> np.ndarray:
+    """Prefix composition of min-plus functions x → min(A_j, D_j + x)
+    along axis 1 (doubling; later∘earlier is (A', D') =
+    (min(A_g, D_g + A_h), D_g + D_h), identity (+INF, 0)).  Both params
+    clamp to INF each step — real path sums stay ≪ INF, so the clamp
+    never distorts a finite result, only stops padded-lane INF+INF
+    overflow.  Position 0 holds a constant (A=value, D=INF-clamped) so
+    the composed function is constant; returned row = A."""
+    n = A.shape[1]
+    s = 1
+    while s < n:
+        Ah = np.concatenate([np.full((A.shape[0], s), _F_INF), A[:, :-s]],
+                            axis=1)
+        Dh = np.concatenate([np.zeros((A.shape[0], s), dtype=np.int64),
+                             D[:, :-s]], axis=1)
+        A = np.minimum(np.minimum(A, D + np.minimum(Ah, _F_INF - D)), _F_INF)
+        D = np.minimum(D + np.minimum(Dh, _F_INF - D), _F_INF)
+        s *= 2
+    return A
+
+
+def dtw_group(df: pd.DataFrame,
+              stride: int = HAUSDORFF_STRIDE) -> pd.DataFrame:
+    """Per-shard kernel: DTW alignment cost (sum of per-step squared
+    distances along the optimal monotone warp) between the same
+    adjacent-track pairs as :func:`frechet_group`.  Same row-at-a-time
+    DP vectorized over pairs; the in-row recurrence
+    f(j) = d_j + min(p_j, pm_j, f(j−1)) = min(a_j, d_j + f(j−1)) is a
+    MIN-PLUS scan (a_j = d_j + min(p_j, pm_j)), prefix-composed in
+    log(n) vector steps.  Costs are exact int64 (path sums < L·6.2e12 —
+    exact below ~1.4e6 sampled points per track, same bound as
+    map-matching)."""
+    cols = ["insee", "sidx_a", "sidx_b", "m_pts", "n_pts", "dtw_cost"]
+    z, d, ix, iy, first, _ = _ordered(df)
+    if not len(z):
+        return pd.DataFrame({c: pd.Series(dtype="int64" if c != "insee"
+                                          else "object") for c in cols})
+    starts = np.flatnonzero(first)
+    gidx = np.cumsum(first) - 1
+    rn = np.arange(len(z)) - starts[gidx]
+    samp = rn % stride == 0
+    zs, ixs, iys = z[samp], ix[samp], iy[samp]
+    sfirst = np.ones(len(zs), dtype=bool)
+    sfirst[1:] = zs[1:] != zs[:-1]
+    tstart = np.flatnonzero(sfirst)
+    tlen = np.diff(np.r_[tstart, len(zs)])
+    tzid = zs[tstart]
+    same_zone = tzid[:-1] // _ZID_MULT == tzid[1:] // _ZID_MULT
+    pa_ = np.flatnonzero(same_zone)
+    if not len(pa_):
+        return pd.DataFrame({c: pd.Series(dtype="int64" if c != "insee"
+                                          else "object") for c in cols})
+    m, n = tlen[pa_], tlen[pa_ + 1]
+    maxm, maxn = int(m.max()), int(n.max())
+    P = len(pa_)
+
+    def padded(which, coords):
+        t0 = tstart[pa_ + which]
+        ln = tlen[pa_ + which]
+        idx = np.minimum(t0[:, None] + np.arange(ln.max())[None, :],
+                         len(coords) - 1)
+        out = coords[idx]
+        out[np.arange(ln.max())[None, :] >= ln[:, None]] = 0
+        return out
+
+    AX, AY = padded(0, ixs), padded(0, iys)
+    BX, BY = padded(1, ixs), padded(1, iys)
+    jpad = np.arange(maxn)[None, :] >= n[:, None]
+
+    prev = None
+    out = np.empty(P, dtype=np.int64)
+    for i in range(maxm):
+        dx = AX[:, i][:, None] - BX
+        dy = AY[:, i][:, None] - BY
+        dist = dx * dx + dy * dy
+        dist[jpad] = _F_INF
+        if i == 0:
+            row = np.minimum(np.cumsum(np.minimum(dist, _F_INF // maxn),
+                                       axis=1), _F_INF)
+        else:
+            pm = np.concatenate(
+                [np.full((P, 1), _F_INF), prev[:, :-1]], axis=1)
+            a = dist + np.minimum(np.minimum(prev, pm), _F_INF - dist)
+            f1 = dist[:, 0] + np.minimum(prev[:, 0], _F_INF - dist[:, 0])
+            A, D = np.minimum(a, _F_INF), np.minimum(dist, _F_INF)
+            A[:, 0] = D[:, 0] = np.minimum(f1, _F_INF)
+            row = _minplus_prefix_scan(A, D)
+        done = m == i + 1
+        if done.any():
+            out[done] = row[done, n[done] - 1]
+        prev = row
+
+    insee, sidx = _insee_sidx(tzid[pa_])
+    _, sidx_b = _insee_sidx(tzid[pa_ + 1])
+    return pd.DataFrame({
+        "insee": insee, "sidx_a": sidx.astype(np.int64),
+        "sidx_b": sidx_b.astype(np.int64),
+        "m_pts": m.astype(np.int64), "n_pts": n.astype(np.int64),
+        "dtw_cost": out})
+
+
+def dtw_pairs(sf_dir: str):
+    """(insee, sidx_a, sidx_b, m_pts, n_pts, dtw_cost): DTW alignment
+    cost between adjacent street tracks — completes the trajectory-
+    similarity suite (Hausdorff = unordered extremal, Fréchet = ordered
+    extremal, DTW = ordered cumulative)."""
+    C = _coarse_groups()
+    return (_doc_ids(sf_dir)
+            .map_batches(_zone_shard_fn(C), batch_format="pyarrow")
+            .groupby("_shard")
+            .map_groups(dtw_group, batch_format="pandas"))

@@ -210,3 +210,76 @@ class TestFrechet:
         b = want[cols].sort_values(cols).reset_index(drop=True)
         assert len(a) == len(b) and len(a) > 0
         assert a.astype(str).equals(b.astype(str))
+
+
+class TestDTW:
+    def test_matches_brute_force_dp(self):
+        from bano_ray.stages.tracks import dtw_group
+
+        def brute(A, B):
+            m, n = len(A), len(B)
+            d = [[(A[i][0] - B[j][0]) ** 2 + (A[i][1] - B[j][1]) ** 2
+                  for j in range(n)] for i in range(m)]
+            c = [[0] * n for _ in range(m)]
+            for i in range(m):
+                for j in range(n):
+                    if i == 0 and j == 0:
+                        c[i][j] = d[0][0]
+                    elif i == 0:
+                        c[i][j] = d[0][j] + c[0][j - 1]
+                    elif j == 0:
+                        c[i][j] = d[i][0] + c[i - 1][0]
+                    else:
+                        c[i][j] = d[i][j] + min(c[i - 1][j],
+                                                c[i - 1][j - 1],
+                                                c[i][j - 1])
+            return c[-1][-1]
+
+        rng = np.random.RandomState(23)
+        zids, docs, xs, ys, tracks = [], [], [], [], {}
+        doc = 0
+        for zone in [3, 12]:
+            for s in [0, 2, 6]:
+                pts = []
+                for _ in range(rng.randint(1, 9)):
+                    x = int(rng.randint(-2_000_000, 2_000_000))
+                    y = int(rng.randint(41_000_000, 43_000_000))
+                    zids.append(zone * 1000 + s)
+                    docs.append(doc); doc += 1
+                    xs.append(x); ys.append(y); pts.append((x, y))
+                tracks[(zone, s)] = pts
+        df = _df(zids, docs, xs, ys)
+        got = dtw_group(df, stride=1).set_index(
+            ["insee", "sidx_a", "sidx_b"])
+        for zone in [3, 12]:
+            for a, b in [(0, 2), (2, 6)]:
+                insee = str(zone + 1).zfill(5)
+                assert int(got.loc[(insee, a, b)]["dtw_cost"]) == \
+                    brute(tracks[(zone, a)], tracks[(zone, b)])
+
+    def test_identical_tracks_cost_zero(self):
+        from bano_ray.stages.tracks import dtw_group
+
+        pts = [(0, 0), (50, 0), (100, 10)]
+        df = _df([4000] * 3 + [4001] * 3, list(range(6)),
+                 [p[0] for p in pts] * 2, [p[1] for p in pts] * 2)
+        got = dtw_group(df, stride=1)
+        assert got.iloc[0]["dtw_cost"] == 0
+
+    def test_dtw_endtoend_matches_duckdb(self, ray_session):
+        import duckdb
+
+        from bano_ray import oracle
+        from bano_ray.pipelines.queries import q_track_dtw
+
+        sf = "/root/testdata/sf0.001"
+        got = q_track_dtw(sf).to_pandas()
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+        want = con.sql(oracle.q_track_dtw()).df()
+        cols = sorted(want.columns)
+        a = got[cols].sort_values(cols).reset_index(drop=True)
+        b = want[cols].sort_values(cols).reset_index(drop=True)
+        assert len(a) == len(b) and len(a) > 0
+        assert a.astype(str).equals(b.astype(str))
