@@ -4931,3 +4931,29 @@ FROM fin f JOIN rec r
   ON r.insee = f.insee AND r.sidx_a = f.sidx_a AND r.sidx_b = f.sidx_b
  AND r.i = f.m_pts
 ORDER BY f.insee, f.sidx_a"""
+
+
+def q_minhash_est_err() -> str:
+    """Sketch-quality census (stages/dedup.minhash_est_err): reuses the
+    q_minhash_pairs CTE prefix (shingles → md5 → signatures → banded
+    candidates with the 200-doc skew guard) and finishes with the
+    signature component-match count and the exact integer Jaccard
+    num/den over distinct shingle-hash sets — no threshold cut."""
+    base = q_minhash_pairs()
+    head = base.split("mh_j AS")[0]
+    return head + """mh_sm AS (
+  SELECT c.a, c.b, CAST(COUNT(*) FILTER (x.s = y.s) AS BIGINT) AS sig_match
+  FROM mh_cand c
+  JOIN mh_sig x ON x.doc_id = c.a
+  JOIN mh_sig y ON y.doc_id = c.b AND y.p = x.p
+  GROUP BY 1, 2
+)
+SELECT c.a AS doc_a, c.b AS doc_b, m.sig_match,
+       CAST(COALESCE(i.i, 0) AS BIGINT) AS jac_num,
+       CAST(na.n + nb.n - COALESCE(i.i, 0) AS BIGINT) AS jac_den
+FROM mh_cand c
+JOIN mh_sm m ON m.a = c.a AND m.b = c.b
+JOIN mh_cnt na ON na.doc_id = c.a
+JOIN mh_cnt nb ON nb.doc_id = c.b
+LEFT JOIN mh_inter i ON i.a = c.a AND i.b = c.b
+ORDER BY doc_a, doc_b"""

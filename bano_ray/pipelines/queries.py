@@ -4561,3 +4561,15 @@ def q_track_dtw(sf_dir: str):
     from ..stages.tracks import dtw_pairs
 
     return dtw_pairs(sf_dir)
+
+
+def q_minhash_est_err(sf_dir: str):
+    """MinHash sketch-quality census (stages/dedup.minhash_est_err): per
+    banded candidate pair the estimator's evidence (equal signature
+    components of 64) next to the exact integer Jaccard num/den — the
+    dedup twin of q_ann_recall.  Oracle: oracle.q_minhash_est_err (the
+    q_minhash_pairs CTEs, finished with a per-permutation match count
+    instead of the threshold cut)."""
+    from ..stages.dedup import minhash_est_err
+
+    return minhash_est_err(_docs(sf_dir))

@@ -431,45 +431,32 @@ def minhash_candidate_pairs(ds, threshold: float = 0.7, max_bucket: int = 200):
     return verified_pairs(ds, pairs, threshold)
 
 
-def verified_pairs(ds, pairs, threshold: float):
-    """Shared exact-Jaccard verification tail for the candidate-pair family
-    (minhash banding, jaccard prefix filtering): ``pairs`` is a Dataset with
-    int64 ``a``/``b`` doc ids — duplicates allowed (a pair surfacing from
-    several buckets/bands is verified redundantly and deduped AFTER the
-    Jaccard cut, where rows number O(true near-dups); deduping the raw
-    candidate stream instead costs a sort-based aggregate with one group
-    per candidate, which measured ~90 s at 430k candidates vs ~7% wasted
-    re-verification here).  Each side's text attaches via a distributed
-    hash join (the candidate set never touches the driver at ≥8 CPU slots),
-    then the exact word-3-gram Jaccard check runs rowwise per batch."""
-    import ray
+def _pair_text_rows(ds, pairs):
+    """Attach each candidate side's text → rows (a, b, text_a, text_b).
 
-    def verify_batch(batch: pa.Table) -> pa.Table:
-        a = batch.column("a").to_numpy().astype(np.int64)
-        b = batch.column("b").to_numpy().astype(np.int64)
-        ta = batch.column("text_a").to_pylist()
-        tb = batch.column("text_b").to_pylist()
-        js = np.asarray([jaccard(x, y) for x, y in zip(ta, tb)], dtype=np.float64)
-        keep = js >= threshold
-        return pa.table({"doc_a": pa.array(a[keep]),
-                         "doc_b": pa.array(b[keep]),
-                         "jaccard": pa.array(np.round(js[keep], 6))})
+    ≥8 CPU slots: two distributed hash joins (the candidate set never
+    touches the driver; the corpus side is hash-partitioned once per
+    join).  Below ~8 slots ray 2.49's hash-join aggregator actors starve
+    the streaming executor (same gate as flagship_with_bytes), so a
+    broadcast semi-join collects the matched texts driver-side — the
+    small-fixture path; the join path is the scale shape.  Join-path rows
+    may repeat a pair (one row per surfacing band/bucket — duplicates are
+    verified redundantly and deduped AFTER the per-pair compute, where
+    rows number O(true candidates); deduping the raw candidate stream
+    instead costs a sort-based aggregate that measured ~90 s at 430k
+    candidates vs ~7% wasted re-verification); the broadcast path
+    pre-dedups."""
+    import ray
+    import pyarrow.compute as _pc
 
     texts = ds.select_columns(["doc_id", "text"])
     cpus = 8
     try:
-        import ray
-
         if ray.is_initialized():
             cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         pass
     if cpus >= 8:
-        # Fully distributed verification: two hash joins attach each side's
-        # text to the candidate pairs (the candidate set never touches the
-        # driver), then the exact-Jaccard check runs rowwise per batch — no
-        # per-pair pandas groups.  The joins shuffle only (pair ids + the
-        # matched texts); the corpus side is hash-partitioned once per join.
         nparts = max(2, min(32, cpus // 2))
         # The sort-based groupby upstream emits ZERO-COLUMN empty pandas
         # blocks for empty partitions; map_batches passes empty blocks
@@ -489,29 +476,15 @@ def verified_pairs(ds, pairs, threshold: float):
             batch_format="pyarrow")
         tb = ta.join(texts, join_type="inner", num_partitions=nparts,
                      on=("b",), right_on=("doc_id",), right_suffix="_b")
-        tb = tb.map_batches(
+        return tb.map_batches(
             lambda t: t.rename_columns(
                 ["text_b" if c == "text" else c for c in t.column_names]),
             batch_format="pyarrow")
-        verified = tb.map_batches(verify_batch, batch_format="pyarrow")
-        # post-verify dedup: few groups (O(true near-dups)), identical
-        # jaccard values for duplicates, so Min is just a picker
-        from ray.data.aggregate import Min
 
-        return verified.groupby(["doc_a", "doc_b"]).aggregate(
-            Min("jaccard", alias_name="jaccard"))
-
-    # Below ~8 CPU slots ray 2.49's hash-join aggregator actors starve the
-    # streaming executor (same gate as pipelines/flagship.flagship_with_bytes)
-    # — fall back to a broadcast semi-join: the candidate ID list (ints only)
-    # drives an is_in filter and the matched texts merge driver-side.  This
-    # path is for small fixtures; the join path above is the scale shape.
-    import ray
-    import pyarrow.compute as _pc
-
-    EMPTY = pa.table({"doc_a": pa.array([], pa.int64()),
-                      "doc_b": pa.array([], pa.int64()),
-                      "jaccard": pa.array([], pa.float64())})
+    EMPTY = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64()),
+                      "text_a": pa.array([], pa.string()),
+                      "text_b": pa.array([], pa.string())})
     pdf = pairs.select_columns(["a", "b"]).to_pandas().drop_duplicates(["a", "b"])
     if len(pdf) == 0:
         return ray.data.from_arrow(EMPTY)
@@ -524,13 +497,90 @@ def verified_pairs(ds, pairs, threshold: float):
 
     tdf = ds.map_batches(text_rows, batch_format="pyarrow").to_pandas()
     tmap = dict(zip(tdf["doc_id"].astype(np.int64), tdf["text"]))
-    out = verify_batch(pa.table({
+    return ray.data.from_arrow(pa.table({
         "a": pa.array(pdf["a"].astype(np.int64)),
         "b": pa.array(pdf["b"].astype(np.int64)),
         "text_a": pa.array([tmap.get(int(x), "") for x in pdf["a"]], pa.string()),
         "text_b": pa.array([tmap.get(int(x), "") for x in pdf["b"]], pa.string()),
     }))
-    return ray.data.from_arrow(out)
+
+
+def verified_pairs(ds, pairs, threshold: float):
+    """Shared exact-Jaccard verification tail for the candidate-pair family
+    (minhash banding, jaccard prefix filtering): ``pairs`` is a Dataset with
+    int64 ``a``/``b`` doc ids — duplicates allowed (see _pair_text_rows).
+    Each side's text attaches via _pair_text_rows, then the exact
+    word-3-gram Jaccard check runs rowwise per batch."""
+    from ray.data.aggregate import Min
+
+    def verify_batch(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy().astype(np.int64)
+        b = batch.column("b").to_numpy().astype(np.int64)
+        ta = batch.column("text_a").to_pylist()
+        tb = batch.column("text_b").to_pylist()
+        js = np.asarray([jaccard(x, y) for x, y in zip(ta, tb)], dtype=np.float64)
+        keep = js >= threshold
+        return pa.table({"doc_a": pa.array(a[keep]),
+                         "doc_b": pa.array(b[keep]),
+                         "jaccard": pa.array(np.round(js[keep], 6))})
+
+    verified = _pair_text_rows(ds, pairs).map_batches(
+        verify_batch, batch_format="pyarrow")
+    # post-verify dedup: few groups (O(true near-dups)), identical
+    # jaccard values for duplicates, so Min is just a picker
+    return verified.groupby(["doc_a", "doc_b"]).aggregate(
+        Min("jaccard", alias_name="jaccard"))
+
+
+def minhash_est_err(ds, max_bucket: int = 200):
+    """Sketch-quality census (q_ann_recall's sibling for the dedup
+    family): for EVERY banded candidate pair — same banding and skew
+    guard as :func:`minhash_candidate_pairs`, no threshold cut — the
+    MinHash estimator's evidence vs ground truth: ``sig_match`` equal
+    components out of MINHASH_PERMS, and the exact distinct-shingle-set
+    ``jac_num``/``jac_den`` as integers (the estimate is sig_match/64,
+    the truth num/den — both exact, so the census is hash-gated)."""
+    from ray.data.aggregate import Min
+
+    sig = ds.map_batches(minhash_batch, batch_format="pyarrow")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        doc = batch.column("doc_id").to_numpy()
+        flat = pc.list_flatten(batch.column("band_hashes")).to_numpy()
+        return pa.table({"doc_id": pa.array(np.repeat(doc, MINHASH_BANDS)),
+                         "bucket": pa.array(flat)})
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return minhash_bucket_pairs(df, max_bucket=max_bucket)
+
+    pairs = bucketed_pairs(sig.map_batches(explode, batch_format="pyarrow"),
+                           bucket_pairs)
+
+    def est_batch(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy().astype(np.int64)
+        b = batch.column("b").to_numpy().astype(np.int64)
+        ta = batch.column("text_a").to_pylist()
+        tb = batch.column("text_b").to_pylist()
+        sm = (minhash_sigs(ta) == minhash_sigs(tb)).sum(axis=1)
+        num = np.empty(len(a), dtype=np.int64)
+        den = np.empty(len(a), dtype=np.int64)
+        for i, (x, y) in enumerate(zip(ta, tb)):   # candidates ≪ corpus
+            sa, sb = _hash_set(x), _hash_set(y)
+            num[i] = len(sa & sb)
+            den[i] = len(sa | sb)
+        return pa.table({"doc_a": pa.array(a), "doc_b": pa.array(b),
+                         "sig_match": pa.array(sm.astype(np.int64)),
+                         "jac_num": pa.array(num),
+                         "jac_den": pa.array(den)})
+
+    est = _pair_text_rows(ds, pairs).map_batches(
+        est_batch, batch_format="pyarrow")
+    return est.groupby(["doc_a", "doc_b"]).aggregate(
+        Min("sig_match", alias_name="sig_match"),
+        Min("jac_num", alias_name="jac_num"),
+        Min("jac_den", alias_name="jac_den"))
 
 
 def jaccard_prefix_batch(batch: pa.Table, threshold: float) -> pa.Table:

@@ -122,7 +122,8 @@ def run_benchmarks() -> dict:
                                             q_geofence, q_aspect_buckets,
                                             q_raster_components, q_map_match,
                                             q_source_diversity, q_iou_eval,
-                                            q_track_frechet, q_track_dtw)
+                                            q_track_frechet, q_track_dtw,
+                                            q_minhash_est_err)
     from bano_ray.runtime import ensure_worker_importable
     from bano_ray.stages.export import street_json_zone  # noqa: F401
     ensure_worker_importable()
@@ -258,6 +259,7 @@ def run_benchmarks() -> dict:
         "iou_eval": lambda: q_iou_eval(SF_DIR).count(),
         "track_frechet": lambda: q_track_frechet(SF_DIR).count(),
         "track_dtw": lambda: q_track_dtw(SF_DIR).count(),
+        "minhash_est_err": lambda: q_minhash_est_err(SF_DIR).count(),
     }
     # phash near-dup at bench scale (expanded image corpus; banding explodes
     # the stream 4x, so run at a bounded expansion like the image stage)

@@ -52,3 +52,33 @@ class TestEndToEnd:
         b = want[cols].sort_values(cols).reset_index(drop=True)
         assert len(a) == len(b) and len(a) > 0
         assert a.astype(str).equals(b.astype(str))
+
+
+class TestMinhashEstErr:
+    def test_matches_duckdb_and_estimator_sane(self, ray_session):
+        import duckdb
+
+        from bano_ray import oracle
+        from bano_ray.pipelines.queries import q_minhash_est_err
+        from bano_ray.stages.dedup import MINHASH_PERMS
+
+        sf = "/root/testdata/sf0.001"
+        got = q_minhash_est_err(sf).to_pandas()
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+        want = con.sql(oracle.q_minhash_est_err()).df()
+        cols = sorted(want.columns)
+        a = got[cols].sort_values(cols).reset_index(drop=True)
+        b = want[cols].sort_values(cols).reset_index(drop=True)
+        assert len(a) == len(b) and len(a) > 0
+        assert a.astype(str).equals(b.astype(str))
+        # estimator sanity on the surfaced candidates: the banded pairs
+        # skew high-similarity, and estimate tracks truth within ~0.35
+        est = got["sig_match"] / MINHASH_PERMS
+        tru = got["jac_num"] / got["jac_den"]
+        assert (abs(est - tru) < 0.35).all()
+        # census supersets the thresholded pair query
+        pairs = con.sql(oracle.q_minhash_pairs()).df()
+        have = set(zip(got["doc_a"], got["doc_b"]))
+        assert set(zip(pairs["doc_a"], pairs["doc_b"])) <= have
