@@ -4957,3 +4957,28 @@ JOIN mh_cnt na ON na.doc_id = c.a
 JOIN mh_cnt nb ON nb.doc_id = c.b
 LEFT JOIN mh_inter i ON i.a = c.a AND i.b = c.b
 ORDER BY doc_a, doc_b"""
+
+
+def q_embed_drift() -> str:
+    """Lag-similarity census (stages/ann.embed_drift): LAG over the
+    per-label vec_id stream, cosine via list_inner_product on DOUBLE
+    lists, round-6."""
+    return """WITH e AS (
+  SELECT CAST(label AS BIGINT) AS label, vec_id,
+         CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+),
+lagd AS (
+  SELECT label, vec_id,
+         LAG(vec_id) OVER w AS vec_prev, LAG(v) OVER w AS pv, v
+  FROM e WINDOW w AS (PARTITION BY label ORDER BY vec_id)
+),
+c AS (
+  SELECT label, vec_prev, vec_id,
+         round(list_inner_product(v, pv)
+               / (sqrt(list_inner_product(v, v))
+                  * sqrt(list_inner_product(pv, pv))), 6) AS cos
+  FROM lagd WHERE vec_prev IS NOT NULL
+)
+SELECT label, vec_prev, vec_id, cos, cos < 0.0 AS drift
+FROM c ORDER BY label, vec_id"""

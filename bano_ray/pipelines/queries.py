@@ -4573,3 +4573,19 @@ def q_minhash_est_err(sf_dir: str):
     from ..stages.dedup import minhash_est_err
 
     return minhash_est_err(_docs(sf_dir))
+
+
+def q_embed_drift(sf_dir: str):
+    """Embedding-stream lag-similarity census (stages/ann.embed_drift):
+    per label the cosine between consecutive vectors (vec_id order) with
+    a negative-similarity drift flag — ingest monitoring for embedding
+    pipelines.  Oracle: oracle.q_embed_drift via LAG windows +
+    list_inner_product (round-6 convention of the q_ann family)."""
+    import ray
+
+    from ..stages.ann import embed_drift
+
+    ensure_worker_importable()
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding", "label"])
+    return embed_drift(ds)

@@ -304,3 +304,47 @@ def ivf_topk(ds, query_ids: list[int], k: int = 10, ncentroids: int = 16,
     cand = cand.astype({"query_id": "int64", "vec_id": "int64"})
     out = cand.groupby("query_id", group_keys=False)[cand.columns].apply(_final_topk(k))
     return out.reset_index(drop=True)
+
+
+def embed_drift(ds, shards: int | None = None):
+    """Embedding-stream lag-similarity census: cosine between each vector
+    and its PREDECESSOR in the per-label (vec_id-ordered) stream, with a
+    drift flag on negative similarity — the monitoring pass an embedding
+    ingest runs to catch upstream model/featurizer changes mid-stream.
+
+    Shape: labels co-located by a coarse shard key, ONE flat lexsort per
+    shard, row-shifted normalized dot products — no per-label dispatch,
+    no per-row Python.  Output is map-scale (one row per consecutive
+    pair), so it streams; the cosine is float64 with the same op order
+    as the SQL oracle, rounded to 6 places (the q_ann family precedent).
+    """
+    from .dedup import _coarse_groups
+
+    C = np.int64(shards or _coarse_groups())
+
+    def shard(batch: pa.Table) -> pa.Table:
+        lab = batch.column("label").to_numpy().astype(np.int64)
+        return batch.append_column(
+            "_shard", pa.array((lab % C).astype(np.int64)))
+
+    def drift_group(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["label", "vec_prev", "vec_id", "cos", "drift"]
+        if not len(df):
+            return pd.DataFrame({c: [] for c in cols})
+        lab = df["label"].to_numpy().astype(np.int64)
+        vid = df["vec_id"].to_numpy().astype(np.int64)
+        order = np.lexsort((vid, lab))
+        lab, vid = lab[order], vid[order]
+        mat = np.stack(df["embedding"].to_numpy()[order]).astype(np.float64)
+        nrm = np.sqrt((mat * mat).sum(axis=1))
+        cos = (mat[1:] * mat[:-1]).sum(axis=1) / (nrm[1:] * nrm[:-1])
+        same = lab[1:] == lab[:-1]
+        cos = np.round(cos[same], 6)
+        return pd.DataFrame({
+            "label": lab[1:][same], "vec_prev": vid[:-1][same],
+            "vec_id": vid[1:][same], "cos": cos,
+            "drift": cos < 0.0})
+
+    return (ds.map_batches(shard, batch_format="pyarrow")
+            .groupby("_shard")
+            .map_groups(drift_group, batch_format="pandas"))

@@ -123,7 +123,7 @@ def run_benchmarks() -> dict:
                                             q_raster_components, q_map_match,
                                             q_source_diversity, q_iou_eval,
                                             q_track_frechet, q_track_dtw,
-                                            q_minhash_est_err)
+                                            q_minhash_est_err, q_embed_drift)
     from bano_ray.runtime import ensure_worker_importable
     from bano_ray.stages.export import street_json_zone  # noqa: F401
     ensure_worker_importable()
@@ -260,6 +260,7 @@ def run_benchmarks() -> dict:
         "track_frechet": lambda: q_track_frechet(SF_DIR).count(),
         "track_dtw": lambda: q_track_dtw(SF_DIR).count(),
         "minhash_est_err": lambda: q_minhash_est_err(SF_DIR).count(),
+        "embed_drift": lambda: q_embed_drift(SF_DIR).count(),
     }
     # phash near-dup at bench scale (expanded image corpus; banding explodes
     # the stream 4x, so run at a bounded expansion like the image stage)

@@ -82,3 +82,28 @@ class TestMinhashEstErr:
         pairs = con.sql(oracle.q_minhash_pairs()).df()
         have = set(zip(got["doc_a"], got["doc_b"]))
         assert set(zip(pairs["doc_a"], pairs["doc_b"])) <= have
+
+
+class TestEmbedDrift:
+    def test_matches_duckdb_and_pairs_complete(self, ray_session):
+        import duckdb
+
+        from bano_ray import oracle
+        from bano_ray.pipelines.queries import q_embed_drift
+
+        sf = "/root/testdata/sf0.001"
+        got = q_embed_drift(sf).to_pandas()
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{sf}/embeddings.parquet')")
+        want = con.sql(oracle.q_embed_drift()).df()
+        cols = sorted(want.columns)
+        a = got[cols].sort_values(cols).reset_index(drop=True)
+        b = want[cols].sort_values(cols).reset_index(drop=True)
+        assert len(a) == len(b) and len(a) > 0
+        assert a.astype(str).equals(b.astype(str))
+        # exactly one pair per consecutive same-label step: rows = N - labels
+        n = con.sql("SELECT COUNT(*), COUNT(DISTINCT label) FROM embeddings").fetchone()
+        assert len(got) == n[0] - n[1]
+        # drift flag fires on this corpus (random vectors anticorrelate ~half)
+        assert got["drift"].any() and (~got["drift"]).any()
