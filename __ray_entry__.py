@@ -193,6 +193,7 @@ _ORACLE_QUERIES = [
     "q_track_dtw",           # geo: DTW alignment cost between track pairs
     "q_minhash_est_err",     # dedup-QA: MinHash estimate vs exact Jaccard
     "q_embed_drift",         # embedding-QA: lag-cosine drift census
+    "q_image_pool",          # image: 4×4 grid-pooled luminance from real decode
     "q_hex_cells",           # geo: H3-style axial hex binning
     "q_big_orders",          # TPC-H Q18 shape: HAVING cut + broadcast join-back
     "q_pad_waste",           # LLM: pow-2 length-bucket padding-waste census

@@ -4982,3 +4982,26 @@ c AS (
 )
 SELECT label, vec_prev, vec_id, cos, cos < 0.0 AS drift
 FROM c ORDER BY label, vec_id"""
+
+
+def q_image_pool() -> str:
+    """Grid-pooled luminance (pipelines/flagship.ImagePool): the
+    _pixel_u8_cte pixel replay, per-pixel channel-sum luminance, block
+    index coord·G // extent — all-integer aggregate."""
+    from .pipelines.flagship import POOL_G
+
+    g = POOL_G
+    return f"""WITH {_pixel_u8_cte()},
+lum AS (
+  SELECT doc_id, w, h, pix, CAST(SUM(val) AS BIGINT) AS lum
+  FROM u8 GROUP BY 1, 2, 3, 4
+),
+blk AS (
+  SELECT doc_id, ((pix % w) * {g}) // w AS gx,
+         ((pix // w) * {g}) // h AS gy, lum
+  FROM lum
+)
+SELECT doc_id, CAST(gx AS BIGINT) AS gx, CAST(gy AS BIGINT) AS gy,
+       CAST(COUNT(*) AS BIGINT) AS n_px,
+       CAST(SUM(lum) AS BIGINT) AS sum_lum
+FROM blk GROUP BY 1, 2, 3 ORDER BY doc_id, gy, gx"""

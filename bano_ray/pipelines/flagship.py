@@ -900,3 +900,58 @@ class ImageEntropy:
 def image_entropy(sf_dir: str, concurrency=None):
     """Histogram-entropy pipeline over the lossless (PNG) payloads."""
     return _png_pool_pipeline(sf_dir, ImageEntropy, concurrency)
+
+
+POOL_G = 4  # grid pooling resolution (4×4 blocks per image)
+
+
+class ImagePool:
+    """Actor-pool 4×4 grid pooling over REAL decoded pixels: per block
+    the exact integer luminance sum + pixel count — the downsampled
+    spatial-layout feature (exposure map) a vision curation pass
+    extracts before any model sees the image.  Block index is the exact
+    integer ``coord · G // extent`` (every block non-empty: dims ≥ 12 ≥
+    G).  Value-ORACLED (oracle.q_image_pool replays the closed-form
+    pixel field + block math in SQL)."""
+
+    def __init__(self):
+        from ..runtime import tune_malloc
+
+        tune_malloc()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..codecs import decode_image_batch
+
+        fmts = batch.column("fmt").to_pylist()
+        blobs = _binary_column_views(batch.column("bytes"))
+        decoded = decode_image_batch(blobs, fmts)
+        dids = batch.column("doc_id").to_numpy()
+        G = POOL_G
+        o_d, o_k, o_n, o_s = [], [], [], []
+        for did, px in zip(dids, decoded):
+            h, w = px.shape[0], px.shape[1]
+            lum = px.reshape(-1, 3).astype(np.int64).sum(axis=1)
+            pix = np.arange(w * h)
+            key = ((pix // w) * G // h) * G + (pix % w) * G // w
+            sums = np.bincount(key, weights=lum.astype(np.float64),
+                               minlength=G * G).astype(np.int64)
+            cnts = np.bincount(key, minlength=G * G).astype(np.int64)
+            o_d.append(np.full(G * G, did, dtype=np.int64))
+            o_k.append(np.arange(G * G, dtype=np.int64))
+            o_n.append(cnts)
+            o_s.append(sums)
+        cat = np.concatenate
+        empty = np.empty(0, np.int64)
+        key = cat(o_k) if o_k else empty
+        return pa.table({
+            "doc_id": pa.array(cat(o_d) if o_d else empty),
+            "gx": pa.array(key % POOL_G),
+            "gy": pa.array(key // POOL_G),
+            "n_px": pa.array(cat(o_n) if o_n else empty),
+            "sum_lum": pa.array(cat(o_s) if o_s else empty),
+        })
+
+
+def image_pool(sf_dir: str, concurrency=None):
+    """Grid-pooled luminance features over the lossless (PNG) payloads."""
+    return _png_pool_pipeline(sf_dir, ImagePool, concurrency)

@@ -4589,3 +4589,15 @@ def q_embed_drift(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding", "label"])
     return embed_drift(ds)
+
+
+def q_image_pool(sf_dir: str):
+    """4×4 grid-pooled luminance features from REAL decoded PNG pixels
+    (pipelines/flagship.ImagePool): exact integer block sums — the
+    spatial-layout (exposure-map) feature extraction stage.  Value-gated
+    like q_image_hist: the oracle replays the generative pixel field and
+    the block index math closed-form, so the driver checks the real
+    decode path against independent SQL."""
+    from .flagship import image_pool
+
+    return image_pool(sf_dir)

@@ -36,9 +36,266 @@ import pyarrow as pa
 from .dedup import _coarse_groups
 
 
+
+def _detach(mds):
+    """Re-wrap a materialized dataset's blocks as a FRESH dataset.
+
+    Iterative algorithms that chain ``materialize()`` rounds otherwise
+    accumulate every prior round's execution lineage in the dataset's
+    stats object, and Ray's per-dataset stats summarization
+    (``stats.py to_summary`` over all ancestor block metadata) grows
+    quadratically with rounds — measured as MINUTES of driver CPU per
+    round by round ~10 on a 5k-node CC (the executions themselves took
+    seconds).  ``to_arrow_refs`` hands over the same object-store blocks
+    (no data copy); ``from_arrow_refs`` starts a clean lineage."""
+    import ray
+
+    return ray.data.from_arrow_refs(mds.to_arrow_refs())
+
+
+
+
 def connected_components(pairs_ds, a_col: str = "a", b_col: str = "b",
-                         max_rounds: int = 25):
+                         max_rounds: int = 40,
+                         finish_edges: int = 500_000):
     """Pairs Dataset → (node, label) with label = min node id reachable.
+
+    Distributed STAR CONTRACTION: every round computes the min-star map
+    s(v) = min(v, neighbors), composes it into the node→super mapping,
+    CONTRACTS each edge to (s(u), s(v)) and drops self-loops +
+    duplicates.  Ids only decrease and a component's min never maps
+    away, so each component contracts to exactly its min id; a
+    geometric component's hop diameter roughly halves per round, giving
+    O(log diameter) rounds where min-label propagation is
+    O(diameter) (the push+jump reference above measured 133 rounds on
+    the sf0.1 urban disk graph; this form takes 7).
+
+    When the contracted edge set falls below ``finish_edges`` rows the
+    remainder resolves with one driver union-find — a BOUNDED finish
+    (≤ finish_edges rows driver-side, ~8 MB at the default), the same
+    discipline as the other dim-bounded reduces; pass finish_edges=0 to
+    force full distribution.  Only nodes appearing in some pair are
+    labeled (callers union in singletons).  Node ids must be ≥ 0 (-1 is
+    the record sentinel in the tagged unions).
+    """
+    import ray
+    from ray.data.aggregate import Count, Min
+
+    C = np.int64(_coarse_groups())
+
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        a = batch.column(a_col).to_numpy().astype(np.int64)
+        b = batch.column(b_col).to_numpy().astype(np.int64)
+        if (len(a) and a.min() < 0) or (len(b) and b.min() < 0):
+            raise ValueError("connected_components requires node ids >= 0")
+        return pa.table({"src": pa.array(np.concatenate([a, b])),
+                         "dst": pa.array(np.concatenate([b, a]))})
+
+    edges = _detach(pairs_ds.map_batches(
+        symmetrize, batch_format="pyarrow").materialize())
+    if edges.count() == 0:
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "label": pa.array([], pa.int64())}))
+
+    nparts = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2) \
+        if ray.is_initialized() else 8
+
+    def self_edges(batch: pa.Table) -> pa.Table:
+        s = batch.column("src")
+        return pa.table({"src": s, "dst": s})
+
+    def star(e):
+        """(node, s): min of self and neighbors over the current edges."""
+        return (e.union(e.map_batches(self_edges, batch_format="pyarrow"))
+                .groupby("src").aggregate(Min("dst", alias_name="s"))
+                .rename_columns({"src": "node"})
+                .repartition(nparts))
+
+    def tag_sq(batch: pa.Table) -> pa.Table:
+        k = batch.column("s").to_numpy()
+        return pa.table({"key": batch.column("s"),
+                         "other": batch.column("node"),
+                         "s": pa.array(np.full(len(k), -1, dtype=np.int64)),
+                         "_shard": pa.array(k % C)})
+
+    def squared(df: pd.DataFrame) -> pd.DataFrame:
+        """s'(x) = s(s(x)) — one pointer-doubling step on the s-forest."""
+        recs = df.loc[df["s"] != -1, ["key", "s"]]
+        qs = df.loc[df["s"] == -1, ["key", "other"]]
+        m = qs.merge(recs, on="key", how="left")
+        return pd.DataFrame({
+            "node": m["other"].to_numpy(),
+            "s": m["s"].fillna(m["key"]).astype(np.int64)})
+
+    def closure(S):
+        """Compress the s-forest to its roots: square s until fixpoint
+        (chains halve per step, so ≤ log(longest chain) shuffles; the sum
+        of s is a monotone convergence certificate).  This is the
+        compress half of classic hook-and-compress CC — without it a
+        monotone-ascending id chain contracts by ONE node per round
+        (measured: the planted 150-node path needs 150 rounds; with
+        closure the whole chain collapses in one outer round)."""
+        from ray.data.aggregate import Sum
+
+        prev = S.aggregate(Sum("s", alias_name="t"))["t"]
+        for _ in range(64):
+            S = (S.map_batches(tag_srec, batch_format="pyarrow")
+                 .union(S.map_batches(tag_sq, batch_format="pyarrow"))
+                 .groupby("_shard").map_groups(squared,
+                                               batch_format="pandas")
+                 .repartition(nparts).materialize())
+            S = _detach(S)
+            t = S.aggregate(Sum("s", alias_name="t"))["t"]
+            if t == prev:
+                return S
+            prev = t
+        raise RuntimeError("s-forest closure did not stabilize")
+
+    # messages for the tagged-union resolve: records carry (key, s),
+    # queries carry (key, other) with s = -1 as the record discriminator
+    def tag_srec(batch: pa.Table) -> pa.Table:
+        k = batch.column("node").to_numpy()
+        return pa.table({"key": batch.column("node"),
+                         "other": pa.array(
+                             np.full(len(k), -1, dtype=np.int64)),
+                         "s": batch.column("s"),
+                         "_shard": pa.array(k % C)})
+
+    def tag_edge_by(col, other):
+        def tag(batch: pa.Table) -> pa.Table:
+            k = batch.column(col).to_numpy()
+            return pa.table({"key": batch.column(col),
+                             "other": batch.column(other),
+                             "s": pa.array(
+                                 np.full(len(k), -1, dtype=np.int64)),
+                             "_shard": pa.array(k % C)})
+        return tag
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        """Replace each query row's key by s(key); output (src=s, dst=other)."""
+        recs = df.loc[df["s"] != -1, ["key", "s"]]
+        qs = df.loc[df["s"] == -1, ["key", "other"]]
+        m = qs.merge(recs, on="key", how="left")
+        s = m["s"].fillna(m["key"]).astype(np.int64)   # identity fallback
+        return pd.DataFrame({"src": s, "dst": m["other"].to_numpy()})
+
+    def mapping_update(df: pd.DataFrame) -> pd.DataFrame:
+        """super ← s(super); supers without an s row (already-finished
+        roots) keep their value."""
+        recs = df.loc[df["s"] != -1, ["key", "s"]]
+        qs = df.loc[df["s"] == -1, ["key", "other"]]
+        m = qs.merge(recs, on="key", how="left")
+        sup = m["s"].fillna(m["key"]).astype(np.int64)
+        return pd.DataFrame({"node": m["other"].to_numpy(), "super": sup})
+
+    def tag_map(batch: pa.Table) -> pa.Table:
+        k = batch.column("super").to_numpy()
+        return pa.table({"key": batch.column("super"),
+                         "other": batch.column("node"),
+                         "s": pa.array(np.full(len(k), -1, dtype=np.int64)),
+                         "_shard": pa.array(k % C)})
+
+    def canon_dedup(batch: pa.Table) -> pa.Table:
+        a = batch.column("src").to_numpy()
+        b = batch.column("dst").to_numpy()
+        keep = a != b
+        a, b = a[keep], b[keep]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        if len(lo) and max(int(lo.max()), int(hi.max())) < 2**32:
+            # fast batch-local pre-dedup (packed 64-bit key); ids past
+            # 32 bits skip it — the global (src, dst) groupby below is
+            # the authoritative dedup either way
+            u = np.unique(lo.astype(np.uint64) << np.uint64(32)
+                          | hi.astype(np.uint64))
+            lo = (u >> np.uint64(32)).astype(np.int64)
+            hi = (u & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        return pa.table({"src": pa.array(lo), "dst": pa.array(hi)})
+
+    # initial mapping: identity over the nodes of E
+    mapping = (edges.groupby("src").aggregate(Count())
+               .rename_columns({"src": "node"})
+               .map_batches(lambda t: pa.table({
+                   "node": t.column("node"),
+                   "super": t.column("node")}), batch_format="pyarrow")
+               .repartition(nparts).materialize())
+    mapping = _detach(mapping)
+
+    for _ in range(max_rounds):
+        S = closure(_detach(star(edges).materialize()))
+        # compose s into the mapping
+        mapping = (S.map_batches(tag_srec, batch_format="pyarrow")
+                   .union(mapping.map_batches(tag_map, batch_format="pyarrow"))
+                   .groupby("_shard").map_groups(mapping_update,
+                                                 batch_format="pandas")
+                   .repartition(nparts).materialize())
+        mapping = _detach(mapping)
+        # contract both endpoints, drop loops, canonical dedup
+        e1 = (S.map_batches(tag_srec, batch_format="pyarrow")
+              .union(edges.map_batches(tag_edge_by("src", "dst"),
+                                       batch_format="pyarrow"))
+              .groupby("_shard").map_groups(resolve, batch_format="pandas"))
+        e2 = (S.map_batches(tag_srec, batch_format="pyarrow")
+              .union(e1.map_batches(tag_edge_by("dst", "src"),
+                                    batch_format="pyarrow"))
+              .groupby("_shard").map_groups(resolve, batch_format="pandas"))
+        # e2 rows are (src=s(dst), dst=s(src)); canonicalize + global dedup
+        edges = (e2.map_batches(canon_dedup, batch_format="pyarrow")
+                 .groupby(["src", "dst"]).aggregate(Count())
+                 .select_columns(["src", "dst"])
+                 .repartition(nparts).materialize())
+        edges = _detach(edges)
+        n_edges = edges.count()
+        if n_edges == 0:
+            return mapping.rename_columns({"super": "label"})
+        if finish_edges and n_edges <= finish_edges:
+            e = edges.to_pandas()
+            nodes = np.unique(np.concatenate(
+                [e["src"].to_numpy(), e["dst"].to_numpy()])).astype(np.int64)
+            pos = {int(n): i for i, n in enumerate(nodes)}
+            par = np.arange(len(nodes))
+
+            def find(i):
+                while par[i] != i:
+                    par[i] = par[par[i]]
+                    i = par[i]
+                return i
+
+            for a, b in zip(e["src"].to_numpy(), e["dst"].to_numpy()):
+                ra, rb = find(pos[int(a)]), find(pos[int(b)])
+                if ra != rb:
+                    par[max(ra, rb)] = min(ra, rb)
+            roots = np.fromiter((find(i) for i in range(len(nodes))),
+                                dtype=np.int64, count=len(nodes))
+            lab = np.full(len(nodes), np.iinfo(np.int64).max, dtype=np.int64)
+            np.minimum.at(lab, roots, nodes)
+            fin_ref = ray.put((nodes, lab[roots]))
+
+            def final_map(batch: pa.Table) -> pa.Table:
+                keys, vals = ray.get(fin_ref)
+                sup = batch.column("super").to_numpy()
+                p = np.searchsorted(keys, sup)
+                p = np.clip(p, 0, len(keys) - 1)
+                hit = keys[p] == sup
+                out = np.where(hit, vals[p], sup)
+                return pa.table({"node": batch.column("node"),
+                                 "label": pa.array(out.astype(np.int64))})
+
+            return mapping.map_batches(final_map, batch_format="pyarrow")
+    raise RuntimeError(
+        f"connected_components did not converge in {max_rounds} rounds "
+        "(raise max_rounds)")
+
+
+
+def connected_components_pushjump(pairs_ds, a_col: str = "a",
+                                  b_col: str = "b", max_rounds: int = 25):
+    """Min-label push + pointer-jump variant — kept as the DIFFERENTIAL
+    REFERENCE for :func:`connected_components` (tests pin both equal).
+    Converges fast on clique-shaped dedup clusters but only ~2 hops per
+    round on geometric (disk-graph) components — measured 133 rounds on
+    the sf0.1 urban cluster, because label pointers stay local — so the
+    star-contraction form below is the live implementation.
 
     Only nodes appearing in some pair are labeled (callers union in
     singletons if they need total coverage).  Node ids must be ≥ 0
@@ -57,8 +314,8 @@ def connected_components(pairs_ds, a_col: str = "a", b_col: str = "b",
         return pa.table({"src": pa.array(np.concatenate([a, b])),
                          "dst": pa.array(np.concatenate([b, a]))})
 
-    edges = pairs_ds.map_batches(
-        symmetrize, batch_format="pyarrow").materialize()
+    edges = _detach(pairs_ds.map_batches(
+        symmetrize, batch_format="pyarrow").materialize())
     if edges.count() == 0:
         return ray.data.from_arrow(pa.table({
             "node": pa.array([], pa.int64()),
@@ -78,6 +335,7 @@ def connected_components(pairs_ds, a_col: str = "a", b_col: str = "b",
               .groupby("src").aggregate(Min("dst", alias_name="label"))
               .rename_columns({"src": "node"})
               .repartition(nparts).materialize())
+    labels = _detach(labels)
     prev_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
 
     # ---- shard-grouped one-hop push: records (key=node, lab) answer edge
@@ -148,7 +406,7 @@ def connected_components(pairs_ds, a_col: str = "a", b_col: str = "b",
         # out to ~200 blocks, and every later stage pays per-task overhead
         # per block (measured 20s/round on a 41-node chain); the table is
         # O(nodes) — coalesce it to O(cluster) blocks
-        labels = (msgs.groupby("node")
+        labels = _detach(msgs.groupby("node")
                   .aggregate(Min("label", alias_name="label"))
                   .repartition(nparts).materialize())
         labels = (labels.map_batches(tag_rec, batch_format="pyarrow")
@@ -158,6 +416,7 @@ def connected_components(pairs_ds, a_col: str = "a", b_col: str = "b",
                   .groupby("node")
                   .aggregate(Min("label", alias_name="label"))
                   .repartition(nparts).materialize())
+        labels = _detach(labels)
         s = labels.aggregate(Sum("label", alias_name="s"))["s"]
         if s == prev_sum:        # monotone labels: unchanged sum == fixpoint
             return labels
@@ -216,7 +475,7 @@ def bfs_levels(edges_ds, seed_mask: np.ndarray, max_depth: int = 4,
                 if ray.is_initialized() else 8)
         concurrency = max(1, min(8, cpus - 1))
 
-    edges = edges_ds.materialize()   # iterative: read the stream once
+    edges = _detach(edges_ds.materialize())  # iterative: read once, fresh lineage
     lvl = np.where(seed_mask, 0, _BFS_INF).astype(np.int64)
     for _ in range(max_depth):
         ref = ray.put(lvl)
@@ -280,7 +539,7 @@ def sssp(edges_ds, seed_mask: np.ndarray, rounds: int = 3,
                 if ray.is_initialized() else 8)
         concurrency = max(1, min(8, cpus - 1))
 
-    edges = edges_ds.materialize()   # iterative: read the stream once
+    edges = _detach(edges_ds.materialize())  # iterative: read once, fresh lineage
     dist = np.where(seed_mask, 0, _BFS_INF).astype(np.int64)
     for _ in range(rounds):
         ref = ray.put(dist)

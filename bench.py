@@ -123,7 +123,8 @@ def run_benchmarks() -> dict:
                                             q_raster_components, q_map_match,
                                             q_source_diversity, q_iou_eval,
                                             q_track_frechet, q_track_dtw,
-                                            q_minhash_est_err, q_embed_drift)
+                                            q_minhash_est_err, q_embed_drift,
+                                            q_image_pool)
     from bano_ray.runtime import ensure_worker_importable
     from bano_ray.stages.export import street_json_zone  # noqa: F401
     ensure_worker_importable()
@@ -261,6 +262,7 @@ def run_benchmarks() -> dict:
         "track_dtw": lambda: q_track_dtw(SF_DIR).count(),
         "minhash_est_err": lambda: q_minhash_est_err(SF_DIR).count(),
         "embed_drift": lambda: q_embed_drift(SF_DIR).count(),
+        "image_pool": lambda: q_image_pool(SF_DIR).count(),
     }
     # phash near-dup at bench scale (expanded image corpus; banding explodes
     # the stream 4x, so run at a bounded expansion like the image stage)
@@ -272,6 +274,7 @@ def run_benchmarks() -> dict:
         t0 = time.time()
         fn()
         timings[name] = round(time.time() - t0, 3)
+        print(f"[bench] {name}: {timings[name]}s", file=sys.stderr, flush=True)
 
     # image payload stage at reduced expansion (binary-heavy)
     from bano_ray.pipelines.flagship import image_roundtrip
