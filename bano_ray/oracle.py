@@ -854,7 +854,8 @@ zones AS (
          {dg.LAT0} + ({dg.LAT_SPAN} * ((r.range % {dg.NZY}) + 1)) / {dg.NZY} AS zy1
   FROM range({dg.NZONES}) r
 )
-SELECT t.z, t.x, t.y, zo.insee
+SELECT CAST(t.z AS BIGINT) AS z, CAST(t.x AS BIGINT) AS x,
+       CAST(t.y AS BIGINT) AS y, zo.insee
 FROM tl t JOIN zones zo
 ON t.lon0 <= zo.zx1 AND t.lon1 >= zo.zx0 AND t.lat0 <= zo.zy1 AND t.lat1 >= zo.zy0
 ORDER BY t.z, t.x, t.y, zo.insee"""
@@ -899,7 +900,8 @@ lvl8 AS (
 ),
 lvl9(insee, zx0, zx1, zy0, zy1) AS (VALUES {arr_vals}),
 zones AS (SELECT * FROM lvl8 UNION ALL SELECT * FROM lvl9)
-SELECT t.z, t.x, t.y, zo.insee
+SELECT CAST(t.z AS BIGINT) AS z, CAST(t.x AS BIGINT) AS x,
+       CAST(t.y AS BIGINT) AS y, zo.insee
 FROM tl t JOIN zones zo
 ON t.lon0 <= zo.zx1 AND t.lon1 >= zo.zx0 AND t.lat0 <= zo.zy1 AND t.lat1 >= zo.zy0
 ORDER BY t.z, t.x, t.y, zo.insee"""
@@ -982,7 +984,7 @@ _NTOK = ("(CASE WHEN trim(text, ' \t\n\r') = '' THEN 0 ELSE "
 
 
 def q_token_count() -> str:
-    return f"""SELECT doc_id, CAST({_NTOK} AS INTEGER) AS n_tokens
+    return f"""SELECT doc_id, CAST({_NTOK} AS BIGINT) AS n_tokens
 FROM documents ORDER BY doc_id"""
 
 
@@ -1005,7 +1007,7 @@ def q_quality() -> str:
          CAST(length(text) AS DOUBLE) AS nc
   FROM documents
 )
-SELECT doc_id, n_chars, CAST(n_tokens AS INTEGER) AS n_tokens,
+SELECT doc_id, n_chars, CAST(n_tokens AS BIGINT) AS n_tokens,
        round(CAST(punct AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE), 6) AS punct_ratio,
        round(CAST(stop AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE), 6) AS stop_ratio,
        round(ln(nc + 1.0) * 0.25
@@ -1482,7 +1484,7 @@ rj_e AS (
 )
 SELECT e.event_id,
        CAST(COUNT(*) AS BIGINT) AS n_purchases,
-       SUM(p.cents) AS sum_cents
+       CAST(SUM(p.cents) AS BIGINT) AS sum_cents
 FROM rj_e e
 JOIN rj_p p ON p.ts > e.ts AND p.ts <= e.ts + INTERVAL 30 MINUTE
 GROUP BY 1 ORDER BY 1"""
@@ -1667,7 +1669,7 @@ def q_broadcast_join() -> str:
     (queries.q_broadcast_join)."""
     return """SELECT n.n_name,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
-       SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS sum_cents
+       CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM orders o
 JOIN customer c ON c.c_custkey = o.o_custkey
 JOIN nation n ON n.n_nationkey = c.c_nationkey
@@ -1708,7 +1710,7 @@ def q_bloom_semijoin() -> str:
 
     return f"""SELECT l_orderkey,
        CAST(COUNT(*) AS BIGINT) AS n_items,
-       SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_cents
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM lineitem
 WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                      WHERE o_totalprice > {BLOOM_PRICE_MIN})
@@ -1841,7 +1843,8 @@ sg AS (
   FROM se
 )
 SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
-       CAST(COUNT(*) AS BIGINT) AS n_events, SUM(cents) AS sum_cents
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
 FROM sg GROUP BY user_id, sid ORDER BY user_id, session_start"""
 
 
@@ -2382,7 +2385,7 @@ deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM edges GROUP BY src),
 nn AS (SELECT CAST(nu + 100 AS DOUBLE) AS n FROM nu),
 r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes),
 {steps}
-SELECT node, ROUND(r, 6) AS pagerank FROM r3 ORDER BY node"""
+SELECT CAST(node AS BIGINT) AS node, ROUND(r, 6) AS pagerank FROM r3 ORDER BY node"""
 
 
 def q_bfs_levels() -> str:
@@ -2558,7 +2561,8 @@ def q_embed_centroids() -> str:
     return """WITH e AS (
   SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 )
-SELECT label, i AS idx, round(SUM(v[i + 1]) / COUNT(*), 6) AS mean_val
+SELECT CAST(label AS BIGINT) AS label, i AS idx,
+       round(SUM(v[i + 1]) / COUNT(*), 6) AS mean_val
 FROM e, range(0, 64) t(i)
 GROUP BY label, i ORDER BY label, i"""
 
@@ -2831,8 +2835,8 @@ wth AS (
   FROM wz GROUP BY 1
 )
 SELECT w.event_type, CAST(COUNT(*) AS BIGINT) AS n,
-       SUM(CASE WHEN w.cents < t.lo THEN t.lo
-                WHEN w.cents > t.hi THEN t.hi ELSE w.cents END) AS wsum_cents
+       CAST(SUM(CASE WHEN w.cents < t.lo THEN t.lo
+                WHEN w.cents > t.hi THEN t.hi ELSE w.cents END) AS BIGINT) AS wsum_cents
 FROM wz w JOIN wth t ON t.event_type = w.event_type
 GROUP BY 1 ORDER BY 1"""
 
@@ -2987,7 +2991,7 @@ base AS (
          CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0/cos(radians(lat))) / pi()) / 2.0 * {n}.0) AS BIGINT) AS by
   FROM pts2
 )
-SELECT lv.z AS z, bx // (1 << ({z_hi} - lv.z)) AS x,
+SELECT CAST(lv.z AS BIGINT) AS z, bx // (1 << ({z_hi} - lv.z)) AS x,
        by // (1 << ({z_hi} - lv.z)) AS y,
        CAST(COUNT(*) AS BIGINT) AS n_points
 FROM base CROSS JOIN (VALUES {levels}) lv(z)
@@ -3565,7 +3569,7 @@ pyr AS (
   FROM base CROSS JOIN (VALUES {levels}) lv(z)
   GROUP BY 1, 2, 3
 )
-SELECT c.z, c.x, c.y, c.n_points
+SELECT CAST(c.z AS BIGINT) AS z, c.x, c.y, c.n_points
 FROM pyr c LEFT JOIN pyr p
   ON p.z = c.z - 1 AND p.x = c.x // 2 AND p.y = c.y // 2
 WHERE (c.z = {z_lo} OR p.n_points > {T})
@@ -3627,9 +3631,10 @@ r AS (
                                ORDER BY d2, hub_zone) AS rn
   FROM d
 )
-SELECT hub_zone, CAST(COUNT(*) AS BIGINT) AS n_points,
+SELECT CAST(hub_zone AS BIGINT) AS hub_zone,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
        CAST(SUM(d2) AS BIGINT) AS sum_d2
-FROM r WHERE rn = 1 GROUP BY 1 ORDER BY 1"""
+FROM r WHERE rn = 1 GROUP BY hub_zone ORDER BY 1"""
 
 
 def q_late_events() -> str:
@@ -4163,7 +4168,7 @@ cells AS (
   FROM lum CROSS JOIN lev
   GROUP BY 1, 2, 3, 4
 )
-SELECT doc_id, lvl, CAST(COUNT(*) AS BIGINT) AS n_cells,
+SELECT doc_id, CAST(lvl AS BIGINT) AS lvl, CAST(COUNT(*) AS BIGINT) AS n_cells,
        CAST(SUM(cs // cnt) AS BIGINT) AS s_avg
 FROM cells GROUP BY 1, 2 ORDER BY doc_id, lvl"""
 
@@ -4328,10 +4333,10 @@ def q_pad_waste() -> str:
 bk AS (
   SELECT n, (CASE {chain} ELSE {1 << _PAD_MAX_POW} END) AS bucket FROM tok
 )
-SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+SELECT CAST(bucket AS BIGINT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n) AS BIGINT) AS sum_tokens,
        CAST(bucket * COUNT(*) - SUM(n) AS BIGINT) AS pad_waste
-FROM bk GROUP BY 1 ORDER BY 1"""
+FROM bk GROUP BY bucket ORDER BY 1"""
 
 
 def q_knn_graph() -> str:

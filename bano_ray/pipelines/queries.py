@@ -1227,8 +1227,15 @@ def q_events_hourly(sf_dir: str):
                       Max("value", alias_name="max_value")))
 
     def finish(batch: pa.Table) -> pa.Table:
-        return batch.set_column(batch.column_names.index("sum_value"),
-                                "sum_value", pc.round(batch.column("sum_value"), ndigits=6, round_mode="half_towards_infinity"))
+        batch = batch.set_column(
+            batch.column_names.index("sum_value"), "sum_value",
+            pc.round(batch.column("sum_value"), ndigits=6,
+                     round_mode="half_towards_infinity"))
+        # timestamp[us] (after the aggregate, which normalizes key dtypes):
+        # matches DuckDB's date_trunc pandas rendering for the strict gate
+        return batch.set_column(batch.column_names.index("hour"), "hour",
+                                pc.cast(batch.column("hour"),
+                                        pa.timestamp("us")))
 
     return agg.map_batches(finish, batch_format="pyarrow")
 
@@ -2077,11 +2084,22 @@ def q_outer_join(sf_dir: str):
     b = (ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["user_id", "value"])
          .map_batches(events_partial, batch_format="pyarrow"))
-    return (a.union(b).groupby("key")
-            .aggregate(Sum("n_orders", alias_name="n_orders"),
-                       Sum("total_cents", alias_name="total_cents"),
-                       Sum("n_events", alias_name="n_events"),
-                       Sum("value_cents", alias_name="value_cents")))
+    agg = (a.union(b).groupby("key")
+           .aggregate(Sum("n_orders", alias_name="n_orders"),
+                      Sum("total_cents", alias_name="total_cents"),
+                      Sum("n_events", alias_name="n_events"),
+                      Sum("value_cents", alias_name="value_cents")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        # float64-with-NaN: matches the pandas rendering of the oracle's
+        # nullable FULL OUTER measures (dtype-strict gate); counts are
+        # < 2^53 so the float64 widening is exact
+        cols = {"key": batch.column("key")}
+        for c in ("n_orders", "total_cents", "n_events", "value_cents"):
+            cols[c] = pc.cast(batch.column(c), pa.float64())
+        return pa.table(cols)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 def q_train_split(sf_dir: str):
@@ -3119,7 +3137,10 @@ def q_top_orders(sf_dir: str):
     top = _local_topk_cut(joined, ["rev_c", "key"], [True, False], 10)
     res = (top.sort(["rev_c", "key"], descending=[True, False]).limit(10)
            .to_pandas())
-    res["o_orderdate"] = pd.to_datetime(res["odate"], unit="us")
+    # keep [us] resolution: matches DuckDB's timestamp rendering
+    # (datetime64[us]) so the dtype-strict gate agrees
+    res["o_orderdate"] = pd.to_datetime(
+        res["odate"], unit="us").astype("datetime64[us]")
     return (res.rename(columns={"key": "o_orderkey",
                                 "prio": "o_orderpriority"})
             [["o_orderkey", "o_orderdate", "o_orderpriority", "rev_c"]])

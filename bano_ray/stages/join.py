@@ -77,11 +77,18 @@ def salted_repartition_join(fact_ds, dim_ds, key: str, dim_key: str,
             [key if c == dim_key else c for c in rep.column_names])
         return _unified(len(k), rep, shard, 1)
 
+    # the unified block carries nulls for the absent side, so the pandas
+    # rendering widens ints to float64; the inner join has no nulls, so
+    # cast back to the source Arrow dtypes (dtype-strict oracle gate)
+    out_dtypes = {name: np.dtype(typ.to_pandas_dtype())
+                  for name, typ in out_fields
+                  if pa.types.is_integer(typ) or pa.types.is_floating(typ)}
+
     def resolve(df: pd.DataFrame) -> pd.DataFrame:
         f = df[df["_side"] == 0]
         d = df[df["_side"] == 1]
         out = f[fact_cols].merge(d[[key, *dim_cols]], on=key, how="inner")
-        return out[[*fact_cols, *dim_cols]]
+        return out[[*fact_cols, *dim_cols]].astype(out_dtypes)
 
     fact = fact_ds.map_batches(fact_prep, batch_format="pyarrow")
     dim = dim_ds.map_batches(dim_prep, batch_format="pyarrow")

@@ -100,8 +100,10 @@ def quality_batch(batch: pa.Table) -> pa.Table:
         _pc.multiply(_pc.ln(_pc.add(nc, 1.0)), 0.25),
         _pc.subtract(_pc.multiply(stop_ratio, 2.0), _pc.multiply(punct_ratio, 3.0)))
     return pa.table({
-        "doc_id": batch.column("doc_id"), "n_chars": n_chars,
-        "n_tokens": n_tok, "punct_ratio": pc.round(punct_ratio, 6),
+        # int64 to match DuckDB's length()/count rendering (dtype-strict gate)
+        "doc_id": batch.column("doc_id"),
+        "n_chars": pc.cast(n_chars, pa.int64()),
+        "n_tokens": pc.cast(n_tok, pa.int64()), "punct_ratio": pc.round(punct_ratio, 6),
         "stop_ratio": pc.round(stop_ratio, 6),
         "quality": pc.round(score, 6),
     })

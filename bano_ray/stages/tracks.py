@@ -176,13 +176,16 @@ def simplify_group(df: pd.DataFrame,
     z, d, ix, iy, first, last = _ordered(df)
     if not len(z):
         return pd.DataFrame({"insee": [], "sidx": [], "doc_id": [],
-                             "area2": pd.array([], dtype="Int64")})
+                             "area2": np.array([], dtype=np.float64)})
     cross, interior = _cross2(ix, iy, first, last)
     area2 = np.abs(cross)
     keep = ~interior | (area2 >= area2_min)
     insee, sidx = _insee_sidx(z[keep])
-    a = pd.array(area2[keep], dtype="Int64")
-    a[~interior[keep]] = pd.NA
+    # float64-with-NaN on endpoints: matches the pandas rendering of the
+    # oracle's nullable BIGINT area2 (dtype-strict gate); |2·area| is
+    # bounded ~6.2e12 < 2^53 so the widening is exact
+    a = area2[keep].astype(np.float64)
+    a[~interior[keep]] = np.nan
     return pd.DataFrame({"insee": insee, "sidx": sidx,
                          "doc_id": d[keep], "area2": a})
 

@@ -82,7 +82,10 @@ def window_user_events(ds):
         return pd.DataFrame({
             "event_id": ev, "user_id": u,
             "rn": rn.astype(np.int64),
-            "lag_cents": pd.array(lag, dtype="Int64"),
+            # float64 with NaN at partition heads: matches the pandas
+            # rendering of a nullable LAG(BIGINT) (DuckDB oracle) exactly,
+            # so value hashes agree without a sentinel on either side.
+            "lag_cents": lag,
             "run_cents": run.astype(np.int64),
         })
 

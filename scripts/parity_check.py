@@ -44,7 +44,19 @@ for name, fn in qs.items():
             results.append(f"{name} FAIL rowcount ray={len(a)} oracle={len(b)}")
             failed += 1
             continue
-        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+        # Dtype-strict: the driver's hash gate is sensitive to the pandas
+        # dtype rendering (int64 vs float64 vs nullable Int64), so a
+        # check_dtype=False pass here does NOT predict a driver-green row
+        # (this is exactly how round 4 shipped three red rows).
+        dt_bad = [c for c in cols if str(a[c].dtype) != str(b[c].dtype)]
+        if dt_bad:
+            failed += 1
+            results.append(
+                f"{name} FAIL dtype "
+                + ", ".join(f"{c}: ray={a[c].dtype} oracle={b[c].dtype}"
+                            for c in dt_bad))
+            continue
+        pd.testing.assert_frame_equal(a, b, check_dtype=True)
         results.append(f"{name} OK {len(a)}")
     except AssertionError as e:
         failed += 1
