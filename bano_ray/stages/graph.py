@@ -105,9 +105,25 @@ def connected_components(pairs_ds, a_col: str = "a", b_col: str = "b",
         s = batch.column("src")
         return pa.table({"src": s, "dst": s})
 
+    def resym(batch: pa.Table) -> pa.Table:
+        a = batch.column("src").to_numpy()
+        b = batch.column("dst").to_numpy()
+        return pa.table({"src": pa.array(np.concatenate([a, b])),
+                         "dst": pa.array(np.concatenate([b, a]))})
+
     def star(e):
-        """(node, s): min of self and neighbors over the current edges."""
-        return (e.union(e.map_batches(self_edges, batch_format="pyarrow"))
+        """(node, s): min of self and neighbors over the current edges.
+
+        The edge stream is RE-SYMMETRIZED first: after round 1 `edges`
+        holds only the canonical (lo, hi) orientation from canon_dedup,
+        under which min(dst) > src for every src and hi-side nodes get
+        no row at all — s(v) = v everywhere and contraction stalls
+        (40 no-op shuffle rounds then RuntimeError on any graph whose
+        contracted remainder exceeds finish_edges).  Round 1's already
+        symmetric input just carries duplicate orientations, which the
+        Min aggregate ignores."""
+        sym = e.map_batches(resym, batch_format="pyarrow")
+        return (sym.union(sym.map_batches(self_edges, batch_format="pyarrow"))
                 .groupby("src").aggregate(Min("dst", alias_name="s"))
                 .rename_columns({"src": "node"})
                 .repartition(nparts))
