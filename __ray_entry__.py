@@ -20,56 +20,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # queries with full DuckDB value-parity oracles
 _ORACLE_QUERIES = [
-    "q_parse_caption",       # M-series caption → (hn, street, key)
-    "q_zone_counts",         # G1 PIP zone assignment counts
-    "q_cell_counts",         # cell index encoding (z12 tiles)
-    "q_phash_dups",          # §2.8 exact image dedup by phash
-    "q_phash_neardup",       # §2.8 Hamming-≤3 phash near-dup (12-bit banding)
-    "q_hn_canon",            # M9 canonical housenumber key
-    "q_hn_explode",          # M7 OSM multi-number split
-    "q_hn_ranges",           # M8 conditional range expansion
-    "q_hn_plausible",        # M10 plausibility filters
-    "q_fixed_width_parse",   # S4 fixed-width registry parse
-    "q_cumul_adresses",      # §3.1 the per-zone merge (addresses)
-    "q_cumul_voies",         # §3.1 the per-zone merge (streets)
-    "q_export_csv",          # K1/J1/A1-A3 priority coalesce export
-    "q_street_json",         # A1/A4/A5 importance + packing export
-    "q_export_crosscheck",   # stats_export.sh CSV/SHP/duplicate cross-check
-    "q_registry_unmatched",  # J9 anti-join
-    "q_voies_sans_adresses", # J10 matched-without-addresses export
-    "q_ban_pseudo",          # J11 pseudo-registry augmentation
-    "q_min_cp",              # A6 min postal per zone
-    "q_tile_zones",          # G9 expire tiles → impacted zones
-    "q_tile_zones_arm",      # G9 metropolis rule: arrondissement substitution
-    "q_commune_list",        # J12 ARM/COMD commune-list exclusion
-    "q_knn_match",           # ST5 cell-local kNN matcher
-    "q_places",              # §3.2 lieux-dits merge cascade
-    "q_langid",              # text: language ID heuristic
-    "q_token_count",         # text: whitespace token counting
-    "q_token_bpe",           # text: BPE-ish subword tokenizer count
-    "q_quality",             # text: quality scoring
-    "q_fingerprint",         # text: rolling-hash fingerprint
-    "q_tfidf",               # text: per-doc top-3 TF-IDF terms (broadcast df)
-    "q_pii_redact",          # text: PII scan + redaction (RE2 both sides)
-    "q_repetition",          # text: Gopher-style repetition quality signals
-    "q_decontaminate",       # text: benchmark n-gram decontamination
-    "q_term_postings",       # text: truncated inverted index (top-3 postings)
-    "q_dedup_exact_docs",    # dedup: exact content hash
-    "q_events_hourly",       # streaming-style windowed aggregate
-    "q_events_sliding",      # hopping-window (2h/1h) aggregate
-    "q_pivot",               # conditional-aggregation pivot by event type
-    "q_sessionize",          # gap-based session windows (combiner shape)
-    "q_window_funcs",        # per-key ROW_NUMBER / LAG / running SUM windows
-    "q_window_ranks",        # per-key RANK/DENSE_RANK/PERCENT_RANK/NTILE
-    "q_bigram_lm",           # text: bigram-LM quality scoring (broadcast MLE)
-    "q_asof_join",           # as-of join (latest right row per key/ts)
-    "q_range_join",          # interval range join (binned, prefix-sum probes)
-    "q_hll_registers",       # HyperLogLog sketch registers (mergeable partials)
-    "q_hll_by_group",        # per-group HLL distinct sketch
-    "q_distinct_per_group",  # exact per-group distinct (combiner pairs)
-    "q_hash_sample",         # deterministic min-hash bounded sample
-    "q_weighted_sample",     # sequential-Poisson weighted sample (u/w priority)
-    "q_cms_counters",        # Count-Min sketch counters (mergeable partials)
+    # --- never driver-sampled first: the driver samples a prefix of
+    # --- this list, so rotation reaches un-gated queries soonest
     "q_kmv_overlap",         # KMV set-overlap sketch (k-min distinct hashes)
     "q_distance_selfjoin",   # spatial distance self-join (grid buckets)
     "q_heavy_hitters",       # exact top-k by count (combiner shape)
@@ -87,21 +39,8 @@ _ORACLE_QUERIES = [
     "q_quantiles",           # exact quantiles via distributed selection
     "q_percentile_cont",     # interpolated quantiles (rank-pair selection)
     "q_event_paths",         # ordered string_agg: first-8-events path/user
-    "q_lineitem_pricing",    # relational baseline (TPC-H Q1 shape)
-    "q_ann_topk",            # similarity search: brute cosine top-k
-    "q_display_expand",      # M15 display-name expansion
-    "q_source_counts",       # A11 monitoring counts
-    "q_suffix_zones",        # G6/G7/A8/M13 suffix-zone decoration
-    "q_communes_json",       # communes JSON export (importance variant)
-    "q_pbf_nodes",           # S5 OSM PBF import (write + distributed read)
-    "q_zone_raster",         # raster<->vector: polygon rasterization census
     "q_zorder_range",        # bbox via coalesced morton-range pruning
-    "q_minhash_pairs",       # dedup: MinHash+LSH near-dup pairs (md5 shingles)
     "q_jaccard_neardup",     # dedup: exact-recall n-gram Jaccard (prefix filter)
-    "q_simhash",             # dedup: SimHash signatures (md5 token hashes)
-    "q_simhash_neardup",     # dedup: SimHash Hamming-<=3 banding pairs
-    "q_embedding_neardup",   # dedup: embedding-cosine near-dups (banded LSH)
-    "q_ann_lsh",             # similarity search: LSH-bucketed ANN
     "q_audio_features",      # multimodal audio window features (fake PCM)
     "q_fuzzy_streets",       # blocked edit-distance fuzzy key matching
     "q_group_outliers",      # per-group z-score outliers (broadcast stats)
@@ -203,6 +142,70 @@ _ORACLE_QUERIES = [
     "q_range_frame",         # window: RANGE 1h value-frame burst counts
     "q_knn_classify",        # geo/ML: kNN majority-vote zone classifier
     "q_ab_ztest",            # stats: two-sample Welch z census per event type
+    # --- driver-green in a prior round (r1-r4 CORRECTNESS) ---
+    "q_parse_caption",       # M-series caption → (hn, street, key)
+    "q_zone_counts",         # G1 PIP zone assignment counts
+    "q_cell_counts",         # cell index encoding (z12 tiles)
+    "q_phash_dups",          # §2.8 exact image dedup by phash
+    "q_phash_neardup",       # §2.8 Hamming-≤3 phash near-dup (12-bit banding)
+    "q_hn_canon",            # M9 canonical housenumber key
+    "q_hn_explode",          # M7 OSM multi-number split
+    "q_hn_ranges",           # M8 conditional range expansion
+    "q_hn_plausible",        # M10 plausibility filters
+    "q_fixed_width_parse",   # S4 fixed-width registry parse
+    "q_cumul_adresses",      # §3.1 the per-zone merge (addresses)
+    "q_cumul_voies",         # §3.1 the per-zone merge (streets)
+    "q_export_csv",          # K1/J1/A1-A3 priority coalesce export
+    "q_street_json",         # A1/A4/A5 importance + packing export
+    "q_export_crosscheck",   # stats_export.sh CSV/SHP/duplicate cross-check
+    "q_registry_unmatched",  # J9 anti-join
+    "q_voies_sans_adresses", # J10 matched-without-addresses export
+    "q_ban_pseudo",          # J11 pseudo-registry augmentation
+    "q_min_cp",              # A6 min postal per zone
+    "q_tile_zones",          # G9 expire tiles → impacted zones
+    "q_tile_zones_arm",      # G9 metropolis rule: arrondissement substitution
+    "q_commune_list",        # J12 ARM/COMD commune-list exclusion
+    "q_knn_match",           # ST5 cell-local kNN matcher
+    "q_places",              # §3.2 lieux-dits merge cascade
+    "q_langid",              # text: language ID heuristic
+    "q_token_count",         # text: whitespace token counting
+    "q_token_bpe",           # text: BPE-ish subword tokenizer count
+    "q_quality",             # text: quality scoring
+    "q_fingerprint",         # text: rolling-hash fingerprint
+    "q_tfidf",               # text: per-doc top-3 TF-IDF terms (broadcast df)
+    "q_pii_redact",          # text: PII scan + redaction (RE2 both sides)
+    "q_repetition",          # text: Gopher-style repetition quality signals
+    "q_decontaminate",       # text: benchmark n-gram decontamination
+    "q_term_postings",       # text: truncated inverted index (top-3 postings)
+    "q_dedup_exact_docs",    # dedup: exact content hash
+    "q_events_hourly",       # streaming-style windowed aggregate
+    "q_events_sliding",      # hopping-window (2h/1h) aggregate
+    "q_pivot",               # conditional-aggregation pivot by event type
+    "q_sessionize",          # gap-based session windows (combiner shape)
+    "q_window_funcs",        # per-key ROW_NUMBER / LAG / running SUM windows
+    "q_window_ranks",        # per-key RANK/DENSE_RANK/PERCENT_RANK/NTILE
+    "q_bigram_lm",           # text: bigram-LM quality scoring (broadcast MLE)
+    "q_asof_join",           # as-of join (latest right row per key/ts)
+    "q_range_join",          # interval range join (binned, prefix-sum probes)
+    "q_hll_registers",       # HyperLogLog sketch registers (mergeable partials)
+    "q_hll_by_group",        # per-group HLL distinct sketch
+    "q_distinct_per_group",  # exact per-group distinct (combiner pairs)
+    "q_hash_sample",         # deterministic min-hash bounded sample
+    "q_weighted_sample",     # sequential-Poisson weighted sample (u/w priority)
+    "q_cms_counters",        # Count-Min sketch counters (mergeable partials)
+    "q_lineitem_pricing",    # relational baseline (TPC-H Q1 shape)
+    "q_ann_topk",            # similarity search: brute cosine top-k
+    "q_display_expand",      # M15 display-name expansion
+    "q_source_counts",       # A11 monitoring counts
+    "q_suffix_zones",        # G6/G7/A8/M13 suffix-zone decoration
+    "q_communes_json",       # communes JSON export (importance variant)
+    "q_pbf_nodes",           # S5 OSM PBF import (write + distributed read)
+    "q_zone_raster",         # raster<->vector: polygon rasterization census
+    "q_minhash_pairs",       # dedup: MinHash+LSH near-dup pairs (md5 shingles)
+    "q_simhash",             # dedup: SimHash signatures (md5 token hashes)
+    "q_simhash_neardup",     # dedup: SimHash Hamming-<=3 banding pairs
+    "q_embedding_neardup",   # dedup: embedding-cosine near-dups (banded LSH)
+    "q_ann_lsh",             # similarity search: LSH-bucketed ANN
 ]
 
 # rows-only queries (approx algorithms with no exact SQL equivalent)
