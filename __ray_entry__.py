@@ -22,6 +22,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 _ORACLE_QUERIES = [
     # --- never driver-sampled first: the driver samples a prefix of
     # --- this list, so rotation reaches un-gated queries soonest
+    "q_image_thumbs",        # image: exact thumbnail box-filter sums (PNG-only)
+    "q_frame_sample",        # video: sampled-frame integer luminance sums
     "q_kmv_overlap",         # KMV set-overlap sketch (k-min distinct hashes)
     "q_distance_selfjoin",   # spatial distance self-join (grid buckets)
     "q_heavy_hitters",       # exact top-k by count (combiner shape)
@@ -212,8 +214,6 @@ _ORACLE_QUERIES = [
 _ROWSONLY_QUERIES = [
     "q_ann_ivf",             # similarity search: IVF (k-means lists) ANN
     "q_image_roundtrip",     # image payload decode/validate stage
-    "q_image_thumbs",        # multimodal decode → resize → feature stage
-    "q_frame_sample",        # multimodal video frame-sampling stage
     "q_compress_ratio",      # text: DEFLATE compressibility quality signal
 ]
 

@@ -3774,6 +3774,130 @@ SELECT video_id,
 FROM d WHERE jump IS NOT NULL GROUP BY 1 ORDER BY 1"""
 
 
+def q_frame_sample() -> str:
+    """Sampled-frame luminance census (pipelines/flagship.FrameSampler,
+    step=2): the q_scene_cuts pixel replay restricted to the SAMPLED
+    frames (fi % 2 = 0) — exact integer per-frame luminance sums; the
+    skipped frames never enter the plan on either side."""
+    from .pipelines.flagship import FRAME_H, FRAME_W, FRAMES_PER_VIDEO
+    from . import datagen as dgm
+
+    nval = FRAME_W * FRAME_H * 3
+
+    def hof(salt: int) -> str:
+        prod = (f"((CAST(fid AS HUGEINT) * 3 + ch) * {dgm.PX_STEP}"
+                f" + {salt}) * {dgm.MULT}")
+        return _pmod(_s64(prod), dgm.MOD)
+
+    noise_prod = (f"(CAST(fid AS HUGEINT) * {dgm.PX_STEP} + k"
+                  f" + {dgm.PX_SALT}) * {dgm.MULT}")
+    noise = (f"CAST({_pmod(_pmod(_s64(noise_prod), dgm.MOD), 2 * dgm.PX_NOISE + 1)}"
+             f" AS DOUBLE) - {dgm.PX_NOISE}.0")
+
+    return f"""WITH fr AS (
+  SELECT doc_id AS video_id,
+         UNNEST(generate_series(0, {FRAMES_PER_VIDEO - 1}, 2)) AS fi
+  FROM documents
+),
+f2 AS (
+  SELECT video_id, fi, video_id * {FRAMES_PER_VIDEO} + fi AS fid FROM fr
+),
+px AS (
+  SELECT video_id, fi, fid,
+         UNNEST(generate_series(0, {nval - 1})) AS k
+  FROM f2
+),
+f AS (
+  SELECT video_id, fi, fid, k, (k // 3) AS pix, (k % 3) AS ch FROM px
+),
+g AS (
+  SELECT video_id, fi, fid, k, pix, ch,
+         CAST(pix % {FRAME_W} AS DOUBLE) / {FRAME_W - 1}.0 AS x,
+         CAST(pix // {FRAME_W} AS DOUBLE) / {FRAME_H - 1}.0 AS y,
+         CAST({hof(11)} % 128 AS DOUBLE) AS b128,
+         CAST({hof(12)} % 129 AS DOUBLE) AS gx129,
+         CAST({hof(13)} % 129 AS DOUBLE) AS gy129,
+         CAST({hof(14)} % 33 AS DOUBLE) AS a33,
+         CAST({hof(15)} % 2 AS DOUBLE) AS f2x,
+         CAST({hof(16)} % 2 AS DOUBLE) AS f2y,
+         {noise} AS nf
+  FROM f
+)
+SELECT video_id, fi AS frame_idx,
+       CAST(SUM(CAST(least(greatest(round_even(
+         (((((gx129 - 64.0) * x) + (64.0 + b128)) + ((gy129 - 64.0) * y))
+           + (cos(((1.0 + f2x) * x + (1.0 + f2y) * y) * (2 * pi()))
+              * (16.0 + a33))) + nf, 0), 0.0), 255.0) AS BIGINT))
+         AS BIGINT) AS lum_sum
+FROM g GROUP BY 1, 2 ORDER BY video_id, frame_idx"""
+
+
+def q_image_thumbs() -> str:
+    """Thumbnail-sum census (pipelines/flagship.ImageThumbSums): PNG-only
+    pixel replay with the channel kept through the chain; per
+    (doc, ch, cell) box sums + counts, the exact integer box filter
+    (2s + c) // (2c), then the per-channel sum over the THUMB² cells."""
+    from .pipelines.flagship import THUMB
+    from . import datagen as dgm
+
+    def hof(salt: int) -> str:
+        prod = (f"((CAST(doc_id AS HUGEINT) * 3 + ch) * {dgm.PX_STEP}"
+                f" + {salt}) * {dgm.MULT}")
+        return _pmod(_s64(prod), dgm.MOD)
+
+    noise_prod = (f"(CAST(doc_id AS HUGEINT) * {dgm.PX_STEP} + k"
+                  f" + {dgm.PX_SALT}) * {dgm.MULT}")
+    noise = (f"CAST({_pmod(_pmod(_s64(noise_prod), dgm.MOD), 2 * dgm.PX_NOISE + 1)}"
+             f" AS DOUBLE) - {dgm.PX_NOISE}.0")
+
+    return f"""WITH img AS (
+  SELECT doc_id,
+         12 + ({H(7)} % 9) AS w,
+         12 + ({H(8)} % 9) AS h
+  FROM documents WHERE doc_id % {dgm.FMT_JPEG_MOD} <> 0
+),
+px AS (
+  SELECT doc_id, w, h,
+         UNNEST(generate_series(0, w * h * 3 - 1)) AS k
+  FROM img
+),
+f AS (
+  SELECT doc_id, w, h, k, (k // 3) AS pix, (k % 3) AS ch FROM px
+),
+g AS (
+  SELECT doc_id, w, h, pix, ch,
+         CAST(pix % w AS DOUBLE) / CAST(GREATEST(w - 1, 1) AS DOUBLE) AS x,
+         CAST(pix // w AS DOUBLE) / CAST(GREATEST(h - 1, 1) AS DOUBLE) AS y,
+         CAST({hof(11)} % 128 AS DOUBLE) AS b128,
+         CAST({hof(12)} % 129 AS DOUBLE) AS gx129,
+         CAST({hof(13)} % 129 AS DOUBLE) AS gy129,
+         CAST({hof(14)} % 33 AS DOUBLE) AS a33,
+         CAST({hof(15)} % 2 AS DOUBLE) AS f2x,
+         CAST({hof(16)} % 2 AS DOUBLE) AS f2y,
+         {noise} AS nf
+  FROM f
+),
+u8c AS (
+  SELECT doc_id, w, h, pix, ch,
+         CAST(least(greatest(round_even(
+           (((((gx129 - 64.0) * x) + (64.0 + b128)) + ((gy129 - 64.0) * y))
+             + (cos(((1.0 + f2x) * x + (1.0 + f2y) * y) * (2 * pi()))
+                * (16.0 + a33))) + nf, 0), 0.0), 255.0) AS BIGINT) AS val
+  FROM g
+),
+cells AS (
+  SELECT doc_id, ch,
+         ((pix // w) * {THUMB}) // h AS cy,
+         ((pix % w) * {THUMB}) // w AS cx,
+         CAST(SUM(val) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM u8c GROUP BY 1, 2, 3, 4
+)
+SELECT doc_id, ch,
+       CAST(SUM((2 * s + c) // (2 * c)) AS BIGINT) AS thumb_sum
+FROM cells GROUP BY 1, 2 ORDER BY doc_id, ch"""
+
+
 def _s64(e: str) -> str:
     """Wrap a HUGEINT expression to signed-64 two's-complement (numpy
     int64 overflow semantics)."""

@@ -168,11 +168,14 @@ class FrameSampler:
                     px = decode_png(blob[pos:pos + ln])
                     out_v.append(int(vid))
                     out_f.append(fi)
-                    out_lum.append(round(float(px.mean()), 4))
+                    out_lum.append(int(px.astype(np.int64).sum()))
                 pos += ln                 # skipped frame: never decoded
+        # exact integer luminance sum (not a rounded float mean): the
+        # frames are lossless PNG over the closed-form pixel field, so
+        # lum_sum replays bit-for-bit in SQL (oracle.q_frame_sample)
         return pa.table({"video_id": pa.array(out_v, pa.int64()),
                          "frame_idx": pa.array(out_f, pa.int64()),
-                         "mean_lum": pa.array(out_lum, pa.float64())})
+                         "lum_sum": pa.array(out_lum, pa.int64())})
 
 
 def videos_dataset(sf_dir: str, expand: int = 1):
@@ -358,9 +361,12 @@ class ImageThumbs:
         flat = px.reshape(-1, 3).astype(np.int64)
         sums = np.zeros((t * t, 3), dtype=np.int64)
         np.add.at(sums, cell, flat)
-        cnt = np.bincount(cell, minlength=t * t).astype(np.float64)
-        means = sums / cnt[:, None]
-        return np.floor(means + 0.5).astype(np.uint8).reshape(t, t, 3)
+        cnt = np.bincount(cell, minlength=t * t).astype(np.int64)
+        # floor(s/c + 0.5) in EXACT integer arithmetic: (2s + c) // (2c)
+        # — same value as the float form for every reachable s/c, and
+        # bit-replicable in the DuckDB oracle (no float-division seam)
+        means = (2 * sums + cnt[:, None]) // (2 * cnt[:, None])
+        return means.astype(np.uint8).reshape(t, t, 3)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..codecs import decode_image_batch, encode_png
@@ -378,6 +384,43 @@ class ImageThumbs:
             "mean_g": pa.array(np.round(means[:, 1], 4)),
             "mean_b": pa.array(np.round(means[:, 2], 4)),
         })
+
+
+class ImageThumbSums:
+    """Value-gated thumbnail census over PNG payloads: decode, box-average
+    to the THUMB×THUMB thumbnail with :meth:`ImageThumbs.thumb_of`'s exact
+    integer formula, and emit one row per (doc, channel) with the integer
+    SUM of the 64 thumbnail cell values — the quantity the DuckDB oracle
+    replays from the closed-form pixel field (oracle.q_image_thumbs)."""
+
+    def __init__(self):
+        from ..runtime import tune_malloc
+
+        tune_malloc()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..codecs import decode_image_batch
+
+        fmts = batch.column("fmt").to_pylist()
+        blobs = _binary_column_views(batch.column("bytes"))
+        decoded = decode_image_batch(blobs, fmts)
+        ids = batch.column("doc_id").to_numpy()
+        n = len(ids)
+        tsums = np.empty((n, 3), dtype=np.int64)
+        for i, p in enumerate(decoded):
+            tsums[i] = (ImageThumbs.thumb_of(p)
+                        .reshape(-1, 3).astype(np.int64).sum(axis=0))
+        return pa.table({
+            "doc_id": pa.array(np.repeat(ids, 3)),
+            "ch": pa.array(np.tile(np.arange(3, dtype=np.int64), n)),
+            "thumb_sum": pa.array(tsums.reshape(-1)),
+        })
+
+
+def image_thumb_sums(sf_dir: str, concurrency=None):
+    """PNG-only thumbnail-sum pipeline (value-oracled; JPEG rows are
+    excluded before any bytes exist, the q_image_patches discipline)."""
+    return _png_pool_pipeline(sf_dir, ImageThumbSums, concurrency)
 
 
 def image_thumbs(sf_dir: str, concurrency=None, expand: int = 1):

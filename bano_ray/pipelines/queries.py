@@ -1298,9 +1298,13 @@ def q_image_roundtrip(sf_dir: str):
 
 
 def q_frame_sample(sf_dir: str):
-    """Multimodal frame-sample stage (rows-only: the deterministic fake
-    container stands in for a video codec; the sampler decodes only every
-    2nd frame).  One row per sampled frame."""
+    """Multimodal frame-sample stage: the sampler decodes only every 2nd
+    frame (skipped frames never leave the container — the point of
+    sampling at 100 TB) and emits the exact integer luminance sum per
+    sampled frame.  VALUE-gated: frames are lossless PNG over the
+    closed-form pixel field, so DuckDB replays each sampled frame's sum
+    (oracle.q_frame_sample — the q_scene_cuts machinery restricted to
+    fi % 2 = 0)."""
     from .flagship import frame_sample
 
     return frame_sample(sf_dir, step=2).sort(["video_id", "frame_idx"])
@@ -1318,15 +1322,17 @@ def q_audio_features(sf_dir: str):
 
 
 def q_image_thumbs(sf_dir: str):
-    """Multimodal resize/feature stage (rows-only: codecs are not SQL):
-    decode → deterministic box-filter THUMB×THUMB thumbnail → PNG bytes +
-    channel means, in an actor pool over the opaque binary column.  The
-    box-filter is pinned against a numpy reference and the thumbnail PNG
-    round-trips bit-exact in tests/test_codecs.py."""
-    from .flagship import image_thumbs
+    """Multimodal resize/feature stage: decode → deterministic box-filter
+    THUMB×THUMB thumbnail in an actor pool over the opaque binary column.
+    VALUE-gated: PNG-only rows (the q_image_patches discipline), exact
+    integer per-channel thumbnail-cell sums with the tie-free
+    (2s + c) // (2c) box filter — DuckDB replays the whole chain from the
+    closed-form pixel field (oracle.q_image_thumbs).  The full
+    thumbnail-PNG emit (all formats) stays in flagship.image_thumbs,
+    pinned by tests/test_codecs.py."""
+    from .flagship import image_thumb_sums
 
-    return image_thumbs(sf_dir).select_columns(
-        ["image_id", "mean_r", "mean_g", "mean_b"])
+    return image_thumb_sums(sf_dir)
 
 
 def _addr_tags(df):

@@ -124,7 +124,8 @@ def run_benchmarks() -> dict:
                                             q_source_diversity, q_iou_eval,
                                             q_track_frechet, q_track_dtw,
                                             q_minhash_est_err, q_embed_drift,
-                                            q_image_pool)
+                                            q_image_pool,
+                                            q_image_thumbs, q_frame_sample)
     from bano_ray.runtime import ensure_worker_importable
     from bano_ray.stages.export import street_json_zone  # noqa: F401
     ensure_worker_importable()
@@ -263,6 +264,8 @@ def run_benchmarks() -> dict:
         "minhash_est_err": lambda: q_minhash_est_err(SF_DIR).count(),
         "embed_drift": lambda: q_embed_drift(SF_DIR).count(),
         "image_pool": lambda: q_image_pool(SF_DIR).count(),
+        "image_thumbs": lambda: q_image_thumbs(SF_DIR).count(),
+        "frame_sample": lambda: q_frame_sample(SF_DIR).count(),
     }
     # phash near-dup at bench scale (expanded image corpus; banding explodes
     # the stream 4x, so run at a bounded expansion like the image stage)

@@ -218,7 +218,7 @@ def test_frame_sampler_container_and_sampling():
         px = datagen.pixels_of(
             int(row["video_id"]) * FRAMES_PER_VIDEO + int(row["frame_idx"]),
             FRAME_W, FRAME_H)
-        assert abs(px.mean() - row["mean_lum"]) < 1e-3
+        assert int(px.astype("int64").sum()) == int(row["lum_sum"])
 
 
 def test_frame_sample_pipeline(ray_session):
