@@ -505,6 +505,59 @@ def _pair_text_rows(ds, pairs):
     }))
 
 
+def _gather_ranges(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Concatenate ``[starts[i], starts[i]+counts[i])`` ranges, vectorized."""
+    total = int(counts.sum())
+    within = np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
+    return np.repeat(starts, counts) + within
+
+
+def _pair_jaccard_counts(ta: list[str], tb: list[str], n: int = 3):
+    """Exact distinct-shingle ``(|A∩B|, |A∪B|)`` int64 counts for P text
+    pairs, fully vectorized over the PAIR AXIS: texts factorize to
+    uniques, shingle-hash ONCE per unique text
+    (:func:`_batch_shingle_hashes` — md5 only on unique shingles), then
+    every pair's intersection resolves in one sort over packed
+    (pair, shingle) keys.  Replaces the per-pair Python set loop whose
+    tail cost was re-tokenizing texts past the lru memo — at adversarial
+    candidate volume (10⁵ planted pairs, 2·10⁵ unique 60-token texts,
+    cold memo) the loop measured 27.4 µs/pair; this kernel 3.9 µs/pair
+    (see BASELINE.md)."""
+    P = len(ta)
+    if P == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z
+    codes, uniq = pd.factorize(np.asarray(ta + tb, dtype=object),
+                               use_na_sentinel=False)
+    codes = codes.astype(np.int64)
+    uniq_h, sh_codes, offsets = _batch_shingle_hashes(list(uniq), n)
+    U = np.int64(len(uniq_h) + 1)
+    # distinct shingles per unique text: dedupe packed (owner, code)
+    cnt = np.diff(offsets)
+    owner = np.repeat(np.arange(len(uniq), dtype=np.int64), cnt)
+    dk = np.unique(owner * U + sh_codes)
+    d_owner = dk // U
+    d_code = dk % U
+    sizes = np.bincount(d_owner, minlength=len(uniq)).astype(np.int64)
+    d_off = np.zeros(len(uniq) + 1, dtype=np.int64)
+    np.cumsum(sizes, out=d_off[1:])
+    ia, ib = codes[:P], codes[P:]
+    na, nb = sizes[ia], sizes[ib]
+    # both sides' distinct codes, tagged with the pair index; a code
+    # seen twice under one pair is in the intersection (each side is
+    # distinct on its own)
+    pk = np.concatenate([
+        np.repeat(np.arange(P, dtype=np.int64), na) * U
+        + d_code[_gather_ranges(d_off[ia], na)],
+        np.repeat(np.arange(P, dtype=np.int64), nb) * U
+        + d_code[_gather_ranges(d_off[ib], nb)]])
+    pk.sort(kind="stable")
+    dup = pk[1:] == pk[:-1]
+    num = np.bincount((pk[1:][dup] // U), minlength=P).astype(np.int64)
+    den = na + nb - num
+    return num, den
+
+
 def verified_pairs(ds, pairs, threshold: float):
     """Shared exact-Jaccard verification tail for the candidate-pair family
     (minhash banding, jaccard prefix filtering): ``pairs`` is a Dataset with
@@ -518,7 +571,8 @@ def verified_pairs(ds, pairs, threshold: float):
         b = batch.column("b").to_numpy().astype(np.int64)
         ta = batch.column("text_a").to_pylist()
         tb = batch.column("text_b").to_pylist()
-        js = np.asarray([jaccard(x, y) for x, y in zip(ta, tb)], dtype=np.float64)
+        num, den = _pair_jaccard_counts(ta, tb)
+        js = np.where(den > 0, num / np.maximum(den, 1), 1.0)
         keep = js >= threshold
         return pa.table({"doc_a": pa.array(a[keep]),
                          "doc_b": pa.array(b[keep]),
@@ -564,12 +618,7 @@ def minhash_est_err(ds, max_bucket: int = 200):
         ta = batch.column("text_a").to_pylist()
         tb = batch.column("text_b").to_pylist()
         sm = (minhash_sigs(ta) == minhash_sigs(tb)).sum(axis=1)
-        num = np.empty(len(a), dtype=np.int64)
-        den = np.empty(len(a), dtype=np.int64)
-        for i, (x, y) in enumerate(zip(ta, tb)):   # candidates ≪ corpus
-            sa, sb = _hash_set(x), _hash_set(y)
-            num[i] = len(sa & sb)
-            den[i] = len(sa | sb)
+        num, den = _pair_jaccard_counts(ta, tb)
         return pa.table({"doc_a": pa.array(a), "doc_b": pa.array(b),
                          "sig_match": pa.array(sm.astype(np.int64)),
                          "jac_num": pa.array(num),
