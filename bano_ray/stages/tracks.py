@@ -335,15 +335,11 @@ def track_length_m(sf_dir: str):
 SNAP_CHUNK = 4096  # points per distance-matrix slab (bounds P×S memory)
 
 
-def _sharded_zone(sf_dir: str):
-    """Like :func:`_sharded` but co-locating whole ZONES (``zone % C``):
-    snapping needs every candidate segment of a point's zone in the same
-    worker group.  Partitioning assumption (SURVEY §2 custom-operator
-    rule): one zone's points + segments fit in a worker group — at larger
-    per-zone densities the candidate set would sub-bucket by G1's z-cells
-    (a segment enters every cell its bbox overlaps) with the same kernel."""
-    C = _coarse_groups()
-
+def _zone_shard_fn(C: int):
+    """Shard pass keyed on ZONE (not zone×street): used by every operator
+    that pairs or joins rows of the same zone (snapping, the
+    Hausdorff/Fréchet/DTW track-pair joins), so all of a zone's tracks
+    must resolve inside one shard."""
     def shard(batch: pa.Table) -> pa.Table:
         d = batch.column("doc_id").to_numpy()
         lon, lat = datagen.lon_lat(d)
@@ -358,10 +354,22 @@ def _sharded_zone(sf_dir: str):
                 (zone.astype(np.uint64) % np.uint64(C)).astype(np.int64)),
         })
 
+    return shard
+
+
+def _sharded_zone(sf_dir: str):
+    """Like :func:`_sharded` but co-locating whole ZONES (``zone % C``)
+    via :func:`_zone_shard_fn`: snapping needs every candidate segment of
+    a point's zone in the same worker group.  Partitioning assumption
+    (SURVEY §2 custom-operator rule): one zone's points + segments fit in
+    a worker group — at larger per-zone densities the candidate set would
+    sub-bucket by G1's z-cells (a segment enters every cell its bbox
+    overlaps) with the same kernel."""
     import ray.data  # noqa: F401  (dataset built by _doc_ids)
 
     return (_doc_ids(sf_dir)
-            .map_batches(shard, batch_format="pyarrow")
+            .map_batches(_zone_shard_fn(_coarse_groups()),
+                         batch_format="pyarrow")
             .groupby("_shard"))
 
 
@@ -660,25 +668,44 @@ def speed_spikes(sf_dir: str):
 HAUSDORFF_STRIDE = 16            # keep every 16th vertex per track
 
 
-def _zone_shard_fn(C: int):
-    """Shard pass keyed on ZONE (not zone×street): the Hausdorff join
-    pairs tracks of the same zone, so all of a zone's tracks must resolve
-    inside one shard."""
-    def shard(batch: pa.Table) -> pa.Table:
-        d = batch.column("doc_id").to_numpy()
-        lon, lat = datagen.lon_lat(d)
-        zone = datagen.zone_of(lon, lat)
-        zid = zone * _ZID_MULT + datagen.street_idx(d)
-        return pa.table({
-            "doc_id": pa.array(d),
-            "zid": pa.array(zid),
-            "ix": pa.array(np.floor(lon * MICRO + 0.5).astype(np.int64)),
-            "iy": pa.array(np.floor(lat * MICRO + 0.5).astype(np.int64)),
-            "_shard": pa.array(
-                (zone.astype(np.uint64) % np.uint64(C)).astype(np.int64)),
-        })
+def _stride_pairs(df: pd.DataFrame, stride: int):
+    """Shared preamble of the track-pair similarity kernels
+    (:func:`hausdorff_group`, :func:`frechet_group`, :func:`dtw_group`):
+    ordered rows → every ``stride``-th vertex per track → track
+    segmentation over the sample → adjacent same-zone pair ids.
 
-    return shard
+    Returns ``None`` on empty input, else
+    ``(zs, ixs, iys, tstart, tlen, tzid, pa_)`` where ``pa_`` indexes the
+    pairs (track ``p``, track ``p+1``) that share a zone."""
+    z, d, ix, iy, first, _ = _ordered(df)
+    if not len(z):
+        return None
+    starts = np.flatnonzero(first)
+    gidx = np.cumsum(first) - 1
+    rn = np.arange(len(z)) - starts[gidx]
+    samp = rn % stride == 0
+    zs, ixs, iys = z[samp], ix[samp], iy[samp]
+    sfirst = np.ones(len(zs), dtype=bool)
+    sfirst[1:] = zs[1:] != zs[:-1]
+    tstart = np.flatnonzero(sfirst)
+    tlen = np.diff(np.r_[tstart, len(zs)])
+    tzid = zs[tstart]
+    same_zone = tzid[:-1] // _ZID_MULT == tzid[1:] // _ZID_MULT
+    pa_ = np.flatnonzero(same_zone)
+    return zs, ixs, iys, tstart, tlen, tzid, pa_
+
+
+def _padded_side(tstart, tlen, pa_, coords, which):
+    """(P, max_len) coord matrix of each pair's ``which``-side track
+    (0 = first, 1 = second), zero-padded past the track's length —
+    the Fréchet/DTW row-at-a-time DP layout."""
+    t0 = tstart[pa_ + which]
+    ln = tlen[pa_ + which]
+    idx = np.minimum(t0[:, None] + np.arange(ln.max())[None, :],
+                     len(coords) - 1)
+    out = coords[idx]
+    out[np.arange(ln.max())[None, :] >= ln[:, None]] = 0
+    return out
 
 
 def hausdorff_group(df: pd.DataFrame,
@@ -694,27 +721,16 @@ def hausdorff_group(df: pd.DataFrame,
     Partitioning assumption: one zone's stride-sampled vertices fit in a
     worker group (sampling caps them at n_vertices/stride)."""
     cols = ["insee", "sidx_a", "sidx_b", "h_ab_u", "h_ba_u", "haus_u"]
-    z, d, ix, iy, first, _ = _ordered(df)
-    if not len(z):
+    sp = _stride_pairs(df, stride)
+    if sp is None:
         return pd.DataFrame({c: pd.Series(dtype="int64" if c != "insee"
                                           else "object") for c in cols})
-    # per-track ordinal, then the stride sample (contiguous by construction)
-    starts = np.flatnonzero(first)
-    gidx = np.cumsum(first) - 1
-    rn = np.arange(len(z)) - starts[gidx]
-    samp = rn % stride == 0
-    zs, ixs, iys = z[samp], ix[samp], iy[samp]
-    sfirst = np.ones(len(zs), dtype=bool)
-    sfirst[1:] = zs[1:] != zs[:-1]
-    tstart = np.flatnonzero(sfirst)
-    tend = np.append(tstart[1:], len(zs))
-    tzid = zs[tstart]
+    zs, ixs, iys, tstart, tlen, tzid, pa_ = sp
+    tend = tstart + tlen
     rows_insee, rows_a, rows_b = [], [], []
     rows_hab, rows_hba, rows_h = [], [], []
-    for t in range(len(tzid) - 1):
+    for t in pa_:               # adjacent same-zone track pairs only
         za, zb = tzid[t], tzid[t + 1]
-        if za // _ZID_MULT != zb // _ZID_MULT:
-            continue            # zone boundary — no pair across zones
         a0, a1 = tstart[t], tend[t]
         b0, b1 = tstart[t + 1], tend[t + 1]
         dx = ixs[a0:a1, None] - ixs[None, b0:b1]
@@ -750,11 +766,8 @@ def hausdorff_pairs(sf_dir: str):
     custom-operator geometry extension).  Stride sampling bounds the
     per-pair cost at any corpus size; zone-keyed shards reuse the
     pipeline's one partitioning key."""
-    C = _coarse_groups()
-    return (_doc_ids(sf_dir)
-            .map_batches(_zone_shard_fn(C), batch_format="pyarrow")
-            .groupby("_shard")
-            .map_groups(hausdorff_group, batch_format="pandas"))
+    return _sharded_zone(sf_dir).map_groups(hausdorff_group,
+                                          batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -848,41 +861,19 @@ def frechet_group(df: pd.DataFrame,
     the clamp f(j) = min(a_j, max(d_j, f(j−1))) and prefix-composed in
     log(n) vector steps."""
     cols = ["insee", "sidx_a", "sidx_b", "m_pts", "n_pts", "frechet_u"]
-    z, d, ix, iy, first, _ = _ordered(df)
-    if not len(z):
+    sp = _stride_pairs(df, stride)
+    if sp is None or not len(sp[6]):
         return pd.DataFrame({c: pd.Series(dtype="int64" if c != "insee"
                                           else "object") for c in cols})
-    starts = np.flatnonzero(first)
-    gidx = np.cumsum(first) - 1
-    rn = np.arange(len(z)) - starts[gidx]
-    samp = rn % stride == 0
-    zs, ixs, iys = z[samp], ix[samp], iy[samp]
-    sfirst = np.ones(len(zs), dtype=bool)
-    sfirst[1:] = zs[1:] != zs[:-1]
-    tstart = np.flatnonzero(sfirst)
-    tlen = np.diff(np.r_[tstart, len(zs)])
-    tzid = zs[tstart]
-    same_zone = tzid[:-1] // _ZID_MULT == tzid[1:] // _ZID_MULT
-    pa_ = np.flatnonzero(same_zone)          # pair p = (track p, track p+1)
-    if not len(pa_):
-        return pd.DataFrame({c: pd.Series(dtype="int64" if c != "insee"
-                                          else "object") for c in cols})
+    zs, ixs, iys, tstart, tlen, tzid, pa_ = sp
     m = tlen[pa_]
     n = tlen[pa_ + 1]
     maxm, maxn = int(m.max()), int(n.max())
     P = len(pa_)
-
-    def padded(which, coords):
-        t0 = tstart[pa_ + which]
-        ln = tlen[pa_ + which]
-        idx = np.minimum(t0[:, None] + np.arange(ln.max())[None, :],
-                         len(coords) - 1)
-        out = coords[idx]
-        out[np.arange(ln.max())[None, :] >= ln[:, None]] = 0
-        return out
-
-    AX, AY = padded(0, ixs), padded(0, iys)
-    BX, BY = padded(1, ixs), padded(1, iys)
+    AX = _padded_side(tstart, tlen, pa_, ixs, 0)
+    AY = _padded_side(tstart, tlen, pa_, iys, 0)
+    BX = _padded_side(tstart, tlen, pa_, ixs, 1)
+    BY = _padded_side(tstart, tlen, pa_, iys, 1)
     jpad = np.arange(maxn)[None, :] >= n[:, None]
 
     prev = None
@@ -924,11 +915,8 @@ def frechet_pairs(sf_dir: str):
     adjacent street tracks per zone, on the stride sample.  Same zone
     shard, same pair set; the judge-facing partitioning note of
     hausdorff_pairs applies verbatim."""
-    C = _coarse_groups()
-    return (_doc_ids(sf_dir)
-            .map_batches(_zone_shard_fn(C), batch_format="pyarrow")
-            .groupby("_shard")
-            .map_groups(frechet_group, batch_format="pandas"))
+    return _sharded_zone(sf_dir).map_groups(frechet_group,
+                                          batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -969,40 +957,18 @@ def dtw_group(df: pd.DataFrame,
     exact below ~1.4e6 sampled points per track, same bound as
     map-matching)."""
     cols = ["insee", "sidx_a", "sidx_b", "m_pts", "n_pts", "dtw_cost"]
-    z, d, ix, iy, first, _ = _ordered(df)
-    if not len(z):
+    sp = _stride_pairs(df, stride)
+    if sp is None or not len(sp[6]):
         return pd.DataFrame({c: pd.Series(dtype="int64" if c != "insee"
                                           else "object") for c in cols})
-    starts = np.flatnonzero(first)
-    gidx = np.cumsum(first) - 1
-    rn = np.arange(len(z)) - starts[gidx]
-    samp = rn % stride == 0
-    zs, ixs, iys = z[samp], ix[samp], iy[samp]
-    sfirst = np.ones(len(zs), dtype=bool)
-    sfirst[1:] = zs[1:] != zs[:-1]
-    tstart = np.flatnonzero(sfirst)
-    tlen = np.diff(np.r_[tstart, len(zs)])
-    tzid = zs[tstart]
-    same_zone = tzid[:-1] // _ZID_MULT == tzid[1:] // _ZID_MULT
-    pa_ = np.flatnonzero(same_zone)
-    if not len(pa_):
-        return pd.DataFrame({c: pd.Series(dtype="int64" if c != "insee"
-                                          else "object") for c in cols})
+    zs, ixs, iys, tstart, tlen, tzid, pa_ = sp
     m, n = tlen[pa_], tlen[pa_ + 1]
     maxm, maxn = int(m.max()), int(n.max())
     P = len(pa_)
-
-    def padded(which, coords):
-        t0 = tstart[pa_ + which]
-        ln = tlen[pa_ + which]
-        idx = np.minimum(t0[:, None] + np.arange(ln.max())[None, :],
-                         len(coords) - 1)
-        out = coords[idx]
-        out[np.arange(ln.max())[None, :] >= ln[:, None]] = 0
-        return out
-
-    AX, AY = padded(0, ixs), padded(0, iys)
-    BX, BY = padded(1, ixs), padded(1, iys)
+    AX = _padded_side(tstart, tlen, pa_, ixs, 0)
+    AY = _padded_side(tstart, tlen, pa_, iys, 0)
+    BX = _padded_side(tstart, tlen, pa_, ixs, 1)
+    BY = _padded_side(tstart, tlen, pa_, iys, 1)
     jpad = np.arange(maxn)[None, :] >= n[:, None]
 
     prev = None
@@ -1042,8 +1008,5 @@ def dtw_pairs(sf_dir: str):
     cost between adjacent street tracks — completes the trajectory-
     similarity suite (Hausdorff = unordered extremal, Fréchet = ordered
     extremal, DTW = ordered cumulative)."""
-    C = _coarse_groups()
-    return (_doc_ids(sf_dir)
-            .map_batches(_zone_shard_fn(C), batch_format="pyarrow")
-            .groupby("_shard")
-            .map_groups(dtw_group, batch_format="pandas"))
+    return _sharded_zone(sf_dir).map_groups(dtw_group,
+                                          batch_format="pandas")
