@@ -639,7 +639,11 @@ def images_dataset(sf_dir: str, with_bytes: bool = False, expand: int = 1,
     # range, so pre-pass scans get full tasks instead of m× tiny ones
     eff_rows = (n_docs * expand) // (doc_residue[0] if doc_residue else 1)
     by_rows = eff_rows // row_target
-    cap = 512 if with_bytes else 1024
+    # metadata-row cap is env-tunable (A/B'd at the 1.2B-row scaling
+    # corpus: 4096 blocks cut total CPU 4% but cost more packing — 1024
+    # stays the default)
+    cap = 512 if with_bytes else \
+        int(_os.environ.get("GRAFT_META_BLOCK_CAP", "1024"))
     # Block count is DATA-determined (rows/block constant), never
     # cluster-size-determined: the former 8*ncpu bound made an 8-CPU
     # session process 600k-row blocks while a 32-CPU one processed

@@ -137,14 +137,21 @@ def _registry_as_points() -> pa.Table:
     })
 
 
-def points_dataset(sf_dir: str, expand: int = 1, assign_concurrency: int = 4):
-    """Parsed + zone-assigned point rows (no bytes)."""
+def points_dataset(sf_dir: str, expand: int = 1, assign_concurrency: int = 4,
+                   with_cells: bool = True):
+    """Parsed + zone-assigned point rows (no bytes).
+
+    ``with_cells=False`` skips the cell-index column for consumers that
+    never read it (the merge path drops it at _tag_points anyway — at the
+    1.2B-row bench corpus the encode is pure dead compute + 8 B/row of
+    carried column)."""
     import ray
 
     ensure_worker_importable()
     ds = datagen.images_dataset(sf_dir, expand=expand)
     ds = ds.map_batches(parse_caption, batch_format="pyarrow", batch_size=None)
-    ds = ds.map_batches(encode_cells, batch_format="pyarrow", batch_size=None)
+    if with_cells:
+        ds = ds.map_batches(encode_cells, batch_format="pyarrow", batch_size=None)
     zones_ref = ray.put(datagen.zone_boxes_wkb())
     ds = ds.map_batches(make_zone_assigner(zones_ref), batch_format="pyarrow", batch_size=None)
     return ds
@@ -186,7 +193,8 @@ def decorated_points_dataset(sf_dir: str, expand: int = 1,
 
     ref = suffix_centers_ref(sf_dir, expand=expand)
     pts = points_dataset(sf_dir, expand=expand,
-                         assign_concurrency=assign_concurrency)
+                         assign_concurrency=assign_concurrency,
+                         with_cells=False)
     return pts.map_batches(make_suffix_decorator(ref, emit_suffix=emit_suffix),
                            batch_format="pyarrow", batch_size=None)
 

@@ -117,35 +117,68 @@ def suffix_pipeline_zone(df: pd.DataFrame) -> pd.DataFrame:
 MAX_HN_LEN = 11  # same BAN-address condition the merge uses
 
 
-def suffix_partials(batch) -> pd.DataFrame:
+def suffix_partials(batch) -> "pa.Table":
     """Map-side shrink of the BAN stream for the suffix pre-pass: one
     presence row per distinct (insee, street_key) in the batch plus up to
     ``MAX_SAMPLES`` lowest-doc_id address rows per key.  Shuffle volume is
-    O(distinct keys × blocks), not O(rows)."""
+    O(distinct keys × blocks), not O(rows).
+
+    Arrow-native hot path: keys dictionary-encode to integer codes (C++,
+    no per-row Python objects) and both the per-key head-k and the
+    distinct-key pick run as numpy argsort/flag passes over the codes —
+    the old pandas object-array form paid a Python string materialization
+    for EVERY row of the BAN stream and dominated the pre-pass's CPU."""
+    import pyarrow as pa
     import pyarrow.compute as pc
 
     t = batch.filter(pc.equal(batch.column("source"), "BAN"))
-    df = pd.DataFrame({
-        "insee": t.column("insee").to_numpy(zero_copy_only=False),
-        "street_key": t.column("street_key").to_numpy(zero_copy_only=False),
-        "doc_id": t.column("doc_id").to_numpy(),
-        "lon": t.column("lon").to_numpy(),
-        "lat": t.column("lat").to_numpy(),
-        "hn": t.column("hn").to_numpy(zero_copy_only=False),
+    empty = pa.table({
+        "insee": pa.array([], pa.string()),
+        "street_key": pa.array([], pa.string()),
+        "doc_id": pa.array([], pa.int64()),
+        "lon": pa.array([], pa.float64()),
+        "lat": pa.array([], pa.float64()),
+        "is_sample": pa.array([], pa.bool_())})
+    if t.num_rows == 0:
+        return empty
+    ins = pc.dictionary_encode(t.column("insee")).combine_chunks()
+    key = pc.dictionary_encode(t.column("street_key")).combine_chunks()
+    ic = ins.indices.to_numpy().astype(np.int64)
+    kc = key.indices.to_numpy().astype(np.int64)
+    nk = len(key.dictionary)
+    pair = ic * nk + kc
+    doc = t.column("doc_id").to_numpy()
+    hn_len = pc.utf8_length(t.column("hn")).to_numpy()
+    is_sample = (hn_len > 0) & (hn_len <= MAX_HN_LEN)
+
+    # per-key head-MAX_SAMPLES of sample rows by ascending doc_id: one
+    # lexsort over (pair, doc) restricted to sample rows, rank-within-key
+    si = np.flatnonzero(is_sample)
+    order = si[np.lexsort((doc[si], pair[si]))]
+    p_sorted = pair[order]
+    head = np.ones(len(order), dtype=bool)
+    head[1:] = p_sorted[1:] != p_sorted[:-1]
+    grp_start = np.repeat(np.flatnonzero(head),
+                          np.diff(np.append(np.flatnonzero(head), len(order))))
+    rank = np.arange(len(order)) - grp_start
+    keep_s = order[rank < MAX_SAMPLES]
+
+    # presence: first occurrence of each distinct pair
+    _, first_idx = np.unique(pair, return_index=True)
+
+    idx = pa.array(np.concatenate([keep_s, first_idx]))
+    ns = len(keep_s)
+    out = t.select(["insee", "street_key", "doc_id", "lon", "lat"]).take(idx)
+    return pa.table({
+        "insee": out.column("insee"),
+        "street_key": out.column("street_key"),
+        "doc_id": pa.array(np.where(
+            np.arange(ns + len(first_idx)) < ns,
+            out.column("doc_id").to_numpy(), -1)),
+        "lon": out.column("lon"),
+        "lat": out.column("lat"),
+        "is_sample": pa.array(np.arange(ns + len(first_idx)) < ns),
     })
-    if len(df) == 0:
-        return pd.DataFrame({"insee": [], "street_key": [], "doc_id": [],
-                             "lon": [], "lat": [], "is_sample": []})
-    df["is_sample"] = (df["hn"] != "") & (df["hn"].str.len() <= MAX_HN_LEN)
-    samples = (df[df["is_sample"]]
-               .sort_values("doc_id", kind="stable")
-               .groupby(["insee", "street_key"], sort=False)
-               .head(MAX_SAMPLES))
-    presence = df.drop_duplicates(["insee", "street_key"]).copy()
-    presence["is_sample"] = False
-    presence["doc_id"] = -1
-    out = pd.concat([samples, presence], ignore_index=True)
-    return out[["insee", "street_key", "doc_id", "lon", "lat", "is_sample"]]
 
 
 def build_centers(df: pd.DataFrame) -> pd.DataFrame:
