@@ -388,10 +388,20 @@ def run_scaling() -> dict:
     #   pair shows the engine's orchestration overhead-free scaling.
     # - image decode/validate at 8 -> 32: the arithmetic-dense payload
     #   stage (DCT/Huffman per byte), much less DRAM-bound per core.
-    small_expand = int(os.environ.get("GRAFT_SCALE_SMALL_EXPAND", "7680"))
+    # - 4 -> 16 CPUs on the 614.4M-row corpus: the second N-vs-4N pair.
+    #   Neither side saturates the single socket's DRAM bus (per-core CPU
+    #   inflation ~1.08 vs ~1.15 at 32-way), so this pair expresses the
+    #   engine's scaling the way an N -> 4N NODE scale-out would (each
+    #   node brings its own bus); the 8 -> 32 pair above additionally
+    #   carries the one-socket saturation a real cluster never pays.
+    # 153.6M rows for the 2->8 pair (was 38.4M: at ~24-second 8-CPU walls
+    # the fixed seconds again dominated — 0.795 measured vs 0.921 at 4x)
+    small_expand = int(os.environ.get("GRAFT_SCALE_SMALL_EXPAND", "30720"))
+    mid_expand = int(os.environ.get("GRAFT_SCALE_MID_EXPAND", "122880"))
     if os.environ.get("GRAFT_SCALE_SKIP_COMPANIONS") == "1":
-        pair_2 = pair_img = None
+        pair_2 = pair_img = pair_4 = None
     else:
+        pair_4 = {c: _one(c, mid_expand) for c in (4, 16)}
         pair_2 = {c: _one(c, small_expand) for c in (2, 8)}
         pair_img = {c: _one(c, 80, pipeline="image") for c in (8, 32)}
 
@@ -470,7 +480,10 @@ def run_scaling() -> dict:
         "n_quiet_pairs": len(quiet_pair_effs),
         "cotenant_cores_8": [r.get("cotenant_cores") for r in runs[8]],
         "cotenant_cores_32": [r.get("cotenant_cores") for r in runs[32]],
-        **({"eff_2_to_8": round((pair_2[8]["rows_per_s"]
+        **({"eff_4_to_16": round((pair_4[16]["rows_per_s"]
+                                  / pair_4[4]["rows_per_s"]) / 4.0, 3),
+            "pair_4_to_16": {str(c): pair_4[c] for c in pair_4},
+            "eff_2_to_8": round((pair_2[8]["rows_per_s"]
                                  / pair_2[2]["rows_per_s"]) / 4.0, 3),
             "pair_2_to_8": {str(c): pair_2[c] for c in pair_2},
             "eff_image_8_to_32": round(
