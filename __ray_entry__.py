@@ -24,6 +24,10 @@ _ORACLE_QUERIES = [
     # --- this list, so rotation reaches un-gated queries soonest
     "q_image_thumbs",        # image: exact thumbnail box-filter sums (PNG-only)
     "q_frame_sample",        # video: sampled-frame integer luminance sums
+    "q_filter_funnel",       # curation: filter-cascade attrition census
+    "q_rrf_fusion",          # retrieval: reciprocal-rank fusion top-10
+    "q_bpe_first_merge",     # tokenizer training: first BPE merge census
+    "q_semantic_dedup",      # dedup: SemDeDup-style coarse PQ buckets
     "q_kmv_overlap",         # KMV set-overlap sketch (k-min distinct hashes)
     "q_distance_selfjoin",   # spatial distance self-join (grid buckets)
     "q_heavy_hitters",       # exact top-k by count (combiner shape)

@@ -2166,6 +2166,66 @@ SELECT vec_id, CAST(s AS BIGINT) AS sub, CAST(c AS BIGINT) AS code,
 FROM r WHERE rn = 1 ORDER BY vec_id, sub"""
 
 
+def q_bpe_first_merge() -> str:
+    """BPE first-merge census (queries.q_bpe_first_merge): unnest the
+    single-space words, one row per adjacent char window via
+    unnest(range(len-1)), substr pairs, global count, top-k by
+    (c DESC, pair)."""
+    from .stages.text import BPE_MERGE_TOPK
+
+    return f"""WITH w AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+win AS (
+  SELECT w, unnest(range(length(w) - 1)) AS i FROM w WHERE length(w) >= 2
+)
+SELECT substr(w, CAST(i + 1 AS INTEGER), 2) AS pair,
+       CAST(COUNT(*) AS BIGINT) AS c
+FROM win GROUP BY 1 ORDER BY c DESC, pair LIMIT {BPE_MERGE_TOPK}"""
+
+
+def q_semantic_dedup() -> str:
+    """Semantic dedup (stages/quantize.semantic_dedup): the q_pq_codes
+    argmin machinery restricted to the first SD_SUBS subspaces, codes
+    packed to the 4-bit-per-subspace bucket, MIN(vec_id)/COUNT per
+    bucket."""
+    from .stages.quantize import PQ_DIM, SD_SUBS, pq_centroids
+
+    cents = pq_centroids()
+    rows = []
+    for s in range(SD_SUBS):
+        for c in range(cents.shape[1]):
+            vec = ", ".join(repr(float(x)) for x in cents[s, c])
+            rows.append(f"({s}, {c}, [{vec}])")
+    vals = ",\n    ".join(rows)
+    terms = " + ".join(
+        f"((v[s*{PQ_DIM} + {j + 1}] - cv[{j + 1}])"
+        f" * (v[s*{PQ_DIM} + {j + 1}] - cv[{j + 1}]))"
+        for j in range(PQ_DIM))
+    return f"""WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cent(s, c, cv) AS (
+  VALUES {vals}
+),
+d AS (
+  SELECT vec_id, s, c, ({terms}) AS d2
+  FROM e CROSS JOIN cent
+),
+r AS (
+  SELECT vec_id, s, c,
+         row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rn
+  FROM d
+),
+b AS (
+  SELECT vec_id, CAST(SUM(c * (1 << (4 * s))) AS BIGINT) AS bucket
+  FROM r WHERE rn = 1 GROUP BY 1
+)
+SELECT bucket, CAST(MIN(vec_id) AS BIGINT) AS keeper,
+       CAST(COUNT(*) AS BIGINT) AS n_members
+FROM b GROUP BY 1 ORDER BY 1"""
+
+
 def q_pii_redact() -> str:
     """PII scan/redaction (queries.q_pii_redact): the SAME RE2 literals and
     the same every-third-doc plant, as pure SQL."""
@@ -2186,6 +2246,75 @@ SELECT doc_id, n_emails,
        CAST(length(regexp_replace(red1, '{PHONE_RE}', '<PHONE>', 'g')) AS BIGINT)
          AS red_len
 FROM r1 ORDER BY doc_id"""
+
+
+def q_filter_funnel() -> str:
+    """Curation filter cascade (queries.q_filter_funnel): the langid /
+    quality / repetition / pii expressions of their standalone oracles,
+    composed into prefix-survival counts; 4 rows via UNION ALL over one
+    aggregate."""
+    from .stages.text import (EMAIL_RE, EN_MARKERS, FR_MARKERS, PHONE_RE,
+                              PII_PLANT_SUFFIX, PUNCT, QF_DUP_MAX,
+                              QF_QUALITY_MIN)
+
+    en = " + ".join(_occ("lower(text)", p) for p in EN_MARKERS)
+    fr = " + ".join(_occ("lower(text)", p) for p in FR_MARKERS)
+    punct = " + ".join(_occ("text", ch) for ch in PUNCT)
+    stop = " + ".join(_occ("lower(text)", p) for p in EN_MARKERS + FR_MARKERS)
+    return f"""WITH q AS (
+  SELECT doc_id, ({en}) AS en_hits, ({fr}) AS fr_hits,
+         round(ln(CAST(length(text) AS DOUBLE) + 1.0) * 0.25
+               + (CAST(({stop}) AS DOUBLE)
+                    / CAST(greatest({_NTOK}, 1) AS DOUBLE) * 2.0
+                  - CAST(({punct}) AS DOUBLE)
+                    / CAST(greatest(length(text), 1) AS DOUBLE) * 3.0), 6)
+           AS quality
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), pt AS (
+  SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2
+), rep AS (
+  SELECT doc_id,
+         round(1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS dup_frac
+  FROM pt GROUP BY 1
+),
+aug AS (
+  SELECT doc_id, text || CASE WHEN doc_id % 3 = 0
+    THEN ' contact user' || CAST(doc_id AS VARCHAR) || '{PII_PLANT_SUFFIX}'
+    ELSE '' END AS text
+  FROM documents),
+pii AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{EMAIL_RE}'))
+         + len(regexp_extract_all(
+             regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+             '{PHONE_RE}')) AS n_pii
+  FROM aug),
+flags AS (
+  SELECT q.en_hits <> q.fr_hits AS f1,
+         (q.en_hits <> q.fr_hits) AND q.quality > {QF_QUALITY_MIN} AS f2,
+         (q.en_hits <> q.fr_hits) AND q.quality > {QF_QUALITY_MIN}
+           AND rep.dup_frac <= {QF_DUP_MAX} AS f3,
+         (q.en_hits <> q.fr_hits) AND q.quality > {QF_QUALITY_MIN}
+           AND rep.dup_frac <= {QF_DUP_MAX} AND pii.n_pii = 0 AS f4
+  FROM q JOIN rep USING (doc_id) JOIN pii USING (doc_id)
+),
+ks AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+         CAST(SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+         CAST(SUM(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS k2,
+         CAST(SUM(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT) AS k3,
+         CAST(SUM(CASE WHEN f4 THEN 1 ELSE 0 END) AS BIGINT) AS k4
+  FROM flags
+)
+SELECT CAST(0 AS BIGINT) AS stage_idx, 'langid' AS stage,
+       n0 AS n_in, k1 AS n_kept, n0 - k1 AS n_dropped FROM ks
+UNION ALL SELECT 1, 'quality', k1, k2, k1 - k2 FROM ks
+UNION ALL SELECT 2, 'repetition', k2, k3, k2 - k3 FROM ks
+UNION ALL SELECT 3, 'pii', k3, k4, k3 - k4 FROM ks
+ORDER BY 1"""
 
 
 def q_group_moments() -> str:
@@ -4295,6 +4424,48 @@ cells AS (
 SELECT doc_id, CAST(lvl AS BIGINT) AS lvl, CAST(COUNT(*) AS BIGINT) AS n_cells,
        CAST(SUM(cs // cnt) AS BIGINT) AS s_avg
 FROM cells GROUP BY 1, 2 ORDER BY doc_id, lvl"""
+
+
+def q_rrf_fusion() -> str:
+    """Reciprocal-rank fusion (queries.q_rrf_fusion): the q_bm25 and
+    q_quality oracles as ranked subqueries, FULL OUTER JOIN on doc_id,
+    rrf = 1/(K+r) + 1/(K+r) with COALESCE(…, 0) for absent ranks —
+    identical double evaluation order to the engine."""
+    from .pipelines.queries import BM25_TOPK, RRF_K, RRF_TOPK
+    from .stages.text import EN_MARKERS, FR_MARKERS, PUNCT
+
+    punct = " + ".join(_occ("text", ch) for ch in PUNCT)
+    stop = " + ".join(_occ("lower(text)", p) for p in EN_MARKERS + FR_MARKERS)
+    bm25_sql = q_bm25()
+    return f"""WITH bm AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+  FROM ({bm25_sql})
+),
+qv AS (
+  SELECT doc_id,
+         round(ln(CAST(length(text) AS DOUBLE) + 1.0) * 0.25
+               + (CAST(({stop}) AS DOUBLE)
+                    / CAST(greatest({_NTOK}, 1) AS DOUBLE) * 2.0
+                  - CAST(({punct}) AS DOUBLE)
+                    / CAST(greatest(length(text), 1) AS DOUBLE) * 3.0), 6)
+           AS quality
+  FROM documents
+),
+qt AS (
+  SELECT doc_id, row_number() OVER (ORDER BY quality DESC, doc_id) AS r
+  FROM (SELECT doc_id, quality FROM qv
+        ORDER BY quality DESC, doc_id LIMIT {BM25_TOPK})
+),
+fused AS (
+  SELECT COALESCE(bm.doc_id, qt.doc_id) AS doc_id,
+         round(COALESCE(1.0 / ({RRF_K} + bm.r), 0.0)
+               + COALESCE(1.0 / ({RRF_K} + qt.r), 0.0), 9) AS rrf,
+         CAST(COALESCE(bm.r, 0) AS BIGINT) AS r_bm25,
+         CAST(COALESCE(qt.r, 0) AS BIGINT) AS r_quality
+  FROM bm FULL OUTER JOIN qt ON bm.doc_id = qt.doc_id
+)
+SELECT doc_id, rrf, r_bm25, r_quality
+FROM fused ORDER BY rrf DESC, doc_id LIMIT {RRF_TOPK}"""
 
 
 def q_sobel_energy() -> str:

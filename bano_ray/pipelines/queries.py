@@ -1702,6 +1702,42 @@ def q_repetition(sf_dir: str):
             .map_batches(repetition_batch, batch_format="pyarrow"))
 
 
+def q_filter_funnel(sf_dir: str):
+    """Curation filter CASCADE census — the RefinedWeb/FineWeb-style
+    recipe assembled from the standalone signals: language gate
+    (lang_pred != 'und') → quality score (> QF_QUALITY_MIN) →
+    repetition gate (dup_frac <= QF_DUP_MAX) → PII gate (no
+    email/phone matches on the planted text), applied in order, with
+    per-stage attrition counts (stage, n_in, n_kept, n_dropped).
+
+    Shape: ONE stateless map_batches pass computes every signal with the
+    exact kernels the standalone queries gate; the shuffle moves one
+    5-int combiner row per block (Sum aggregate), and the 4-row output
+    is assembled from the aggregate — at 100 TB this is a single
+    corpus scan.  Oracle-gated (oracle.q_filter_funnel)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..stages.text import FUNNEL_STAGES, funnel_partial
+
+    ensure_worker_importable()
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    agg = (ds.map_batches(funnel_partial, batch_format="pyarrow")
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      *[Sum(f"k{i}", alias_name=f"k{i}")
+                        for i in (1, 2, 3, 4)]))
+    ks = [int(agg["n_docs"])] + [int(agg[f"k{i}"]) for i in (1, 2, 3, 4)]
+    return pd.DataFrame({
+        "stage_idx": np.arange(len(FUNNEL_STAGES), dtype=np.int64),
+        "stage": FUNNEL_STAGES,
+        "n_in": np.asarray(ks[:-1], dtype=np.int64),
+        "n_kept": np.asarray(ks[1:], dtype=np.int64),
+        "n_dropped": np.asarray(ks[:-1], dtype=np.int64)
+        - np.asarray(ks[1:], dtype=np.int64),
+    })
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark n-gram decontamination (stages/text.decontaminate): the
     1/97 doc_id slice plays the benchmark suite; its first-3-token n-grams
@@ -3897,6 +3933,90 @@ def q_bm25(sf_dir: str):
                            kind="stable")
            .head(BM25_TOPK).reset_index(drop=True))
     return got
+
+
+RRF_K = 60
+RRF_TOPK = 10
+
+
+def q_rrf_fusion(sf_dir: str):
+    """Reciprocal-rank fusion of two retrieval rankers — the standard
+    multi-signal retrieval combiner (RRF, Cormack et al.): the BM25
+    top-20 for the fixed query (q_bm25's exact chain) fused with a
+    quality-prior top-20 (q_quality's exact score), rrf(d) =
+    1/(K + r_bm25) + 1/(K + r_quality) with absent ranks contributing 0,
+    top-RRF_TOPK by (rrf DESC, doc_id).
+
+    Shape: both rankers are per-block pre-cut streams (blocks×20 rows
+    reach the driver — never the corpus); the fusion itself is a
+    40-row driver step.  Oracle-gated (oracle.q_rrf_fusion wraps the two
+    standalone oracles with ROW_NUMBER + FULL OUTER JOIN)."""
+    import ray
+
+    from ..stages.text import quality_batch
+
+    ensure_worker_importable()
+    bm = q_bm25(sf_dir)                      # pandas top-20 (doc_id, score)
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def qual_cut(batch: pa.Table) -> pa.Table:
+        t = quality_batch(batch)
+        q = t.column("quality").to_numpy()
+        d = t.column("doc_id").to_numpy()
+        order = np.lexsort((d, -q))[:BM25_TOPK]
+        return pa.table({"doc_id": pa.array(d[order]),
+                         "quality": pa.array(q[order])})
+
+    qual = (ds.map_batches(qual_cut, batch_format="pyarrow").to_pandas()
+            .sort_values(["quality", "doc_id"], ascending=[False, True],
+                         kind="stable").head(BM25_TOPK))
+    ranks: dict[int, list[int]] = {}
+    for j, side in enumerate((bm, qual)):
+        for r, d in enumerate(side["doc_id"].to_numpy(), start=1):
+            ranks.setdefault(int(d), [0, 0])[j] = r
+    dids = np.asarray(sorted(ranks), dtype=np.int64)
+    rb = np.asarray([ranks[int(d)][0] for d in dids], dtype=np.int64)
+    rq = np.asarray([ranks[int(d)][1] for d in dids], dtype=np.int64)
+    # fixed evaluation order (bm25 term + quality term) == the oracle's
+    # COALESCE(a, 0) + COALESCE(b, 0)
+    rrf = np.round(np.where(rb > 0, 1.0 / (RRF_K + rb), 0.0)
+                   + np.where(rq > 0, 1.0 / (RRF_K + rq), 0.0), 9)
+    order = np.lexsort((dids, -rrf))[:RRF_TOPK]
+    return pd.DataFrame({"doc_id": dids[order], "rrf": rrf[order],
+                         "r_bm25": rb[order], "r_quality": rq[order]})
+
+
+def q_bpe_first_merge(sf_dir: str):
+    """Tokenizer training, step 1: the global top-20 adjacent character
+    pairs inside words (the first BPE merge candidates).  Per-block
+    combiner partials over unique words → ONE alphabet²-bounded pair
+    groupby → driver top-k cut.  Oracle-gated (oracle.q_bpe_first_merge
+    = unnest word windows + substr pairs)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..stages.text import BPE_MERGE_TOPK, bpe_pair_partial
+
+    ensure_worker_importable()
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    agg = (ds.map_batches(bpe_pair_partial, batch_format="pyarrow")
+           .groupby("pair").aggregate(Sum("c", alias_name="c"))
+           .to_pandas())          # alphabet²-bounded by construction
+    return (agg.sort_values(["c", "pair"], ascending=[False, True],
+                            kind="stable")
+            .head(BPE_MERGE_TOPK).reset_index(drop=True))
+
+
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup-style semantic dedup over embeddings: one representative
+    per coarse PQ bucket (stages/quantize.semantic_dedup).  Oracle-gated
+    (oracle.q_semantic_dedup re-derives the packed argmin codes)."""
+    from ..stages.quantize import semantic_dedup
+
+    ensure_worker_importable()
+    return semantic_dedup(sf_dir)
 
 
 def q_langid_confusion(sf_dir: str):

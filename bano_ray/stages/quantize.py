@@ -144,3 +144,49 @@ def pq_codes(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
     return ds.map_batches(_pq_pass, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup by coarse product-quantization bucket
+# ---------------------------------------------------------------------------
+
+SD_SUBS = 3   # coarse bucket = first 3 PQ subspaces (16^3 = 4096 buckets)
+
+
+def sd_bucket_partial(batch: pa.Table) -> pa.Table:
+    """(bucket, vec_id) rows: the coarse semantic bucket is the packed
+    argmin-centroid code of the first SD_SUBS PQ subspaces — same
+    codebook, same left-associated distance² accumulation and first-min
+    tie rule as :func:`_pq_pass`, so the SQL oracle replays it exactly."""
+    cents = pq_centroids()
+    m = emb_matrix(batch.column("embedding"))
+    vid = batch.column("vec_id").to_numpy()
+    n = m.shape[0]
+    bucket = np.zeros(n, dtype=np.int64)
+    for s in range(SD_SUBS):
+        x = m[:, s * PQ_DIM:(s + 1) * PQ_DIM]
+        d2 = np.zeros((n, PQ_CENTS), dtype=np.float64)
+        for j in range(PQ_DIM):
+            diff = x[:, j][:, None] - cents[s, :, j][None, :]
+            d2 = d2 + diff * diff
+        bucket += np.argmin(d2, axis=1).astype(np.int64) << (4 * s)
+    return pa.table({"bucket": pa.array(bucket),
+                     "vec_id": pa.array(vid.astype(np.int64))})
+
+
+def semantic_dedup(sf_dir: str):
+    """(bucket, keeper, n_members): one representative (min vec_id) per
+    coarse semantic bucket — SemDeDup-style clustering dedup where the
+    cluster assignment is the deterministic PQ coarse code instead of a
+    trained k-means (the IVF family holds the trained-variant precedent).
+    ONE hash-partitioned groupby over (bucket, vec_id) pairs; at 100 TB
+    the shuffle carries two int64s per vector."""
+    import ray
+    from ray.data.aggregate import Count, Min
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return (ds.map_batches(sd_bucket_partial, batch_format="pyarrow")
+            .groupby("bucket")
+            .aggregate(Min("vec_id", alias_name="keeper"),
+                       Count("vec_id", alias_name="n_members")))

@@ -604,3 +604,75 @@ def feature_hash_batch(batch: pa.Table, n_features: int = FEATURE_HASH_DIM) -> p
         "feat": pa.array(fe[starts]),
         "cnt": pa.array(np.diff(np.append(starts, len(di))).astype(np.int64)),
     })
+
+
+# --- curation filter funnel -----------------------------------------------
+#
+# Production corpus curation is a CASCADE of the individual signals above
+# (the RefinedWeb / FineWeb recipe): language gate → quality score →
+# repetition gate → PII gate, applied in order, with per-stage attrition
+# reported so the pipeline owner can see where documents die.  Thresholds
+# are engine constants mirrored by the SQL oracle.
+QF_QUALITY_MIN = 1.4    # quality score strictly above this passes
+QF_DUP_MAX = 0.5        # duplicate-token fraction at or below this passes
+
+FUNNEL_STAGES = ["langid", "quality", "repetition", "pii"]
+
+
+def funnel_partial(batch: pa.Table) -> pa.Table:
+    """ONE-row combiner partial: documents surviving each prefix of the
+    cascade (n_docs, k1..k4).  Every signal reuses the exact kernel the
+    corresponding standalone query gates (langid_batch / quality_batch /
+    repetition_batch / pii over the planted text), so the funnel's
+    booleans replicate bit-for-bit in SQL (oracle.q_filter_funnel).
+    Entirely batch-local — the shuffle moves one 5-int row per block."""
+    lang = langid_batch(batch)
+    qual = quality_batch(batch)
+    rep = repetition_batch(batch)
+    pii = pii_redact_batch(pii_plant(batch))
+    s1 = pc.not_equal(lang.column("en_hits"),
+                      lang.column("fr_hits")).to_numpy(zero_copy_only=False)
+    s2 = s1 & (qual.column("quality").to_numpy() > QF_QUALITY_MIN)
+    s3 = s2 & (rep.column("dup_frac").to_numpy() <= QF_DUP_MAX)
+    n_pii = (pii.column("n_emails").to_numpy()
+             + pii.column("n_phones").to_numpy())
+    s4 = s3 & (n_pii == 0)
+    return pa.table({
+        "n_docs": pa.array([batch.num_rows], pa.int64()),
+        "k1": pa.array([int(s1.sum())], pa.int64()),
+        "k2": pa.array([int(s2.sum())], pa.int64()),
+        "k3": pa.array([int(s3.sum())], pa.int64()),
+        "k4": pa.array([int(s4.sum())], pa.int64()),
+    })
+
+
+# --- tokenizer training: first-merge pair census ---------------------------
+#
+# The first step of BPE tokenizer training: count adjacent CHARACTER pairs
+# inside words (single-space split, the TF-IDF convention) across the
+# corpus — the most frequent pair becomes the first merge rule.  The
+# census returns the global top-k pairs.
+BPE_MERGE_TOPK = 20
+
+
+def bpe_pair_partial(batch: pa.Table) -> pa.Table:
+    """Per-block (pair, c) partials: adjacent char pairs of each word
+    occurrence (overlapping windows), aggregated once per UNIQUE word and
+    weighted by its frequency — Python only over block-uniques (the
+    parse_caption discipline); the shuffle moves alphabet²-bounded pair
+    rows, never tokens."""
+    parts = pc.split_pattern(batch.column("text"), " ")
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    enc = pc.dictionary_encode(parts.values)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    freq = np.bincount(enc.indices.to_numpy().astype(np.int64),
+                       minlength=len(enc.dictionary))
+    agg: dict[str, int] = {}
+    for w, f in zip(enc.dictionary.to_pylist(), freq):
+        for i in range(len(w) - 1):
+            p = w[i:i + 2]
+            agg[p] = agg.get(p, 0) + int(f)
+    return pa.table({"pair": pa.array(list(agg), pa.string()),
+                     "c": pa.array(list(agg.values()), pa.int64())})

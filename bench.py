@@ -126,7 +126,10 @@ def run_benchmarks() -> dict:
                                             q_track_frechet, q_track_dtw,
                                             q_minhash_est_err, q_embed_drift,
                                             q_image_pool,
-                                            q_image_thumbs, q_frame_sample)
+                                            q_image_thumbs, q_frame_sample,
+                                            q_filter_funnel, q_rrf_fusion,
+                                            q_bpe_first_merge,
+                                            q_semantic_dedup)
     from bano_ray.runtime import ensure_worker_importable
     from bano_ray.stages.export import street_json_zone  # noqa: F401
     ensure_worker_importable()
@@ -281,6 +284,10 @@ def run_benchmarks() -> dict:
         "image_pool": lambda: q_image_pool(SF_DIR).count(),
         "image_thumbs": lambda: q_image_thumbs(SF_DIR).count(),
         "frame_sample": lambda: q_frame_sample(SF_DIR).count(),
+        "filter_funnel": lambda: len(q_filter_funnel(SF_DIR)),
+        "rrf_fusion": lambda: len(q_rrf_fusion(SF_DIR)),
+        "bpe_first_merge": lambda: len(q_bpe_first_merge(SF_DIR)),
+        "semantic_dedup": lambda: q_semantic_dedup(SF_DIR).count(),
     }
     # phash near-dup at bench scale (expanded image corpus; banding explodes
     # the stream 4x, so run at a bounded expansion like the image stage)

@@ -1,0 +1,135 @@
+"""Round-5 curation operators: filter funnel, RRF fusion, BPE first-merge
+census, semantic dedup.  Each is also oracle-gated end-to-end by
+scripts/parity_check.py; the tests here pin the kernel-level invariants."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestFilterFunnel:
+    def test_cascade_is_monotone_and_consistent(self, ray_session):
+        from bano_ray.pipelines.queries import q_filter_funnel
+
+        out = q_filter_funnel(SF).sort_values("stage_idx")
+        assert list(out["stage"]) == ["langid", "quality", "repetition",
+                                      "pii"]
+        # chained: each stage's n_in is the previous stage's n_kept
+        n_in = out["n_in"].to_numpy()
+        n_kept = out["n_kept"].to_numpy()
+        assert (n_in[1:] == n_kept[:-1]).all()
+        assert (out["n_dropped"].to_numpy() == n_in - n_kept).all()
+        assert (n_kept <= n_in).all() and n_kept[-1] > 0
+        assert n_in[0] == 500          # sf0.001 corpus size
+
+    def test_partial_matches_standalone_kernels(self):
+        from bano_ray.stages.text import (QF_DUP_MAX, QF_QUALITY_MIN,
+                                          funnel_partial, langid_batch,
+                                          pii_plant, pii_redact_batch,
+                                          quality_batch, repetition_batch)
+
+        batch = pa.table({
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array([
+                "the cat and the hat of the mat to go",
+                "le chat et la table des une le la",
+                "word word word word word word",
+                "the mix le of et and la unique tokens here now",
+            ])})
+        p = funnel_partial(batch)
+        lang = langid_batch(batch)
+        s1 = (lang.column("en_hits").to_numpy()
+              != lang.column("fr_hits").to_numpy())
+        s2 = s1 & (quality_batch(batch).column("quality").to_numpy()
+                   > QF_QUALITY_MIN)
+        s3 = s2 & (repetition_batch(batch).column("dup_frac").to_numpy()
+                   <= QF_DUP_MAX)
+        pii = pii_redact_batch(pii_plant(batch))
+        s4 = s3 & ((pii.column("n_emails").to_numpy()
+                    + pii.column("n_phones").to_numpy()) == 0)
+        assert p.column("n_docs")[0].as_py() == 4
+        for i, s in enumerate((s1, s2, s3, s4), start=1):
+            assert p.column(f"k{i}")[0].as_py() == int(s.sum())
+
+
+class TestRrfFusion:
+    def test_topk_shape_and_rank_arithmetic(self, ray_session):
+        from bano_ray.pipelines.queries import RRF_K, RRF_TOPK, q_rrf_fusion
+
+        out = q_rrf_fusion(SF)
+        assert len(out) == RRF_TOPK
+        # every row must come from at least one ranker
+        rb = out["r_bm25"].to_numpy()
+        rq = out["r_quality"].to_numpy()
+        assert ((rb > 0) | (rq > 0)).all()
+        expect = (np.where(rb > 0, 1.0 / (RRF_K + rb), 0.0)
+                  + np.where(rq > 0, 1.0 / (RRF_K + rq), 0.0))
+        assert np.allclose(out["rrf"].to_numpy(), np.round(expect, 9))
+        # descending rrf with doc_id tiebreak
+        r = out["rrf"].to_numpy()
+        d = out["doc_id"].to_numpy()
+        for i in range(len(out) - 1):
+            assert (r[i] > r[i + 1]
+                    or (r[i] == r[i + 1] and d[i] < d[i + 1]))
+
+
+class TestBpeFirstMerge:
+    def test_partial_matches_naive_count(self):
+        from bano_ray.stages.text import bpe_pair_partial
+
+        texts = ["abba abba cd", "abba", "x yz  yz", ""]
+        batch = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                          "text": pa.array(texts)})
+        got = bpe_pair_partial(batch).to_pandas().set_index("pair")["c"]
+        naive: dict[str, int] = {}
+        for t in texts:
+            for w in t.split(" "):
+                for i in range(len(w) - 1):
+                    naive[w[i:i + 2]] = naive.get(w[i:i + 2], 0) + 1
+        assert dict(got) == naive
+
+    def test_global_topk(self, ray_session):
+        from bano_ray.pipelines.queries import q_bpe_first_merge
+        from bano_ray.stages.text import BPE_MERGE_TOPK
+
+        out = q_bpe_first_merge(SF)
+        assert len(out) == BPE_MERGE_TOPK
+        c = out["c"].to_numpy()
+        assert (c[:-1] >= c[1:]).all() and (c > 0).all()
+        assert all(len(p) == 2 for p in out["pair"])
+
+
+class TestSemanticDedup:
+    def test_buckets_partition_the_corpus(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from bano_ray.pipelines.queries import q_semantic_dedup
+
+        out = q_semantic_dedup(SF).to_pandas()
+        n_vecs = pq.read_metadata(f"{SF}/embeddings.parquet").num_rows
+        assert out["n_members"].sum() == n_vecs
+        assert out["bucket"].is_unique
+        assert (out["n_members"] >= 1).all()
+        # keeper is a member: min id can never exceed any member's id,
+        # and with 4096 coarse buckets real multi-member clusters exist
+        assert (out["n_members"] > 1).any()
+
+    def test_bucket_is_prefix_of_pq_codes(self, ray_session):
+        """The coarse bucket must equal the packed first-SD_SUBS codes of
+        the full PQ coder on the same vectors."""
+        import ray
+
+        from bano_ray.stages.quantize import (SD_SUBS, _pq_pass,
+                                              sd_bucket_partial)
+
+        ds = ray.data.read_parquet(f"{SF}/embeddings.parquet",
+                                   columns=["vec_id", "embedding"]).limit(64)
+        tbl = pa.Table.from_pandas(ds.to_pandas())
+        got = sd_bucket_partial(tbl).to_pandas().set_index("vec_id")["bucket"]
+        full = _pq_pass(tbl).to_pandas()
+        packed = (full[full["sub"] < SD_SUBS]
+                  .assign(term=lambda d: d["code"] * (16 ** d["sub"]))
+                  .groupby("vec_id")["term"].sum())
+        assert dict(got) == dict(packed)
