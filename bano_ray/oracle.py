@@ -2775,6 +2775,58 @@ sc_r AS (
 SELECT node, MIN(r) AS label FROM sc_r GROUP BY node ORDER BY node"""
 
 
+def q_dbscan() -> str:
+    """Full DBSCAN (queries.q_dbscan): the q_distance_selfjoin pair
+    predicate, degree census, core flags (deg + 1 >= minPts), recursive
+    min-label closure over core-core edges, border = min core-neighbor
+    label, noise = -1."""
+    from .pipelines.queries import DBSCAN_MINPTS as MP
+    from .pipelines.queries import DIST_JOIN_RADIUS as R
+
+    return f"""WITH RECURSIVE {base_pts_cte()},
+db_p AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM pts2 a JOIN pts2 b ON a.doc_id < b.doc_id
+  WHERE (a.lon-b.lon)*(a.lon-b.lon) + (a.lat-b.lat)*(a.lat-b.lat)
+        <= {R * R!r}
+),
+db_e AS (SELECT a, b FROM db_p UNION SELECT b, a FROM db_p),
+db_deg AS (SELECT a AS node, COUNT(*) AS n FROM db_e GROUP BY 1),
+db_core AS (
+  SELECT p.doc_id AS node FROM pts2 p
+  LEFT JOIN db_deg d ON d.node = p.doc_id
+  WHERE COALESCE(d.n, 0) + 1 >= {MP}
+),
+db_ce AS (
+  SELECT e.a, e.b FROM db_e e
+  JOIN db_core c1 ON c1.node = e.a JOIN db_core c2 ON c2.node = e.b
+  UNION SELECT node, node FROM db_core
+),
+db_r AS (
+  SELECT a AS node, b AS r FROM db_ce
+  UNION
+  SELECT db_r.node, e.b FROM db_r JOIN db_ce e ON db_r.r = e.a
+),
+db_lab AS (SELECT node, MIN(r) AS label FROM db_r GROUP BY node),
+db_bord AS (
+  SELECT e.a AS node, MIN(l.label) AS label
+  FROM db_e e
+  JOIN db_core c ON c.node = e.b
+  JOIN db_lab l ON l.node = e.b
+  WHERE e.a NOT IN (SELECT node FROM db_core)
+  GROUP BY 1
+)
+SELECT p.doc_id,
+       CASE WHEN cl.label IS NOT NULL THEN 'core'
+            WHEN bl.label IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+       CAST(COALESCE(cl.label, bl.label, -1) AS BIGINT) AS label
+FROM pts2 p
+LEFT JOIN db_lab cl ON cl.node = p.doc_id
+LEFT JOIN db_bord bl ON bl.node = p.doc_id
+ORDER BY p.doc_id"""
+
+
 def q_image_dims() -> str:
     """Image container dims (stages/imagemeta.py): the engine parses real
     PNG/JPEG headers; the oracle replays datagen.dims_of / fmt closed-form."""

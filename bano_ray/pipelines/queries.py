@@ -2426,6 +2426,27 @@ def q_spatial_clusters(sf_dir: str):
     return connected_components(pairs.union(nodes), "a", "b")
 
 
+DBSCAN_MINPTS = 3
+
+
+def q_dbscan(sf_dir: str):
+    """Full DBSCAN over the geotagged points (eps = DIST_JOIN_RADIUS,
+    minPts = DBSCAN_MINPTS, self included): core / border / noise roles
+    plus min-core-id cluster labels (noise = -1).  Composes the
+    grid-bucket distance self-join, tagged-union coarse-shard flag joins
+    and the distributed star-contraction CC — see stages/dbscan.py for
+    the scale shapes.  Oracle-gated (oracle.q_dbscan: the identical pair
+    predicate + recursive min-label closure over core-core edges)."""
+    from ..stages.dbscan import dbscan
+    from ..stages.spatial import distance_selfjoin
+
+    ensure_worker_importable()
+    pts = points_dataset(sf_dir).select_columns(["doc_id", "lon", "lat"])
+    pairs = distance_selfjoin(pts, DIST_JOIN_RADIUS)
+    return dbscan(pts.select_columns(["doc_id"]), pairs,
+                  minpts=DBSCAN_MINPTS)
+
+
 def q_image_dims(sf_dir: str):
     """Image-container metadata from RAW BYTES (stages/imagemeta.py):
     vectorized PNG IHDR reads over the Arrow binary buffers + a real JPEG

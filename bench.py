@@ -129,7 +129,7 @@ def run_benchmarks() -> dict:
                                             q_image_thumbs, q_frame_sample,
                                             q_filter_funnel, q_rrf_fusion,
                                             q_bpe_first_merge,
-                                            q_semantic_dedup)
+                                            q_semantic_dedup, q_dbscan)
     from bano_ray.runtime import ensure_worker_importable
     from bano_ray.stages.export import street_json_zone  # noqa: F401
     ensure_worker_importable()
@@ -288,6 +288,7 @@ def run_benchmarks() -> dict:
         "rrf_fusion": lambda: len(q_rrf_fusion(SF_DIR)),
         "bpe_first_merge": lambda: len(q_bpe_first_merge(SF_DIR)),
         "semantic_dedup": lambda: q_semantic_dedup(SF_DIR).count(),
+        "dbscan": lambda: q_dbscan(SF_DIR).count(),
     }
     # phash near-dup at bench scale (expanded image corpus; banding explodes
     # the stream 4x, so run at a bounded expansion like the image stage)

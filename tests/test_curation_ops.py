@@ -133,3 +133,42 @@ class TestSemanticDedup:
                   .assign(term=lambda d: d["code"] * (16 ** d["sub"]))
                   .groupby("vec_id")["term"].sum())
         assert dict(got) == dict(packed)
+
+
+class TestDbscan:
+    def test_roles_and_labels(self, ray_session):
+        """DBSCAN invariants vs a brute-force numpy reference at sf0.001."""
+        import pyarrow.parquet as pq
+
+        from bano_ray import datagen
+        from bano_ray.pipelines.queries import (DBSCAN_MINPTS,
+                                                DIST_JOIN_RADIUS, q_dbscan)
+
+        out = (q_dbscan(SF).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        d = pq.read_table(f"{SF}/documents.parquet",
+                          columns=["doc_id"]).column("doc_id").to_numpy()
+        lon, lat = datagen.lon_lat(np.sort(d))
+        dx = lon[:, None] - lon[None, :]
+        dy = lat[:, None] - lat[None, :]
+        close = dx * dx + dy * dy <= DIST_JOIN_RADIUS * DIST_JOIN_RADIUS
+        deg = close.sum(axis=1)           # includes self
+        core = deg >= DBSCAN_MINPTS
+        # self is non-core for these rows, so any() over core neighbors
+        # needs no self-exclusion
+        border = ~core & ((close & core[None, :]).any(axis=1))
+        assert len(out) == len(d)
+        assert (out["role"].to_numpy() == np.where(
+            core, "core", np.where(border, "border", "noise"))).all()
+        # labels: noise = -1; core labels = component min over core graph
+        assert (out.loc[out["role"] == "noise", "label"] == -1).all()
+        lab = out.set_index("doc_id")["label"]
+        ids = np.sort(d)
+        core_ids = ids[core]
+        # every core's label is a core id <= itself, same component
+        for i in np.flatnonzero(core)[:50]:
+            assert lab[ids[i]] <= ids[i] and lab[ids[i]] in set(core_ids)
+        # border label = min label among adjacent cores
+        for i in np.flatnonzero(border):
+            neigh = ids[close[i] & core]
+            assert lab[ids[i]] == min(lab[j] for j in neigh)
