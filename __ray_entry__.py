@@ -29,6 +29,8 @@ _ORACLE_QUERIES = [
     "q_bpe_first_merge",     # tokenizer training: first BPE merge census
     "q_semantic_dedup",      # dedup: SemDeDup-style coarse PQ buckets
     "q_dbscan",              # geo: full DBSCAN (core/border/noise + labels)
+    "q_containment_pairs",   # dedup: asymmetric containment census
+    "q_mmr_rerank",          # retrieval: MMR diversified top-10
     "q_kmv_overlap",         # KMV set-overlap sketch (k-min distinct hashes)
     "q_distance_selfjoin",   # spatial distance self-join (grid buckets)
     "q_heavy_hitters",       # exact top-k by count (combiner shape)

@@ -5311,6 +5311,93 @@ LEFT JOIN mh_inter i ON i.a = c.a AND i.b = c.b
 ORDER BY doc_a, doc_b"""
 
 
+def q_mmr_rerank() -> str:
+    """MMR re-rank (queries.q_mmr_rerank): the q_bm25 top-20 as a ranked
+    candidate CTE, exact 3-gram-Jaccard sims over the 190 candidate
+    pairs (unrounded IEEE division of exact integer counts), greedy
+    argmax via a recursive CTE carrying the selected list."""
+    from .pipelines.queries import MMR_LAMBDA as LAM
+    from .pipelines.queries import MMR_TOPK as K
+
+    bm25_sql = q_bm25()
+    return f"""WITH RECURSIVE cand AS (
+  SELECT doc_id, score FROM ({bm25_sql})
+),
+mm_w AS (
+  SELECT d.doc_id, string_split(d.text, ' ') AS w
+  FROM documents d WHERE d.doc_id IN (SELECT doc_id FROM cand)
+),
+mm_sh AS (
+  SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+    THEN list_transform(range(1, len(w) - 1),
+                        i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])
+    ELSE [array_to_string(w, ' ')] END) AS s
+  FROM mm_w
+),
+mm_dh AS (SELECT DISTINCT doc_id, md5_number_lower(s) AS h FROM mm_sh),
+mm_cnt AS (SELECT doc_id, COUNT(*) AS n FROM mm_dh GROUP BY 1),
+mm_pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM cand x JOIN cand y ON y.doc_id > x.doc_id
+),
+mm_inter AS (
+  SELECT p.a, p.b, COUNT(*) AS i
+  FROM mm_pairs p
+  JOIN mm_dh x ON x.doc_id = p.a
+  JOIN mm_dh y ON y.doc_id = p.b AND y.h = x.h
+  GROUP BY 1, 2
+),
+sims AS (
+  SELECT p.a, p.b,
+         CAST(COALESCE(i.i, 0) AS DOUBLE)
+           / (na.n + nb.n - COALESCE(i.i, 0)) AS sim
+  FROM mm_pairs p
+  JOIN mm_cnt na ON na.doc_id = p.a
+  JOIN mm_cnt nb ON nb.doc_id = p.b
+  LEFT JOIN mm_inter i ON i.a = p.a AND i.b = p.b
+),
+mmr AS (
+  SELECT 0 AS step, CAST([] AS BIGINT[]) AS sel
+  UNION ALL
+  SELECT step + 1,
+         list_append(sel, (
+           SELECT t.doc_id FROM cand t
+           WHERE NOT list_contains(m.sel, t.doc_id)
+           ORDER BY {LAM} * t.score - (1 - {LAM}) * COALESCE((
+               SELECT MAX(s.sim) FROM sims s
+               WHERE (s.a = t.doc_id AND list_contains(m.sel, s.b))
+                  OR (s.b = t.doc_id AND list_contains(m.sel, s.a))), 0.0)
+             DESC, t.doc_id
+           LIMIT 1))
+  FROM mmr m WHERE step < {K}
+),
+fin AS (SELECT sel FROM mmr WHERE step = {K})
+SELECT CAST(i + 1 AS BIGINT) AS rank, sel[i + 1] AS doc_id
+FROM fin, UNNEST(range(len(sel))) t(i)
+ORDER BY 1"""
+
+
+def q_containment_pairs() -> str:
+    """Containment census (stages/dedup.containment_pairs): the
+    q_minhash_pairs candidate CTE prefix + per-side distinct-shingle
+    counts and both directional containments."""
+    base = q_minhash_pairs()
+    head = base.split("mh_j AS")[0]
+    return head + """mh_c AS (
+  SELECT c.a AS doc_a, c.b AS doc_b,
+         CAST(COALESCE(i.i, 0) AS BIGINT) AS n_inter,
+         CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b
+  FROM mh_cand c
+  JOIN mh_cnt na ON na.doc_id = c.a
+  JOIN mh_cnt nb ON nb.doc_id = c.b
+  LEFT JOIN mh_inter i ON i.a = c.a AND i.b = c.b
+)
+SELECT doc_a, doc_b, n_inter, n_a, n_b,
+       round(CAST(n_inter AS DOUBLE) / greatest(n_a, 1), 6) AS cont_ab,
+       round(CAST(n_inter AS DOUBLE) / greatest(n_b, 1), 6) AS cont_ba
+FROM mh_c ORDER BY doc_a, doc_b"""
+
+
 def q_embed_drift() -> str:
     """Lag-similarity census (stages/ann.embed_drift): LAG over the
     per-label vec_id stream, cosine via list_inner_product on DOUBLE

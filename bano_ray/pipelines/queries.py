@@ -4008,6 +4008,21 @@ def q_rrf_fusion(sf_dir: str):
                          "r_bm25": rb[order], "r_quality": rq[order]})
 
 
+def q_containment_pairs(sf_dir: str):
+    """Asymmetric containment (|A∩B|/|A|, |A∩B|/|B|) for every banded
+    MinHash candidate pair — the quote/subset signal Jaccard misses
+    (stages/dedup.containment_pairs).  Oracle-gated
+    (oracle.q_containment_pairs extends the minhash-est machinery)."""
+    import ray
+
+    from ..stages.dedup import containment_pairs
+
+    ensure_worker_importable()
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return containment_pairs(ds)
+
+
 def q_bpe_first_merge(sf_dir: str):
     """Tokenizer training, step 1: the global top-20 adjacent character
     pairs inside words (the first BPE merge candidates).  Per-block
@@ -4038,6 +4053,66 @@ def q_semantic_dedup(sf_dir: str):
 
     ensure_worker_importable()
     return semantic_dedup(sf_dir)
+
+
+MMR_LAMBDA = 0.7
+MMR_TOPK = 10
+
+
+def q_mmr_rerank(sf_dir: str):
+    """Maximal-marginal-relevance re-ranking of the BM25 top-20:
+    greedily pick argmax of λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s)
+    (sim = exact word-3-gram Jaccard, unrounded — IEEE division of exact
+    integer counts is bit-identical on both sides), ties by doc_id —
+    the retrieval-diversification step between retrieval and context
+    assembly.  Candidates are top-k-bounded, so the greedy loop is k²
+    driver work at ANY corpus scale; the pairwise sims come from ONE
+    vectorized _pair_jaccard_counts call.  Oracle-gated
+    (oracle.q_mmr_rerank = recursive-CTE greedy selection)."""
+    import ray
+
+    from ..stages.dedup import _pair_jaccard_counts
+
+    ensure_worker_importable()
+    bm = q_bm25(sf_dir)                      # top-20 (doc_id, score)
+    cand = bm["doc_id"].to_numpy().astype(np.int64)
+    rel = dict(zip(cand, bm["score"].to_numpy()))
+    ids_ref = ray.put(pa.array(cand))
+
+    def pick(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch.column("doc_id"),
+                                     value_set=ray.get(ids_ref)))
+
+    texts = (ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                   columns=["doc_id", "text"])
+             .map_batches(pick, batch_format="pyarrow").to_pandas())
+    tmap = dict(zip(texts["doc_id"].astype(np.int64), texts["text"]))
+    k = len(cand)
+    ta, tb, keys = [], [], []
+    for i in range(k):
+        for j in range(i + 1, k):
+            ta.append(tmap[cand[i]])
+            tb.append(tmap[cand[j]])
+            keys.append((int(min(cand[i], cand[j])),
+                         int(max(cand[i], cand[j]))))
+    num, den, _, _ = _pair_jaccard_counts(ta, tb)
+    sim = {key: (num[i] / den[i] if den[i] else 1.0)
+           for i, key in enumerate(keys)}
+    selected: list[int] = []
+    remaining = set(int(c) for c in cand)
+    for _ in range(min(MMR_TOPK, k)):
+        best = None
+        for c in sorted(remaining):
+            ms = max((sim[(min(c, s), max(c, s))] for s in selected),
+                     default=0.0)
+            sc = MMR_LAMBDA * rel[c] - (1 - MMR_LAMBDA) * ms
+            if best is None or sc > best[0]:
+                best = (sc, c)
+        selected.append(best[1])
+        remaining.discard(best[1])
+    return pd.DataFrame({
+        "rank": np.arange(1, len(selected) + 1, dtype=np.int64),
+        "doc_id": np.asarray(selected, dtype=np.int64)})
 
 
 def q_langid_confusion(sf_dir: str):

@@ -513,8 +513,8 @@ def _gather_ranges(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
 
 
 def _pair_jaccard_counts(ta: list[str], tb: list[str], n: int = 3):
-    """Exact distinct-shingle ``(|A∩B|, |A∪B|)`` int64 counts for P text
-    pairs, fully vectorized over the PAIR AXIS: texts factorize to
+    """Exact distinct-shingle ``(|A∩B|, |A∪B|, |A|, |B|)`` int64 counts
+    for P text pairs, fully vectorized over the PAIR AXIS: texts factorize to
     uniques, shingle-hash ONCE per unique text
     (:func:`_batch_shingle_hashes` — md5 only on unique shingles), then
     every pair's intersection resolves in one sort over packed
@@ -526,7 +526,7 @@ def _pair_jaccard_counts(ta: list[str], tb: list[str], n: int = 3):
     P = len(ta)
     if P == 0:
         z = np.empty(0, dtype=np.int64)
-        return z, z
+        return z, z, z, z
     codes, uniq = pd.factorize(np.asarray(ta + tb, dtype=object),
                                use_na_sentinel=False)
     codes = codes.astype(np.int64)
@@ -555,7 +555,7 @@ def _pair_jaccard_counts(ta: list[str], tb: list[str], n: int = 3):
     dup = pk[1:] == pk[:-1]
     num = np.bincount((pk[1:][dup] // U), minlength=P).astype(np.int64)
     den = na + nb - num
-    return num, den
+    return num, den, na, nb
 
 
 def verified_pairs(ds, pairs, threshold: float):
@@ -571,7 +571,7 @@ def verified_pairs(ds, pairs, threshold: float):
         b = batch.column("b").to_numpy().astype(np.int64)
         ta = batch.column("text_a").to_pylist()
         tb = batch.column("text_b").to_pylist()
-        num, den = _pair_jaccard_counts(ta, tb)
+        num, den, _, _ = _pair_jaccard_counts(ta, tb)
         js = np.where(den > 0, num / np.maximum(den, 1), 1.0)
         keep = js >= threshold
         return pa.table({"doc_a": pa.array(a[keep]),
@@ -618,7 +618,7 @@ def minhash_est_err(ds, max_bucket: int = 200):
         ta = batch.column("text_a").to_pylist()
         tb = batch.column("text_b").to_pylist()
         sm = (minhash_sigs(ta) == minhash_sigs(tb)).sum(axis=1)
-        num, den = _pair_jaccard_counts(ta, tb)
+        num, den, _, _ = _pair_jaccard_counts(ta, tb)
         return pa.table({"doc_a": pa.array(a), "doc_b": pa.array(b),
                          "sig_match": pa.array(sm.astype(np.int64)),
                          "jac_num": pa.array(num),
@@ -630,6 +630,58 @@ def minhash_est_err(ds, max_bucket: int = 200):
         Min("sig_match", alias_name="sig_match"),
         Min("jac_num", alias_name="jac_num"),
         Min("jac_den", alias_name="jac_den"))
+
+
+def containment_pairs(ds, max_bucket: int = 200):
+    """Asymmetric CONTAINMENT census over the banded MinHash candidates:
+    for every candidate pair the exact distinct-shingle counts and both
+    directional containments ``|A∩B|/|A|`` and ``|A∩B|/|B|`` — the
+    quote/subset-detection signal resemblance (Jaccard) misses when a
+    small document is wholly embedded in a large one (Broder's
+    containment).  Same banding, same skew guard, same pair-text join and
+    the same vectorized pair kernel as :func:`minhash_est_err`."""
+    from ray.data.aggregate import Min
+
+    sig = ds.map_batches(minhash_batch, batch_format="pyarrow")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        doc = batch.column("doc_id").to_numpy()
+        flat = pc.list_flatten(batch.column("band_hashes")).to_numpy()
+        return pa.table({"doc_id": pa.array(np.repeat(doc, MINHASH_BANDS)),
+                         "bucket": pa.array(flat)})
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return minhash_bucket_pairs(df, max_bucket=max_bucket)
+
+    pairs = bucketed_pairs(sig.map_batches(explode, batch_format="pyarrow"),
+                           bucket_pairs)
+
+    def cont_batch(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy().astype(np.int64)
+        b = batch.column("b").to_numpy().astype(np.int64)
+        ta = batch.column("text_a").to_pylist()
+        tb = batch.column("text_b").to_pylist()
+        num, _den, na, nb = _pair_jaccard_counts(ta, tb)
+        return pa.table({
+            "doc_a": pa.array(a), "doc_b": pa.array(b),
+            "n_inter": pa.array(num), "n_a": pa.array(na),
+            "n_b": pa.array(nb),
+            "cont_ab": pa.array(np.round(
+                num / np.maximum(na, 1), 6)),
+            "cont_ba": pa.array(np.round(
+                num / np.maximum(nb, 1), 6)),
+        })
+
+    est = _pair_text_rows(ds, pairs).map_batches(
+        cont_batch, batch_format="pyarrow")
+    return est.groupby(["doc_a", "doc_b"]).aggregate(
+        Min("n_inter", alias_name="n_inter"),
+        Min("n_a", alias_name="n_a"),
+        Min("n_b", alias_name="n_b"),
+        Min("cont_ab", alias_name="cont_ab"),
+        Min("cont_ba", alias_name="cont_ba"))
 
 
 def jaccard_prefix_batch(batch: pa.Table, threshold: float) -> pa.Table:

@@ -129,7 +129,9 @@ def run_benchmarks() -> dict:
                                             q_image_thumbs, q_frame_sample,
                                             q_filter_funnel, q_rrf_fusion,
                                             q_bpe_first_merge,
-                                            q_semantic_dedup, q_dbscan)
+                                            q_semantic_dedup, q_dbscan,
+                                            q_containment_pairs,
+                                            q_mmr_rerank)
     from bano_ray.runtime import ensure_worker_importable
     from bano_ray.stages.export import street_json_zone  # noqa: F401
     ensure_worker_importable()
@@ -289,6 +291,8 @@ def run_benchmarks() -> dict:
         "bpe_first_merge": lambda: len(q_bpe_first_merge(SF_DIR)),
         "semantic_dedup": lambda: q_semantic_dedup(SF_DIR).count(),
         "dbscan": lambda: q_dbscan(SF_DIR).count(),
+        "containment_pairs": lambda: q_containment_pairs(SF_DIR).count(),
+        "mmr_rerank": lambda: len(q_mmr_rerank(SF_DIR)),
     }
     # phash near-dup at bench scale (expanded image corpus; banding explodes
     # the stream 4x, so run at a bounded expansion like the image stage)

@@ -172,3 +172,29 @@ class TestDbscan:
         for i in np.flatnonzero(border):
             neigh = ids[close[i] & core]
             assert lab[ids[i]] == min(lab[j] for j in neigh)
+
+
+class TestContainmentMmr:
+    def test_containment_bounds_and_jaccard_relation(self, ray_session):
+        from bano_ray.pipelines.queries import q_containment_pairs
+
+        out = q_containment_pairs(SF).to_pandas()
+        assert len(out) > 0
+        n, na, nb = (out["n_inter"].to_numpy(), out["n_a"].to_numpy(),
+                     out["n_b"].to_numpy())
+        assert (n <= np.minimum(na, nb)).all()
+        assert ((out["cont_ab"] <= 1.0) & (out["cont_ab"] >= 0)).all()
+        # containment dominates resemblance: max(cont) >= jaccard
+        jac = n / (na + nb - n)
+        assert (np.maximum(out["cont_ab"], out["cont_ba"]) >= jac - 1e-9).all()
+
+    def test_mmr_is_permutation_of_bm25_candidates(self, ray_session):
+        from bano_ray.pipelines.queries import MMR_TOPK, q_bm25, q_mmr_rerank
+
+        out = q_mmr_rerank(SF)
+        bm = q_bm25(SF)
+        assert len(out) == MMR_TOPK
+        assert list(out["rank"]) == list(range(1, MMR_TOPK + 1))
+        assert set(out["doc_id"]) <= set(bm["doc_id"])
+        # rank 1 is the pure-relevance argmax (no diversity term yet)
+        assert out.iloc[0]["doc_id"] == bm.iloc[0]["doc_id"]

@@ -118,7 +118,8 @@ class TestDedup:
         texts += ["", "solo", "two words", "a b c", "a b c", "a b c d"]
         ta = [texts[int(i)] for i in rng.integers(0, len(texts), 600)]
         tb = [texts[int(i)] for i in rng.integers(0, len(texts), 600)]
-        num, den = _pair_jaccard_counts(ta, tb)
+        num, den, na, nb = _pair_jaccard_counts(ta, tb)
+        assert (den == na + nb - num).all()
         for i in range(600):
             ref = jaccard(ta[i], tb[i])
             got = 1.0 if den[i] == 0 else num[i] / den[i]
@@ -141,7 +142,7 @@ class TestDedup:
               for i in range(N)]
         tb = [t + " extra" for t in ta]
         t0 = time.time()
-        num, den = _pair_jaccard_counts(ta, tb)
+        num, den, _, _ = _pair_jaccard_counts(ta, tb)
         el = time.time() - t0
         # 18 shingles shared, the appended word adds one new shingle
         # (t (L-2), t (L-1), extra) per side difference
