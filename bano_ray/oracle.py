@@ -4520,6 +4520,40 @@ SELECT doc_id, rrf, r_bm25, r_quality
 FROM fused ORDER BY rrf DESC, doc_id LIMIT {RRF_TOPK}"""
 
 
+def q_image_equalize() -> str:
+    """Equalization census (pipelines/flagship.ImageEqualize): per-doc
+    value histogram of the closed-form pixel field, window cumsum cdf,
+    the tie-free integer remap, and the exact summaries."""
+    return f"""WITH {_pixel_u8_cte()},
+ieq_h AS (
+  SELECT doc_id, val, CAST(COUNT(*) AS BIGINT) AS c
+  FROM u8 GROUP BY 1, 2
+),
+ieq_n AS (SELECT doc_id, CAST(w * h * 3 AS BIGINT) AS n FROM img),
+ieq_cd AS (
+  SELECT doc_id, val, c,
+         SUM(c) OVER (PARTITION BY doc_id ORDER BY val
+                      ROWS UNBOUNDED PRECEDING) AS cdf
+  FROM ieq_h
+),
+ieq_m AS (SELECT doc_id, MIN(cdf) AS m FROM ieq_cd GROUP BY 1),
+ieq_o AS (
+  SELECT cd.doc_id, cd.val, cd.c,
+         CASE WHEN nn.n = mm.m THEN 0
+              ELSE (2 * 255 * (cd.cdf - mm.m) + (nn.n - mm.m))
+                   // (2 * (nn.n - mm.m)) END AS ov
+  FROM ieq_cd cd
+  JOIN ieq_m mm ON mm.doc_id = cd.doc_id
+  JOIN ieq_n nn ON nn.doc_id = cd.doc_id
+)
+SELECT doc_id,
+       CAST(SUM(c * ov) AS BIGINT) AS eq_sum,
+       CAST(MIN(ov) AS BIGINT) AS eq_min,
+       CAST(MAX(ov) AS BIGINT) AS eq_max,
+       CAST(SUM(c) AS BIGINT) AS n_vals
+FROM ieq_o GROUP BY 1 ORDER BY 1"""
+
+
 def q_sobel_energy() -> str:
     """Per-image gradient energy (pipelines/flagship.ImageSobel): exact
     integer Σ|Δlum| along x (same row, pix+1) and along y (pix+w) of the

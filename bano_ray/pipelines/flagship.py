@@ -607,6 +607,58 @@ class ImagePatches:
         })
 
 
+class ImageEqualize:
+    """Actor-pool histogram equalization census over PNG payloads: per
+    image the classic integer remap out(v) = round(255·(cdf(v)−cdf_min)
+    / (N−cdf_min)) — realized tie-free as (2·255·(cdf−m) + (N−m)) //
+    (2·(N−m)) — and the exact integer summaries (Σ remapped values,
+    min/max remap, value count).  Flat-image edge (N == cdf_min) remaps
+    to 0 on both sides.  Value-ORACLED like :class:`ImagePatches`."""
+
+    def __init__(self):
+        from ..runtime import tune_malloc
+
+        tune_malloc()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..codecs import decode_image_batch
+
+        fmts = batch.column("fmt").to_pylist()
+        blobs = _binary_column_views(batch.column("bytes"))
+        decoded = decode_image_batch(blobs, fmts)
+        ids = batch.column("doc_id").to_numpy()
+        n = len(ids)
+        eq_sum = np.empty(n, dtype=np.int64)
+        eq_min = np.empty(n, dtype=np.int64)
+        eq_max = np.empty(n, dtype=np.int64)
+        n_vals = np.empty(n, dtype=np.int64)
+        for i, img in enumerate(decoded):
+            v = img.reshape(-1).astype(np.int64)
+            hist = np.bincount(v, minlength=256)
+            cdf = np.cumsum(hist)
+            present = hist > 0
+            m = int(cdf[present.argmax()]) if present.any() else 0
+            N = v.size
+            if N == m:
+                ov = np.zeros(256, dtype=np.int64)
+            else:
+                ov = (2 * 255 * (cdf - m) + (N - m)) // (2 * (N - m))
+            eq_sum[i] = int((hist * ov).sum())
+            eq_min[i] = int(ov[present].min())
+            eq_max[i] = int(ov[present].max())
+            n_vals[i] = N
+        return pa.table({
+            "doc_id": pa.array(ids.astype(np.int64)),
+            "eq_sum": pa.array(eq_sum), "eq_min": pa.array(eq_min),
+            "eq_max": pa.array(eq_max), "n_vals": pa.array(n_vals)})
+
+
+def image_equalize(sf_dir: str, concurrency=None):
+    """PNG-only equalization-census pipeline (q_image_patches
+    discipline)."""
+    return _png_pool_pipeline(sf_dir, ImageEqualize, concurrency)
+
+
 def image_patches(sf_dir: str, concurrency=None):
     """Patch-statistics pipeline over real PNG payloads (lossless docs
     only — JPEG rows are excluded on both sides before any bytes are

@@ -3222,6 +3222,19 @@ def q_image_patches(sf_dir: str):
     return image_patches(sf_dir)
 
 
+def q_image_equalize(sf_dir: str):
+    """Histogram-equalization census over REAL decoded PNG pixels
+    (pipelines/flagship.ImageEqualize): the classic integer remap
+    round(255·(cdf−cdf_min)/(N−cdf_min)) realized tie-free as
+    (2·255·(cdf−m)+(N−m)) // (2·(N−m)), exact integer summaries.
+    Oracle-gated (oracle.q_image_equalize replays histogram → window
+    cumsum → remap from the closed-form pixel field)."""
+    from .flagship import image_equalize
+
+    ensure_worker_importable()
+    return image_equalize(sf_dir)
+
+
 def q_quadtree_leaves(sf_dir: str):
     """Adaptive quadtree leaves z8..z12 over the geotagged points
     (geo/cells.quadtree_leaves): split-while-overfull spatial index tiles

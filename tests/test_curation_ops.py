@@ -198,3 +198,28 @@ class TestContainmentMmr:
         assert set(out["doc_id"]) <= set(bm["doc_id"])
         # rank 1 is the pure-relevance argmax (no diversity term yet)
         assert out.iloc[0]["doc_id"] == bm.iloc[0]["doc_id"]
+
+
+class TestImageEqualize:
+    def test_kernel_matches_numpy_reference(self, ray_session):
+        """Per-image remap invariants + a direct-decode cross-check."""
+        from bano_ray import datagen
+        from bano_ray.pipelines.queries import q_image_equalize
+
+        out = (q_image_equalize(SF).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        assert (out["eq_min"] == 0).all()          # lowest value maps near 0
+        assert (out["eq_max"] <= 255).all()
+        # cross-check one image against a from-source reference
+        row = out.iloc[0]
+        did = int(row["doc_id"])
+        w, h = datagen.dims_of(np.asarray([did]))
+        px = datagen.pixels_of(did, int(w[0]), int(h[0]))
+        v = px.reshape(-1).astype(np.int64)
+        hist = np.bincount(v, minlength=256)
+        cdf = np.cumsum(hist)
+        m = int(cdf[(hist > 0).argmax()])
+        N = v.size
+        ov = (2 * 255 * (cdf - m) + (N - m)) // (2 * (N - m))
+        assert int(row["eq_sum"]) == int((hist * ov).sum())
+        assert int(row["n_vals"]) == N
