@@ -32,6 +32,7 @@ _ORACLE_QUERIES = [
     "q_containment_pairs",   # dedup: asymmetric containment census
     "q_mmr_rerank",          # retrieval: MMR diversified top-10
     "q_image_equalize",      # image: histogram-equalization census
+    "q_tpch_q7",             # TPC-H Q7 shape: fact-fact orderkey join
     "q_kmv_overlap",         # KMV set-overlap sketch (k-min distinct hashes)
     "q_distance_selfjoin",   # spatial distance self-join (grid buckets)
     "q_heavy_hitters",       # exact top-k by count (combiner shape)

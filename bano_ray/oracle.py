@@ -4356,6 +4356,29 @@ WHERE r.r_name = {_q(_Q5_REGION)}
 GROUP BY 1 ORDER BY rev_c DESC, n_name"""
 
 
+def q_tpch_q7() -> str:
+    """TPC-H Q7 shape (queries.q_tpch_q7): plain ANSI star join with the
+    engine's tie-free floor(x+0.5) cents and the same nation pair."""
+    from .pipelines.queries import _Q7_NATIONS, _Q7_Y0, _Q7_Y1
+
+    n1, n2 = _Q7_NATIONS
+    return f"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(date_part('year', l.l_shipdate) AS BIGINT) AS year,
+       CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100
+                           + 0.5) AS BIGINT)) AS BIGINT) AS rev_c
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+WHERE sn.n_name IN ('{n1}', '{n2}')
+  AND cn.n_name IN ('{n1}', '{n2}')
+  AND sn.n_name <> cn.n_name
+  AND date_part('year', l.l_shipdate) BETWEEN {_Q7_Y0} AND {_Q7_Y1}
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+
+
 def q_json_props() -> str:
     """JSON props extraction (queries.q_json_props): DuckDB's real JSON
     parser vs the engine's RE2 pass — an independent implementation."""

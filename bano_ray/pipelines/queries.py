@@ -3825,6 +3825,103 @@ def q_tpch_q5(sf_dir: str):
     return per_nat[["n_name", "rev_c"]]
 
 
+_Q7_NATIONS = ("NATION_3", "NATION_7")
+_Q7_Y0, _Q7_Y1 = 1996, 1999
+
+
+def q_tpch_q7(sf_dir: str):
+    """TPC-H Q7 shape (volume shipping): revenue between two nations per
+    (supp_nation, cust_nation, year), shipped within [Y0, Y1].
+
+    Shape: the supplier→nation and customer→nation sides broadcast once
+    (``ray.put`` sorted key arrays + searchsorted — supplier is
+    dim-bounded; the customer map is customer-table-sized, the
+    q_top_orders-documented bound, and would become a hash join at a
+    scale where customers outgrow worker heaps); lineitem pre-filters and
+    pre-reduces per (orderkey, supp_nation, year) map-side; the ONE real
+    exchange is the orderkey hash join against the filtered orders
+    stream; the final groupby is nations²×years-sized.  Oracle-gated
+    (oracle.q_tpch_q7)."""
+    import ray
+
+    ensure_worker_importable()
+    nat = ray.data.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+    nmap = dict(zip(nat["n_nationkey"].astype(np.int64), nat["n_name"]))
+    sup = ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
+                                columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    cus = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                columns=["c_custkey", "c_nationkey"]).to_pandas()
+    wanted = set(_Q7_NATIONS)
+    skeys = np.sort(sup.loc[[nmap[int(k)] in wanted
+                             for k in sup["s_nationkey"]],
+                            "s_suppkey"].to_numpy().astype(np.int64))
+    snat = {int(r.s_suppkey): nmap[int(r.s_nationkey)]
+            for r in sup.itertuples() if nmap[int(r.s_nationkey)] in wanted}
+    ckeys_df = cus.loc[[nmap[int(k)] in wanted for k in cus["c_nationkey"]]]
+    cmap = {int(r.c_custkey): nmap[int(r.c_nationkey)]
+            for r in ckeys_df.itertuples()}
+    s_ref = ray.put((skeys, np.asarray([snat[int(k)] for k in skeys],
+                                       dtype=object)))
+    c_ref = ray.put(cmap)
+
+    def line_part(batch: pa.Table) -> pa.Table:
+        keys, names = ray.get(s_ref)
+        sk = batch.column("l_suppkey").to_numpy().astype(np.int64)
+        pos = np.searchsorted(keys, sk)
+        pos[pos >= len(keys)] = 0
+        hit = (keys[pos] == sk) if len(keys) else np.zeros(len(sk), bool)
+        yr = pc.year(batch.column("l_shipdate")).to_numpy()
+        hit &= (yr >= _Q7_Y0) & (yr <= _Q7_Y1)
+        t = batch.filter(pa.array(hit))
+        p = t.column("l_extendedprice").to_numpy()
+        d = t.column("l_discount").to_numpy()
+        cents = np.floor(p * (1.0 - d) * 100.0 + 0.5).astype(np.int64)
+        sk2 = t.column("l_suppkey").to_numpy().astype(np.int64)
+        pos2 = np.searchsorted(keys, sk2)
+        return pa.table({
+            "l_orderkey": t.column("l_orderkey"),
+            "supp_nation": pa.array(names[pos2], pa.string()),
+            "year": pa.array(pc.year(t.column("l_shipdate")).to_numpy()
+                             .astype(np.int64)),
+            "rev_c": pa.array(cents)})
+
+    def order_part(batch: pa.Table) -> pa.Table:
+        cm = ray.get(c_ref)
+        ck = batch.column("o_custkey").to_numpy().astype(np.int64)
+        nat_col = np.asarray([cm.get(int(k), "") for k in ck], dtype=object)
+        keep = nat_col != ""
+        t = batch.filter(pa.array(keep))
+        return pa.table({"o_orderkey": t.column("o_orderkey"),
+                         "cust_nation": pa.array(nat_col[keep], pa.string())})
+
+    li = (ray.data.read_parquet(
+              f"{sf_dir}/lineitem.parquet",
+              columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                       "l_discount", "l_shipdate"])
+          .map_batches(line_part, batch_format="pyarrow"))
+    od = (ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_custkey"])
+          .map_batches(order_part, batch_format="pyarrow"))
+    joined = li.join(od, join_type="inner", num_partitions=8,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def cross_part(batch: pa.Table) -> pa.Table:
+        keep = pc.not_equal(batch.column("supp_nation"),
+                            batch.column("cust_nation"))
+        t = batch.filter(keep)
+        return pa.table({"supp_nation": t.column("supp_nation"),
+                         "cust_nation": t.column("cust_nation"),
+                         "year": t.column("year"),
+                         "rev_c": t.column("rev_c")})
+
+    from ray.data.aggregate import Sum
+
+    return (joined.map_batches(cross_part, batch_format="pyarrow")
+            .groupby(["supp_nation", "cust_nation", "year"])
+            .aggregate(Sum("rev_c", alias_name="rev_c"))
+            .sort(["supp_nation", "cust_nation", "year"]))
+
+
 def q_json_props(sf_dir: str):
     """Semi-structured ETL: extract the integer ``k`` from the events
     JSON ``props`` column with ONE vectorized RE2 pass

@@ -131,7 +131,8 @@ def run_benchmarks() -> dict:
                                             q_bpe_first_merge,
                                             q_semantic_dedup, q_dbscan,
                                             q_containment_pairs,
-                                            q_mmr_rerank, q_image_equalize)
+                                            q_mmr_rerank, q_image_equalize,
+                                            q_tpch_q7)
     from bano_ray.runtime import ensure_worker_importable
     from bano_ray.stages.export import street_json_zone  # noqa: F401
     ensure_worker_importable()
@@ -294,6 +295,7 @@ def run_benchmarks() -> dict:
         "containment_pairs": lambda: q_containment_pairs(SF_DIR).count(),
         "mmr_rerank": lambda: len(q_mmr_rerank(SF_DIR)),
         "image_equalize": lambda: q_image_equalize(SF_DIR).count(),
+        "tpch_q7": lambda: q_tpch_q7(SF_DIR).count(),
     }
     # phash near-dup at bench scale (expanded image corpus; banding explodes
     # the stream 4x, so run at a bounded expansion like the image stage)
