@@ -33,6 +33,9 @@ _ORACLE_QUERIES = [
     "q_mmr_rerank",          # retrieval: MMR diversified top-10
     "q_image_equalize",      # image: histogram-equalization census
     "q_tpch_q7",             # TPC-H Q7 shape: fact-fact orderkey join
+    "q_watermark",           # text: LLM-watermark greenlist census
+    "q_k_anonymity",         # privacy: QI group-size spectrum
+    "q_jl_distortion",       # embeddings: JL-projection norm census
     "q_kmv_overlap",         # KMV set-overlap sketch (k-min distinct hashes)
     "q_distance_selfjoin",   # spatial distance self-join (grid buckets)
     "q_heavy_hitters",       # exact top-k by count (combiner shape)

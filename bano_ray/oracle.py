@@ -2184,6 +2184,41 @@ SELECT substr(w, CAST(i + 1 AS INTEGER), 2) AS pair,
 FROM win GROUP BY 1 ORDER BY c DESC, pair LIMIT {BPE_MERGE_TOPK}"""
 
 
+def q_jl_distortion() -> str:
+    """JL distortion census (stages/quantize.jl_project_batch): the ±1
+    sign matrix baked as explicit left-associated sum chains so the
+    double accumulation order matches the engine term-for-term."""
+    from .stages.quantize import DIM, JL_DIM, jl_signs
+
+    s = jl_signs()
+
+    def chain(terms):
+        out = terms[0]
+        for t in terms[1:]:
+            out = f"({out} + {t})"
+        return out
+
+    orig = chain([f"(v[{i + 1}] * v[{i + 1}])" for i in range(DIM)])
+    ys = []
+    for j in range(JL_DIM):
+        terms = [(f"v[{i + 1}]" if s[j, i] > 0 else f"(- v[{i + 1}])")
+                 for i in range(DIM)]
+        ys.append(chain(terms))
+    proj = chain([f"(y{j} * y{j})" for j in range(JL_DIM)])
+    ydefs = ",\n       ".join(f"{y} AS y{j}" for j, y in enumerate(ys))
+    return f"""WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+yy AS (
+  SELECT vec_id, {orig} AS orig,
+       {ydefs}
+  FROM e
+)
+SELECT vec_id, round(orig, 6) AS orig_sq,
+       round(({proj}) / {JL_DIM}.0, 6) AS proj_msq
+FROM yy ORDER BY vec_id"""
+
+
 def q_semantic_dedup() -> str:
     """Semantic dedup (stages/quantize.semantic_dedup): the q_pq_codes
     argmin machinery restricted to the first SD_SUBS subspaces, codes
@@ -2246,6 +2281,66 @@ SELECT doc_id, n_emails,
        CAST(length(regexp_replace(red1, '{PHONE_RE}', '<PHONE>', 'g')) AS BIGINT)
          AS red_len
 FROM r1 ORDER BY doc_id"""
+
+
+def q_k_anonymity() -> str:
+    """k-anonymity census (queries.q_k_anonymity): the langid expression
+    + doc_id%4 + length bucket as the QI, COUNT per QI, count-of-counts."""
+    from .pipelines.queries import KANON_K, KANON_LEN_BUCKET
+    from .stages.text import EN_MARKERS, FR_MARKERS
+
+    en = " + ".join(_occ("lower(text)", p) for p in EN_MARKERS)
+    fr = " + ".join(_occ("lower(text)", p) for p in FR_MARKERS)
+    return f"""WITH ka_qi AS (
+  SELECT (CASE WHEN ({en}) > ({fr}) THEN 'en'
+               WHEN ({fr}) > ({en}) THEN 'fr' ELSE 'und' END) AS lang,
+         doc_id % 4 AS source,
+         length(text) // {KANON_LEN_BUCKET} AS len_bucket
+  FROM documents
+),
+ka_g AS (
+  SELECT lang, source, len_bucket, CAST(COUNT(*) AS BIGINT) AS n
+  FROM ka_qi GROUP BY 1, 2, 3
+)
+SELECT n AS qi_size,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(n * COUNT(*) AS BIGINT) AS n_docs,
+       n < {KANON_K} AS reidentifiable
+FROM ka_g GROUP BY n ORDER BY qi_size"""
+
+
+def q_watermark() -> str:
+    """Greenlist watermark census (stages/text.watermark_batch): adjacent
+    token pairs via a positional self-join, md5 parity membership, the
+    same left-associated z expression."""
+    from .stages.text import WM_GAMMA as G
+
+    return f"""WITH wm_t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+wm_tok AS (
+  SELECT doc_id, unnest(w) AS tk,
+         CAST(unnest(range(len(w))) AS BIGINT) AS i
+  FROM wm_t
+),
+wm_pr AS (
+  SELECT a.doc_id, a.tk AS prev, b.tk AS cur
+  FROM wm_tok a JOIN wm_tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+),
+wm_g AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(CASE WHEN md5_number_lower(prev || '|' || cur) % 2 = 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_green
+  FROM wm_pr GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(COALESCE(g.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(g.n_green, 0) AS BIGINT) AS n_green,
+       round(CASE WHEN COALESCE(g.n_pairs, 0) = 0 THEN 0.0
+                  ELSE (g.n_green - {G} * g.n_pairs)
+                       / sqrt(g.n_pairs * {G} * (1.0 - {G})) END, 6)
+         AS z_score
+FROM documents d LEFT JOIN wm_g g USING (doc_id) ORDER BY doc_id"""
 
 
 def q_filter_funnel() -> str:

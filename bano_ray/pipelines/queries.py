@@ -1702,6 +1702,84 @@ def q_repetition(sf_dir: str):
             .map_batches(repetition_batch, batch_format="pyarrow"))
 
 
+KANON_K = 5
+KANON_LEN_BUCKET = 50
+
+
+def q_k_anonymity(sf_dir: str):
+    """k-anonymity census over the quasi-identifier tuple
+    (lang_pred, source = doc_id % 4, n_chars // 50): group-size spectrum
+    (qi_size, n_groups, n_docs) plus the per-size re-identifiable flag
+    (size < KANON_K) — the privacy audit a corpus release runs.  Combiner
+    shape: per-block distinct-QI partial counts → one QI-sized groupby →
+    a count-of-counts groupby (both dim-bounded).  Oracle-gated
+    (oracle.q_k_anonymity)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..stages.text import langid_batch
+
+    ensure_worker_importable()
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def qi_partial(batch: pa.Table) -> pa.Table:
+        lang = langid_batch(batch).column("lang_pred").to_numpy(
+            zero_copy_only=False)
+        did = batch.column("doc_id").to_numpy().astype(np.int64)
+        nch = pc.utf8_length(batch.column("text")).to_numpy().astype(np.int64)
+        src = did % 4
+        lb = nch // KANON_LEN_BUCKET
+        df = pd.DataFrame({"lang": lang, "source": src, "len_bucket": lb})
+        g = df.groupby(["lang", "source", "len_bucket"], sort=False)               .size().reset_index(name="n")
+        return pa.table({
+            "lang": pa.array(g["lang"], pa.string()),
+            "source": pa.array(g["source"].to_numpy().astype(np.int64)),
+            "len_bucket": pa.array(g["len_bucket"].to_numpy()
+                                   .astype(np.int64)),
+            "n": pa.array(g["n"].to_numpy().astype(np.int64))})
+
+    groups = (ds.map_batches(qi_partial, batch_format="pyarrow")
+              .groupby(["lang", "source", "len_bucket"])
+              .aggregate(Sum("n", alias_name="n")))
+
+    def size_partial(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy().astype(np.int64)
+        u, c = np.unique(n, return_counts=True)
+        return pa.table({"qi_size": pa.array(u),
+                         "n_groups": pa.array(c.astype(np.int64)),
+                         "n_docs": pa.array((u * c).astype(np.int64))})
+
+    agg = (groups.map_batches(size_partial, batch_format="pyarrow")
+           .groupby("qi_size")
+           .aggregate(Sum("n_groups", alias_name="n_groups"),
+                      Sum("n_docs", alias_name="n_docs")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "reidentifiable",
+            pc.less(batch.column("qi_size"), KANON_K))
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("qi_size")
+
+
+def q_watermark(sf_dir: str):
+    """LLM-watermark (greenlist) detection census per document
+    (stages/text.watermark_batch): fraction of adjacent-token pairs
+    whose md5 is even + the detection z-score — the synthetic-text
+    screen a training-data pipeline runs before ingesting web text.
+    Stateless vectorized map, md5 once per unique pair.  Oracle-gated
+    (oracle.q_watermark)."""
+    import ray
+
+    from ..stages.text import watermark_batch
+
+    ensure_worker_importable()
+    return (ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                  columns=["doc_id", "text"])
+            .map_batches(watermark_batch, batch_format="pyarrow"))
+
+
 def q_filter_funnel(sf_dir: str):
     """Curation filter CASCADE census — the RefinedWeb/FineWeb-style
     recipe assembled from the standalone signals: language gate
@@ -4153,6 +4231,23 @@ def q_bpe_first_merge(sf_dir: str):
     return (agg.sort_values(["c", "pair"], ascending=[False, True],
                             kind="stable")
             .head(BPE_MERGE_TOPK).reset_index(drop=True))
+
+
+def q_jl_distortion(sf_dir: str):
+    """Johnson-Lindenstrauss sketch-quality census: per vector the exact
+    squared norm and the mean squared norm of its ±1 sign projection
+    (64 → 16) — the norm-preservation check run before trusting a
+    projected index (stages/quantize.jl_project_batch).  Stateless
+    vectorized map, no shuffle.  Oracle-gated (oracle.q_jl_distortion
+    embeds the sign matrix as explicit left-associated term chains)."""
+    import ray
+
+    from ..stages.quantize import jl_project_batch
+
+    ensure_worker_importable()
+    return (ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                  columns=["vec_id", "embedding"])
+            .map_batches(jl_project_batch, batch_format="pyarrow"))
 
 
 def q_semantic_dedup(sf_dir: str):

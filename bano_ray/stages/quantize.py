@@ -190,3 +190,41 @@ def semantic_dedup(sf_dir: str):
             .groupby("bucket")
             .aggregate(Min("vec_id", alias_name="keeper"),
                        Count("vec_id", alias_name="n_members")))
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss projection distortion census
+# ---------------------------------------------------------------------------
+
+JL_DIM = 16     # 64 -> 16 sign projection
+
+
+def jl_signs() -> np.ndarray:
+    """(JL_DIM, DIM) ±1 closed-form sign matrix (Knuth-multiplier hash) —
+    SQL-literal-embeddable like the PQ codebook."""
+    idx = np.arange(JL_DIM * DIM, dtype=np.int64)
+    return np.where((idx * 2654435761) % 2 == 0, 1.0, -1.0)         .reshape(JL_DIM, DIM)
+
+
+def jl_project_batch(batch: pa.Table) -> pa.Table:
+    """(vec_id, orig_sq, proj_msq): squared norm of each embedding and
+    the mean squared norm of its ±1 JL projection (both as the EXPLICIT
+    left-associated accumulation the SQL oracle writes term-for-term —
+    np.sum's pairwise order would not match)."""
+    s = jl_signs()
+    m = emb_matrix(batch.column("embedding"))
+    n = m.shape[0]
+    orig = np.zeros(n, dtype=np.float64)
+    for i in range(DIM):
+        orig = orig + m[:, i] * m[:, i]
+    proj_sq = np.zeros(n, dtype=np.float64)
+    for j in range(JL_DIM):
+        y = np.zeros(n, dtype=np.float64)
+        for i in range(DIM):
+            y = y + (m[:, i] if s[j, i] > 0 else -m[:, i])
+        proj_sq = proj_sq + y * y
+    return pa.table({
+        "vec_id": batch.column("vec_id"),
+        "orig_sq": pa.array(np.round(orig, 6)),
+        "proj_msq": pa.array(np.round(proj_sq / JL_DIM, 6)),
+    })

@@ -676,3 +676,57 @@ def bpe_pair_partial(batch: pa.Table) -> pa.Table:
             agg[p] = agg.get(p, 0) + int(f)
     return pa.table({"pair": pa.array(list(agg), pa.string()),
                      "c": pa.array(list(agg.values()), pa.int64())})
+
+
+# --- LLM watermark detection (Kirchenbauer-style greenlist) ----------------
+#
+# Synthetic-text detectors test whether a suspicious fraction of tokens
+# fall in the "greenlist" seeded by the PREVIOUS token: here membership is
+# md5(prev || '|' || cur) even/odd (γ = 0.5), the z-score is
+# (n_green − γ·n) / sqrt(n·γ·(1−γ)).  md5 via the shared DuckDB-equal
+# kernel, so the whole detector replays in SQL (oracle.q_watermark).
+WM_GAMMA = 0.5
+
+
+def watermark_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, n_pairs, n_green, z): greenlist census per document.
+    Vectorized: adjacent-token pair strings factorize to uniques, md5
+    runs once per unique pair (the _batch_shingle_hashes discipline)."""
+    import pandas as pd
+
+    from .dedup import _md5_u64_many
+
+    parts = pc.split_pattern(batch.column("text"), " ")
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    lens = pc.list_value_length(parts).to_numpy().astype(np.int64)
+    n = len(batch)
+    flat = parts.values.to_numpy(zero_copy_only=False)
+    doc_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=doc_off[1:])
+    npairs = np.maximum(lens - 1, 0)
+    # adjacent pairs: positions where the NEXT token is in the same doc
+    take = np.ones(len(flat), dtype=bool)
+    take[doc_off[1:] - 1] = False      # last token of each doc
+    prev_idx = np.flatnonzero(take[:len(flat)]) if len(flat) else         np.empty(0, np.int64)
+    if len(prev_idx):
+        pairs = np.char.add(np.char.add(flat[prev_idx].astype(str), "|"),
+                            flat[prev_idx + 1].astype(str)).astype(object)
+        codes, uniq = pd.factorize(pairs, use_na_sentinel=False)
+        green_u = (_md5_u64_many(np.asarray(uniq, dtype=object))
+                   % np.uint64(2) == 0)
+        green = green_u[codes]
+        doc_of = np.searchsorted(doc_off[1:], prev_idx, side="right")
+        n_green = np.bincount(doc_of, weights=green, minlength=n)             .astype(np.int64)
+    else:
+        n_green = np.zeros(n, dtype=np.int64)
+    g = WM_GAMMA
+    with np.errstate(invalid="ignore", divide="ignore"):
+        z = (n_green - g * npairs) / np.sqrt(npairs * g * (1.0 - g))
+    z = np.where(npairs > 0, z, 0.0)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_pairs": pa.array(npairs),
+        "n_green": pa.array(n_green),
+        "z_score": pa.array(np.round(z, 6)),
+    })

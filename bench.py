@@ -132,7 +132,8 @@ def run_benchmarks() -> dict:
                                             q_semantic_dedup, q_dbscan,
                                             q_containment_pairs,
                                             q_mmr_rerank, q_image_equalize,
-                                            q_tpch_q7)
+                                            q_tpch_q7, q_watermark,
+                                            q_k_anonymity, q_jl_distortion)
     from bano_ray.runtime import ensure_worker_importable
     from bano_ray.stages.export import street_json_zone  # noqa: F401
     ensure_worker_importable()
@@ -296,6 +297,9 @@ def run_benchmarks() -> dict:
         "mmr_rerank": lambda: len(q_mmr_rerank(SF_DIR)),
         "image_equalize": lambda: q_image_equalize(SF_DIR).count(),
         "tpch_q7": lambda: q_tpch_q7(SF_DIR).count(),
+        "watermark": lambda: q_watermark(SF_DIR).count(),
+        "k_anonymity": lambda: q_k_anonymity(SF_DIR).count(),
+        "jl_distortion": lambda: q_jl_distortion(SF_DIR).count(),
     }
     # phash near-dup at bench scale (expanded image corpus; banding explodes
     # the stream 4x, so run at a bounded expansion like the image stage)

@@ -223,3 +223,39 @@ class TestImageEqualize:
         ov = (2 * 255 * (cdf - m) + (N - m)) // (2 * (N - m))
         assert int(row["eq_sum"]) == int((hist * ov).sum())
         assert int(row["n_vals"]) == N
+
+
+class TestRound5SignalOps:
+    def test_watermark_null_distribution(self, ray_session):
+        """Un-watermarked text: green fraction ~0.5, z-scores centered."""
+        from bano_ray.pipelines.queries import q_watermark
+
+        out = q_watermark(SF).to_pandas()
+        assert len(out) == 500
+        has = out[out["n_pairs"] > 0]
+        frac = has["n_green"].sum() / has["n_pairs"].sum()
+        assert 0.4 < frac < 0.6
+        assert (out.loc[out["n_pairs"] == 0, "z_score"] == 0).all()
+
+    def test_k_anonymity_accounts_every_doc(self, ray_session):
+        from bano_ray.pipelines.queries import q_k_anonymity
+
+        out = q_k_anonymity(SF).to_pandas()
+        assert out["n_docs"].sum() == 500
+        assert (out["n_docs"] == out["qi_size"] * out["n_groups"]).all()
+        from bano_ray.pipelines.queries import KANON_K
+        assert (out["reidentifiable"] == (out["qi_size"] < KANON_K)).all()
+
+    def test_jl_distortion_is_bounded(self, ray_session):
+        """JL sanity: E[proj_msq] = orig_sq, so the aggregate ratio is
+        ~1.  Per-vector spread is WIDE here by construction — the
+        synthetic embedding dims are affinely correlated (datagen stream
+        design), which inflates the projection variance far past the
+        iid-Gaussian chi-square band — so only positivity is asserted
+        per vector."""
+        from bano_ray.pipelines.queries import q_jl_distortion
+
+        out = q_jl_distortion(SF).to_pandas()
+        r = out["proj_msq"] / out["orig_sq"]
+        assert (r >= 0).all() and (out["orig_sq"] > 0).all()
+        assert 0.8 < r.mean() < 1.25
