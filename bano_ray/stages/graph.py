@@ -237,6 +237,58 @@ def connected_components(pairs_ds, a_col: str = "a", b_col: str = "b",
                .repartition(nparts).materialize())
     mapping = _detach(mapping)
 
+    def driver_finish(edge_ds):
+        """Bounded driver union-find over a canonical-deduped edge set
+        (≤ finish_edges rows by the caller's gate), mapped back over the
+        node table distributed — the same discipline as the in-loop
+        finish."""
+        e = edge_ds.to_pandas()
+        nodes = np.unique(np.concatenate(
+            [e["src"].to_numpy(), e["dst"].to_numpy()])).astype(np.int64)
+        pos = {int(nd): i for i, nd in enumerate(nodes)}
+        par = np.arange(len(nodes))
+
+        def find(i):
+            while par[i] != i:
+                par[i] = par[par[i]]
+                i = par[i]
+            return i
+
+        for a, b in zip(e["src"].to_numpy(), e["dst"].to_numpy()):
+            ra, rb = find(pos[int(a)]), find(pos[int(b)])
+            if ra != rb:
+                par[max(ra, rb)] = min(ra, rb)
+        roots = np.fromiter((find(i) for i in range(len(nodes))),
+                            dtype=np.int64, count=len(nodes))
+        lab = np.full(len(nodes), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(lab, roots, nodes)
+        fin_ref = ray.put((nodes, lab[roots]))
+
+        def final_map(batch: pa.Table) -> pa.Table:
+            keys, vals = ray.get(fin_ref)
+            sup = batch.column("super").to_numpy()
+            p = np.searchsorted(keys, sup)
+            p = np.clip(p, 0, len(keys) - 1)
+            hit = keys[p] == sup
+            out = np.where(hit, vals[p], sup)
+            return pa.table({"node": batch.column("node"),
+                             "label": pa.array(out.astype(np.int64))})
+
+        return mapping.map_batches(final_map, batch_format="pyarrow")
+
+    if finish_edges:
+        # round-0 gate on the CANONICAL-DEDUPED pair count: the symmetric
+        # stream is 2× the true edge count, so gating on it forced a full
+        # (10+ s) distributed round on inputs the driver finish absorbs
+        # outright (262k-pair DBSCAN at sf0.1: 10.5 → ~1 s)
+        e0 = _detach((edges.map_batches(canon_dedup, batch_format="pyarrow")
+                      .groupby(["src", "dst"]).aggregate(Count())
+                      .select_columns(["src", "dst"])
+                      .repartition(nparts).materialize()))
+        if e0.count() <= finish_edges:
+            return driver_finish(e0)
+        edges = e0          # deduped canonical form feeds round 1 anyway
+
     for _ in range(max_rounds):
         S = closure(_detach(star(edges).materialize()))
         # compose s into the mapping
@@ -265,39 +317,7 @@ def connected_components(pairs_ds, a_col: str = "a", b_col: str = "b",
         if n_edges == 0:
             return mapping.rename_columns({"super": "label"})
         if finish_edges and n_edges <= finish_edges:
-            e = edges.to_pandas()
-            nodes = np.unique(np.concatenate(
-                [e["src"].to_numpy(), e["dst"].to_numpy()])).astype(np.int64)
-            pos = {int(n): i for i, n in enumerate(nodes)}
-            par = np.arange(len(nodes))
-
-            def find(i):
-                while par[i] != i:
-                    par[i] = par[par[i]]
-                    i = par[i]
-                return i
-
-            for a, b in zip(e["src"].to_numpy(), e["dst"].to_numpy()):
-                ra, rb = find(pos[int(a)]), find(pos[int(b)])
-                if ra != rb:
-                    par[max(ra, rb)] = min(ra, rb)
-            roots = np.fromiter((find(i) for i in range(len(nodes))),
-                                dtype=np.int64, count=len(nodes))
-            lab = np.full(len(nodes), np.iinfo(np.int64).max, dtype=np.int64)
-            np.minimum.at(lab, roots, nodes)
-            fin_ref = ray.put((nodes, lab[roots]))
-
-            def final_map(batch: pa.Table) -> pa.Table:
-                keys, vals = ray.get(fin_ref)
-                sup = batch.column("super").to_numpy()
-                p = np.searchsorted(keys, sup)
-                p = np.clip(p, 0, len(keys) - 1)
-                hit = keys[p] == sup
-                out = np.where(hit, vals[p], sup)
-                return pa.table({"node": batch.column("node"),
-                                 "label": pa.array(out.astype(np.int64))})
-
-            return mapping.map_batches(final_map, batch_format="pyarrow")
+            return driver_finish(edges)
     raise RuntimeError(
         f"connected_components did not converge in {max_rounds} rounds "
         "(raise max_rounds)")
