@@ -60,30 +60,26 @@ def dbscan(pts_ds, pairs_ds, minpts: int = DBSCAN_MINPTS):
     deg = (pairs.map_batches(deg_partial, batch_format="pyarrow")
            .groupby("node").aggregate(Sum("n", alias_name="n")))
 
-    # core table: every point appears (zero-degree points via the pts
-    # stream); tagged union on node resolves deg-or-0 per point
-    def tag_pt(batch: pa.Table) -> pa.Table:
-        d = batch.column("doc_id").to_numpy().astype(np.int64)
-        return pa.table({"node": pa.array(d),
-                         "n": pa.array(np.zeros(len(d), np.int64)),
-                         "_shard": pa.array(d % C)})
+    # core table: CORE rows only (is_core always True) — zero-degree
+    # points can never be core at minpts >= 2, and every downstream
+    # flag resolve already defaults missing nodes to False, so the
+    # pts ∪ deg tagged-union pass is pure overhead (measured ~1 s of
+    # the sf0.1 wall).  minpts <= 1 degenerates to single-linkage —
+    # q_spatial_clusters is that operator.
+    if minpts <= 1:
+        raise ValueError("dbscan requires minpts >= 2 "
+                         "(minpts=1 is q_spatial_clusters)")
 
-    def tag_deg(batch: pa.Table) -> pa.Table:
-        d = batch.column("node").to_numpy().astype(np.int64)
-        return pa.table({"node": batch.column("node"),
-                         "n": batch.column("n"),
-                         "_shard": pa.array(d % C)})
+    def core_only(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-    def core_resolve(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("node", sort=False)["n"].sum()
-        return pd.DataFrame({
-            "node": g.index.to_numpy().astype(np.int64),
-            "is_core": (g.to_numpy() + 1 >= minpts)})
+        t = batch.filter(
+            pc.greater_equal(pc.add(batch.column("n"), 1), minpts))
+        return pa.table({
+            "node": t.column("node"),
+            "is_core": pa.array(np.ones(t.num_rows, dtype=bool))})
 
-    core = _detached(
-        pts_ds.map_batches(tag_pt, batch_format="pyarrow")
-        .union(deg.map_batches(tag_deg, batch_format="pyarrow"))
-        .groupby("_shard").map_groups(core_resolve, batch_format="pandas"))
+    core = _detached(deg.map_batches(core_only, batch_format="pyarrow"))
 
     # --- attach core flags to both pair endpoints ------------------------
     def tag_core(batch: pa.Table) -> pa.Table:
