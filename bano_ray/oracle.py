@@ -4050,6 +4050,75 @@ SELECT video_id,
 FROM d WHERE jump IS NOT NULL GROUP BY 1 ORDER BY 1"""
 
 
+def q_frame_diff() -> str:
+    """Inter-frame change census (pipelines/flagship.FrameDiff): the
+    q_scene_cuts pixel replay (identical CTE structure, so the double
+    chain matches bit-for-bit), self-joined at (fi, k) vs (fi−1, k),
+    exact threshold count + abs-diff sum."""
+    from .pipelines.flagship import (FRAME_DIFF_T, FRAME_H, FRAME_W,
+                                     FRAMES_PER_VIDEO)
+    from . import datagen as dgm
+
+    nval = FRAME_W * FRAME_H * 3
+
+    def hof(salt: int) -> str:
+        prod = (f"((CAST(fid AS HUGEINT) * 3 + ch) * {dgm.PX_STEP}"
+                f" + {salt}) * {dgm.MULT}")
+        return _pmod(_s64(prod), dgm.MOD)
+
+    noise_prod = (f"(CAST(fid AS HUGEINT) * {dgm.PX_STEP} + k"
+                  f" + {dgm.PX_SALT}) * {dgm.MULT}")
+    noise = (f"CAST({_pmod(_pmod(_s64(noise_prod), dgm.MOD), 2 * dgm.PX_NOISE + 1)}"
+             f" AS DOUBLE) - {dgm.PX_NOISE}.0")
+
+    return f"""WITH fd_fr AS (
+  SELECT doc_id AS video_id,
+         UNNEST(generate_series(0, {FRAMES_PER_VIDEO - 1})) AS fi
+  FROM documents
+),
+fd_f2 AS (
+  SELECT video_id, fi, video_id * {FRAMES_PER_VIDEO} + fi AS fid FROM fd_fr
+),
+fd_px AS (
+  SELECT video_id, fi, fid,
+         UNNEST(generate_series(0, {nval - 1})) AS k
+  FROM fd_f2
+),
+fd_f AS (
+  SELECT video_id, fi, fid, k,
+         (k // 3) AS pix, (k % 3) AS ch
+  FROM fd_px
+),
+fd_g AS (
+  SELECT video_id, fi, fid, k, pix, ch,
+         CAST(pix % {FRAME_W} AS DOUBLE) / {FRAME_W - 1}.0 AS x,
+         CAST(pix // {FRAME_W} AS DOUBLE) / {FRAME_H - 1}.0 AS y,
+         CAST({hof(11)} % 128 AS DOUBLE) AS b128,
+         CAST({hof(12)} % 129 AS DOUBLE) AS gx129,
+         CAST({hof(13)} % 129 AS DOUBLE) AS gy129,
+         CAST({hof(14)} % 33 AS DOUBLE) AS a33,
+         CAST({hof(15)} % 2 AS DOUBLE) AS f2x,
+         CAST({hof(16)} % 2 AS DOUBLE) AS f2y,
+         {noise} AS nf
+  FROM fd_f
+),
+fd_v AS (
+  SELECT video_id, fi, k,
+         CAST(least(greatest(round_even(
+           (((((gx129 - 64.0) * x) + (64.0 + b128)) + ((gy129 - 64.0) * y))
+             + (cos(((1.0 + f2x) * x + (1.0 + f2y) * y) * (2 * pi()))
+                * (16.0 + a33))) + nf, 0), 0.0), 255.0) AS BIGINT) AS val
+  FROM fd_g
+)
+SELECT a.video_id, a.fi AS frame_idx,
+       CAST(SUM(CASE WHEN abs(a.val - b.val) > {FRAME_DIFF_T}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+       CAST(SUM(abs(a.val - b.val)) AS BIGINT) AS sum_absdiff
+FROM fd_v a
+JOIN fd_v b ON b.video_id = a.video_id AND b.fi = a.fi - 1 AND b.k = a.k
+GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
 def q_frame_sample() -> str:
     """Sampled-frame luminance census (pipelines/flagship.FrameSampler,
     step=2): the q_scene_cuts pixel replay restricted to the SAMPLED

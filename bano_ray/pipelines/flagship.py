@@ -714,6 +714,65 @@ class SceneCuts:
         })
 
 
+FRAME_DIFF_T = 12   # per-channel abs-diff threshold that counts as changed
+
+
+class FrameDiff:
+    """Actor-pool inter-frame change census: decode every frame, emit one
+    row per CONSECUTIVE frame pair with the exact count of channel
+    values whose |diff| > FRAME_DIFF_T and the exact integer sum of
+    absolute diffs — the motion-estimation front of a video-curation
+    pass.  Value-ORACLED like :class:`SceneCuts` (lossless frames over
+    the closed-form pixel field; the oracle self-joins the replay at
+    fi vs fi−1)."""
+
+    def __init__(self):
+        from ..runtime import tune_malloc
+
+        tune_malloc()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import struct
+
+        from ..codecs import decode_png
+
+        blobs = _binary_column_views(batch.column("bytes"))
+        vids = batch.column("video_id").to_numpy()
+        o_v, o_f, o_ch, o_sum = [], [], [], []
+        for vid, blob in zip(vids, blobs):
+            (nf,) = struct.unpack(">I", blob[:4])
+            pos = 4
+            prev = None
+            for fi in range(nf):
+                (ln,) = struct.unpack(">I", blob[pos:pos + 4])
+                pos += 4
+                px = decode_png(blob[pos:pos + ln]).astype(np.int64).ravel()
+                pos += ln
+                if prev is not None:
+                    d = np.abs(px - prev)
+                    o_v.append(int(vid))
+                    o_f.append(fi)
+                    o_ch.append(int((d > FRAME_DIFF_T).sum()))
+                    o_sum.append(int(d.sum()))
+                prev = px
+        return pa.table({"video_id": pa.array(o_v, pa.int64()),
+                         "frame_idx": pa.array(o_f, pa.int64()),
+                         "n_changed": pa.array(o_ch, pa.int64()),
+                         "sum_absdiff": pa.array(o_sum, pa.int64())})
+
+
+def frame_diff(sf_dir: str, concurrency=None):
+    """Inter-frame diff pipeline (same sizing as :func:`scene_cuts`)."""
+    ensure_worker_importable()
+    if concurrency is None:
+        cpus = _cluster_cpus()
+        hi = max(2, cpus - 2)
+        concurrency = (min(max(2, 3 * cpus // 4 - 1), hi), hi)
+    return videos_dataset(sf_dir).map_batches(
+        FrameDiff, concurrency=concurrency, batch_size=256,
+        batch_format="pyarrow", memory=IMAGE_STAGE_MEMORY)
+
+
 def scene_cuts(sf_dir: str, concurrency=None):
     """Scene-cut pipeline over the opaque video payloads (same sizing as
     :func:`frame_sample`)."""

@@ -3300,6 +3300,18 @@ def q_image_patches(sf_dir: str):
     return image_patches(sf_dir)
 
 
+def q_frame_diff(sf_dir: str):
+    """Inter-frame change census over REAL decoded video frames
+    (pipelines/flagship.FrameDiff): per consecutive frame pair the exact
+    changed-value count (|diff| > T) and the exact |diff| sum — the
+    motion-estimation pass of a video-curation pipeline.  Oracle-gated
+    (oracle.q_frame_diff self-joins the frame pixel replay at fi−1)."""
+    from .flagship import frame_diff
+
+    ensure_worker_importable()
+    return frame_diff(sf_dir)
+
+
 def q_image_equalize(sf_dir: str):
     """Histogram-equalization census over REAL decoded PNG pixels
     (pipelines/flagship.ImageEqualize): the classic integer remap

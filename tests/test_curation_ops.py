@@ -259,3 +259,24 @@ class TestRound5SignalOps:
         r = out["proj_msq"] / out["orig_sq"]
         assert (r >= 0).all() and (out["orig_sq"] > 0).all()
         assert 0.8 < r.mean() < 1.25
+
+
+class TestFrameDiff:
+    def test_matches_direct_decode(self, ray_session):
+        from bano_ray import datagen
+        from bano_ray.pipelines.flagship import (FRAME_DIFF_T, FRAME_H,
+                                                 FRAME_W, FRAMES_PER_VIDEO)
+        from bano_ray.pipelines.queries import q_frame_diff
+
+        out = (q_frame_diff(SF).to_pandas()
+               .sort_values(["video_id", "frame_idx"]).reset_index(drop=True))
+        assert len(out) == 500 * (FRAMES_PER_VIDEO - 1)
+        row = out.iloc[7]
+        vid, fi = int(row["video_id"]), int(row["frame_idx"])
+        a = datagen.pixels_of(vid * FRAMES_PER_VIDEO + fi,
+                              FRAME_W, FRAME_H).astype(np.int64).ravel()
+        b = datagen.pixels_of(vid * FRAMES_PER_VIDEO + fi - 1,
+                              FRAME_W, FRAME_H).astype(np.int64).ravel()
+        d = np.abs(a - b)
+        assert int(row["n_changed"]) == int((d > FRAME_DIFF_T).sum())
+        assert int(row["sum_absdiff"]) == int(d.sum())
