@@ -5435,6 +5435,82 @@ FROM fin f JOIN rec r
 ORDER BY f.insee, f.sidx_a"""
 
 
+def q_track_lcss() -> str:
+    """LCSS (stages/tracks.lcss_pairs): the q_track_frechet recursion
+    with the tolerant-match recurrence in the SAME running-max form the
+    engine evaluates — f_j = greatest(acc_last, CASE match THEN
+    prev_{j-1}+1 ELSE prev_j END); match carried as a per-cell 1/0."""
+    from .stages.tracks import HAUSDORFF_STRIDE, LCSS_EPS_U
+
+    return f"""WITH RECURSIVE {base_pts_cte()},
+{_TRACK_XY},
+rn AS (
+  SELECT insee, sidx, doc_id, ix, iy,
+         row_number() OVER (PARTITION BY insee, sidx ORDER BY doc_id) - 1
+           AS rn
+  FROM xy
+),
+samp AS (SELECT insee, sidx, doc_id, ix, iy FROM rn
+         WHERE rn % {HAUSDORFF_STRIDE} = 0),
+srn AS (
+  SELECT insee, sidx, ix, iy,
+         row_number() OVER (PARTITION BY insee, sidx ORDER BY doc_id) AS q
+  FROM samp
+),
+streets AS (SELECT DISTINCT insee, sidx FROM samp),
+pairs AS (
+  SELECT insee, sidx AS sidx_a,
+         LEAD(sidx) OVER (PARTITION BY insee ORDER BY sidx) AS sidx_b
+  FROM streets
+),
+p2 AS (SELECT * FROM pairs WHERE sidx_b IS NOT NULL),
+dmat AS (
+  SELECT p.insee, p.sidx_a, p.sidx_b, a.q AS i, b.q AS j,
+         CASE WHEN abs(a.ix - b.ix) <= {LCSS_EPS_U}
+               AND abs(a.iy - b.iy) <= {LCSS_EPS_U}
+              THEN 1 ELSE 0 END AS mt
+  FROM p2 p
+  JOIN srn a ON a.insee = p.insee AND a.sidx = p.sidx_a
+  JOIN srn b ON b.insee = p.insee AND b.sidx = p.sidx_b
+),
+dl AS (
+  SELECT insee, sidx_a, sidx_b, i, list(mt ORDER BY j) AS mv
+  FROM dmat GROUP BY 1, 2, 3, 4
+),
+rec AS (
+  SELECT insee, sidx_a, sidx_b, i,
+         list_reduce(
+           list_prepend([mv[1]],
+             list_transform(range(2, len(mv) + 1), j -> [mv[j]])),
+           (acc, x) -> list_append(acc,
+               greatest(acc[len(acc)], x[1]))) AS costs
+  FROM dl WHERE i = 1
+  UNION ALL
+  SELECT e.insee, e.sidx_a, e.sidx_b, e.i,
+         list_reduce(
+           list_prepend(
+             [CASE WHEN e.mv[1] = 1 THEN 1 ELSE r.costs[1] END],
+             list_transform(range(2, len(e.mv) + 1),
+               j -> [e.mv[j], r.costs[j], r.costs[j - 1]])),
+           (acc, x) -> list_append(acc,
+               greatest(acc[len(acc)],
+                        CASE WHEN x[1] = 1 THEN x[3] + 1 ELSE x[2] END)))
+  FROM rec r JOIN dl e
+    ON e.insee = r.insee AND e.sidx_a = r.sidx_a
+   AND e.sidx_b = r.sidx_b AND e.i = r.i + 1
+),
+fin AS (
+  SELECT insee, sidx_a, sidx_b, MAX(i) AS m_pts FROM rec GROUP BY 1, 2, 3
+)
+SELECT f.insee, f.sidx_a, f.sidx_b, CAST(f.m_pts AS BIGINT) AS m_pts,
+       CAST(len(r.costs) AS BIGINT) AS n_pts,
+       CAST(r.costs[len(r.costs)] AS BIGINT) AS lcss_len
+FROM fin f JOIN rec r
+  ON r.insee = f.insee AND r.sidx_a = f.sidx_a AND r.sidx_b = f.sidx_b
+ AND r.i = f.m_pts
+ORDER BY f.insee, f.sidx_a"""
+
+
 def q_track_dtw() -> str:
     """DTW (stages/tracks.dtw_pairs): the q_track_frechet recursion with
     min-plus steps — base row is a running SUM, step appends

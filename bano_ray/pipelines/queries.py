@@ -5012,6 +5012,19 @@ def q_track_frechet(sf_dir: str):
     return frechet_pairs(sf_dir)
 
 
+def q_track_lcss(sf_dir: str):
+    """LCSS track-pair similarity (stages/tracks.lcss_pairs): tolerant-
+    match longest-common-subsequence length between adjacent street
+    tracks on the stride sample — the noise-robust trajectory-similarity
+    member (outlier points cost nothing, unlike DTW's cumulative sums).
+    Oracle-gated (oracle.q_track_lcss: the Fréchet list recursion with
+    the identical running-max recurrence)."""
+    from ..stages.tracks import lcss_pairs
+
+    ensure_worker_importable()
+    return lcss_pairs(sf_dir)
+
+
 def q_track_dtw(sf_dir: str):
     """DTW alignment cost between adjacent street tracks
     (stages/tracks.dtw_pairs): exact int64 min-plus DP — the ordered

@@ -1003,6 +1003,68 @@ def dtw_group(df: pd.DataFrame,
         "dtw_cost": out})
 
 
+LCSS_EPS_U = 200_000    # per-axis match tolerance in µ°
+
+
+def lcss_group(df: pd.DataFrame,
+               stride: int = HAUSDORFF_STRIDE,
+               eps: int = LCSS_EPS_U) -> pd.DataFrame:
+    """Per-shard kernel: LCSS length between the same adjacent-track
+    pairs as :func:`frechet_group` (match = |Δx| ≤ eps AND |Δy| ≤ eps).
+
+    Row-at-a-time DP vectorized over pairs: the classic LCS grid
+    property (a cell exceeds its diagonal neighbor by at most 1, rows
+    are monotone) rewrites the in-row recurrence as
+    ``f[j] = max(f[j-1], match ? diag[j-1]+1 : prev[j])`` — one
+    np.maximum.accumulate per row; the SQL oracle evaluates the SAME
+    greatest() form, so the integer tables are identical."""
+    cols = ["insee", "sidx_a", "sidx_b", "m_pts", "n_pts", "lcss_len"]
+    sp = _stride_pairs(df, stride)
+    if sp is None or not len(sp[6]):
+        return pd.DataFrame({c: pd.Series(dtype="int64" if c != "insee"
+                                          else "object") for c in cols})
+    zs, ixs, iys, tstart, tlen, tzid, pa_ = sp
+    m, n = tlen[pa_], tlen[pa_ + 1]
+    maxm, maxn = int(m.max()), int(n.max())
+    P = len(pa_)
+    AX = _padded_side(tstart, tlen, pa_, ixs, 0)
+    AY = _padded_side(tstart, tlen, pa_, iys, 0)
+    BX = _padded_side(tstart, tlen, pa_, ixs, 1)
+    BY = _padded_side(tstart, tlen, pa_, iys, 1)
+    jpad = np.arange(maxn)[None, :] >= n[:, None]
+
+    prev = np.zeros((P, maxn), dtype=np.int64)
+    out = np.zeros(P, dtype=np.int64)
+    for i in range(maxm):
+        mt = ((np.abs(AX[:, i][:, None] - BX) <= eps)
+              & (np.abs(AY[:, i][:, None] - BY) <= eps) & ~jpad)
+        diag = np.concatenate(
+            [np.zeros((P, 1), dtype=np.int64), prev[:, :-1]], axis=1)
+        base = np.where(mt, diag + 1, prev)
+        row = np.maximum.accumulate(base, axis=1)
+        done = m == i + 1
+        if done.any():
+            out[done] = row[done, n[done] - 1]
+        prev = row
+
+    insee, sidx = _insee_sidx(tzid[pa_])
+    _, sidx_b = _insee_sidx(tzid[pa_ + 1])
+    return pd.DataFrame({
+        "insee": insee, "sidx_a": sidx.astype(np.int64),
+        "sidx_b": sidx_b.astype(np.int64),
+        "m_pts": m.astype(np.int64), "n_pts": n.astype(np.int64),
+        "lcss_len": out})
+
+
+def lcss_pairs(sf_dir: str):
+    """(insee, sidx_a, sidx_b, m_pts, n_pts, lcss_len): LCSS between
+    adjacent street tracks — the noise-robust member of the trajectory
+    suite (Hausdorff = unordered extremal, Fréchet = ordered extremal,
+    DTW = ordered cumulative, LCSS = ordered tolerant-match count)."""
+    return _sharded_zone(sf_dir).map_groups(lcss_group,
+                                            batch_format="pandas")
+
+
 def dtw_pairs(sf_dir: str):
     """(insee, sidx_a, sidx_b, m_pts, n_pts, dtw_cost): DTW alignment
     cost between adjacent street tracks — completes the trajectory-
