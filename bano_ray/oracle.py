@@ -5440,7 +5440,7 @@ def q_track_lcss() -> str:
     with the tolerant-match recurrence in the SAME running-max form the
     engine evaluates — f_j = greatest(acc_last, CASE match THEN
     prev_{j-1}+1 ELSE prev_j END); match carried as a per-cell 1/0."""
-    from .stages.tracks import HAUSDORFF_STRIDE, LCSS_EPS_U
+    from .stages.tracks import LCSS_EPS_U, LCSS_STRIDE
 
     return f"""WITH RECURSIVE {base_pts_cte()},
 {_TRACK_XY},
@@ -5451,7 +5451,7 @@ rn AS (
   FROM xy
 ),
 samp AS (SELECT insee, sidx, doc_id, ix, iy FROM rn
-         WHERE rn % {HAUSDORFF_STRIDE} = 0),
+         WHERE rn % {LCSS_STRIDE} = 0),
 srn AS (
   SELECT insee, sidx, ix, iy,
          row_number() OVER (PARTITION BY insee, sidx ORDER BY doc_id) AS q

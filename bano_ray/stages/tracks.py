@@ -1004,10 +1004,12 @@ def dtw_group(df: pd.DataFrame,
 
 
 LCSS_EPS_U = 200_000    # per-axis match tolerance in µ°
+LCSS_STRIDE = 2         # denser than HAUSDORFF_STRIDE: LCSS counts matched
+                        # vertices, so the sample must keep several per track
 
 
 def lcss_group(df: pd.DataFrame,
-               stride: int = HAUSDORFF_STRIDE,
+               stride: int = LCSS_STRIDE,
                eps: int = LCSS_EPS_U) -> pd.DataFrame:
     """Per-shard kernel: LCSS length between the same adjacent-track
     pairs as :func:`frechet_group` (match = |Δx| ≤ eps AND |Δy| ≤ eps).

@@ -280,3 +280,55 @@ class TestFrameDiff:
         d = np.abs(a - b)
         assert int(row["n_changed"]) == int((d > FRAME_DIFF_T).sum())
         assert int(row["sum_absdiff"]) == int(d.sum())
+
+
+class TestTrackLcss:
+    def test_lcss_bounds_and_reference(self, ray_session):
+        """LCSS ≤ min(m, n); spot-check one pair against a brute DP."""
+        from bano_ray.pipelines.queries import q_track_lcss
+        from bano_ray.stages.tracks import LCSS_EPS_U
+
+        out = q_track_lcss(SF).to_pandas()
+        assert len(out) > 0
+        assert (out["lcss_len"]
+                <= np.minimum(out["m_pts"], out["n_pts"])).all()
+        assert (out["lcss_len"] >= 0).all() and (out["lcss_len"] > 0).any()
+
+    def test_kernel_vs_brute_dp(self):
+        from bano_ray.stages.tracks import _ZID_MULT, lcss_group
+        import pandas as pd
+
+        rng = np.random.default_rng(3)
+        rows = []
+        for sidx, npts in ((1, 9), (2, 7), (3, 5)):
+            base = rng.integers(0, 500_000, 2)
+            for k in range(npts):
+                rows.append({"zid": 5 * _ZID_MULT + sidx, "doc_id": k,
+                             "ix": int(base[0] + k * 40_000
+                                       + rng.integers(-30_000, 30_000)),
+                             "iy": int(base[1] + k * 40_000
+                                       + rng.integers(-30_000, 30_000))})
+        df = pd.DataFrame(rows)
+        out = lcss_group(df, stride=1, eps=150_000)
+
+        def brute(a, b, eps):
+            m, n = len(a), len(b)
+            f = np.zeros((m + 1, n + 1), dtype=int)
+            for i in range(1, m + 1):
+                for j in range(1, n + 1):
+                    if (abs(a[i - 1][0] - b[j - 1][0]) <= eps
+                            and abs(a[i - 1][1] - b[j - 1][1]) <= eps):
+                        f[i][j] = f[i - 1][j - 1] + 1
+                    else:
+                        f[i][j] = max(f[i - 1][j], f[i][j - 1])
+            return f[m][n]
+
+        pts = {s: [(r["ix"], r["iy"]) for _, r in
+                   df[df["zid"] == 5 * _ZID_MULT + s]
+                   .sort_values("doc_id").iterrows()]
+               for s in (1, 2, 3)}
+        expect = {(1, 2): brute(pts[1], pts[2], 150_000),
+                  (2, 3): brute(pts[2], pts[3], 150_000)}
+        got = {(int(r["sidx_a"]), int(r["sidx_b"])): int(r["lcss_len"])
+               for _, r in out.iterrows()}
+        assert got == expect
