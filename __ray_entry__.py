@@ -38,6 +38,7 @@ _ORACLE_QUERIES = [
     "q_jl_distortion",       # embeddings: JL-projection norm census
     "q_frame_diff",          # video: inter-frame change census
     "q_track_lcss",          # geo: LCSS trajectory similarity
+    "q_idw_grid",            # geo: exact-integer IDW interpolation
     "q_kmv_overlap",         # KMV set-overlap sketch (k-min distinct hashes)
     "q_distance_selfjoin",   # spatial distance self-join (grid buckets)
     "q_heavy_hitters",       # exact top-k by count (combiner shape)

@@ -2870,6 +2870,47 @@ sc_r AS (
 SELECT node, MIN(r) AS label FROM sc_r GROUP BY node ORDER BY node"""
 
 
+def q_idw_grid() -> str:
+    """IDW census (stages/spatial.idw_grid): each point lands in its own
+    + 8 neighbor cells, center distance² in exact µ°² BIGINT, integer
+    weights, BIGINT sums."""
+    from .stages.spatial import (IDW_CELL_U, IDW_OFF_U, IDW_R2_U,
+                                 IDW_VAL_MOD, IDW_W_SCALE)
+
+    return f"""WITH {base_pts_cte()},
+idw_p AS (
+  SELECT doc_id,
+         CAST(floor(lon * 1000000.0 + 0.5) AS BIGINT) AS ix,
+         CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT) AS iy,
+         (doc_id * 2654435761) % {IDW_VAL_MOD} AS val
+  FROM pts2
+),
+idw_c AS (
+  SELECT doc_id, ix, iy, val,
+         ((ix + {IDW_OFF_U}) // {IDW_CELL_U})
+           - {IDW_OFF_U // IDW_CELL_U} + dx.d AS cx,
+         ((iy + {IDW_OFF_U}) // {IDW_CELL_U})
+           - {IDW_OFF_U // IDW_CELL_U} + dy.d AS cy
+  FROM idw_p
+  CROSS JOIN (VALUES (-1), (0), (1)) dx(d)
+  CROSS JOIN (VALUES (-1), (0), (1)) dy(d)
+),
+idw_d AS (
+  SELECT cx, cy, val,
+         (ix - (cx * {IDW_CELL_U} + {IDW_CELL_U // 2}))
+           * (ix - (cx * {IDW_CELL_U} + {IDW_CELL_U // 2}))
+         + (iy - (cy * {IDW_CELL_U} + {IDW_CELL_U // 2}))
+           * (iy - (cy * {IDW_CELL_U} + {IDW_CELL_U // 2})) AS d2
+  FROM idw_c
+)
+SELECT CAST(cx AS BIGINT) AS cx, CAST(cy AS BIGINT) AS cy,
+       CAST(COUNT(*) AS BIGINT) AS n_pts,
+       CAST(SUM({IDW_W_SCALE} // greatest(d2, 1)) AS BIGINT) AS sw,
+       CAST(SUM(({IDW_W_SCALE} // greatest(d2, 1)) * val) AS BIGINT) AS swv
+FROM idw_d WHERE d2 <= {IDW_R2_U}
+GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
 def q_dbscan() -> str:
     """Full DBSCAN (queries.q_dbscan): the q_distance_selfjoin pair
     predicate, degree census, core flags (deg + 1 >= minPts), recursive

@@ -2507,6 +2507,20 @@ def q_spatial_clusters(sf_dir: str):
 DBSCAN_MINPTS = 3
 
 
+def q_idw_grid(sf_dir: str):
+    """IDW raster interpolation census (stages/spatial.idw_grid): exact
+    INTEGER inverse-distance weights (W_SCALE // d2, µ°² distances to
+    cell centers) so the per-cell weighted sums are order-independent
+    BIGINTs at any partitioning — the float-summation nondeterminism
+    classic IDW hits in distributed runs is designed out.  Oracle-gated
+    (oracle.q_idw_grid)."""
+    from ..stages.spatial import idw_grid
+
+    ensure_worker_importable()
+    pts = points_dataset(sf_dir).select_columns(["doc_id", "lon", "lat"])
+    return idw_grid(pts)
+
+
 def q_dbscan(sf_dir: str):
     """Full DBSCAN over the geotagged points (eps = DIST_JOIN_RADIUS,
     minPts = DBSCAN_MINPTS, self included): core / border / noise roles

@@ -186,3 +186,86 @@ def knn_graph(ds, radius_u: int, k: int = 3, id_col: str = "doc_id",
 
     pts = ds.map_batches(emit, batch_format="pyarrow")
     return bucketed_pairs(pts, topk_fn, key="bucket")
+
+
+# ---------------------------------------------------------------------------
+# Inverse-distance-weighted (IDW) grid interpolation census
+# ---------------------------------------------------------------------------
+
+IDW_CELL_U = 50_000          # grid pitch in µ°
+IDW_R2_U = IDW_CELL_U * IDW_CELL_U   # influence radius² = one pitch
+IDW_W_SCALE = 10 ** 12       # integer weight = W_SCALE // max(d2, 1)
+IDW_VAL_MOD = 256
+IDW_OFF_U = 1_000_000_000     # non-negative shift (multiple of IDW_CELL_U)
+
+
+def idw_partial(batch: pa.Table) -> pa.Table:
+    """Per-block IDW partials: every point contributes to its own and the
+    8 neighboring grid cells' CENTERS when within the influence radius;
+    weights are EXACT integers (``W_SCALE // max(d2, 1)``, d2 in µ°²), so
+    the per-cell weighted sums are order-independent BIGINTs — the
+    float-summation nondeterminism classic IDW hits in distributed runs
+    is designed out.  Point value = hash of doc_id (closed-form, SQL-
+    replicable).  Emits (cx, cy, n_pts, sw, swv) combiner rows."""
+    d = batch.column("doc_id").to_numpy().astype(np.int64)
+    ix = np.floor(batch.column("lon").to_numpy() * 1e6 + 0.5).astype(np.int64)
+    iy = np.floor(batch.column("lat").to_numpy() * 1e6 + 0.5).astype(np.int64)
+    val = (d * 2654435761) % IDW_VAL_MOD
+    C = np.int64(IDW_CELL_U)
+    # non-negative shift before the floor-div: numpy floors toward -inf
+    # while DuckDB's // truncates on negatives — the shared convention is
+    # divide-on-non-negative only (IDW_OFF_U divisible by the pitch, so
+    # cell ids and centers are unchanged for positive coords)
+    OFF = np.int64(IDW_OFF_U)
+    gx = (ix + OFF) // C - OFF // C
+    gy = (iy + OFF) // C - OFF // C
+    rows_cx, rows_cy, rows_n, rows_sw, rows_swv = [], [], [], [], []
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            cx = gx + dx
+            cy = gy + dy
+            ctr_x = cx * C + C // 2
+            ctr_y = cy * C + C // 2
+            d2 = (ix - ctr_x) ** 2 + (iy - ctr_y) ** 2
+            m = d2 <= IDW_R2_U
+            if not m.any():
+                continue
+            w = IDW_W_SCALE // np.maximum(d2[m], 1)
+            key = _grid_cell(cx[m], cy[m])
+            uk, inv = np.unique(key, return_inverse=True)
+            rows_cx.append(uk // _GX_MULT - _GY_OFF)
+            rows_cy.append(uk % _GX_MULT - _GY_OFF)
+            rows_n.append(np.bincount(inv, minlength=len(uk)).astype(np.int64))
+            # int64 scatter-adds, NOT float bincount: per-point weights
+            # reach 1e12, so a dense cell's float sum would pass 2^53 and
+            # silently lose exactness (the whole point of integer IDW)
+            sw = np.zeros(len(uk), dtype=np.int64)
+            np.add.at(sw, inv, w)
+            swv = np.zeros(len(uk), dtype=np.int64)
+            np.add.at(swv, inv, w * val[m])
+            rows_sw.append(sw)
+            rows_swv.append(swv)
+    if not rows_cx:
+        z = pa.array(np.empty(0, np.int64))
+        return pa.table({"cx": z, "cy": z, "n_pts": z, "sw": z, "swv": z})
+    return pa.table({
+        "cx": pa.array(np.concatenate(rows_cx)),
+        "cy": pa.array(np.concatenate(rows_cy)),
+        "n_pts": pa.array(np.concatenate(rows_n)),
+        "sw": pa.array(np.concatenate(rows_sw)),
+        "swv": pa.array(np.concatenate(rows_swv)),
+    })
+
+
+def idw_grid(pts_ds):
+    """(cx, cy, n_pts, sw, swv): IDW interpolation partials aggregated to
+    one row per grid cell — the raster-interpolation pass (heatmaps,
+    coverage surfaces) over the geotagged point stream.  ONE cell-sized
+    groupby; bincount combiner per block."""
+    from ray.data.aggregate import Sum
+
+    return (pts_ds.map_batches(idw_partial, batch_format="pyarrow")
+            .groupby(["cx", "cy"])
+            .aggregate(Sum("n_pts", alias_name="n_pts"),
+                       Sum("sw", alias_name="sw"),
+                       Sum("swv", alias_name="swv")))

@@ -134,7 +134,8 @@ def run_benchmarks() -> dict:
                                             q_mmr_rerank, q_image_equalize,
                                             q_tpch_q7, q_watermark,
                                             q_k_anonymity, q_jl_distortion,
-                                            q_frame_diff, q_track_lcss)
+                                            q_frame_diff, q_track_lcss,
+                                            q_idw_grid)
     from bano_ray.runtime import ensure_worker_importable
     from bano_ray.stages.export import street_json_zone  # noqa: F401
     ensure_worker_importable()
@@ -303,6 +304,7 @@ def run_benchmarks() -> dict:
         "jl_distortion": lambda: q_jl_distortion(SF_DIR).count(),
         "frame_diff": lambda: q_frame_diff(SF_DIR).count(),
         "track_lcss": lambda: q_track_lcss(SF_DIR).count(),
+        "idw_grid": lambda: q_idw_grid(SF_DIR).count(),
     }
     # phash near-dup at bench scale (expanded image corpus; banding explodes
     # the stream 4x, so run at a bounded expansion like the image stage)

@@ -332,3 +332,21 @@ class TestTrackLcss:
         got = {(int(r["sidx_a"]), int(r["sidx_b"])): int(r["lcss_len"])
                for _, r in out.iterrows()}
         assert got == expect
+
+
+class TestIdwGrid:
+    def test_partials_merge_invariantly(self, ray_session):
+        """The census must be identical under any block split (integer
+        sums are order/partition independent)."""
+        import ray
+
+        from bano_ray.pipelines.cumul import points_dataset
+        from bano_ray.stages.spatial import idw_grid
+
+        pts = points_dataset(SF).select_columns(["doc_id", "lon", "lat"])
+        a = (idw_grid(pts).to_pandas()
+             .sort_values(["cx", "cy"]).reset_index(drop=True))
+        b = (idw_grid(pts.repartition(13)).to_pandas()
+             .sort_values(["cx", "cy"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b)
+        assert (a["sw"] > 0).all() and (a["n_pts"] > 0).all()
