@@ -39,6 +39,8 @@ _ORACLE_QUERIES = [
     "q_frame_diff",          # video: inter-frame change census
     "q_track_lcss",          # geo: LCSS trajectory similarity
     "q_idw_grid",            # geo: exact-integer IDW interpolation
+    "q_cell_image_mosaic",   # geo x image: per-tile thumbnail mosaic
+    "q_dedup_keep_best",     # dedup: quality-argmax representative
     "q_kmv_overlap",         # KMV set-overlap sketch (k-min distinct hashes)
     "q_distance_selfjoin",   # spatial distance self-join (grid buckets)
     "q_heavy_hitters",       # exact top-k by count (combiner shape)

@@ -1399,6 +1399,40 @@ SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM mh_j
 WHERE jac >= 0.5 ORDER BY doc_a, doc_b"""
 
 
+def q_dedup_keep_best() -> str:
+    """Quality-aware representative (queries.q_dedup_keep_best): the
+    q_dup_clusters closure + the q_quality score, argmax per label via
+    ROW_NUMBER (quality DESC, node)."""
+    from .stages.text import EN_MARKERS, FR_MARKERS, PUNCT
+
+    labels = q_dup_clusters()
+    punct = " + ".join(_occ("text", ch) for ch in PUNCT)
+    stop = " + ".join(_occ("lower(text)", p) for p in EN_MARKERS + FR_MARKERS)
+    return f"""WITH lab AS (
+  SELECT * FROM ({labels})
+),
+kq AS (
+  SELECT doc_id,
+         round(ln(CAST(length(text) AS DOUBLE) + 1.0) * 0.25
+               + (CAST(({stop}) AS DOUBLE)
+                    / CAST(greatest({_NTOK}, 1) AS DOUBLE) * 2.0
+                  - CAST(({punct}) AS DOUBLE)
+                    / CAST(greatest(length(text), 1) AS DOUBLE) * 3.0), 6)
+           AS quality
+  FROM documents
+),
+kj AS (
+  SELECT l.label, l.node, q.quality,
+         row_number() OVER (PARTITION BY l.label
+                            ORDER BY q.quality DESC, l.node) AS rn,
+         COUNT(*) OVER (PARTITION BY l.label) AS n_members
+  FROM lab l JOIN kq q ON q.doc_id = l.node
+)
+SELECT label, node AS keeper, CAST(n_members AS BIGINT) AS n_members,
+       quality AS best_quality
+FROM kj WHERE rn = 1 ORDER BY label"""
+
+
 def q_jaccard_neardup() -> str:
     """Exact-recall prefix-filtered Jaccard near-dup (stages/dedup.py
     jaccard_neardup): per-doc distinct md5 shingle hashes in ascending hash
@@ -3863,6 +3897,32 @@ SELECT doc_id,
             AS BIGINT) AS psum,
        CAST(COUNT(*) // 3 AS BIGINT) AS n_px
 FROM v GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+
+
+def q_cell_image_mosaic() -> str:
+    """Geo × image mosaic (queries.q_cell_image_mosaic): the
+    q_image_thumbs pixel-replay restricted sums, re-keyed by the
+    q_cell_counts z12 tile of each doc's coordinates."""
+    thumbs_sql = q_image_thumbs()
+    from .stages.parse import CELL_RES
+
+    n = 1 << CELL_RES
+    return f"""WITH tm AS (
+  SELECT * FROM ({thumbs_sql})
+),
+{base_pts_cte()},
+cells AS (
+  SELECT doc_id,
+         CAST(floor((lon + 180.0) / 360.0 * {n}.0) AS BIGINT) AS cell_x,
+         CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0/cos(radians(lat)))
+                     / pi()) / 2.0 * {n}.0) AS BIGINT) AS cell_y
+  FROM pts2
+)
+SELECT c.cell_x, c.cell_y, t.ch,
+       CAST(COUNT(*) AS BIGINT) AS n_img,
+       CAST(SUM(t.thumb_sum) AS BIGINT) AS thumb_sum
+FROM tm t JOIN cells c USING (doc_id)
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
 
 
 def q_quadtree_leaves(z_hi: int = 12, z_lo: int = 8) -> str:

@@ -458,6 +458,42 @@ def q_dup_clusters(sf_dir: str):
     return connected_components(pairs, "doc_a", "doc_b")
 
 
+def q_dedup_keep_best(sf_dir: str):
+    """Quality-aware dedup representative selection: per transitive
+    near-dup cluster keep the HIGHEST-quality member (tie → min doc_id)
+    instead of the min-id one — the curation refinement production
+    pipelines actually run ("keep the best copy, not the first").
+    Labels from the distributed CC over verified minhash pairs; quality
+    attaches via ONE distributed hash join (the label table is
+    dup-cluster-sized); per-label argmax in a label-keyed groupby.
+    Oracle-gated (oracle.q_dedup_keep_best)."""
+    import ray
+
+    from ..stages.text import quality_batch
+
+    ensure_worker_importable()
+    labels = q_dup_clusters(sf_dir)
+    qual = (ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                  columns=["doc_id", "text"])
+            .map_batches(lambda b: quality_batch(b).select(
+                ["doc_id", "quality"]), batch_format="pyarrow"))
+    j = labels.join(qual, join_type="inner", num_partitions=8,
+                    on=("node",), right_on=("doc_id",))
+
+    def best(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["quality", "node"],
+                           ascending=[False, True], kind="stable")
+        top = d.groupby("label", sort=False).head(1)
+        n = df.groupby("label", sort=False).size()
+        return pd.DataFrame({
+            "label": top["label"].to_numpy().astype(np.int64),
+            "keeper": top["node"].to_numpy().astype(np.int64),
+            "n_members": n.reindex(top["label"]).to_numpy().astype(np.int64),
+            "best_quality": top["quality"].to_numpy()})
+
+    return j.groupby("label").map_groups(best, batch_format="pandas")
+
+
 def q_jaccard_neardup(sf_dir: str):
     """Exact-recall word-3-gram Jaccard near-dup pairs via prefix filtering
     (no probabilistic banding: every pair with J >= 0.5 is guaranteed to
@@ -3337,6 +3373,46 @@ def q_image_equalize(sf_dir: str):
 
     ensure_worker_importable()
     return image_equalize(sf_dir)
+
+
+def q_cell_image_mosaic(sf_dir: str):
+    """Geo × image fusion: per z12 tile the image count and the exact
+    per-channel thumbnail-sum totals of the PNG images inside it — the
+    mosaic/choropleth aggregation a map-serving pipeline runs (decode in
+    the actor pool, cell assignment from the row's own coordinates, ONE
+    cell-sized groupby; pixels never shuffle — only 3 int sums per image
+    do).  Composes ImageThumbSums with the q_cell_counts tile math.
+    Oracle-gated (oracle.q_cell_image_mosaic)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..stages.parse import CELL_RES
+    from .flagship import ImageThumbSums, _png_pool_pipeline
+
+    ensure_worker_importable()
+    thumbs = _png_pool_pipeline(sf_dir, ImageThumbSums)
+    n = np.int64(1 << CELL_RES)
+
+    def attach_cell(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy()
+        lon, lat = datagen.lon_lat(d)
+        cx = np.floor((lon + 180.0) / 360.0 * n).astype(np.int64)
+        cy = np.floor((1.0 - np.log(np.tan(np.radians(lat))
+                                    + 1.0 / np.cos(np.radians(lat)))
+                       / np.pi) / 2.0 * n).astype(np.int64)
+        return pa.table({
+            "cell_x": pa.array(cx), "cell_y": pa.array(cy),
+            "ch": batch.column("ch"),
+            "thumb_sum": batch.column("thumb_sum")})
+
+    from ray.data.aggregate import Count
+
+    # every image contributes exactly one row per channel, so the group's
+    # row count IS its image count
+    return (thumbs.map_batches(attach_cell, batch_format="pyarrow")
+            .groupby(["cell_x", "cell_y", "ch"])
+            .aggregate(Count("thumb_sum", alias_name="n_img"),
+                       Sum("thumb_sum", alias_name="thumb_sum")))
 
 
 def q_quadtree_leaves(sf_dir: str):

@@ -135,7 +135,9 @@ def run_benchmarks() -> dict:
                                             q_tpch_q7, q_watermark,
                                             q_k_anonymity, q_jl_distortion,
                                             q_frame_diff, q_track_lcss,
-                                            q_idw_grid)
+                                            q_idw_grid,
+                                            q_cell_image_mosaic,
+                                            q_dedup_keep_best)
     from bano_ray.runtime import ensure_worker_importable
     from bano_ray.stages.export import street_json_zone  # noqa: F401
     ensure_worker_importable()
@@ -305,6 +307,8 @@ def run_benchmarks() -> dict:
         "frame_diff": lambda: q_frame_diff(SF_DIR).count(),
         "track_lcss": lambda: q_track_lcss(SF_DIR).count(),
         "idw_grid": lambda: q_idw_grid(SF_DIR).count(),
+        "cell_image_mosaic": lambda: q_cell_image_mosaic(SF_DIR).count(),
+        "dedup_keep_best": lambda: q_dedup_keep_best(SF_DIR).count(),
     }
     # phash near-dup at bench scale (expanded image corpus; banding explodes
     # the stream 4x, so run at a bounded expansion like the image stage)
