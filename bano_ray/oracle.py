@@ -1399,6 +1399,32 @@ SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM mh_j
 WHERE jac >= 0.5 ORDER BY doc_a, doc_b"""
 
 
+def q_boilerplate() -> str:
+    """Boilerplate census (stages/dedup.boilerplate_census): the minhash
+    shingle CTE, distinct (doc, h), per-shingle distinct-doc counts,
+    per-doc shared fraction."""
+    return """WITH bp_w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+bp_sh AS (
+  SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+    THEN list_transform(range(1, len(w) - 1),
+                        i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])
+    ELSE [array_to_string(w, ' ')] END) AS s
+  FROM bp_w
+),
+bp_dh AS (SELECT DISTINCT doc_id, md5_number_lower(s) AS h FROM bp_sh),
+bp_cnt AS (SELECT h, COUNT(*) AS nd FROM bp_dh GROUP BY 1)
+SELECT d.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN c.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared,
+       round(CAST(SUM(CASE WHEN c.nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / greatest(COUNT(*), 1), 6) AS shared_frac
+FROM bp_dh d JOIN bp_cnt c USING (h)
+GROUP BY 1 ORDER BY 1"""
+
+
 def q_dedup_keep_best() -> str:
     """Quality-aware representative (queries.q_dedup_keep_best): the
     q_dup_clusters closure + the q_quality score, argmax per label via

@@ -458,6 +458,18 @@ def q_dup_clusters(sf_dir: str):
     return connected_components(pairs, "doc_a", "doc_b")
 
 
+def q_boilerplate(sf_dir: str):
+    """Boilerplate/template census: per document the fraction of its
+    distinct word-3-gram shingles that occur in at least one OTHER
+    document (stages/dedup.boilerplate_census) — headers, footers and
+    navigation chrome score high; the curation signal between exact
+    dedup and near-dup.  Oracle-gated (oracle.q_boilerplate)."""
+    from ..stages.dedup import boilerplate_census
+
+    ensure_worker_importable()
+    return boilerplate_census(_docs(sf_dir))
+
+
 def q_dedup_keep_best(sf_dir: str):
     """Quality-aware dedup representative selection: per transitive
     near-dup cluster keep the HIGHEST-quality member (tie → min doc_id)

@@ -684,6 +684,64 @@ def containment_pairs(ds, max_bucket: int = 200):
         Min("cont_ba", alias_name="cont_ba"))
 
 
+def boilerplate_census(ds):
+    """(doc_id, n_shingles, n_shared, shared_frac): per document the
+    count of its DISTINCT word-3-gram shingles that also occur in at
+    least one OTHER document — the boilerplate/template signal (headers,
+    footers, navigation chrome score high).  Shape: one (shingle, doc)
+    distinct explode → a shingle-keyed groupby computing per-shingle doc
+    counts AND distributing them back as (doc, shared?) partials in the
+    SAME group pass → one doc-keyed sum.  Shuffle volume is distinct
+    (shingle, doc) pairs — the minhash family's exchange, never raw
+    text."""
+    from ray.data.aggregate import Sum
+
+    def explode(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        uniq_h, codes, offsets = _batch_shingle_hashes(texts)
+        cnt = np.diff(offsets)
+        owner = np.repeat(ids, cnt)
+        h = uniq_h[codes]
+        # distinct (doc, h) within the block (a document is atomic in its
+        # block, so block-local dedup IS global dedup for the pair)
+        df = pd.DataFrame({"doc_id": owner, "h": h.astype(np.int64)})
+        df = df.drop_duplicates()
+        return pa.table({"h": pa.array(df["h"].to_numpy()),
+                         "doc_id": pa.array(df["doc_id"].to_numpy())})
+
+    C = np.int64(_coarse_groups())
+
+    def shard(batch: pa.Table) -> pa.Table:
+        h = batch.column("h").to_numpy()
+        return batch.append_column(
+            "_shard", pa.array((h.astype(np.uint64) % np.uint64(C))
+                               .astype(np.int64)))
+
+    def per_shingle(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["h", "doc_id"])
+        sizes = d.groupby("h", sort=False)["doc_id"].transform("size")
+        return pd.DataFrame({
+            "doc_id": d["doc_id"].to_numpy().astype(np.int64),
+            "n_shingles": np.ones(len(d), dtype=np.int64),
+            "n_shared": (sizes.to_numpy() > 1).astype(np.int64)})
+
+    agg = (ds.map_batches(explode, batch_format="pyarrow")
+           .map_batches(shard, batch_format="pyarrow")
+           .groupby("_shard").map_groups(per_shingle, batch_format="pandas")
+           .groupby("doc_id")
+           .aggregate(Sum("n_shingles", alias_name="n_shingles"),
+                      Sum("n_shared", alias_name="n_shared")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ns = batch.column("n_shingles").to_numpy().astype(np.float64)
+        sh = batch.column("n_shared").to_numpy().astype(np.float64)
+        return batch.append_column(
+            "shared_frac", pa.array(np.round(sh / np.maximum(ns, 1.0), 6)))
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def jaccard_prefix_batch(batch: pa.Table, threshold: float) -> pa.Table:
     """Prefix-filter candidate generation for EXACT-recall n-gram Jaccard
     near-dup (the all-pairs-similarity prefix principle, hash-value order):

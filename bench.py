@@ -137,7 +137,8 @@ def run_benchmarks() -> dict:
                                             q_frame_diff, q_track_lcss,
                                             q_idw_grid,
                                             q_cell_image_mosaic,
-                                            q_dedup_keep_best)
+                                            q_dedup_keep_best,
+                                            q_boilerplate)
     from bano_ray.runtime import ensure_worker_importable
     from bano_ray.stages.export import street_json_zone  # noqa: F401
     ensure_worker_importable()
@@ -309,6 +310,7 @@ def run_benchmarks() -> dict:
         "idw_grid": lambda: q_idw_grid(SF_DIR).count(),
         "cell_image_mosaic": lambda: q_cell_image_mosaic(SF_DIR).count(),
         "dedup_keep_best": lambda: q_dedup_keep_best(SF_DIR).count(),
+        "boilerplate": lambda: q_boilerplate(SF_DIR).count(),
     }
     # phash near-dup at bench scale (expanded image corpus; banding explodes
     # the stream 4x, so run at a bounded expansion like the image stage)
