@@ -42,6 +42,7 @@ _ORACLE_QUERIES = [
     "q_cell_image_mosaic",   # geo x image: per-tile thumbnail mosaic
     "q_dedup_keep_best",     # dedup: quality-argmax representative
     "q_boilerplate",         # curation: shared-shingle boilerplate census
+    "q_matryoshka",          # embeddings: prefix-energy census
     "q_kmv_overlap",         # KMV set-overlap sketch (k-min distinct hashes)
     "q_distance_selfjoin",   # spatial distance self-join (grid buckets)
     "q_heavy_hitters",       # exact top-k by count (combiner shape)

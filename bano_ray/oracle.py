@@ -2244,6 +2244,27 @@ SELECT substr(w, CAST(i + 1 AS INTEGER), 2) AS pair,
 FROM win GROUP BY 1 ORDER BY c DESC, pair LIMIT {BPE_MERGE_TOPK}"""
 
 
+def q_matryoshka() -> str:
+    """Matryoshka census (stages/quantize.mrl_census_batch): the prefix
+    squared-norm chains written left-associated."""
+    from .stages.quantize import MRL_PREFIXES
+
+    def chain(k):
+        out = "(v[1] * v[1])"
+        for i in range(1, k):
+            out = f"({out} + (v[{i + 1}] * v[{i + 1}]))"
+        return out
+
+    cols = ",\n       ".join(
+        f"round({chain(k)}, 6) AS d{k}" for k in MRL_PREFIXES)
+    return f"""WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)
+SELECT vec_id,
+       {cols}
+FROM e ORDER BY vec_id"""
+
+
 def q_jl_distortion() -> str:
     """JL distortion census (stages/quantize.jl_project_batch): the ±1
     sign matrix baked as explicit left-associated sum chains so the

@@ -4347,6 +4347,22 @@ def q_bpe_first_merge(sf_dir: str):
             .head(BPE_MERGE_TOPK).reset_index(drop=True))
 
 
+def q_matryoshka(sf_dir: str):
+    """Matryoshka prefix-energy census (stages/quantize.mrl_census_batch):
+    squared norms of each embedding's 8/16/32/64-dim prefixes — the
+    truncation-quality check run before serving shortened embeddings.
+    Stateless vectorized map.  Oracle-gated (oracle.q_matryoshka with
+    explicit left-associated chains)."""
+    import ray
+
+    from ..stages.quantize import mrl_census_batch
+
+    ensure_worker_importable()
+    return (ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                  columns=["vec_id", "embedding"])
+            .map_batches(mrl_census_batch, batch_format="pyarrow"))
+
+
 def q_jl_distortion(sf_dir: str):
     """Johnson-Lindenstrauss sketch-quality census: per vector the exact
     squared norm and the mean squared norm of its ±1 sign projection

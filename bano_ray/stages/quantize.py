@@ -228,3 +228,31 @@ def jl_project_batch(batch: pa.Table) -> pa.Table:
         "orig_sq": pa.array(np.round(orig, 6)),
         "proj_msq": pa.array(np.round(proj_sq / JL_DIM, 6)),
     })
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka (prefix-truncation) embedding quality census
+# ---------------------------------------------------------------------------
+
+MRL_PREFIXES = (8, 16, 32, 64)
+
+
+def mrl_census_batch(batch: pa.Table) -> pa.Table:
+    """(vec_id, d8, d16, d32, d64): squared norms of each embedding's
+    prefix truncations — the Matryoshka-representation check (how much
+    of the vector's energy lives in each prefix) run before serving
+    truncated embeddings.  Explicit left-associated accumulation (the
+    JL discipline) so the SQL oracle matches term-for-term."""
+    m = emb_matrix(batch.column("embedding"))
+    n = m.shape[0]
+    acc = np.zeros(n, dtype=np.float64)
+    out = {"vec_id": batch.column("vec_id")}
+    nxt = 0
+    for i in range(DIM):
+        acc = acc + m[:, i] * m[:, i]
+        if i + 1 == MRL_PREFIXES[nxt]:
+            out[f"d{MRL_PREFIXES[nxt]}"] = pa.array(np.round(acc, 6))
+            nxt += 1
+            if nxt == len(MRL_PREFIXES):
+                break
+    return pa.table(out)
