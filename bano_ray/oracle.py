@@ -4691,6 +4691,23 @@ WHERE sn.n_name IN ('{n1}', '{n2}')
 GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
 
 
+def q_tpch_q9() -> str:
+    """TPC-H Q9 shape (queries.q_tpch_q9): plain ANSI broadcast star with
+    the tie-free cents."""
+    from .pipelines.queries import _Q9_TYPE
+
+    return f"""SELECT n.n_name AS supp_nation,
+       CAST(date_part('year', l.l_shipdate) AS BIGINT) AS year,
+       CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100
+                           + 0.5) AS BIGINT)) AS BIGINT) AS rev_c
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_type = '{_Q9_TYPE}'
+GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
 def q_json_props() -> str:
     """JSON props extraction (queries.q_json_props): DuckDB's real JSON
     parser vs the engine's RE2 pass — an independent implementation."""

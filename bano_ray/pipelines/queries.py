@@ -4114,6 +4114,68 @@ def q_tpch_q7(sf_dir: str):
             .sort(["supp_nation", "cust_nation", "year"]))
 
 
+_Q9_TYPE = "PROMO"
+
+
+def q_tpch_q9(sf_dir: str):
+    """TPC-H Q9 shape (product profit): revenue of PROMO-type parts per
+    (supp_nation, year) — ONE lineitem scan with BOTH dim sides
+    broadcast (supplier→nation and the filtered part-key set are
+    dim-bounded; searchsorted membership), map-side exact-cents
+    pre-reduce per (nation, year), nations×years final groupby.  No
+    row-level shuffle at all — the Q7 sibling demonstrates the
+    fact-fact join; this one demonstrates the pure broadcast-star.
+    Oracle-gated (oracle.q_tpch_q9)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ensure_worker_importable()
+    nat = ray.data.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+    nmap = dict(zip(nat["n_nationkey"].astype(np.int64), nat["n_name"]))
+    sup = ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
+                                columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    part = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                                 columns=["p_partkey", "p_type"]).to_pandas()
+    skeys = np.sort(sup["s_suppkey"].to_numpy().astype(np.int64))
+    snames = np.asarray(
+        [nmap[int(k)] for k in sup.set_index("s_suppkey")
+         .loc[skeys, "s_nationkey"]], dtype=object)
+    pkeys = np.sort(part.loc[part["p_type"] == _Q9_TYPE, "p_partkey"]
+                    .to_numpy().astype(np.int64))
+    refs = ray.put((skeys, snames, pkeys))
+
+    def line_part(batch: pa.Table) -> pa.Table:
+        sk_arr, sn_arr, pk_arr = ray.get(refs)
+        pk = batch.column("l_partkey").to_numpy().astype(np.int64)
+        pos = np.searchsorted(pk_arr, pk)
+        pos[pos >= len(pk_arr)] = 0
+        keep = (pk_arr[pos] == pk) if len(pk_arr) else             np.zeros(len(pk), bool)
+        t = batch.filter(pa.array(keep))
+        sk = t.column("l_suppkey").to_numpy().astype(np.int64)
+        spos = np.searchsorted(sk_arr, sk)
+        p = t.column("l_extendedprice").to_numpy()
+        d = t.column("l_discount").to_numpy()
+        cents = np.floor(p * (1.0 - d) * 100.0 + 0.5).astype(np.int64)
+        yr = pc.year(t.column("l_shipdate")).to_numpy().astype(np.int64)
+        df = pd.DataFrame({"supp_nation": sn_arr[spos], "year": yr,
+                           "cents": cents})
+        g = df.groupby(["supp_nation", "year"], sort=False)["cents"].sum()
+        idx = g.index.to_frame(index=False)
+        return pa.table({
+            "supp_nation": pa.array(idx["supp_nation"], pa.string()),
+            "year": pa.array(idx["year"].to_numpy().astype(np.int64)),
+            "rev_c": pa.array(g.to_numpy().astype(np.int64))})
+
+    li = (ray.data.read_parquet(
+              f"{sf_dir}/lineitem.parquet",
+              columns=["l_partkey", "l_suppkey", "l_extendedprice",
+                       "l_discount", "l_shipdate"])
+          .map_batches(line_part, batch_format="pyarrow"))
+    return (li.groupby(["supp_nation", "year"])
+            .aggregate(Sum("rev_c", alias_name="rev_c"))
+            .sort(["supp_nation", "year"]))
+
+
 def q_json_props(sf_dir: str):
     """Semi-structured ETL: extract the integer ``k`` from the events
     JSON ``props`` column with ONE vectorized RE2 pass

@@ -138,7 +138,8 @@ def run_benchmarks() -> dict:
                                             q_idw_grid,
                                             q_cell_image_mosaic,
                                             q_dedup_keep_best,
-                                            q_boilerplate, q_matryoshka)
+                                            q_boilerplate, q_matryoshka,
+                                            q_tpch_q9)
     from bano_ray.runtime import ensure_worker_importable
     from bano_ray.stages.export import street_json_zone  # noqa: F401
     ensure_worker_importable()
@@ -312,6 +313,7 @@ def run_benchmarks() -> dict:
         "dedup_keep_best": lambda: q_dedup_keep_best(SF_DIR).count(),
         "boilerplate": lambda: q_boilerplate(SF_DIR).count(),
         "matryoshka": lambda: q_matryoshka(SF_DIR).count(),
+        "tpch_q9": lambda: q_tpch_q9(SF_DIR).count(),
     }
     # phash near-dup at bench scale (expanded image corpus; banding explodes
     # the stream 4x, so run at a bounded expansion like the image stage)
