@@ -1399,6 +1399,53 @@ SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM mh_j
 WHERE jac >= 0.5 ORDER BY doc_a, doc_b"""
 
 
+def q_dedup_incremental() -> str:
+    """Incremental dedup (stages/dedup.incremental_dedup): the
+    q_minhash_pairs CTE prefix with CROSS (delta, base) candidates,
+    jaccard >= 0.5, per-delta argmax via ROW_NUMBER."""
+    from .stages.dedup import DELTA_MOD
+
+    base = q_minhash_pairs()
+    head = base.split("mh_cand AS")[0]
+    return head + f"""mh_cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM mh_seg x
+  JOIN mh_seg y ON y.band = x.band AND y.seg = x.seg
+               AND y.doc_id <> x.doc_id
+  JOIN mh_ok o ON o.band = x.band AND o.seg = x.seg
+  WHERE x.doc_id % {DELTA_MOD} = 0 AND y.doc_id % {DELTA_MOD} <> 0
+),
+mh_dh AS (SELECT DISTINCT doc_id, h FROM mh_h),
+mh_cnt AS (SELECT doc_id, COUNT(*) AS n FROM mh_dh GROUP BY 1),
+mh_inter AS (
+  SELECT c.a, c.b, COUNT(*) AS i
+  FROM mh_cand c
+  JOIN mh_dh x ON x.doc_id = c.a
+  JOIN mh_dh y ON y.doc_id = c.b AND y.h = x.h
+  GROUP BY 1, 2
+),
+mh_j AS (
+  SELECT c.a, c.b,
+         CAST(COALESCE(i.i, 0) AS DOUBLE)
+           / (na.n + nb.n - COALESCE(i.i, 0)) AS jac
+  FROM mh_cand c
+  JOIN mh_cnt na ON na.doc_id = c.a
+  JOIN mh_cnt nb ON nb.doc_id = c.b
+  LEFT JOIN mh_inter i ON i.a = c.a AND i.b = c.b
+),
+mh_r AS (
+  -- rank on the ROUND-6 value: the engine's verify path emits jaccard
+  -- rounded to 6 before the per-delta argmax, so ranking unrounded
+  -- could flip ties the engine cannot see
+  SELECT a, b, jac,
+         row_number() OVER (PARTITION BY a
+                            ORDER BY round(jac, 6) DESC, b) AS rn
+  FROM mh_j WHERE jac >= 0.5
+)
+SELECT a AS delta_id, b AS dup_of, round(jac, 6) AS jaccard
+FROM mh_r WHERE rn = 1 ORDER BY delta_id"""
+
+
 def q_boilerplate() -> str:
     """Boilerplate census (stages/dedup.boilerplate_census): the minhash
     shingle CTE, distinct (doc, h), per-shingle distinct-doc counts,

@@ -458,6 +458,17 @@ def q_dup_clusters(sf_dir: str):
     return connected_components(pairs, "doc_a", "doc_b")
 
 
+def q_dedup_incremental(sf_dir: str):
+    """Incremental-ingest dedup (stages/dedup.incremental_dedup): the
+    1/5 delta shard matched against the base corpus — cross-side banded
+    candidates only, per delta doc the best base match.  Oracle-gated
+    (oracle.q_dedup_incremental)."""
+    from ..stages.dedup import incremental_dedup
+
+    ensure_worker_importable()
+    return incremental_dedup(_docs(sf_dir))
+
+
 def q_boilerplate(sf_dir: str):
     """Boilerplate/template census: per document the fraction of its
     distinct word-3-gram shingles that occur in at least one OTHER

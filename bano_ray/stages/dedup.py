@@ -431,6 +431,61 @@ def minhash_candidate_pairs(ds, threshold: float = 0.7, max_bucket: int = 200):
     return verified_pairs(ds, pairs, threshold)
 
 
+DELTA_MOD = 5   # doc_id % DELTA_MOD == 0 plays the incoming delta shard
+
+
+def incremental_dedup(ds, threshold: float = 0.5, max_bucket: int = 200):
+    """Incremental-ingest dedup: the DELTA shard (doc_id % DELTA_MOD == 0,
+    standing in for a new crawl batch) matched against the BASE corpus —
+    banded MinHash candidates restricted to CROSS (delta, base) pairs,
+    exact-Jaccard verified, then per delta doc the best base match
+    (max jaccard, tie min base id).  The production shape: signatures for
+    base docs would come from the persisted signature index; only the
+    delta side is computed fresh, and no delta-delta or base-base pair is
+    ever formed."""
+    from ray.data.aggregate import Min
+
+    sig = ds.map_batches(minhash_batch, batch_format="pyarrow")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        doc = batch.column("doc_id").to_numpy()
+        flat = pc.list_flatten(batch.column("band_hashes")).to_numpy()
+        return pa.table({"doc_id": pa.array(np.repeat(doc, MINHASH_BANDS)),
+                         "bucket": pa.array(flat)})
+
+    def cross_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(df["doc_id"].unique())
+        if len(ids) < 2:
+            return _EMPTY_PAIRS
+        if len(ids) > max_bucket:
+            _record_drop("minhash_incr", len(ids), max_bucket)
+            return _EMPTY_PAIRS
+        delta = ids[ids % DELTA_MOD == 0]
+        base = ids[ids % DELTA_MOD != 0]
+        if len(delta) == 0 or len(base) == 0:
+            return _EMPTY_PAIRS
+        return pd.DataFrame({
+            "a": np.repeat(delta, len(base)).astype(np.int64),
+            "b": np.tile(base, len(delta)).astype(np.int64)})
+
+    pairs = bucketed_pairs(sig.map_batches(explode, batch_format="pyarrow"),
+                           cross_pairs)
+    ver = verified_pairs(ds, pairs, threshold)   # (doc_a=delta, doc_b=base)
+
+    def best(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["jaccard", "doc_b"],
+                           ascending=[False, True], kind="stable")
+        top = d.groupby("doc_a", sort=False).head(1)
+        return pd.DataFrame({
+            "delta_id": top["doc_a"].to_numpy().astype(np.int64),
+            "dup_of": top["doc_b"].to_numpy().astype(np.int64),
+            "jaccard": top["jaccard"].to_numpy()})
+
+    return ver.groupby("doc_a").map_groups(best, batch_format="pandas")
+
+
 def _pair_text_rows(ds, pairs):
     """Attach each candidate side's text → rows (a, b, text_a, text_b).
 

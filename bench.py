@@ -139,7 +139,8 @@ def run_benchmarks() -> dict:
                                             q_cell_image_mosaic,
                                             q_dedup_keep_best,
                                             q_boilerplate, q_matryoshka,
-                                            q_tpch_q9)
+                                            q_tpch_q9,
+                                            q_dedup_incremental)
     from bano_ray.runtime import ensure_worker_importable
     from bano_ray.stages.export import street_json_zone  # noqa: F401
     ensure_worker_importable()
@@ -314,6 +315,7 @@ def run_benchmarks() -> dict:
         "boilerplate": lambda: q_boilerplate(SF_DIR).count(),
         "matryoshka": lambda: q_matryoshka(SF_DIR).count(),
         "tpch_q9": lambda: q_tpch_q9(SF_DIR).count(),
+        "dedup_incremental": lambda: q_dedup_incremental(SF_DIR).count(),
     }
     # phash near-dup at bench scale (expanded image corpus; banding explodes
     # the stream 4x, so run at a bounded expansion like the image stage)
