@@ -199,10 +199,32 @@ def decorated_points_dataset(sf_dir: str, expand: int = 1,
                            batch_format="pyarrow", batch_size=None)
 
 
-def partial_dataset(sf_dir: str, expand: int = 1, assign_concurrency: int = 4):
+def _insee_drop_filter(insee_drop):
+    """Broadcast membership filter dropping rows of completed zones BEFORE
+    any merge compute (the resume path's compute skip): ``insee_drop`` is
+    a ray.put handle of a sorted string array."""
+    import ray
+    import pyarrow.compute as _pc
+
+    def drop(batch: pa.Table) -> pa.Table:
+        keys = ray.get(insee_drop)
+        return batch.filter(_pc.invert(_pc.is_in(batch.column("insee"),
+                                                 value_set=keys)))
+
+    return drop
+
+
+def partial_dataset(sf_dir: str, expand: int = 1, assign_concurrency: int = 4,
+                    insee_drop=None):
     """Map-side combined partial-state rows + registry partials — the input
     to the ONE merge shuffle (see stages/merge_partial.py: shuffle volume is
-    O(distinct street×numero), not O(rows))."""
+    O(distinct street×numero), not O(rows)).
+
+    ``insee_drop`` (a ``ray.put`` handle of an Arrow string array): rows of
+    those zones are filtered out right after zone assignment, so a RESUME
+    run skips the merge COMPUTE for completed partitions, not just their
+    writes (pipelines/incremental.run_partitioned passes the lineage-done
+    set here)."""
     import ray
     import pyarrow as _pa
 
@@ -213,8 +235,11 @@ def partial_dataset(sf_dir: str, expand: int = 1, assign_concurrency: int = 4):
 
     ensure_worker_importable()
     pts = decorated_points_dataset(sf_dir, expand=expand,
-                                   assign_concurrency=assign_concurrency) \
-        .map_batches(_tag_points, batch_format="pyarrow", batch_size=None)
+                                   assign_concurrency=assign_concurrency)
+    if insee_drop is not None:
+        pts = pts.map_batches(_insee_drop_filter(insee_drop),
+                              batch_format="pyarrow", batch_size=None)
+    pts = pts.map_batches(_tag_points, batch_format="pyarrow", batch_size=None)
     # arrow-native integer-coded combiner (2.1x the pandas one per row,
     # differential-pinned equal — stages/merge_partial.py)
     par = pts.map_batches(partial_from_points_fast, batch_format="pyarrow", batch_size=None)
@@ -243,14 +268,17 @@ def partial_dataset(sf_dir: str, expand: int = 1, assign_concurrency: int = 4):
     return par.union(reg).repartition(npart)
 
 
-def cumul_dataset(sf_dir: str, expand: int = 1, assign_concurrency: int = 4):
+def cumul_dataset(sf_dir: str, expand: int = 1, assign_concurrency: int = 4,
+                  insee_drop=None):
     """The merged cumul rows (rec_type ∈ {adresse, voie}) via the
     partial-aggregation path.  ``cumul_dataset_rows`` keeps the raw-row
-    shuffle replay (differential reference)."""
+    shuffle replay (differential reference).  ``insee_drop`` — see
+    :func:`partial_dataset` (resume compute skip)."""
     from ..stages.merge_partial import finalize_group
 
     return partial_dataset(sf_dir, expand=expand,
-                           assign_concurrency=assign_concurrency) \
+                           assign_concurrency=assign_concurrency,
+                           insee_drop=insee_drop) \
         .groupby(["insee", "salt"]).map_groups(finalize_group, batch_format="pandas")
 
 

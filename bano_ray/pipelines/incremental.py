@@ -157,7 +157,8 @@ def completed_partitions(out_dir: str, code_version: str = CODE_VERSION) -> set[
     return done
 
 
-def run_partitioned(sf_dir: str, out_dir: str, tiles=None) -> dict:
+def run_partitioned(sf_dir: str, out_dir: str, tiles=None,
+                    expand: int = 1) -> dict:
     """Resumable flagship write: cumul per zone → parquet partitions.
 
     - incremental mode: only tile-impacted zones recompute (others skipped)
@@ -170,11 +171,17 @@ def run_partitioned(sf_dir: str, out_dir: str, tiles=None) -> dict:
     """
     from .cumul import cumul_dataset
 
+    import ray
+
     os.makedirs(out_dir, exist_ok=True)
     done = completed_partitions(out_dir)
     targets = impacted_insee_set(tiles) if tiles is not None else None
 
-    ds = cumul_dataset(sf_dir)
+    # resume compute skip: completed partitions filter out right after
+    # zone assignment (broadcast membership), so a restarted run never
+    # re-merges finished zones — not just never re-writes them
+    drop_ref = ray.put(pa.array(sorted(done), pa.string())) if done else None
+    ds = cumul_dataset(sf_dir, expand=expand, insee_drop=drop_ref)
     if targets is not None:
         ds = semi_join_zones(ds, targets)
 
@@ -195,5 +202,8 @@ def run_partitioned(sf_dir: str, out_dir: str, tiles=None) -> dict:
     res = ds.groupby("insee").map_groups(write_group, batch_format="pandas").to_pandas()
     for r in res.itertuples(index=False):
         (skipped if r.rows == -1 else written).append(r.insee)
-    return {"written": sorted(written), "skipped_done": sorted(skipped),
+    # compute-skipped zones never reach write_group — report them from the
+    # lineage set (intersected with the incremental target set when given)
+    skipped.extend(done if targets is None else (done & set(targets)))
+    return {"written": sorted(written), "skipped_done": sorted(set(skipped)),
             "out_dir": out_dir}
