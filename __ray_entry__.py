@@ -45,6 +45,8 @@ _ORACLE_QUERIES = [
     "q_matryoshka",          # embeddings: prefix-energy census
     "q_tpch_q9",             # TPC-H Q9 shape: broadcast star join
     "q_dedup_incremental",   # dedup: delta-vs-base incremental ingest
+    "q_crossmodal_dups",     # multimodal: text-dup vs image-match census
+    "q_crossmodal_corr",     # multimodal: per-zone image/caption corr
     "q_kmv_overlap",         # KMV set-overlap sketch (k-min distinct hashes)
     "q_distance_selfjoin",   # spatial distance self-join (grid buckets)
     "q_heavy_hitters",       # exact top-k by count (combiner shape)

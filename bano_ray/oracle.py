@@ -1399,6 +1399,62 @@ SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM mh_j
 WHERE jac >= 0.5 ORDER BY doc_a, doc_b"""
 
 
+def q_crossmodal_corr() -> str:
+    """Per-zone image/caption correlation (queries.q_crossmodal_corr):
+    x = the q_image_thumbs per-doc total (summed over channels),
+    y = the document-text token count, Pearson r via the
+    q_corr_by_group moment formula (same double cast order)."""
+    thumbs_sql = q_image_thumbs()
+    return f"""WITH tmx AS (
+  SELECT doc_id, CAST(SUM(thumb_sum) AS BIGINT) AS x
+  FROM ({thumbs_sql}) GROUP BY 1
+),
+{base_pts_cte()},
+cm AS (
+  SELECT p.insee, t.x, CAST({_NTOK} AS BIGINT) AS y
+  FROM tmx t
+  JOIN pts2 p ON p.doc_id = t.doc_id
+  JOIN documents d ON d.doc_id = t.doc_id
+),
+m AS (
+  SELECT insee,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx,
+         CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(x * y) AS DOUBLE) AS sxy,
+         CAST(SUM(x * x) AS DOUBLE) AS sx2,
+         CAST(SUM(y * y) AS DOUBLE) AS sy2
+  FROM cm GROUP BY 1
+)
+SELECT insee, CAST(n AS BIGINT) AS n,
+       round((n * sxy - sx * sy)
+             / (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)), 6)
+         AS corr
+FROM m ORDER BY insee"""
+
+
+def q_crossmodal_dups() -> str:
+    """Cross-modal dup census (queries.q_crossmodal_dups): the
+    q_minhash_pairs output with both sides' closed-form phash compared."""
+    base = q_minhash_pairs()
+    return f"""WITH mp AS (
+  SELECT * FROM ({base})
+),
+ph AS (
+  SELECT doc_id,
+         ((CASE WHEN doc_id % {dg.PHASH_DUP_MOD} < 2
+                THEN doc_id - (doc_id % {dg.PHASH_DUP_MOD}) ELSE doc_id END)
+           * {dg.PHASH_MULT} + 7) % {dg.PHASH_MOD} AS phash
+  FROM documents
+)
+SELECT m.doc_a, m.doc_b, m.jaccard,
+       pa.phash = pb.phash AS image_match
+FROM mp m
+JOIN ph pa ON pa.doc_id = m.doc_a
+JOIN ph pb ON pb.doc_id = m.doc_b
+ORDER BY m.doc_a, m.doc_b"""
+
+
 def q_dedup_incremental() -> str:
     """Incremental dedup (stages/dedup.incremental_dedup): the
     q_minhash_pairs CTE prefix with CROSS (delta, base) candidates,

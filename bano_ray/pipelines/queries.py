@@ -458,6 +458,105 @@ def q_dup_clusters(sf_dir: str):
     return connected_components(pairs, "doc_a", "doc_b")
 
 
+def q_crossmodal_corr(sf_dir: str):
+    """Per-zone Pearson r of (image luminance, caption token count) — the
+    multimodal-alignment census (does image content track caption
+    richness per region).  x = the PNG thumbnail's total cell sum (exact
+    int, all channels), y = token count; moments accumulate as exact
+    int64 per-block partials (the q_corr_by_group discipline), ONE
+    zone-sized groupby; images decode in the pool, only 5 int moments
+    per zone shuffle.  Oracle-gated (oracle.q_crossmodal_corr)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..stages.text import token_count_batch
+    from .flagship import ImageThumbSums, _png_pool_pipeline
+
+    ensure_worker_importable()
+    thumbs = _png_pool_pipeline(sf_dir, ImageThumbSums)
+
+    def lum(batch: pa.Table) -> pa.Table:
+        # 3 rows per doc (one per channel) → one row per doc: sum
+        d = batch.column("doc_id").to_numpy().astype(np.int64)
+        s = batch.column("thumb_sum").to_numpy().astype(np.int64)
+        u, inv = np.unique(d, return_inverse=True)
+        tot = np.zeros(len(u), dtype=np.int64)
+        np.add.at(tot, inv, s)
+        return pa.table({"doc_id": pa.array(u), "x": pa.array(tot)})
+
+    xs = thumbs.map_batches(lum, batch_format="pyarrow")
+    toks = (ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                  columns=["doc_id", "text"])
+            .map_batches(token_count_batch, batch_format="pyarrow"))
+    # ONE distributed hash join pairs each PNG doc's luminance with its
+    # document-text token count (token counts come from the parquet text,
+    # not the caption — independent data, hence the join)
+    j = xs.join(toks, join_type="inner", num_partitions=8,
+                on=("doc_id",), right_on=("doc_id",))
+
+    def moments(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy().astype(np.int64)
+        x = batch.column("x").to_numpy().astype(np.int64)
+        y = batch.column("n_tokens").to_numpy().astype(np.int64)
+        lon, lat = datagen.lon_lat(d)
+        zone = datagen.zone_of(lon, lat)
+        insee = np.char.zfill((zone + 1).astype("U"), 5).astype(object)
+        df = pd.DataFrame({"insee": insee, "n": 1, "sx": x, "sy": y,
+                           "sxy": x * y, "sx2": x * x, "sy2": y * y})
+        g = df.groupby("insee", sort=False).sum()
+        return pa.table({
+            "insee": pa.array(g.index.to_numpy(), pa.string()),
+            **{c: pa.array(g[c].to_numpy().astype(np.int64))
+               for c in ("n", "sx", "sy", "sxy", "sx2", "sy2")}})
+
+    agg = (j.map_batches(moments, batch_format="pyarrow")
+           .groupby("insee")
+           .aggregate(*[Sum(c, alias_name=c)
+                        for c in ("n", "sx", "sy", "sxy", "sx2", "sy2")]))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy().astype(np.float64)
+        sx = batch.column("sx").to_numpy().astype(np.float64)
+        sy = batch.column("sy").to_numpy().astype(np.float64)
+        sxy = batch.column("sxy").to_numpy().astype(np.float64)
+        sx2 = batch.column("sx2").to_numpy().astype(np.float64)
+        sy2 = batch.column("sy2").to_numpy().astype(np.float64)
+        corr = np.round((n * sxy - sx * sy)
+                        / (np.sqrt(n * sx2 - sx * sx)
+                           * np.sqrt(n * sy2 - sy * sy)), 6)
+        return pa.table({"insee": batch.column("insee"),
+                         "n": pa.array(n.astype(np.int64)),
+                         "corr": pa.array(corr)})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_crossmodal_dups(sf_dir: str):
+    """Cross-modal consistency census: verified TEXT near-dup pairs
+    annotated with whether their IMAGES also match (phash equality) —
+    "same caption, different picture" is the mismatch a multimodal
+    curation pass flags before training.  Composition: the minhash
+    near-dup pairs with both sides' phash attached batch-locally
+    (phash is a pure function of doc_id — no extra shuffle).
+    Oracle-gated (oracle.q_crossmodal_dups)."""
+    from ..stages.dedup import minhash_candidate_pairs
+
+    ensure_worker_importable()
+    pairs = minhash_candidate_pairs(_docs(sf_dir), threshold=0.5)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy().astype(np.int64)
+        b = batch.column("doc_b").to_numpy().astype(np.int64)
+        pha = datagen.phash_of(a)
+        phb = datagen.phash_of(b)
+        return pa.table({
+            "doc_a": batch.column("doc_a"), "doc_b": batch.column("doc_b"),
+            "jaccard": batch.column("jaccard"),
+            "image_match": pa.array(pha == phb)})
+
+    return pairs.map_batches(attach, batch_format="pyarrow")
+
+
 def q_dedup_incremental(sf_dir: str):
     """Incremental-ingest dedup (stages/dedup.incremental_dedup): the
     1/5 delta shard matched against the base corpus — cross-side banded

@@ -140,7 +140,9 @@ def run_benchmarks() -> dict:
                                             q_dedup_keep_best,
                                             q_boilerplate, q_matryoshka,
                                             q_tpch_q9,
-                                            q_dedup_incremental)
+                                            q_dedup_incremental,
+                                            q_crossmodal_dups,
+                                            q_crossmodal_corr)
     from bano_ray.runtime import ensure_worker_importable
     from bano_ray.stages.export import street_json_zone  # noqa: F401
     ensure_worker_importable()
@@ -316,6 +318,8 @@ def run_benchmarks() -> dict:
         "matryoshka": lambda: q_matryoshka(SF_DIR).count(),
         "tpch_q9": lambda: q_tpch_q9(SF_DIR).count(),
         "dedup_incremental": lambda: q_dedup_incremental(SF_DIR).count(),
+        "crossmodal_dups": lambda: q_crossmodal_dups(SF_DIR).count(),
+        "crossmodal_corr": lambda: q_crossmodal_corr(SF_DIR).count(),
     }
     # phash near-dup at bench scale (expanded image corpus; banding explodes
     # the stream 4x, so run at a bounded expansion like the image stage)
