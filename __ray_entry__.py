@@ -35,6 +35,7 @@ _ORACLE_QUERIES = [
     "q_tpch_q7",             # TPC-H Q7 shape: fact-fact orderkey join
     "q_watermark",           # text: LLM-watermark greenlist census
     "q_k_anonymity",         # privacy: QI group-size spectrum
+    "q_dp_counts",           # privacy: DP noisy-count release harness
     "q_jl_distortion",       # embeddings: JL-projection norm census
     "q_frame_diff",          # video: inter-frame change census
     "q_track_lcss",          # geo: LCSS trajectory similarity

@@ -2467,6 +2467,28 @@ SELECT doc_id, n_emails,
 FROM r1 ORDER BY doc_id"""
 
 
+def q_dp_counts() -> str:
+    """DP noisy counts (queries.q_dp_counts): the same md5-seeded
+    inverse-CDF Laplace draw, identical double chain."""
+    from .pipelines.queries import DP_EPSILON
+
+    b = 1.0 / DP_EPSILON
+    return f"""WITH g AS (
+  SELECT event_type, CAST(COUNT(event_id) AS BIGINT) AS n FROM events
+  GROUP BY 1
+),
+u AS (
+  SELECT event_type, n,
+         CAST(md5_number_lower(event_type) AS DOUBLE)
+           / 18446744073709551616.0 - 0.5 AS c
+  FROM g
+)
+SELECT event_type, n,
+       round(-{b!r} * sign(c) * ln(1.0 - 2.0 * abs(c)), 6) AS noise,
+       round(n + (-{b!r} * sign(c) * ln(1.0 - 2.0 * abs(c))), 6) AS noisy_n
+FROM u ORDER BY event_type"""
+
+
 def q_k_anonymity() -> str:
     """k-anonymity census (queries.q_k_anonymity): the langid expression
     + doc_id%4 + length bucket as the QI, COUNT per QI, count-of-counts."""

@@ -1864,6 +1864,45 @@ KANON_K = 5
 KANON_LEN_BUCKET = 50
 
 
+DP_EPSILON = 1.0
+
+
+def q_dp_counts(sf_dir: str):
+    """Differential-privacy release harness: per-event-type counts with
+    Laplace(1/ε) noise drawn by INVERSE-CDF from a deterministic md5
+    seed of the group key — the engine seam where a production release
+    swaps in true randomness; the deterministic draw makes the whole
+    mechanism value-testable (and is exactly how DP unit tests pin
+    their noise).  Combiner count + a stateless finish.  Oracle-gated
+    (oracle.q_dp_counts)."""
+    import ray
+    from ray.data.aggregate import Count
+
+    from ..stages.dedup import _md5_u64_many
+
+    ensure_worker_importable()
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "event_type"])
+    agg = ds.groupby("event_type").aggregate(
+        Count("event_id", alias_name="n"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        keys = batch.column("event_type").to_numpy(zero_copy_only=False)
+        n = batch.column("n").to_numpy().astype(np.int64)
+        u = (_md5_u64_many(np.asarray(keys, dtype=object)).astype(np.float64)
+             / 18446744073709551616.0)
+        b = 1.0 / DP_EPSILON
+        c = u - 0.5
+        noise = -b * np.sign(c) * np.log(1.0 - 2.0 * np.abs(c))
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "n": pa.array(n),
+            "noise": pa.array(np.round(noise, 6)),
+            "noisy_n": pa.array(np.round(n + noise, 6))})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def q_k_anonymity(sf_dir: str):
     """k-anonymity census over the quasi-identifier tuple
     (lang_pred, source = doc_id % 4, n_chars // 50): group-size spectrum

@@ -142,7 +142,7 @@ def run_benchmarks() -> dict:
                                             q_tpch_q9,
                                             q_dedup_incremental,
                                             q_crossmodal_dups,
-                                            q_crossmodal_corr)
+                                            q_crossmodal_corr, q_dp_counts)
     from bano_ray.runtime import ensure_worker_importable
     from bano_ray.stages.export import street_json_zone  # noqa: F401
     ensure_worker_importable()
@@ -320,6 +320,7 @@ def run_benchmarks() -> dict:
         "dedup_incremental": lambda: q_dedup_incremental(SF_DIR).count(),
         "crossmodal_dups": lambda: q_crossmodal_dups(SF_DIR).count(),
         "crossmodal_corr": lambda: q_crossmodal_corr(SF_DIR).count(),
+        "dp_counts": lambda: q_dp_counts(SF_DIR).count(),
     }
     # phash near-dup at bench scale (expanded image corpus; banding explodes
     # the stream 4x, so run at a bounded expansion like the image stage)
